@@ -1,0 +1,153 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import Relational.dec
+
+/** The reference's analytics surface (sessions, contributions,
+  * dashboard rollups) re-expressed as Catalyst aggregations over the
+  * `events` stream table. The reference computes these with Django
+  * ORM count()/filter() chains over Postgres
+  * (core/session_utils.py:200-:308, core/supabase_utils.py:315-:359,
+  * core/views.py:858); here every stat is a map-side-combinable
+  * aggregate so the same query runs over 100 TB of events.
+  *
+  * "Now" is pinned to max(ts) of the data so results are
+  * deterministic (the reference uses wall-clock `datetime.now`).
+  */
+object Analytics {
+
+  private val SessionGapMs = 30L * 60 * 1000   // reference: 30-min activity window
+
+  /** count + average value by type — mirror of
+    * get_contribution_analytics (core/supabase_utils.py:315): total
+    * contributions and average rating, here grouped by event_type.
+    */
+  def contributionAnalytics(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        (sum(dec(col("value"))).cast("double") / count(lit(1))).as("avg_value"),
+        sum(dec(col("value"))).cast("double").as("total_value"))
+      .orderBy(col("event_type"))
+
+  /** Top-n by rating — get_top_rated_qa (core/supabase_utils.py:346):
+    * `order by rating desc limit n`, with a deterministic id
+    * tie-break. Bounded top-k, never a global sort.
+    */
+  def topRated(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+
+  /** Most-recent-n — get_recent_qa (core/supabase_utils.py:354). */
+  def recentN(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("ts_ms"),
+        col("user_id"), col("event_type"))
+      .orderBy(col("ts_ms").desc, col("event_id").desc)
+      .limit(10)
+
+  /** Offset/limit page listing — list_contributions
+    * (core/supabase_utils.py:383) `range(start, end)` pagination:
+    * page 2 at 20/page. At scale pagination this deep is cheap; deep
+    * offsets would use a keyset (`doc_id > last_seen`) instead.
+    */
+  def paginate(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+      .offset(20)
+      .limit(20)
+
+  /** Gap-based sessionization of the event stream — the batch twin of
+    * the reference's login/logout session tracking
+    * (core/session_models.py, is_active + last_activity). One shuffle
+    * on user_id; lag + running conditional count assigns session ids.
+    */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byTime = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms"), col("event_id"))
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("value"),
+        col("ts_ms"))
+      .withColumn("prev_ms", lag(col("ts_ms"), 1).over(byTime))
+      .withColumn("new_sess",
+        when(col("prev_ms").isNull || col("ts_ms") - col("prev_ms") > SessionGapMs, 1)
+          .otherwise(0))
+      .withColumn("session_id",
+        sum(col("new_sess")).over(byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    ev.groupBy(col("user_id"), col("session_id"))
+      .agg(
+        min(col("ts_ms")).as("start_ms"),
+        max(col("ts_ms")).as("end_ms"),
+        count(lit(1)).as("n_events"),
+        sum(dec(col("value"))).cast("double").as("session_value"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  /** total / active / today session counts — get_user_session_stats
+    * (core/session_utils.py:215). "Active" = session still inside the
+    * 30-min gap at end-of-data; "today" = started on max(ts)'s date.
+    */
+  def sessionStats(spark: SparkSession, dir: String): DataFrame = {
+    val sess = sessionize(spark, dir)
+    val nowMs = Tables.events(spark, dir)
+      .agg(max(col("ts_ms")).as("now_ms"),
+        (max(col("ts_ms")) - max(col("ts_ms")) % (24L * 3600 * 1000)).as("today_ms"))
+    sess.crossJoin(nowMs)
+      .agg(
+        count(lit(1)).as("total_sessions"),
+        sum(when(col("end_ms") >= col("now_ms") - SessionGapMs, 1).otherwise(0))
+          .as("active_sessions"),
+        sum(when(col("start_ms") >= col("today_ms"), 1).otherwise(0))
+          .as("today_sessions"))
+  }
+
+  /** Distinct users active in the trailing 30-min window —
+    * get_live_user_count (core/session_utils.py:200).
+    */
+  def liveUsers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val nowMs = ev.agg(max(col("ts_ms")).as("now_ms"))
+    ev.select(col("user_id"), col("ts_ms"))
+      .crossJoin(nowMs)
+      .where(col("ts_ms") >= col("now_ms") - SessionGapMs)
+      .agg(countDistinct(col("user_id")).as("live_users"))
+  }
+
+  /** Per-user × activity-type counts over the trailing 7 days —
+    * get_user_activity_summary (core/session_utils.py:268).
+    */
+  def activitySummary(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val nowMs = ev.agg(max(col("ts_ms")).as("now_ms"))
+    ev.select(col("user_id"), col("event_type"), col("ts_ms"))
+      .crossJoin(nowMs)
+      .where(col("ts_ms") >= col("now_ms") - 7L * 24 * 3600 * 1000)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  /** One-row corpus + users + orders rollup — admin_dashboard_stats
+    * (core/views.py:858) / get_admin_dashboard_stats
+    * (core/views.py:1584). Single-pass aggregates per table, joined
+    * as one-row frames.
+    */
+  def dashboardStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+    val ev = Tables.events(spark, dir)
+      .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n_events"))
+    val ord = Tables.orders(spark, dir)
+      .agg(count(lit(1)).as("n_orders"),
+        (sum(dec(col("o_totalprice"))).cast("double") / count(lit(1))).as("avg_order_value"))
+    docs.crossJoin(ev).crossJoin(ord)
+  }
+}
