@@ -31,7 +31,44 @@ object SparkEntry {
     "live_users"       -> (Analytics.liveUsers _),
     "activity_summary" -> (Analytics.activitySummary _),
     "dashboard_stats"  -> (Analytics.dashboardStats _),
+    // §2.A ingestion / text processing
+    "doc_chunk"       -> (Ingest.docChunk _),
+    "doc_chunk_stats" -> (Ingest.docChunkStats _),
+    "doc_embed"       -> (Ingest.docEmbed _),
+    "vec_normalize"   -> (Ingest.vecNormalize _),
+    // §2.F LLM-data-pipeline operators
+    "dedup_exact"     -> (Dedup.dedupExact _),
+    "dedup_minhash"   -> (Dedup.dedupMinhash _),
+    "dedup_simhash"   -> (Dedup.dedupSimhash _),
+    "ngram_jaccard"   -> (Dedup.ngramJaccard _),
+    "lang_id"         -> (TextAnalysis.langId _),
+    "quality_score"   -> (TextAnalysis.qualityScore _),
+    "token_count"     -> (TextAnalysis.tokenCount _),
+    "doc_fingerprint" -> (TextAnalysis.docFingerprint _),
+    "multimodal_meta" -> (TextAnalysis.multimodalMeta _),
   )
+
+  /** Shared oracle fragments. */
+  private val chunksCte =
+    """WITH c AS (
+      |  SELECT doc_id, [x for x in
+      |    [trim(substr(text, g+1, 120)) for g in generate_series(0, length(text)-1, 96)
+      |     if g = 0 or g + 24 < length(text)] if x <> ''] AS lst
+      |  FROM documents)""".stripMargin
+
+  private val shinglesCte =   // word-3-gram distinct shingles of `documents`
+    """sh AS (
+      |  SELECT doc_id, list_distinct([concat(t[i], ' ', t[i+1], ' ', t[i+2])
+      |    for i in generate_series(1, len(t)-2)]) AS sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      |  WHERE len(t) >= 3)""".stripMargin
+
+  private def corpusCte(perturb: Boolean): String = {
+    val copy = if (perturb) "substr(text, strpos(text, ' ') + 1)" else "text"
+    s"""corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id + 100000, $copy FROM documents WHERE doc_id % 7 = 0)""".stripMargin
+  }
 
   private val sessionizeSql =
     """WITH ev AS (
@@ -84,8 +121,8 @@ object SparkEntry {
       """SELECT user_id, event_id, rk, run_sum, ts_ms FROM (
         |  SELECT user_id, event_id,
         |    row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rk,
-        |    round(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 3) AS run_sum,
+        |    floor((SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 1000.0 + 0.5) / 1000.0 AS run_sum,
         |    epoch_ms(ts) AS ts_ms
         |  FROM events) t WHERE rk <= 3 ORDER BY user_id, rk""".stripMargin,
     "contribution_analytics" ->
@@ -130,5 +167,123 @@ object SparkEntry {
         |     (SELECT COUNT(*) AS n_orders,
         |        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*) AS avg_order_value
         |      FROM orders) o""".stripMargin,
+    "doc_chunk" -> (chunksCte +
+      """
+        |SELECT doc_id, CAST(g-1 AS BIGINT) AS chunk_index, lst[g] AS chunk_text,
+        |  CAST(length(lst[g]) AS BIGINT) AS chunk_chars
+        |FROM c, LATERAL (SELECT unnest(generate_series(1, len(lst))) g) s
+        |ORDER BY doc_id, chunk_index""".stripMargin),
+    "doc_chunk_stats" -> (chunksCte +
+      """
+        |SELECT doc_id, CAST(len(lst) AS BIGINT) AS n_chunks,
+        |  CAST(coalesce(list_sum(list_transform(lst, x -> length(x))), 0) AS BIGINT) AS total_chunk_chars
+        |FROM c ORDER BY doc_id""".stripMargin),
+    "doc_embed" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |b AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 4))::BIGINT % 16 AS dim,
+        |  CASE WHEN ('0x' || substr(md5(t), 5, 1))::BIGINT % 2 = 0 THEN 1 ELSE -1 END AS sgn FROM tok),
+        |agg AS (SELECT doc_id, dim, CAST(SUM(sgn) AS BIGINT) AS raw FROM b GROUP BY doc_id, dim),
+        |n AS (SELECT doc_id, dim, raw,
+        |  sqrt(CAST(SUM(raw*raw) OVER (PARTITION BY doc_id) AS DOUBLE)) AS nrm FROM agg)
+        |SELECT doc_id, dim, floor((raw / nrm) * 10000.0 + 0.5) / 10000.0 AS weight FROM n ORDER BY doc_id, dim""".stripMargin,
+    "vec_normalize" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+        |n AS (SELECT vec_id, emb, sqrt(list_sum(list_transform(emb, x -> x*x))) AS nrm FROM e)
+        |SELECT vec_id, CAST(g-1 AS BIGINT) AS dim, floor((emb[g]/nrm) * 10000.0 + 0.5) / 10000.0 AS v
+        |FROM n, LATERAL (SELECT unnest(generate_series(1, len(emb))) g) s
+        |ORDER BY vec_id, dim""".stripMargin,
+    "dedup_exact" -> ("WITH " + corpusCte(perturb = false) +
+      """
+        |SELECT md5(text) AS text_md5, COUNT(*) AS n_dups, MIN(doc_id) AS keep_id
+        |FROM corpus GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY keep_id""".stripMargin),
+    "dedup_minhash" -> ("WITH " + corpusCte(perturb = true) +
+      """,
+        |shc AS (
+        |  SELECT doc_id, list_distinct([concat(t[i], ' ', t[i+1], ' ', t[i+2])
+        |    for i in generate_series(1, len(t)-2)]) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM corpus)
+        |  WHERE len(t) >= 3),
+        |sigs AS (SELECT doc_id, sh,
+        |  [list_min([md5(concat(CAST(p AS VARCHAR), '|', s)) for s in sh])
+        |   for p in generate_series(0, 15)] AS sig FROM shc),
+        |banded AS (SELECT doc_id, sh,
+        |  bb.bd AS bd, md5(concat(sig[4*bb.bd+1], '|', sig[4*bb.bd+2], '|',
+        |    sig[4*bb.bd+3], '|', sig[4*bb.bd+4])) AS band_key
+        |  FROM sigs, (SELECT unnest(generate_series(0, 3)) AS bd) bb),
+        |pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    len(list_intersect(a.sh, b.sh)) AS inter, len(a.sh) AS na, len(b.sh) AS nb
+        |  FROM banded a JOIN banded b ON a.bd = b.bd AND a.band_key = b.band_key
+        |    AND a.doc_id < b.doc_id)
+        |SELECT a_id, b_id, floor((CAST(inter AS DOUBLE)/(na + nb - inter)) * 10000.0 + 0.5) / 10000.0 AS jaccard
+        |FROM pairs ORDER BY jaccard DESC, a_id, b_id LIMIT 50""".stripMargin),
+    "dedup_simhash" -> ("WITH " + corpusCte(perturb = true) +
+      """,
+        |tok AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS h
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM corpus)),
+        |votes AS (SELECT doc_id, bb.bit AS bit,
+        |    CASE WHEN CAST(SUM(CASE WHEN (h >> bb.bit) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) > 0
+        |      THEN (CAST(1 AS BIGINT) << bb.bit) ELSE 0 END AS bv
+        |  FROM tok, (SELECT unnest(generate_series(0, 31)) AS bit) bb GROUP BY doc_id, bb.bit),
+        |sh AS (SELECT doc_id, CAST(SUM(bv) AS BIGINT) AS simhash FROM votes GROUP BY doc_id),
+        |halves AS (
+        |  SELECT doc_id, simhash, 0 AS half_idx, simhash >> 16 AS half FROM sh
+        |  UNION ALL SELECT doc_id, simhash, 1, simhash & 65535 FROM sh),
+        |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        |  FROM halves a JOIN halves b ON a.half_idx = b.half_idx AND a.half = b.half
+        |    AND a.doc_id < b.doc_id)
+        |SELECT a_id, b_id, hamming FROM cand WHERE hamming <= 6
+        |ORDER BY hamming, a_id, b_id""".stripMargin),
+    "ngram_jaccard" -> ("WITH " + shinglesCte +
+      """,
+        |posting AS (SELECT doc_id, sh, unnest(sh) AS s FROM sh),
+        |rare AS (SELECT s FROM posting GROUP BY s HAVING COUNT(*) BETWEEN 2 AND 5),
+        |blocked AS (SELECT p.* FROM posting p JOIN rare r USING (s)),
+        |pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    len(list_intersect(a.sh, b.sh)) AS inter, len(a.sh) AS na, len(b.sh) AS nb
+        |  FROM blocked a JOIN blocked b ON a.s = b.s AND a.doc_id < b.doc_id)
+        |SELECT a_id, b_id, floor((CAST(inter AS DOUBLE)/(na + nb - inter)) * 10000.0 + 0.5) / 10000.0 AS jaccard
+        |FROM pairs ORDER BY jaccard DESC, a_id, b_id LIMIT 20""".stripMargin),
+    "lang_id" ->
+      """WITH d AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents),
+        |s AS (SELECT doc_id,
+        |  floor((CAST(len(list_intersect(toks, ['spark','batch','stream','window','join','agg','merge','fast','slow'])) AS DOUBLE)/len(toks)) * 10000.0 + 0.5) / 10000.0 AS s_exec,
+        |  floor((CAST(len(list_intersect(toks, ['query','scan','filter','sort','group','order'])) AS DOUBLE)/len(toks)) * 10000.0 + 0.5) / 10000.0 AS s_query,
+        |  floor((CAST(len(list_intersect(toks, ['table','row','column','part','key','value','hash'])) AS DOUBLE)/len(toks)) * 10000.0 + 0.5) / 10000.0 AS s_storage
+        |FROM d)
+        |SELECT doc_id,
+        |  CASE WHEN s_exec >= s_query AND s_exec >= s_storage THEN 'exec'
+        |       WHEN s_query >= s_storage THEN 'query' ELSE 'storage' END AS predicted,
+        |  s_exec, s_query, s_storage FROM s ORDER BY doc_id""".stripMargin,
+    "quality_score" ->
+      """WITH q AS (SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS chars,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS words,
+        |  CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)/length(text) AS punct_ratio_r,
+        |  CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+        |    ['a','the','data','table','row','value'])) AS DOUBLE)
+        |    / len(list_distinct(string_split(text, ' '))) AS stop_ratio_r,
+        |  CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+        |    / len(string_split(text, ' ')) AS avg_word_len_r
+        |FROM documents)
+        |SELECT doc_id, chars, words, floor((punct_ratio_r) * 10000.0 + 0.5) / 10000.0 AS punct_ratio,
+        |  floor((stop_ratio_r) * 10000.0 + 0.5) / 10000.0 AS stop_ratio, floor((avg_word_len_r) * 10000.0 + 0.5) / 10000.0 AS avg_word_len,
+        |  floor((0.4 * least(CAST(words AS DOUBLE)/100.0, 1.0) + 0.3 * (1.0 - stop_ratio_r)
+        |    + 0.3 * least(avg_word_len_r/10.0, 1.0)) * 10000.0 + 0.5) / 10000.0 AS quality
+        |FROM q ORDER BY doc_id""".stripMargin,
+    "token_count" ->
+      """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS bpe_ish_tokens,
+        |  CAST(length(text) AS BIGINT) AS chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "doc_fingerprint" -> ("WITH " + shinglesCte +
+      """
+        |SELECT doc_id, list_min(list_transform(sh, s -> md5(s))) AS fingerprint,
+        |  CAST(len(sh) AS BIGINT) AS n_shingles FROM sh ORDER BY doc_id""".stripMargin),
+    "multimodal_meta" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS byte_len, substr(text, 1, 4) AS magic,
+        |  ('0x' || substr(md5(text), 1, 4))::BIGINT % 1920 AS fake_width,
+        |  ('0x' || substr(md5(text), 5, 4))::BIGINT % 1080 AS fake_height
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Par
+import graft.functions.TextFunctions._
+import graft.sources.Tables
+
+/** The reference's ingestion pipeline (extract → chunk → embed →
+  * normalize → index; core/management/commands/embed_pdfs.py:59
+  * `process_pdfs`, core/supabase_utils.py:203 `ingest_document`)
+  * re-expressed as narrow, shuffle-free Spark transforms: chunking
+  * and embedding are per-row `explode`s that scale linearly — the
+  * 100 TB path needs no driver-side batching loop.
+  */
+object Ingest {
+
+  val ChunkSize    = 120
+  val ChunkOverlap = 24
+  val EmbedDim     = 16
+
+  /** documents → chunks(doc_id, chunk_index, chunk_text, chunk_chars).
+    * Mirror of chunk_text (core/utils.py:71) + the metadata rows built
+    * in embed_pdfs.py:151.
+    */
+  def docChunk(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode(chunks(col("text"), ChunkSize, ChunkOverlap))
+          .as(Seq("chunk_index", "chunk_text")))
+      .withColumn("chunk_index", col("chunk_index").cast("long"))
+      .withColumn("chunk_chars", length(col("chunk_text")).cast("long"))
+      .orderBy(col("doc_id"), col("chunk_index"))
+
+  /** Per-document chunk stats (chunk counts / char totals the
+    * reference logs at embed_pdfs.py:174).
+    */
+  def docChunkStats(spark: SparkSession, dir: String): DataFrame = {
+    val ch = chunks(col("text"), ChunkSize, ChunkOverlap)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(ch).cast("long").as("n_chunks"),
+        aggregate(ch, lit(0L), (a, x) => a + length(x)).as("total_chunk_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Deterministic hashed bag-of-words embedding in long form
+    * (doc_id, dim, weight), L2-normalized — the stand-in for
+    * embed_texts (core/utils.py:105; the sentence-transformer model
+    * is not reproducible cross-engine) followed by normalize
+    * (core/utils.py:126). Feature hashing: bucket and sign both come
+    * from the token's md5, signed counts are summed per bucket, then
+    * divided by the document's L2 norm.
+    */
+  def docEmbed(spark: SparkSession, dir: String): DataFrame =
+    normalizeLongForm(
+      rawEmbed(Tables.documents(spark, dir), col("doc_id"), col("text")),
+      "doc_id")
+      .orderBy(col("doc_id"), col("dim"))
+
+  /** Signed hashed-BoW counts: (idCol, dim, raw) — shared by docEmbed
+    * and text-query embedding (VectorSearch.knnText).
+    */
+  private[operators] def rawEmbed(df: DataFrame, id: org.apache.spark.sql.Column,
+      text: org.apache.spark.sql.Column): DataFrame =
+    df.select(id.as("_id"), explode(tokens(text)).as("tok"))
+      .select(col("_id"),
+        (md5Long(col("tok"), 1, 4) % EmbedDim).as("dim"),
+        when(md5Long(col("tok"), 5, 1) % 2 === 0, 1L).otherwise(-1L).as("sgn"))
+      .groupBy(col("_id"), col("dim"))
+      .agg(sum(col("sgn")).as("raw"))
+
+  /** Divide long-form (id, dim, raw) by the per-id L2 norm. */
+  private[operators] def normalizeLongForm(raw: DataFrame, idName: String): DataFrame = {
+    val w = Window.partitionBy(col("_id"))
+    raw
+      .withColumn("nrm", sqrt(sum(col("raw") * col("raw")).over(w)))
+      .select(col("_id").as(idName), col("dim"),
+        // + 0.0 canonicalizes -0.0 (DuckDB's round keeps the sign)
+        Par.round4(col("raw") / col("nrm")).as("weight"))
+  }
+
+  /** L2-normalize the `embeddings` table into long form
+    * (vec_id, dim, v) — mirror of normalize (core/utils.py:126) over
+    * the pre-computed vector column.
+    */
+  def vecNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val emb = transform(col("embedding"), x => x.cast("double"))
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), emb.as("emb"),
+        sqrt(aggregate(transform(emb, x => x * x), lit(0.0), (a, x) => a + x)).as("nrm"))
+      .select(col("vec_id"), posexplode(col("emb")).as(Seq("dim", "v")), col("nrm"))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        Par.round4(col("v") / col("nrm")).as("v"))
+      .orderBy(col("vec_id"), col("dim"))
+  }
+}

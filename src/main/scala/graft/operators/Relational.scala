@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
+import graft.functions.Par
 import graft.sources.Tables
 
 /** Relational core: the engine fundamentals every other operator
@@ -104,8 +105,8 @@ object Relational {
       .orderBy(col("ts_ms"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.events(spark, dir)
-      .withColumn("rk", row_number().over(byValue))
-      .withColumn("run_sum", round(sum(col("value")).over(byTime), 3))
+      .withColumn("rk", row_number().over(byValue).cast("long"))
+      .withColumn("run_sum", Par.round3(sum(col("value")).over(byTime)))
       .where(col("rk") <= 3)
       .select(col("user_id"), col("event_id"), col("rk"),
         col("run_sum"), col("ts_ms"))

@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Par
+import graft.functions.TextFunctions._
+import graft.sources.Tables
+
+/** Text-analysis operators for training-data pipelines (SURVEY.md
+  * §2.F): language-profile scoring, quality scoring, token counting,
+  * fingerprinting, and the multimodal binary-column plumbing. All
+  * narrow per-row transforms — linear scale, no shuffles except the
+  * final presentation sort.
+  */
+object TextAnalysis {
+
+  /** Vocabulary profiles for the n-gram/stopword language-ID
+    * heuristic. The synthetic corpus shares one word pool across its
+    * `lang` labels, so profiles are defined over that pool; on real
+    * data these would be per-language stopword lists.
+    */
+  val Profiles: Seq[(String, Seq[String])] = Seq(
+    "exec"    -> Seq("spark", "batch", "stream", "window", "join", "agg", "merge", "fast", "slow"),
+    "query"   -> Seq("query", "scan", "filter", "sort", "group", "order"),
+    "storage" -> Seq("table", "row", "column", "part", "key", "value", "hash"))
+
+  /** Stopword set for quality scoring (stand-in for english stopwords
+    * over the synthetic vocabulary).
+    */
+  val Stopwords: Seq[String] = Seq("a", "the", "data", "table", "row", "value")
+
+  /** Profile overlap scores + argmax label — the structure of an
+    * n-gram language identifier, deterministic for the oracle.
+    */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val toks = array_distinct(tokens(col("text")))
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id") +: Profiles.map { case (name, words) =>
+        Par.round4(size(array_intersect(toks, array(words.map(lit): _*))).cast("double")
+          / size(toks)).as(s"s_$name")
+      }: _*)
+    // argmax with fixed-order tie-break (CASE chain — portable to the oracle)
+    val predicted =
+      when(col("s_exec") >= col("s_query") && col("s_exec") >= col("s_storage"), "exec")
+        .when(col("s_query") >= col("s_storage"), "query")
+        .otherwise("storage")
+    scored
+      .select(col("doc_id") +: predicted.as("predicted") +:
+        Profiles.map { case (n, _) => col(s"s_$n") }: _*)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Length / punctuation-ratio / stopword-ratio quality scoring —
+    * the heuristics a pretraining cleaner applies per document.
+    */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val chars = length(col("text"))
+    val words = size(toks)
+    val stop = size(array_intersect(array_distinct(toks),
+      array(Stopwords.map(lit): _*)))
+    val punct = length(regexp_replace(col("text"), "[^.,;:!?]", ""))
+    // ratios feeding `quality` stay UNrounded: composing already-rounded
+    // 4-decimal values lands systematically on .00005 round boundaries
+    // where Spark (decimal-string HALF_UP) and DuckDB (binary) disagree
+    val stopRatio = stop.cast("double") / size(array_distinct(toks))
+    val avgWordLen = (chars - (words - 1)).cast("double") / words
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), chars.cast("long").as("chars"), words.cast("long").as("words"),
+        Par.round4(punct.cast("double") / chars).as("punct_ratio"),
+        Par.round4(stopRatio).as("stop_ratio"),
+        Par.round4(avgWordLen).as("avg_word_len"),
+        Par.round4(lit(0.4) * least(words.cast("double") / 100.0, lit(1.0))
+          + lit(0.3) * (lit(1.0) - stopRatio)
+          + lit(0.3) * least(avgWordLen / 10.0, lit(1.0))).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Whitespace + BPE-ish regex token counts. */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("ws_tokens"),
+        regexp_count(col("text"), lit("[a-z]+|[0-9]+")).cast("long").as("bpe_ish_tokens"),
+        length(col("text")).cast("long").as("chars"))
+      .orderBy(col("doc_id"))
+
+  /** Min-shingle rolling fingerprint: the lexicographic minimum of
+    * the document's 3-shingle md5s plus its distinct-shingle count —
+    * a locality-sensitive document signature.
+    */
+  def docFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(col("text"), 3)
+    Tables.documents(spark, dir)
+      .where(size(tokens(col("text"))) >= 3)
+      .select(col("doc_id"),
+        array_min(transform(sh, s => md5(s))).as("fingerprint"),
+        size(sh).cast("long").as("n_shingles"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Multimodal binary-column plumbing: documents carried as opaque
+    * `binary` payloads with typed metadata extraction. The real
+    * decode (image/audio libs) is STUBBED as a deterministic
+    * md5-derived fake (this container has no codec libraries —
+    * SURVEY.md §2.F); the Spark-side schema, payload handling and
+    * metadata columns are real.
+    */
+  def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"), col("text"))
+      .select(col("doc_id"),
+        octet_length(col("payload")).cast("long").as("byte_len"),
+        substring(col("text"), 1, 4).as("magic"),
+        // STUB decode: deterministic fake dimensions in place of a codec
+        (md5Long(col("text"), 1, 4) % 1920).as("fake_width"),
+        (md5Long(col("text"), 5, 4) % 1080).as("fake_height"))
+      .orderBy(col("doc_id"))
+}

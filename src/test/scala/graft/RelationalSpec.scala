@@ -38,7 +38,7 @@ class RelationalSpec extends SparkSpec {
     assert(byUser.nonEmpty)
     byUser.values.foreach { rs =>
       assert(rs.length <= 3)
-      assert(rs.map(_.getAs[Int]("rk")).sorted.sameElements(1 to rs.length))
+      assert(rs.map(_.getAs[Long]("rk")).sorted.sameElements(1L to rs.length.toLong))
     }
   }
 }

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Ingest, TextAnalysis}
+import graft.sources.Tables
+
+class TextOpsSpec extends SparkSpec {
+
+  test("doc_chunk reconstructs reference chunk_text semantics") {
+    val chunks = Ingest.docChunk(spark, sfDir).collect()
+    assert(chunks.nonEmpty)
+    // indices are dense per doc, chunks bounded by size, non-empty
+    chunks.groupBy(_.getAs[Long]("doc_id")).values.foreach { rs =>
+      val idx = rs.map(_.getAs[Long]("chunk_index")).sorted
+      assert(idx.sameElements(0L until idx.length))
+      rs.foreach { r =>
+        val c = r.getAs[String]("chunk_text")
+        assert(c.nonEmpty && c.length <= Ingest.ChunkSize && c == c.trim)
+      }
+    }
+    // a doc longer than ChunkSize must produce > 1 chunk
+    val longDoc = Tables.documents(spark, sfDir)
+      .where(col("n_chars") > Ingest.ChunkSize).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val multi = chunks.groupBy(_.getAs[Long]("doc_id"))
+      .collect { case (id, rs) if rs.length > 1 => id }.toSet
+    assert(longDoc.subsetOf(multi))
+  }
+
+  test("doc_embed vectors are unit-normalized in long form") {
+    val norms = Ingest.docEmbed(spark, sfDir).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .map { case (_, rs) => rs.map(r => math.pow(r.getAs[Double]("weight"), 2)).sum }
+    assert(norms.nonEmpty)
+    norms.foreach(n => assert(math.abs(n - 1.0) < 1e-3))   // rounded weights
+    val dims = Ingest.docEmbed(spark, sfDir).select("dim").distinct()
+      .collect().map(_.getLong(0))
+    assert(dims.forall(d => d >= 0 && d < Ingest.EmbedDim))
+  }
+
+  test("dedup_exact finds exactly the injected duplicates") {
+    val groups = Dedup.dedupExact(spark, sfDir).collect()
+    val expected = Tables.documents(spark, sfDir)
+      .where(col("doc_id") % 7 === 0).count()
+    assert(groups.length == expected)
+    assert(groups.forall(_.getAs[Long]("n_dups") == 2))
+  }
+
+  test("dedup_minhash surfaces the injected near-duplicates with high jaccard") {
+    val pairs = Dedup.dedupMinhash(spark, sfDir).collect()
+    assert(pairs.nonEmpty)
+    // injected pairs are (id, id+100000); they dominate the top
+    val injected = pairs.filter(r =>
+      r.getAs[Long]("b_id") == r.getAs[Long]("a_id") + 100000L)
+    assert(injected.length > pairs.length / 2)
+    injected.foreach(r => assert(r.getAs[Double]("jaccard") > 0.8))
+  }
+
+  test("dedup_simhash hamming distances are small for injected pairs") {
+    val pairs = Dedup.dedupSimhash(spark, sfDir).collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(_.getAs[Long]("hamming") <= 6))
+    assert(pairs.exists(r => r.getAs[Long]("b_id") == r.getAs[Long]("a_id") + 100000L))
+  }
+
+  test("lang_id picks the argmax profile") {
+    val rows = TextAnalysis.langId(spark, sfDir).collect()
+    assert(rows.length == Tables.documents(spark, sfDir).count())
+    rows.foreach { r =>
+      val scores = Map("exec" -> r.getAs[Double]("s_exec"),
+        "query" -> r.getAs[Double]("s_query"), "storage" -> r.getAs[Double]("s_storage"))
+      assert(scores(r.getAs[String]("predicted")) == scores.values.max)
+    }
+  }
+
+  test("quality_score ratios are in range") {
+    TextAnalysis.qualityScore(spark, sfDir).collect().foreach { r =>
+      assert(r.getAs[Double]("punct_ratio") >= 0 && r.getAs[Double]("punct_ratio") <= 1)
+      assert(r.getAs[Double]("stop_ratio") >= 0 && r.getAs[Double]("stop_ratio") <= 1)
+      assert(r.getAs[Double]("quality") >= 0 && r.getAs[Double]("quality") <= 1)
+    }
+  }
+
+  test("token_count whitespace tokens match chars arithmetic") {
+    TextAnalysis.tokenCount(spark, sfDir).collect().foreach { r =>
+      assert(r.getAs[Long]("ws_tokens") > 0)
+      assert(r.getAs[Long]("bpe_ish_tokens") >= r.getAs[Long]("ws_tokens"))
+    }
+  }
+}
