@@ -46,7 +46,78 @@ object SparkEntry {
     "token_count"     -> (TextAnalysis.tokenCount _),
     "doc_fingerprint" -> (TextAnalysis.docFingerprint _),
     "multimodal_meta" -> (TextAnalysis.multimodalMeta _),
+    // §2.B vector search
+    "knn_brute"       -> (VectorSearch.knnBrute _),
+    "knn_threshold"   -> (VectorSearch.knnThreshold _),
+    "ann_ivf"         -> (VectorSearch.annIvf _),
+    "knn_text"        -> (VectorSearch.knnText _),
+    "dedup_embedding" -> (VectorSearch.dedupEmbedding _),
+    // §2.C keyword + hybrid search
+    "keyword_search"    -> (KeywordSearch.keywordSearch _),
+    "keyword_substring" -> (KeywordSearch.keywordSubstring _),
+    "hybrid_quality"    -> (KeywordSearch.hybridQuality _),
+    "hybrid_rank"       -> (KeywordSearch.hybridRank _),
   )
+
+  /** Normalized double vectors + norms over `embeddings`. */
+  private val vecCte =
+    """WITH e AS (SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+      |n AS (SELECT vec_id, label, emb,
+      |    sqrt(list_sum(list_transform(emb, x -> x*x))) AS nrm FROM e)""".stripMargin
+
+  /** knn_brute candidate scoring + ranking (rk unfiltered). */
+  private val knnCte = vecCte +
+    """,
+      |q AS (SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm FROM n WHERE vec_id < 10),
+      |c AS (SELECT vec_id, emb, nrm FROM n WHERE vec_id >= 10),
+      |s AS (SELECT q_id, vec_id,
+      |    floor((list_dot_product(q_emb, emb)/(q_nrm*nrm)) * 10000.0 + 0.5)/10000.0 AS cos
+      |  FROM q, c),
+      |r AS (SELECT q_id, vec_id, cos,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk FROM s)""".stripMargin
+
+  /** Hashed-BoW embeddings of the literal query strings (qw) and of
+    * every document (dw) — the oracle twin of Ingest.rawEmbed +
+    * normalizeLongForm.
+    */
+  private val queriesCte =
+    """queries(q_id, q_text) AS (
+      |  VALUES (CAST(1 AS BIGINT), 'join hash table'), (CAST(2 AS BIGINT), 'stream window agg'))""".stripMargin
+
+  private val textEmbBody =
+    """qtok AS (SELECT q_id, unnest(string_split(q_text, ' ')) AS t FROM queries),
+      |qb AS (SELECT q_id, ('0x' || substr(md5(t), 1, 4))::BIGINT % 16 AS dim,
+      |  CASE WHEN ('0x' || substr(md5(t), 5, 1))::BIGINT % 2 = 0 THEN 1 ELSE -1 END AS sgn FROM qtok),
+      |qagg AS (SELECT q_id, dim, CAST(SUM(sgn) AS BIGINT) AS raw FROM qb GROUP BY q_id, dim),
+      |qn AS (SELECT q_id, dim, raw,
+      |  sqrt(CAST(SUM(raw*raw) OVER (PARTITION BY q_id) AS DOUBLE)) AS nrm FROM qagg),
+      |qe AS (SELECT q_id, dim, floor((raw/nrm) * 10000.0 + 0.5)/10000.0 AS qw FROM qn),
+      |dtok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+      |db AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 4))::BIGINT % 16 AS dim,
+      |  CASE WHEN ('0x' || substr(md5(t), 5, 1))::BIGINT % 2 = 0 THEN 1 ELSE -1 END AS sgn FROM dtok),
+      |dagg AS (SELECT doc_id, dim, CAST(SUM(sgn) AS BIGINT) AS raw FROM db GROUP BY doc_id, dim),
+      |dn AS (SELECT doc_id, dim, raw,
+      |  sqrt(CAST(SUM(raw*raw) OVER (PARTITION BY doc_id) AS DOUBLE)) AS nrm FROM dagg),
+      |de AS (SELECT doc_id, dim, floor((raw/nrm) * 10000.0 + 0.5)/10000.0 AS dw FROM dn),
+      |ts AS (SELECT q_id, doc_id, floor((SUM(qw*dw)) * 10000.0 + 0.5)/10000.0 AS cos
+      |  FROM de JOIN qe USING (dim) GROUP BY q_id, doc_id),
+      |tr AS (SELECT q_id, doc_id, cos,
+      |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, doc_id) AS rk FROM ts)""".stripMargin
+
+  /** keyword_search scored + ranked rows (kr unfiltered ranking). */
+  private val keywordBody =
+    """s0 AS (SELECT q_id, doc_id,
+      |    CASE WHEN contains(text, q_text) THEN 1.0
+      |      ELSE CAST(len(list_intersect(list_distinct(string_split(q_text, ' ')),
+      |        list_distinct(string_split(text, ' ')))) AS DOUBLE)
+      |        / len(list_distinct(string_split(q_text, ' '))) END AS score_r,
+      |    CAST(doc_id % 50 AS DOUBLE)/10.0 AS rating
+      |  FROM documents, queries),
+      |s1 AS (SELECT q_id, doc_id, floor(score_r * 10000.0 + 0.5)/10000.0 AS score, rating
+      |  FROM s0 WHERE floor(score_r * 10000.0 + 0.5)/10000.0 > 0),
+      |kr AS (SELECT *, row_number() OVER (PARTITION BY q_id
+      |  ORDER BY score DESC, rating DESC, doc_id) AS rk FROM s1)""".stripMargin
 
   /** Shared oracle fragments. */
   private val chunksCte =
@@ -285,5 +356,79 @@ object SparkEntry {
         |  ('0x' || substr(md5(text), 1, 4))::BIGINT % 1920 AS fake_width,
         |  ('0x' || substr(md5(text), 5, 4))::BIGINT % 1080 AS fake_height
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "knn_brute" -> (knnCte +
+      """
+        |SELECT q_id, vec_id, cos, rk FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin),
+    "knn_threshold" -> (vecCte +
+      """,
+        |q AS (SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm FROM n WHERE vec_id < 10),
+        |c AS (SELECT vec_id, emb, nrm FROM n WHERE vec_id >= 10),
+        |s AS (SELECT q_id, vec_id,
+        |    floor((list_dot_product(q_emb, emb)/(q_nrm*nrm)) * 10000.0 + 0.5)/10000.0 AS cos
+        |  FROM q, c),
+        |f AS (SELECT * FROM s WHERE cos >= 0.2),
+        |r AS (SELECT q_id, vec_id, cos,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk FROM f)
+        |SELECT q_id, vec_id, cos, rk FROM r WHERE rk <= 10 ORDER BY q_id, rk""".stripMargin),
+    "ann_ivf" -> (vecCte +
+      """,
+        |ex AS (SELECT label, g-1 AS dim, emb[g] AS x
+        |  FROM n, LATERAL (SELECT unnest(generate_series(1, len(emb))) g) gg),
+        |cd AS (SELECT label, dim,
+        |    CAST(SUM(CAST(x AS DECIMAL(18,9))) AS DOUBLE)/COUNT(*) AS cv
+        |  FROM ex GROUP BY label, dim),
+        |cent AS (SELECT label, list(cv ORDER BY dim) AS c_emb FROM cd GROUP BY label),
+        |cent2 AS (SELECT label, c_emb,
+        |  sqrt(list_sum(list_transform(c_emb, x -> x*x))) AS c_nrm FROM cent),
+        |q AS (SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm FROM n WHERE vec_id < 10),
+        |pr AS (SELECT q_id, q_emb, q_nrm, label,
+        |    floor((list_dot_product(q_emb, c_emb)/(q_nrm*c_nrm)) * 10000.0 + 0.5)/10000.0 AS c_cos
+        |  FROM q, cent2),
+        |probes AS (SELECT *, row_number() OVER (PARTITION BY q_id
+        |  ORDER BY c_cos DESC, label) AS prk FROM pr),
+        |p2 AS (SELECT q_id, q_emb, q_nrm, label FROM probes WHERE prk <= 2),
+        |c AS (SELECT vec_id, label, emb, nrm FROM n WHERE vec_id >= 10),
+        |s AS (SELECT p2.q_id, c.vec_id,
+        |    floor((list_dot_product(p2.q_emb, c.emb)/(p2.q_nrm*c.nrm)) * 10000.0 + 0.5)/10000.0 AS cos
+        |  FROM c JOIN p2 ON c.label = p2.label),
+        |r AS (SELECT q_id, vec_id, cos,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk FROM s)
+        |SELECT q_id, vec_id, cos, rk FROM r WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin),
+    "knn_text" -> ("WITH " + queriesCte + ",\n" + textEmbBody +
+      """
+        |SELECT q_id, doc_id, cos, rk FROM tr WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin),
+    "dedup_embedding" -> (vecCte +
+      """,
+        |s AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |    floor((list_dot_product(a.emb, b.emb)/(a.nrm*b.nrm)) * 10000.0 + 0.5)/10000.0 AS cos
+        |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |SELECT a_id, b_id, cos FROM s ORDER BY cos DESC, a_id, b_id LIMIT 20""".stripMargin),
+    "keyword_search" -> ("WITH " + queriesCte + ",\n" + keywordBody +
+      """
+        |SELECT q_id, doc_id, score, rating, rk FROM kr WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin),
+    "keyword_substring" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE contains(text, 'hash join') ORDER BY doc_id""".stripMargin,
+    "hybrid_quality" -> (knnCte +
+      """,
+        |k AS (SELECT q_id, cos FROM r WHERE rk <= 5),
+        |g AS (SELECT q_id, COUNT(*) AS n, SUM(cos) AS s FROM k GROUP BY q_id)
+        |SELECT q_id, n, floor((s/n) * 10000.0 + 0.5)/10000.0 AS avg_sim,
+        |  floor((least(s/n + least(CAST(n AS DOUBLE)/5.0, 0.2), 1.0)) * 10000.0 + 0.5)/10000.0 AS quality
+        |FROM g ORDER BY q_id""".stripMargin),
+    "hybrid_rank" -> ("WITH " + queriesCte + ",\n" + keywordBody + ",\n" + textEmbBody +
+      """,
+        |kw AS (SELECT q_id, doc_id, rating FROM kr WHERE rk <= 5 AND q_id = 1),
+        |contrib AS (SELECT kw.q_id, kw.doc_id, kw.rating, d.n_chars AS usage
+        |  FROM kw JOIN documents d USING (doc_id)),
+        |c2 AS (SELECT *, row_number() OVER (PARTITION BY q_id
+        |  ORDER BY rating DESC, usage DESC, doc_id) AS crk FROM contrib)
+        |SELECT doc_id, 'user_contribution' AS source_type, 'high' AS priority,
+        |  CAST(crk AS BIGINT) AS ord FROM c2 WHERE crk <= 2
+        |UNION ALL SELECT doc_id, 'original_document', 'medium', CAST(rk + 2 AS BIGINT)
+        |  FROM tr WHERE rk <= 5 AND q_id = 1
+        |UNION ALL SELECT doc_id, 'user_contribution', 'low', CAST(crk + 5 AS BIGINT)
+        |  FROM c2 WHERE crk > 2
+        |ORDER BY ord, doc_id""".stripMargin),
   )
 }

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Par
+import graft.functions.TextFunctions._
+import graft.sources.Tables
+
+/** The reference's keyword + hybrid search layer
+  * (core/supabase_utils.py:280 `search_similar_contributions`,
+  * core/enhanced_search.py). Documents stand in for "contributions";
+  * `rating` is a deterministic derived column (the synthetic corpus
+  * has no rating), `usage` is n_chars.
+  */
+object KeywordSearch {
+
+  val Query = "join hash table"
+
+  /** Synthetic contribution rating — documented stand-in. */
+  private val rating = (col("doc_id") % 50).cast("double") / 10.0
+
+  /** Token-overlap scoring, exactly the reference's formula
+    * (supabase_utils.py:299-:304): 1.0 on substring containment, else
+    * |q_tokens ∩ doc_tokens| / |q_tokens|; keep score > 0; rank by
+    * (score desc, rating desc) with id tie-break, top-5 per query.
+    */
+  def keywordSearch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val queries = Seq((1L, Query), (2L, "stream window agg"))
+      .toDF("q_id", "q_text")
+    val qTok = array_distinct(split(col("q_text"), " "))
+    val dTok = array_distinct(tokens(col("text")))
+    val score = when(col("text").contains(col("q_text")), lit(1.0))
+      .otherwise(size(array_intersect(qTok, dTok)).cast("double") / size(qTok))
+    Tables.documents(spark, dir).crossJoin(broadcast(queries))
+      .select(col("q_id"), col("doc_id"),
+        Par.round4(score).as("score"), rating.as("rating"))
+      .where(col("score") > 0)
+      .withColumn("rk", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("score").desc, col("rating").desc, col("doc_id"))).cast("long"))
+      .where(col("rk") <= 5)
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  /** Case-insensitive substring listing — search_qa_by_keyword
+    * (supabase_utils.py:362) / the admin ilike filter
+    * (supabase_utils.py:389).
+    */
+  def keywordSubstring(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .where(col("text").contains("hash join"))
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  /** Result-quality assessment per query — _assess_faiss_quality
+    * (enhanced_search.py:170): avg similarity + count bonus
+    * min(n/5, 0.2), capped at 1.0, over the knn_brute top-5.
+    */
+  def hybridQuality(spark: SparkSession, dir: String): DataFrame =
+    VectorSearch.knnBrute(spark, dir)
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n"), sum(col("cos")).as("s"))
+      .select(col("q_id"), col("n"),
+        Par.round4(col("s") / col("n")).as("avg_sim"),
+        Par.round4(least(col("s") / col("n")
+          + least(col("n").cast("double") / 5.0, lit(0.2)), lit(1.0))).as("quality"))
+      .orderBy(col("q_id"))
+
+  /** Prioritized merged ranking — prioritize_enhanced_results
+    * (enhanced_search.py:325): top-2 contributions (by rating, usage)
+    * first as 'high', then the vector hits as 'medium', then the
+    * remaining contributions as 'low'.
+    */
+  def hybridRank(spark: SparkSession, dir: String): DataFrame = {
+    val contrib = keywordSearch(spark, dir).where(col("q_id") === 1)
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("n_chars").as("usage")),
+        Seq("doc_id"))
+      .withColumn("crk", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("rating").desc, col("usage").desc, col("doc_id"))).cast("long"))
+    val high = contrib.where(col("crk") <= 2)
+      .select(col("doc_id"), lit("user_contribution").as("source_type"),
+        lit("high").as("priority"), col("crk").as("ord"))
+    val low = contrib.where(col("crk") > 2)
+      .select(col("doc_id"), lit("user_contribution").as("source_type"),
+        lit("low").as("priority"), (col("crk") + 5).as("ord"))
+    val medium = VectorSearch.knnText(spark, dir).where(col("q_id") === 1)
+      .select(col("doc_id"), lit("original_document").as("source_type"),
+        lit("medium").as("priority"), (col("rk") + 2).as("ord"))
+    high.unionAll(medium).unionAll(low).orderBy(col("ord"), col("doc_id"))
+  }
+}

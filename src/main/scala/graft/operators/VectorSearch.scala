@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.{Par, VectorFunctions => V}
+import graft.sources.Tables
+
+/** The reference's FAISS search surface re-expressed for Spark
+  * (core/utils.py:194 `search_similar_chunks`,
+  * embed_pdfs.py:227 `IndexFlatIP`): the index is a columnar table of
+  * vectors; a query batch is the small broadcast side; top-k is a
+  * per-query window over a pruned candidate set.
+  *
+  * Scale shape: the corpus scan prunes to (id, vector); queries are
+  * broadcast (never shuffle the corpus by query); IVF prunes the
+  * scan to probed centroid buckets — at 100 TB the bucket id becomes
+  * a partition column and probing is partition pruning.
+  */
+object VectorSearch {
+
+  val K        = 5
+  val NQueries = 10
+  val Threshold = 0.2
+  val NProbe   = 2
+
+  /** embeddings as (vec_id, emb: array<double>, nrm, label). */
+  private def vectors(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), V.toDouble(col("embedding")).as("emb"))
+      .withColumn("nrm", V.norm(col("emb")))
+
+  private def rank(cosCol: String, byId: String, part: String): org.apache.spark.sql.Column =
+    row_number().over(Window.partitionBy(col(part))
+      .orderBy(col(cosCol).desc, col(byId))).cast("long")
+
+  /** Brute-force cosine top-k: query batch (vec_id < 10) broadcast
+    * against the rest of the corpus — the exact-search baseline
+    * (FAISS IndexFlatIP.search, core/utils.py:221).
+    */
+  def knnBrute(spark: SparkSession, dir: String): DataFrame = {
+    val v = vectors(spark, dir)
+    val q = v.where(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"), col("nrm").as("q_nrm"))
+    val corpus = v.where(col("vec_id") >= NQueries)
+    corpus.crossJoin(broadcast(q))
+      .select(col("q_id"), col("vec_id"),
+        V.cosine4(col("q_emb"), col("emb"), col("q_nrm"), col("nrm")).as("cos"))
+      .withColumn("rk", rank("cos", "vec_id", "q_id"))
+      .where(col("rk") <= K)
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  /** Top-k with a similarity threshold — search_similar_chunks'
+    * `score >= similarity_threshold` filter (core/utils.py:228).
+    */
+  def knnThreshold(spark: SparkSession, dir: String): DataFrame = {
+    val v = vectors(spark, dir)
+    val q = v.where(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"), col("nrm").as("q_nrm"))
+    val corpus = v.where(col("vec_id") >= NQueries)
+    corpus.crossJoin(broadcast(q))
+      .select(col("q_id"), col("vec_id"),
+        V.cosine4(col("q_emb"), col("emb"), col("q_nrm"), col("nrm")).as("cos"))
+      .where(col("cos") >= Threshold)
+      .withColumn("rk", rank("cos", "vec_id", "q_id"))
+      .where(col("rk") <= 2 * K)
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  /** IVF-style approximate search: cluster centroids (mean vector per
+    * `label` bucket), probe the nProbe nearest centroids per query,
+    * then search only those buckets. Centroid dims go through DECIMAL
+    * so the mean is order-independent and oracle-exact. At scale the
+    * bucket is a partition key: probing = partition pruning, and the
+    * fine search touches nProbe/K of the corpus.
+    */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val v = vectors(spark, dir)
+    // long-form → decimal-exact per-dim mean → assembled centroid vector
+    val cent = v.select(col("label"), posexplode(col("emb")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim"))
+      .agg((sum(col("x").cast(DecimalType(18, 9))).cast("double") / count(lit(1))).as("cv"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("cv")))),
+        s => s.getField("cv")).as("c_emb"))
+      .withColumn("c_nrm", V.norm(col("c_emb")))
+    val q = v.where(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"), col("nrm").as("q_nrm"))
+    val probes = q.crossJoin(broadcast(cent))
+      .select(col("q_id"), col("q_emb"), col("q_nrm"), col("label"),
+        V.cosine4(col("q_emb"), col("c_emb"), col("q_nrm"), col("c_nrm")).as("c_cos"))
+      .withColumn("prk", rank("c_cos", "label", "q_id"))
+      .where(col("prk") <= NProbe)
+    val corpus = v.where(col("vec_id") >= NQueries)
+    corpus.join(broadcast(probes), Seq("label"))
+      .select(col("q_id"), col("vec_id"),
+        V.cosine4(col("q_emb"), col("emb"), col("q_nrm"), col("nrm")).as("cos"))
+      .withColumn("rk", rank("cos", "vec_id", "q_id"))
+      .where(col("rk") <= 3)
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  /** End-to-end text search: literal query strings → hashed-BoW
+    * embedding (Ingest.rawEmbed) → cosine against doc_embed vectors →
+    * top-k docs. Mirror of search_similar_chunks (core/utils.py:194):
+    * embed the query, inner-product against the normalized index.
+    * Both sides are unit vectors so cosine == dot over the matching
+    * dims (long-form sparse dot via a join on dim).
+    */
+  def knnText(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val queries = Seq((1L, "join hash table"), (2L, "stream window agg"))
+      .toDF("q_id", "q_text")
+    val qemb = Ingest.normalizeLongForm(
+      Ingest.rawEmbed(queries, col("q_id"), col("q_text")), "q_id")
+      .select(col("q_id"), col("dim"), col("weight").as("qw"))
+    val demb = Ingest.docEmbed(spark, dir)
+      .select(col("doc_id"), col("dim"), col("weight").as("dw"))
+    demb.join(broadcast(qemb), Seq("dim"))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(Par.round4(sum(col("qw") * col("dw"))).as("cos"))
+      .withColumn("rk", rank("cos", "doc_id", "q_id"))
+      .where(col("rk") <= K)
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  /** Embedding-cosine near-duplicate candidates, bucketed by `label`
+    * (the coarse quantizer): top-20 same-bucket pairs by cosine —
+    * SURVEY.md §2.F `dedup_embedding`.
+    */
+  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    val v = vectors(spark, dir)
+    val a = v.select(col("label"), col("vec_id").as("a_id"),
+      col("emb").as("a_emb"), col("nrm").as("a_nrm"))
+    val b = v.select(col("label"), col("vec_id").as("b_id"),
+      col("emb").as("b_emb"), col("nrm").as("b_nrm"))
+    a.join(b, Seq("label"))
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        V.cosine4(col("a_emb"), col("b_emb"), col("a_nrm"), col("b_nrm")).as("cos"))
+      .orderBy(col("cos").desc, col("a_id"), col("b_id"))
+      .limit(20)
+  }
+}

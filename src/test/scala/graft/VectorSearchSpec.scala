@@ -1,0 +1,82 @@
+package graft
+
+import graft.operators.{KeywordSearch, VectorSearch}
+
+class VectorSearchSpec extends SparkSpec {
+
+  test("knn_brute: k results per query, ranked, cosine in [-1,1]") {
+    val rows = VectorSearch.knnBrute(spark, sfDir).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.size == VectorSearch.NQueries)
+    byQ.values.foreach { rs =>
+      assert(rs.length == VectorSearch.K)
+      val cos = rs.sortBy(_.getAs[Long]("rk")).map(_.getAs[Double]("cos"))
+      assert(cos.sameElements(cos.sortBy(-_)))
+      cos.foreach(c => assert(c >= -1.0001 && c <= 1.0001))
+      assert(rs.forall(_.getAs[Long]("vec_id") >= VectorSearch.NQueries))
+    }
+  }
+
+  test("knn_threshold results all clear the threshold") {
+    val rows = VectorSearch.knnThreshold(spark, sfDir).collect()
+    assert(rows.forall(_.getAs[Double]("cos") >= VectorSearch.Threshold))
+  }
+
+  test("ann_ivf is a sound approximation of brute force") {
+    // NOTE: the synthetic `label` buckets are random, not geometric
+    // clusters, so recall is ~nProbe/nBuckets by construction; assert
+    // soundness (approx ⊆ exact scores) and structure instead.
+    val exactTop = VectorSearch.knnBrute(spark, sfDir).collect()
+      .filter(_.getAs[Long]("rk") == 1L)
+      .map(r => r.getAs[Long]("q_id") -> r.getAs[Double]("cos")).toMap
+    val approx = VectorSearch.annIvf(spark, sfDir).collect()
+    val byQ = approx.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.size == VectorSearch.NQueries)
+    byQ.foreach { case (q, rs) =>
+      assert(rs.length == 3)
+      // approximate best can never beat the exact best
+      assert(rs.map(_.getAs[Double]("cos")).max <= exactTop(q) + 1e-9)
+    }
+  }
+
+  test("knn_text returns ranked docs per literal query") {
+    val rows = VectorSearch.knnText(spark, sfDir).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.keySet == Set(1L, 2L))
+    byQ.values.foreach(rs => assert(rs.length == VectorSearch.K))
+  }
+
+  test("dedup_embedding pairs are ordered and same-bucket") {
+    val rows = VectorSearch.dedupEmbedding(spark, sfDir).collect()
+    assert(rows.length <= 20 && rows.nonEmpty)
+    val cos = rows.map(_.getAs[Double]("cos"))
+    assert(cos.sameElements(cos.sortBy(-_)))
+    rows.foreach(r => assert(r.getAs[Long]("a_id") < r.getAs[Long]("b_id")))
+  }
+
+  test("keyword_search scores follow the reference formula bounds") {
+    val rows = KeywordSearch.keywordSearch(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val s = r.getAs[Double]("score")
+      assert(s > 0 && s <= 1.0)
+    }
+  }
+
+  test("hybrid_quality = avg_sim + capped count bonus") {
+    KeywordSearch.hybridQuality(spark, sfDir).collect().foreach { r =>
+      val q = r.getAs[Double]("quality")
+      val avg = r.getAs[Double]("avg_sim")
+      assert(q <= 1.0 && q >= avg - 1e-9)
+    }
+  }
+
+  test("hybrid_rank: high→medium→low priority ordering") {
+    val rows = KeywordSearch.hybridRank(spark, sfDir).collect()
+    val prios = rows.map(_.getAs[String]("priority")).distinct
+    assert(prios.contains("high") && prios.contains("medium"))
+    val ords = rows.map(_.getAs[Long]("ord"))
+    assert(ords.sameElements(ords.sorted))
+    assert(rows.count(_.getAs[String]("priority") == "high") <= 2)
+  }
+}
