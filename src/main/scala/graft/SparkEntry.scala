@@ -269,24 +269,28 @@ object SparkEntry {
         |FROM corpus GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY keep_id""".stripMargin),
     "dedup_minhash" -> ("WITH " + corpusCte(perturb = true) +
       """,
-        |shc AS (
-        |  SELECT doc_id, list_distinct([concat(t[i], ' ', t[i+1], ' ', t[i+2])
-        |    for i in generate_series(1, len(t)-2)]) AS sh
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM corpus)
-        |  WHERE len(t) >= 3),
-        |sigs AS (SELECT doc_id, sh,
-        |  [list_min([md5(concat(CAST(p AS VARCHAR), '|', s)) for s in sh])
-        |   for p in generate_series(0, 15)] AS sig FROM shc),
-        |banded AS (SELECT doc_id, sh,
-        |  bb.bd AS bd, md5(concat(sig[4*bb.bd+1], '|', sig[4*bb.bd+2], '|',
-        |    sig[4*bb.bd+3], '|', sig[4*bb.bd+4])) AS band_key
-        |  FROM sigs, (SELECT unnest(generate_series(0, 3)) AS bd) bb),
-        |pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
-        |    len(list_intersect(a.sh, b.sh)) AS inter, len(a.sh) AS na, len(b.sh) AS nb
+        |tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+        |posting AS (SELECT DISTINCT doc_id, concat(t[i], ' ', t[i+1], ' ', t[i+2]) AS s
+        |  FROM tk, LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS i) ii
+        |  WHERE len(t) >= 3 AND concat(t[i], ' ', t[i+1], ' ', t[i+2]) <> ''),
+        |hsh AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h FROM posting),
+        |mins AS (SELECT doc_id, p, MIN((976369*(p+1)*h + 1234567*p) % 4294967311) AS m
+        |  FROM hsh, (SELECT unnest(generate_series(0, 15)) AS p) pp GROUP BY doc_id, p),
+        |banded AS (SELECT doc_id, p // 4 AS bd,
+        |    array_to_string(list(CAST(m AS VARCHAR) ORDER BY p), '|') AS band_key
+        |  FROM mins GROUP BY doc_id, p // 4),
+        |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
         |  FROM banded a JOIN banded b ON a.bd = b.bd AND a.band_key = b.band_key
-        |    AND a.doc_id < b.doc_id)
-        |SELECT a_id, b_id, floor((CAST(inter AS DOUBLE)/(na + nb - inter)) * 10000.0 + 0.5) / 10000.0 AS jaccard
-        |FROM pairs ORDER BY jaccard DESC, a_id, b_id LIMIT 50""".stripMargin),
+        |    AND a.doc_id < b.doc_id),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM posting GROUP BY doc_id),
+        |itr AS (SELECT c.a_id, c.b_id, COUNT(*) AS inter
+        |  FROM cand c JOIN posting pa ON pa.doc_id = c.a_id
+        |  JOIN posting pb ON pb.doc_id = c.b_id AND pb.s = pa.s
+        |  GROUP BY c.a_id, c.b_id)
+        |SELECT a_id, b_id,
+        |  floor((CAST(inter AS DOUBLE)/(ca.n + cb.n - inter)) * 10000.0 + 0.5) / 10000.0 AS jaccard
+        |FROM itr JOIN cnt ca ON ca.doc_id = a_id JOIN cnt cb ON cb.doc_id = b_id
+        |ORDER BY jaccard DESC, a_id, b_id LIMIT 50""".stripMargin),
     "dedup_simhash" -> ("WITH " + corpusCte(perturb = true) +
       """,
         |tok AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS h

@@ -52,15 +52,30 @@ object TextFunctions {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** MinHash signature component `p`: lexicographic min of
-    * md5(p || '|' || shingle). Min over any total order on a good hash
-    * is a valid MinHash permutation, and string-min is identical in
-    * Spark and DuckDB (no integer parsing needed).
+  /** Distinct word-n-gram posting list: (doc_id, s) rows. This is the
+    * scale shape for shingle work — `split` is evaluated once per row
+    * inside the Generate, and no shingle ARRAY ever enters a shuffle
+    * (HOF lambdas over inlined expressions re-evaluate `split` per
+    * element, which made the array form ~100× slower).
     */
-  def minhashComponent(shinglesCol: Column, p: Int): Column =
-    array_min(transform(shinglesCol, s => md5(concat(lit(p.toString), lit("|"), s))))
+  def shinglePosting(df: org.apache.spark.sql.DataFrame, id: Column, text: Column,
+      n: Int): org.apache.spark.sql.DataFrame = {
+    df.select(id.as("doc_id"), tokens(text).as("toks"))
+      .where(size(col("toks")) >= n)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), size(col("toks")) - n)).as("i"))
+      .select(col("doc_id"),
+        concat_ws(" ", (0 until n).map(j => element_at(col("toks"), col("i") + j + 1)): _*).as("s"))
+      .where(col("s") =!= "")
+      .distinct()
+  }
 
-  /** Full signature as an array of `perms` md5-string minima. */
-  def minhashSignature(shinglesCol: Column, perms: Int): Column =
-    array((0 until perms).map(p => minhashComponent(shinglesCol, p)): _*)
+  /** MinHash permutation p of a base shingle hash: one md5 per
+    * shingle (`md5Long(s,1,8)`, 32-bit), then cheap arithmetic
+    * mixing — (A_p·h + B_p) mod P with P prime > 2^32. Products stay
+    * < 2^57, safe under ANSI overflow checking, and the same integer
+    * expression runs in DuckDB.
+    */
+  def minhashPerm(h: Column, p: Column): Column =
+    (lit(976369L) * (p + 1) * h + lit(1234567L) * p) % lit(4294967311L)
 }

@@ -53,32 +53,61 @@ object Dedup {
     * join shuffles, keyed by (band, band_key) — candidate volume is
     * O(near-dups), not O(n²).
     */
+  /** The posting list feeds several joins (bands, counts, both sides
+    * of the intersection); Spark can't reuse the exchange across the
+    * self-join's aliasing, so persist it — at 100 TB this would be a
+    * parquet staging table instead.
+    */
+  private def cachedPosting(df: DataFrame): DataFrame =
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
-    val sig = minhashSignature(col("sh"), MinhashPerms)
-    val rows = Bands match { case b => MinhashPerms / b }
-    val docs = corpusWithDups(spark, dir, perturb = true)
-      .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
-      .where(size(col("sh")) > 0)
-      .withColumn("sig", sig)
-    val banded = docs.select(col("doc_id"), col("sh"),
+    val posting = cachedPosting(shinglePosting(
+      corpusWithDups(spark, dir, perturb = true), col("doc_id"), col("text"), 3))
+    // one md5 per distinct shingle; the 16 permutation minima are 16
+    // agg columns → map-side partial min, one shuffle of #docs rows
+    val rows = MinhashPerms / Bands
+    val permMins = (0 until MinhashPerms).map { p =>
+      min(minhashPerm(col("h"), lit(p.toLong))).as(s"m$p")
+    }
+    val sigs = posting
+      .select(col("doc_id"), md5Long(col("s"), 1, 8).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(permMins.head, permMins.tail: _*)
+    // band key = the band's minima joined in permutation order
+    val banded = sigs.select(col("doc_id"),
       posexplode(array((0 until Bands).map { b =>
-        md5(concat_ws("|", (0 until rows).map(r => element_at(col("sig"), b * rows + r + 1)): _*))
-      }: _*)).as(Seq("band", "band_key")))
-    val a = banded.select(col("band"), col("band_key"),
-      col("doc_id").as("a_id"), col("sh").as("a_sh"))
-    val b = banded.select(col("band"), col("band_key"),
-      col("doc_id").as("b_id"), col("sh").as("b_sh"))
-    a.join(b, Seq("band", "band_key"))
+        concat_ws("|", (0 until rows).map(r => col(s"m${b * rows + r}").cast("string")): _*)
+      }: _*)).as(Seq("bd", "band_key")))
+    val cand = banded.select(col("bd"), col("band_key"), col("doc_id").as("a_id"))
+      .join(banded.select(col("bd"), col("band_key"), col("doc_id").as("b_id")),
+        Seq("bd", "band_key"))
       .where(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"),
-        size(array_intersect(col("a_sh"), col("b_sh"))).as("inter"),
-        size(col("a_sh")).as("na"), size(col("b_sh")).as("nb"))
+      .select(col("a_id"), col("b_id"))
       .distinct()   // a pair may collide in several bands
+    jaccardOf(cand, posting)
+      .orderBy(col("jaccard").desc, col("a_id"), col("b_id"))
+      .limit(50)
+  }
+
+  /** Exact Jaccard for candidate (a_id, b_id) pairs via posting-list
+    * joins: |∩| = matching-shingle row count, sizes from a small
+    * per-doc dim. O(candidates × shingles-per-doc), arrays never
+    * shuffled.
+    */
+  private def jaccardOf(cand: DataFrame, posting: DataFrame): DataFrame = {
+    val counts = posting.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(posting.select(col("doc_id").as("a_id"), col("s")), Seq("a_id"))
+      .join(posting.select(col("doc_id").as("b_id"), col("s")), Seq("b_id", "s"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(counts.select(col("doc_id").as("a_id"), col("n").as("na")), Seq("a_id"))
+      .join(counts.select(col("doc_id").as("b_id"), col("n").as("nb")), Seq("b_id"))
       .select(col("a_id"), col("b_id"),
         Par.round4(col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
           .as("jaccard"))
-      .orderBy(col("jaccard").desc, col("a_id"), col("b_id"))
-      .limit(50)
   }
 
   /** SimHash near-dup: 32-bit signature from per-bit majority votes
@@ -121,25 +150,18 @@ object Dedup {
     * pairs are compared; top-20 by similarity.
     */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
-      .where(size(col("sh")) > 0)
-    val posting = docs.select(col("doc_id"), col("sh"), explode(col("sh")).as("s"))
+    val posting = cachedPosting(shinglePosting(
+      Tables.documents(spark, dir), col("doc_id"), col("text"), 3))
     val rare = posting.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .where(col("df") >= 2 && col("df") <= 5)
       .select(col("s"))
-    val blocked = posting.join(rare, "s")
-    val a = blocked.select(col("s"), col("doc_id").as("a_id"), col("sh").as("a_sh"))
-    val b = blocked.select(col("s"), col("doc_id").as("b_id"), col("sh").as("b_sh"))
-    a.join(b, Seq("s"))
+    val blocked = posting.join(rare, "s")   // ids only — no arrays in the join
+    val cand = blocked.select(col("s"), col("doc_id").as("a_id"))
+      .join(blocked.select(col("s"), col("doc_id").as("b_id")), Seq("s"))
       .where(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"),
-        size(array_intersect(col("a_sh"), col("b_sh"))).as("inter"),
-        size(col("a_sh")).as("na"), size(col("b_sh")).as("nb"))
+      .select(col("a_id"), col("b_id"))
       .distinct()
-      .select(col("a_id"), col("b_id"),
-        Par.round4(col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-          .as("jaccard"))
+    jaccardOf(cand, posting)
       .orderBy(col("jaccard").desc, col("a_id"), col("b_id"))
       .limit(20)
   }
