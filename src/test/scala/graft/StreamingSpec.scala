@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.Analytics
+import graft.streaming.{Ev, Sessionize}
+
+/** Streaming sessionization must reproduce the batch operator's
+  * sessions when fed the same events (SURVEY.md §2.G).
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def loadEvents() = {
+    import spark.implicits._
+    graft.sources.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts_ms"), col("value"))
+      .as[Ev].collect().sortBy(e => (e.ts_ms, e.event_id))
+  }
+
+  test("streaming sessionize matches batch sessionize") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = loadEvents()
+    val input = MemoryStream[Ev]
+    val query = Sessionize.sessionize(spark, input.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("sessions").start()
+    try {
+      // two real batches, then a far-future sentinel to advance the
+      // watermark past every open session's gap
+      val (b1, b2) = events.splitAt(events.length / 2)
+      input.addData(b1.toIndexedSeq); query.processAllAvailable()
+      input.addData(b2.toIndexedSeq); query.processAllAvailable()
+      val sentinelTs = events.map(_.ts_ms).max + 10L * 24 * 3600 * 1000
+      input.addData(Ev(999999L, 999999L, sentinelTs, 0.0)); query.processAllAvailable()
+
+      val streamed = spark.table("sessions")
+        .where(col("user_id") =!= 999999L)
+        .collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_id"),
+          r.getAs[Long]("start_ms"), r.getAs[Long]("end_ms"), r.getAs[Long]("n_events")))
+        .sortBy(t => (t._1, t._2))
+      val batch = Analytics.sessionize(spark, sfDir).collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_id"),
+          r.getAs[Long]("start_ms"), r.getAs[Long]("end_ms"), r.getAs[Long]("n_events")))
+        .sortBy(t => (t._1, t._2))
+      assert(streamed.length == batch.length,
+        s"streamed ${streamed.length} sessions vs batch ${batch.length}")
+      val diffs = streamed.zip(batch).filter { case (s, b) => s != b }
+      assert(diffs.isEmpty, s"first diffs: ${diffs.take(3).mkString("; ")}")
+    } finally query.stop()
+  }
+
+  test("streaming live-user window counts are emitted and bounded") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = loadEvents()
+    val input = MemoryStream[Ev]
+    val query = Sessionize.liveUserCounts(spark, input.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("live").start()
+    try {
+      input.addData(events.toIndexedSeq); query.processAllAvailable()
+      val sentinelTs = events.map(_.ts_ms).max + 10L * 24 * 3600 * 1000
+      input.addData(Ev(999999L, 999999L, sentinelTs, 0.0)); query.processAllAvailable()
+      val rows = spark.table("live").collect()
+      assert(rows.nonEmpty)
+      val nUsers = events.map(_.user_id).distinct.length
+      rows.foreach { r =>
+        assert(r.getAs[Long]("live_users") >= 0)
+        // approx_count_distinct error is far under 2× on this cardinality
+        assert(r.getAs[Long]("live_users") <= 2L * nUsers + 1)
+      }
+    } finally query.stop()
+  }
+}
