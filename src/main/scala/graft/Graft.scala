@@ -1,0 +1,24 @@
+package graft
+
+import org.apache.spark.sql.{graftBridge, Column, SparkSession}
+
+import graft.plans.CosineSimilarity
+
+/** Library entry points: Column wrappers for graft's native Catalyst
+  * expressions plus SQL registration, so both the DataFrame API and
+  * `spark.sql` can use them.
+  */
+object Graft {
+
+  /** Codegen cosine similarity (see plans.CosineSimilarity). */
+  def cosine_similarity(a: Column, b: Column): Column =
+    graftBridge.columnOf(
+      CosineSimilarity(graftBridge.expressionOf(a), graftBridge.expressionOf(b)))
+
+  /** Register graft SQL functions on a session
+    * (`SELECT cosine_similarity(a.embedding, b.embedding) ...`).
+    */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_similarity", exprs => CosineSimilarity(exprs.head, exprs(1)), "built-in")
+}

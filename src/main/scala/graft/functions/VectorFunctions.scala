@@ -26,11 +26,11 @@ object VectorFunctions {
   def norm(a: Column): Column =
     sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
 
-  /** Cosine similarity dot/(|a|·|b|), parity-rounded to 4 decimals. */
+  /** Cosine similarity dot/(|a|·|b|) via the native codegen
+    * expression (plans.CosineSimilarity — one fused loop), parity-
+    * rounded to 4 decimals. Bit-identical to the HOF form
+    * `dot(a,b)/(norm(a)*norm(b))`.
+    */
   def cosine4(a: Column, b: Column): Column =
-    Par.round4(dot(a, b) / (norm(a) * norm(b)))
-
-  /** Cosine from precomputed norms (avoids recomputing per pair). */
-  def cosine4(a: Column, b: Column, na: Column, nb: Column): Column =
-    Par.round4(dot(a, b) / (na * nb))
+    Par.round4(graft.Graft.cosine_similarity(a, b))
 }

@@ -26,11 +26,10 @@ object VectorSearch {
   val Threshold = 0.2
   val NProbe   = 2
 
-  /** embeddings as (vec_id, emb: array<double>, nrm, label). */
+  /** embeddings as (vec_id, emb: array<double>, label). */
   private def vectors(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), V.toDouble(col("embedding")).as("emb"))
-      .withColumn("nrm", V.norm(col("emb")))
 
   private def rank(cosCol: String, byId: String, part: String): org.apache.spark.sql.Column =
     row_number().over(Window.partitionBy(col(part))
@@ -43,11 +42,11 @@ object VectorSearch {
   def knnBrute(spark: SparkSession, dir: String): DataFrame = {
     val v = vectors(spark, dir)
     val q = v.where(col("vec_id") < NQueries)
-      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"), col("nrm").as("q_nrm"))
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
     val corpus = v.where(col("vec_id") >= NQueries)
     corpus.crossJoin(broadcast(q))
       .select(col("q_id"), col("vec_id"),
-        V.cosine4(col("q_emb"), col("emb"), col("q_nrm"), col("nrm")).as("cos"))
+        V.cosine4(col("q_emb"), col("emb")).as("cos"))
       .withColumn("rk", rank("cos", "vec_id", "q_id"))
       .where(col("rk") <= K)
       .orderBy(col("q_id"), col("rk"))
@@ -59,11 +58,11 @@ object VectorSearch {
   def knnThreshold(spark: SparkSession, dir: String): DataFrame = {
     val v = vectors(spark, dir)
     val q = v.where(col("vec_id") < NQueries)
-      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"), col("nrm").as("q_nrm"))
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
     val corpus = v.where(col("vec_id") >= NQueries)
     corpus.crossJoin(broadcast(q))
       .select(col("q_id"), col("vec_id"),
-        V.cosine4(col("q_emb"), col("emb"), col("q_nrm"), col("nrm")).as("cos"))
+        V.cosine4(col("q_emb"), col("emb")).as("cos"))
       .where(col("cos") >= Threshold)
       .withColumn("rk", rank("cos", "vec_id", "q_id"))
       .where(col("rk") <= 2 * K)
@@ -86,18 +85,17 @@ object VectorSearch {
       .groupBy(col("label"))
       .agg(transform(array_sort(collect_list(struct(col("dim"), col("cv")))),
         s => s.getField("cv")).as("c_emb"))
-      .withColumn("c_nrm", V.norm(col("c_emb")))
     val q = v.where(col("vec_id") < NQueries)
-      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"), col("nrm").as("q_nrm"))
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
     val probes = q.crossJoin(broadcast(cent))
-      .select(col("q_id"), col("q_emb"), col("q_nrm"), col("label"),
-        V.cosine4(col("q_emb"), col("c_emb"), col("q_nrm"), col("c_nrm")).as("c_cos"))
+      .select(col("q_id"), col("q_emb"), col("label"),
+        V.cosine4(col("q_emb"), col("c_emb")).as("c_cos"))
       .withColumn("prk", rank("c_cos", "label", "q_id"))
       .where(col("prk") <= NProbe)
     val corpus = v.where(col("vec_id") >= NQueries)
     corpus.join(broadcast(probes), Seq("label"))
       .select(col("q_id"), col("vec_id"),
-        V.cosine4(col("q_emb"), col("emb"), col("q_nrm"), col("nrm")).as("cos"))
+        V.cosine4(col("q_emb"), col("emb")).as("cos"))
       .withColumn("rk", rank("cos", "vec_id", "q_id"))
       .where(col("rk") <= 3)
       .orderBy(col("q_id"), col("rk"))
@@ -133,14 +131,12 @@ object VectorSearch {
     */
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
     val v = vectors(spark, dir)
-    val a = v.select(col("label"), col("vec_id").as("a_id"),
-      col("emb").as("a_emb"), col("nrm").as("a_nrm"))
-    val b = v.select(col("label"), col("vec_id").as("b_id"),
-      col("emb").as("b_emb"), col("nrm").as("b_nrm"))
+    val a = v.select(col("label"), col("vec_id").as("a_id"), col("emb").as("a_emb"))
+    val b = v.select(col("label"), col("vec_id").as("b_id"), col("emb").as("b_emb"))
     a.join(b, Seq("label"))
       .where(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
-        V.cosine4(col("a_emb"), col("b_emb"), col("a_nrm"), col("b_nrm")).as("cos"))
+        V.cosine4(col("a_emb"), col("b_emb")).as("cos"))
       .orderBy(col("cos").desc, col("a_id"), col("b_id"))
       .limit(20)
   }

@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into the `private[sql]` Column↔Expression converters —
+  * the standard pattern for libraries shipping custom Catalyst
+  * expressions on Spark 4 (Column wraps a ColumnNode, not an
+  * Expression, so `new Column(expr)` no longer exists).
+  */
+object graftBridge {
+  def columnOf(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expressionOf(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

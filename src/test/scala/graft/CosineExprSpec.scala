@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+import graft.sources.Tables
+
+class CosineExprSpec extends SparkSpec {
+
+  private def vecs = Tables.embeddings(spark, sfDir)
+    .select(col("vec_id"), VectorFunctions.toDouble(col("embedding")).as("emb"))
+
+  test("codegen expression is bit-identical to the HOF formulation") {
+    val a = vecs.where(col("vec_id") < 20)
+      .select(col("vec_id").as("a_id"), col("emb").as("a"))
+    val pairs = a.crossJoin(vecs.where(col("vec_id") >= 20 && col("vec_id") < 40)
+      .select(col("vec_id").as("b_id"), col("emb").as("b")))
+    val both = pairs.select(
+      Graft.cosine_similarity(col("a"), col("b")).as("expr_cos"),
+      (VectorFunctions.dot(col("a"), col("b"))
+        / (VectorFunctions.norm(col("a")) * VectorFunctions.norm(col("b")))).as("hof_cos"))
+      .collect()
+    assert(both.length == 400)
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getAs[Double]("expr_cos"))
+        == java.lang.Double.doubleToLongBits(r.getAs[Double]("hof_cos")))
+    }
+  }
+
+  test("cosine_similarity is registered for SQL") {
+    Graft.register(spark)
+    Tables.embeddings(spark, sfDir).createOrReplaceTempView("emb_v")
+    val rows = spark.sql(
+      """SELECT a.vec_id, cosine_similarity(CAST(a.embedding AS ARRAY<DOUBLE>),
+        |  CAST(b.embedding AS ARRAY<DOUBLE>)) AS cos
+        |FROM emb_v a JOIN emb_v b ON b.vec_id = a.vec_id + 1
+        |WHERE a.vec_id < 5""".stripMargin).collect()
+    assert(rows.length == 5)
+    rows.foreach(r => assert(math.abs(r.getAs[Double]("cos")) <= 1.0 + 1e-9))
+  }
+
+  test("expression participates in whole-stage codegen") {
+    val a = vecs.limit(5).select(col("emb").as("a"))
+    val df = a.crossJoin(vecs.limit(5).select(col("emb").as("b")))
+      .select(Graft.cosine_similarity(col("a"), col("b")).as("c"))
+    df.collect()   // AQE finalizes the physical plan only on execution
+    val plan = df.queryExecution.executedPlan.toString
+    // codegen stages print as `*(n)` in the plan string
+    assert(plan.contains("*(") && plan.contains("cosine_similarity"),
+      s"no codegen span in:\n$plan")
+    // self-similarity sanity through the codegen path
+    val self = vecs.limit(3)
+      .select(Graft.cosine_similarity(col("emb"), col("emb")).as("c")).collect()
+    self.foreach(r => assert(math.abs(r.getAs[Double]("c") - 1.0) < 1e-9))
+  }
+}
