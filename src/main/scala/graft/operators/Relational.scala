@@ -28,7 +28,7 @@ object Relational {
     val disc   = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
     val charge = disc * (lit(1.0) + col("l_tax"))
     Tables.lineitem(spark, dir)
-      .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp_ntz"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
@@ -50,10 +50,10 @@ object Relational {
       .where(col("c_mktsegment") === "BUILDING")
       .select("c_custkey")
     val ord = Tables.orders(spark, dir)
-      .where(col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+      .where(col("o_orderdate") < lit("1996-01-01").cast("timestamp_ntz"))
       .select("o_orderkey", "o_custkey", "o_orderdate")
     val li = Tables.lineitem(spark, dir)
-      .where(col("l_shipdate") > lit("1996-01-01").cast("timestamp"))
+      .where(col("l_shipdate") > lit("1996-01-01").cast("timestamp_ntz"))
       .select("l_orderkey", "l_extendedprice", "l_discount")
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(cust, col("o_custkey") === col("c_custkey"))
@@ -75,8 +75,8 @@ object Relational {
     val reg = broadcast(Tables.region(spark, dir).where(col("r_name") === "ASIA"))
     val nat = broadcast(Tables.nation(spark, dir))
     val ord = Tables.orders(spark, dir)
-      .where(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
-             col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+      .where(col("o_orderdate") >= lit("1995-01-01").cast("timestamp_ntz") &&
+             col("o_orderdate") < lit("1996-01-01").cast("timestamp_ntz"))
       .select("o_orderkey", "o_custkey")
     val revenue = sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4))
       .cast("double").as("revenue")

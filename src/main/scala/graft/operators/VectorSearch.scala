@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.functions.{Par, VectorFunctions => V}
+import graft.functions.{Par, TopK, VectorFunctions => V}
 import graft.sources.Tables
 
 /** The reference's FAISS search surface re-expressed for Spark
@@ -35,6 +35,18 @@ object VectorSearch {
     row_number().over(Window.partitionBy(col(part))
       .orderBy(col(cosCol).desc, col(byId))).cast("long")
 
+  /** Bounded top-k per query via the map-side-combining TopKAgg
+    * (graft.functions.TopK) — the shuffle carries ≤ k rows per query
+    * and map partition, never the full candidate set (SURVEY.md §5).
+    */
+  private def topKExplode(scored: DataFrame, k: Int, idName: String): DataFrame =
+    scored.groupBy(col("q_id"))
+      .agg(TopK.topK(k)(col("cos"), col(idName)).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("i", "hit")))
+      .select(col("q_id"), col("hit.id").as(idName), col("hit.score").as("cos"),
+        (col("i") + 1).cast("long").as("rk"))
+      .orderBy(col("q_id"), col("rk"))
+
   /** Brute-force cosine top-k: query batch (vec_id < 10) broadcast
     * against the rest of the corpus — the exact-search baseline
     * (FAISS IndexFlatIP.search, core/utils.py:221).
@@ -44,12 +56,9 @@ object VectorSearch {
     val q = v.where(col("vec_id") < NQueries)
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
     val corpus = v.where(col("vec_id") >= NQueries)
-    corpus.crossJoin(broadcast(q))
+    topKExplode(corpus.crossJoin(broadcast(q))
       .select(col("q_id"), col("vec_id"),
-        V.cosine4(col("q_emb"), col("emb")).as("cos"))
-      .withColumn("rk", rank("cos", "vec_id", "q_id"))
-      .where(col("rk") <= K)
-      .orderBy(col("q_id"), col("rk"))
+        V.cosine4(col("q_emb"), col("emb")).as("cos")), K, "vec_id")
   }
 
   /** Top-k with a similarity threshold — search_similar_chunks'
@@ -60,13 +69,10 @@ object VectorSearch {
     val q = v.where(col("vec_id") < NQueries)
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
     val corpus = v.where(col("vec_id") >= NQueries)
-    corpus.crossJoin(broadcast(q))
+    topKExplode(corpus.crossJoin(broadcast(q))
       .select(col("q_id"), col("vec_id"),
         V.cosine4(col("q_emb"), col("emb")).as("cos"))
-      .where(col("cos") >= Threshold)
-      .withColumn("rk", rank("cos", "vec_id", "q_id"))
-      .where(col("rk") <= 2 * K)
-      .orderBy(col("q_id"), col("rk"))
+      .where(col("cos") >= Threshold), 2 * K, "vec_id")
   }
 
   /** IVF-style approximate search: cluster centroids (mean vector per
@@ -93,12 +99,9 @@ object VectorSearch {
       .withColumn("prk", rank("c_cos", "label", "q_id"))
       .where(col("prk") <= NProbe)
     val corpus = v.where(col("vec_id") >= NQueries)
-    corpus.join(broadcast(probes), Seq("label"))
+    topKExplode(corpus.join(broadcast(probes), Seq("label"))
       .select(col("q_id"), col("vec_id"),
-        V.cosine4(col("q_emb"), col("emb")).as("cos"))
-      .withColumn("rk", rank("cos", "vec_id", "q_id"))
-      .where(col("rk") <= 3)
-      .orderBy(col("q_id"), col("rk"))
+        V.cosine4(col("q_emb"), col("emb")).as("cos")), 3, "vec_id")
   }
 
   /** End-to-end text search: literal query strings → hashed-BoW
@@ -117,12 +120,9 @@ object VectorSearch {
       .select(col("q_id"), col("dim"), col("weight").as("qw"))
     val demb = Ingest.docEmbed(spark, dir)
       .select(col("doc_id"), col("dim"), col("weight").as("dw"))
-    demb.join(broadcast(qemb), Seq("dim"))
+    topKExplode(demb.join(broadcast(qemb), Seq("dim"))
       .groupBy(col("q_id"), col("doc_id"))
-      .agg(Par.round4(sum(col("qw") * col("dw"))).as("cos"))
-      .withColumn("rk", rank("cos", "doc_id", "q_id"))
-      .where(col("rk") <= K)
-      .orderBy(col("q_id"), col("rk"))
+      .agg(Par.round4(sum(col("qw") * col("dw"))).as("cos")), K, "doc_id")
   }
 
   /** Embedding-cosine near-duplicate candidates, bucketed by `label`

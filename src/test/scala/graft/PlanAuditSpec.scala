@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.operators.{Relational, VectorSearch}
+
+/** Regression guards for the scale-critical plan shapes (SURVEY.md
+  * §5): filters pushed to the parquet scan, columns pruned, small
+  * dims broadcast, top-k as a partial-aggregating TopKAgg instead of
+  * a full-shuffle window.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def finalPlan(df: DataFrame): String = {
+    df.collect()   // finalize AQE
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q1: shipdate filter is pushed to the parquet scan; columns pruned") {
+    val plan = finalPlan(Relational.q1Pricing(spark, sfDir))
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"filter not pushed:\n$plan")
+    assert(!plan.contains("l_partkey"), "scan reads pruned column l_partkey")
+    assert(!plan.contains("l_linenumber"), "scan reads pruned column l_linenumber")
+  }
+
+  test("q3: all filters pushed; joins are broadcast at this scale") {
+    val plan = finalPlan(Relational.q3RevenueTopK(spark, sfDir))
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate"))
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderdate), LessThan(o_orderdate"))
+    assert(plan.contains("PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)"))
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(plan.contains("TakeOrderedAndProject"), "top-10 should be a bounded sort")
+  }
+
+  test("q5: region/nation broadcast; order-year filter pushed") {
+    val plan = finalPlan(Relational.q5RegionJoin(spark, sfDir))
+    assert(plan.contains("PushedFilters: [IsNotNull(r_name), EqualTo(r_name,ASIA)"))
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate"))
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
+  test("knn_brute: top-k runs as a partial ObjectHashAggregate, not a window") {
+    val plan = finalPlan(VectorSearch.knnBrute(spark, sfDir))
+    assert(plan.contains("ObjectHashAggregate"), s"TopKAgg missing:\n$plan")
+    assert(plan.contains("partial_topkagg") || plan.contains("partial_TopKAgg")
+      || plan.toLowerCase.contains("partial_topk"),
+      s"no partial aggregation for top-k:\n$plan")
+    assert(!plan.contains("Window"), "knn should not use a window sort")
+    // corpus scan must prune to the columns the search needs
+    assert(!plan.contains("label"), "knn_brute scan reads pruned column label")
+  }
+
+  test("q1 aggregation is map-side partial") {
+    val plan = finalPlan(Relational.q1Pricing(spark, sfDir))
+    assert(plan.contains("partial_sum") || plan.contains("HashAggregate"),
+      s"no partial aggregation:\n$plan")
+  }
+}
