@@ -31,6 +31,7 @@ object SparkEntry {
     "live_users"       -> (Analytics.liveUsers _),
     "activity_summary" -> (Analytics.activitySummary _),
     "dashboard_stats"  -> (Analytics.dashboardStats _),
+    "props_extract"    -> (Analytics.propsExtract _),
     // §2.A ingestion / text processing
     "doc_chunk"       -> (Ingest.docChunk _),
     "doc_chunk_stats" -> (Ingest.docChunkStats _),
@@ -238,6 +239,13 @@ object SparkEntry {
         |     (SELECT COUNT(*) AS n_orders,
         |        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*) AS avg_order_value
         |      FROM orders) o""".stripMargin,
+    "props_extract" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS distinct_k,
+        |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "doc_chunk" -> (chunksCte +
       """
         |SELECT doc_id, CAST(g-1 AS BIGINT) AS chunk_index, lst[g] AS chunk_text,

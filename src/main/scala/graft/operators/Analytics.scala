@@ -135,6 +135,25 @@ object Analytics {
       .orderBy(col("user_id"), col("event_type"))
   }
 
+  /** Semi-structured props handling: the events table carries a JSON
+    * `props` column (the reference stores activity_data as a JSON
+    * text column — core/session_models.py `activity_data`,
+    * session_utils.py:152 `json.dumps(activity_data)`); extract the
+    * typed field and aggregate per event_type. JSON path evaluation
+    * is codegen'd (`get_json_object`), no UDF.
+    */
+  def propsExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        countDistinct(col("k")).as("distinct_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
   /** One-row corpus + users + orders rollup — admin_dashboard_stats
     * (core/views.py:858) / get_admin_dashboard_stats
     * (core/views.py:1584). Single-pass aggregates per table, joined

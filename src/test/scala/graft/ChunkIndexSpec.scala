@@ -1,0 +1,39 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Ingest
+import graft.sources.ChunkIndex
+
+class ChunkIndexSpec extends SparkSpec {
+
+  test("index round-trips and bucket search is partition-pruned") {
+    val out = Files.createTempDirectory("graft_index").toString
+    ChunkIndex.write(spark, sfDir, out)
+
+    // metadata sidecar round-trips exactly
+    val chunksBack = ChunkIndex.readChunks(spark, out)
+    assert(chunksBack.count() == Ingest.docChunk(spark, sfDir).count())
+
+    // every embedding row lands in exactly one bucket; content survives
+    val embBack = ChunkIndex.readEmbeddings(spark, out)
+    assert(embBack.count() == Ingest.docEmbed(spark, sfDir).count())
+    val perDoc = embBack.groupBy(col("doc_id"))
+      .agg(countDistinct(col("bucket")).as("nb")).collect()
+    assert(perDoc.forall(_.getAs[Long]("nb") == 1L))
+
+    // probing two buckets must prune partitions at the scan
+    val probed = ChunkIndex.searchBuckets(spark, out, Seq(0L, 1L))
+    probed.collect()
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [bucket#") || plan.contains("bucket IN (0,1)")
+      || plan.contains("PartitionFilters") && plan.contains("bucket"),
+      s"no partition pruning:\n$plan")
+    // partition-value inference reads the bucket back as Int
+    val buckets = probed.select("bucket").distinct().collect()
+      .map(_.get(0).toString.toLong).toSet
+    assert(buckets.subsetOf(Set(0L, 1L)))
+  }
+}
