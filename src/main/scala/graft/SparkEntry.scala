@@ -21,6 +21,7 @@ object SparkEntry {
     "q3_revenue_topk" -> (Relational.q3RevenueTopK _),
     "q5_region_join"  -> (Relational.q5RegionJoin _),
     "q_window"        -> (Relational.qWindow _),
+    "q_part_revenue"  -> (Relational.qPartRevenue _),
     // §2.D analytics
     "contribution_analytics" -> (Analytics.contributionAnalytics _),
     "top_rated"        -> (Analytics.topRated _),
@@ -32,6 +33,7 @@ object SparkEntry {
     "activity_summary" -> (Analytics.activitySummary _),
     "dashboard_stats"  -> (Analytics.dashboardStats _),
     "props_extract"    -> (Analytics.propsExtract _),
+    "funnel"           -> (Analytics.funnel _),
     // §2.A ingestion / text processing
     "doc_chunk"       -> (Ingest.docChunk _),
     "doc_chunk_stats" -> (Ingest.docChunkStats _),
@@ -58,6 +60,7 @@ object SparkEntry {
     "keyword_substring" -> (KeywordSearch.keywordSubstring _),
     "hybrid_quality"    -> (KeywordSearch.hybridQuality _),
     "hybrid_rank"       -> (KeywordSearch.hybridRank _),
+    "hybrid_context"    -> (KeywordSearch.hybridContext _),
   )
 
   /** Normalized double vectors + norms over `embeddings`. */
@@ -239,6 +242,36 @@ object SparkEntry {
         |     (SELECT COUNT(*) AS n_orders,
         |        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*) AS avg_order_value
         |      FROM orders) o""".stripMargin,
+    "q_part_revenue" ->
+      """SELECT p_brand,
+        |  CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+        |  COUNT(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey=p_partkey
+        |GROUP BY p_brand ORDER BY revenue DESC, p_brand LIMIT 10""".stripMargin,
+    "funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
+        |v AS (SELECT user_id, MIN(ts_ms) AS v_ms FROM ev WHERE event_type='view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, MIN(e.ts_ms) AS c_ms FROM ev e JOIN v ON e.user_id=v.user_id
+        |  WHERE e.event_type='click' AND e.ts_ms > v.v_ms GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, MIN(e.ts_ms) AS p_ms FROM ev e JOIN c ON e.user_id=c.user_id
+        |  WHERE e.event_type='purchase' AND e.ts_ms > c.c_ms GROUP BY e.user_id)
+        |SELECT (SELECT COUNT(*) FROM v) AS users_view,
+        |  (SELECT COUNT(*) FROM c) AS users_click_after_view,
+        |  (SELECT COUNT(*) FROM p) AS users_purchase_after_click""".stripMargin,
+    "hybrid_context" -> ("WITH " + queriesCte + ",\n" + keywordBody +
+      """,
+        |kw AS (SELECT q_id, doc_id, score, rating, rk FROM kr WHERE rk <= 5),
+        |hits AS (SELECT kw.*, d.text FROM kw JOIN documents d USING (doc_id)),
+        |blocks AS (SELECT q_id, rk,
+        |  concat('USER CONTRIBUTION #', CAST(rk AS VARCHAR), ':', chr(10),
+        |    'Answer: ', substr(text, 1, 40), chr(10),
+        |    'Rating: ', CAST(rating AS VARCHAR), '/5.0 (Similarity: ',
+        |    CAST(CAST(score*10000 AS BIGINT) AS VARCHAR), 'bp)') AS block
+        |  FROM hits)
+        |SELECT q_id, concat('USER CONTRIBUTIONS AND ENHANCEMENTS:', chr(10),
+        |  array_to_string(list(block ORDER BY rk), concat(chr(10), chr(10)))) AS combined_context
+        |FROM blocks GROUP BY q_id ORDER BY q_id""".stripMargin),
     "props_extract" ->
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

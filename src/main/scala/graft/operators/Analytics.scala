@@ -154,6 +154,28 @@ object Analytics {
         max(col("k")).as("max_k"))
       .orderBy(col("event_type"))
 
+  /** Ordered event funnel view→click→purchase: per stage, how many
+    * users reached it AFTER completing the previous stage. Three
+    * min-aggregations chained by conditional joins — each stage is
+    * one shuffle on user_id, no window over the full stream.
+    */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("user_id"), col("event_type"), col("ts_ms"))
+    val views = ev.where(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts_ms")).as("v_ms"))
+    val clicks = ev.where(col("event_type") === "click")
+      .join(views, Seq("user_id"))
+      .where(col("ts_ms") > col("v_ms"))
+      .groupBy(col("user_id")).agg(min(col("ts_ms")).as("c_ms"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .join(clicks, Seq("user_id"))
+      .where(col("ts_ms") > col("c_ms"))
+      .groupBy(col("user_id")).agg(min(col("ts_ms")).as("p_ms"))
+    views.agg(count(lit(1)).as("users_view"))
+      .crossJoin(clicks.agg(count(lit(1)).as("users_click_after_view")))
+      .crossJoin(purchases.agg(count(lit(1)).as("users_purchase_after_click")))
+  }
+
   /** One-row corpus + users + orders rollup — admin_dashboard_stats
     * (core/views.py:858) / get_admin_dashboard_stats
     * (core/views.py:1584). Single-pass aggregates per table, joined

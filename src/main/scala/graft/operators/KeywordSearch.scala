@@ -68,6 +68,33 @@ object KeywordSearch {
           + least(col("n").cast("double") / 5.0, lit(0.2)), lit(1.0))).as("quality"))
       .orderBy(col("q_id"))
 
+  /** Combined-context assembly — _create_combined_context
+    * (enhanced_search.py:117): contributions first, each rendered as
+    * a "USER CONTRIBUTION #i" block with rating and similarity, in
+    * rank order. Ordered string aggregation via sort-then-join of
+    * collected (rank, block) pairs; similarity is embedded as integer
+    * basis points (cross-engine float formatting is not stable).
+    */
+  def hybridContext(spark: SparkSession, dir: String): DataFrame = {
+    val hits = keywordSearch(spark, dir)
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("text")), Seq("doc_id"))
+    val block = concat(
+      lit("USER CONTRIBUTION #"), col("rk").cast("string"),
+      lit(":\nAnswer: "), substring(col("text"), 1, 40),
+      lit("\nRating: "), col("rating").cast("string"),
+      lit("/5.0 (Similarity: "), (col("score") * 10000).cast("long").cast("string"),
+      lit("bp)"))
+    hits
+      .groupBy(col("q_id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("rk"), block.as("block")))),
+          s => s.getField("block")), "\n\n").as("combined_context"))
+      .select(col("q_id"),
+        concat(lit("USER CONTRIBUTIONS AND ENHANCEMENTS:\n"), col("combined_context"))
+          .as("combined_context"))
+      .orderBy(col("q_id"))
+  }
+
   /** Prioritized merged ranking — prioritize_enhanced_results
     * (enhanced_search.py:325): top-2 contributions (by rating, usage)
     * first as 'high', then the vector hits as 'medium', then the

@@ -94,6 +94,23 @@ object Relational {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** Revenue by part brand: fact ⋈ dim with the dim auto-broadcast,
+    * top-10 brands — exercises the `part` dimension.
+    */
+  def qPartRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+      .join(Tables.part(spark, dir).select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4))
+          .cast("double").as("revenue"),
+        sum(dec(col("l_quantity"))).cast("double").as("total_qty"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("p_brand"))
+      .limit(10)
+
   /** Window functions over the event stream: per-user value ranking
     * plus a running sum in event-time order. One shuffle on user_id
     * serves both windows (same partitioning).
