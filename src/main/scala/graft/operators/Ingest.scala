@@ -82,6 +82,19 @@ object Ingest {
         Par.round4(col("raw") / col("nrm")).as("weight"))
   }
 
+  /** Session-scoped cache of the hashed-BoW document index — the
+    * analog of the reference loading its FAISS index once per process
+    * (core/utils.py:150 `load_index`). Keyed by (session, dir);
+    * persisted so the several operators sharing the index (knn_text,
+    * hybrid_*) compute it once.
+    */
+  private val embedCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+
+  def docEmbedCached(spark: SparkSession, dir: String): DataFrame =
+    embedCache.computeIfAbsent((System.identityHashCode(spark), dir),
+      _ => docEmbed(spark, dir).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   /** L2-normalize the `embeddings` table into long form
     * (vec_id, dim, v) — mirror of normalize (core/utils.py:126) over
     * the pre-computed vector column.

@@ -118,7 +118,7 @@ object VectorSearch {
     val qemb = Ingest.normalizeLongForm(
       Ingest.rawEmbed(queries, col("q_id"), col("q_text")), "q_id")
       .select(col("q_id"), col("dim"), col("weight").as("qw"))
-    val demb = Ingest.docEmbed(spark, dir)
+    val demb = Ingest.docEmbedCached(spark, dir)
       .select(col("doc_id"), col("dim"), col("weight").as("dw"))
     topKExplode(demb.join(broadcast(qemb), Seq("dim"))
       .groupBy(col("q_id"), col("doc_id"))
