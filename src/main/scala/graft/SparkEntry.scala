@@ -34,6 +34,7 @@ object SparkEntry {
     "dashboard_stats"  -> (Analytics.dashboardStats _),
     "props_extract"    -> (Analytics.propsExtract _),
     "funnel"           -> (Analytics.funnel _),
+    "cohort_retention" -> (Analytics.cohortRetention _),
     // §2.A ingestion / text processing
     "doc_chunk"       -> (Ingest.docChunk _),
     "doc_chunk_stats" -> (Ingest.docChunkStats _),
@@ -259,6 +260,18 @@ object SparkEntry {
         |SELECT (SELECT COUNT(*) FROM v) AS users_view,
         |  (SELECT COUNT(*) FROM c) AS users_click_after_view,
         |  (SELECT COUNT(*) FROM p) AS users_purchase_after_click""".stripMargin,
+    "cohort_retention" ->
+      """WITH ev AS (SELECT DISTINCT user_id,
+        |    epoch_ms(ts) - epoch_ms(ts) % 86400000 AS day_ms FROM events),
+        |fd AS (SELECT user_id, MIN(day_ms) AS cohort_ms FROM ev GROUP BY user_id),
+        |cs AS (SELECT cohort_ms, COUNT(*) AS cohort_size FROM fd GROUP BY cohort_ms),
+        |r AS (SELECT fd.cohort_ms, (ev.day_ms - fd.cohort_ms) / 86400000 AS offset_days,
+        |    COUNT(*) AS retained
+        |  FROM ev JOIN fd ON ev.user_id = fd.user_id
+        |  GROUP BY fd.cohort_ms, (ev.day_ms - fd.cohort_ms) / 86400000)
+        |SELECT r.cohort_ms, CAST(r.offset_days AS BIGINT) AS offset_days, r.retained, cs.cohort_size
+        |FROM r JOIN cs ON r.cohort_ms = cs.cohort_ms
+        |ORDER BY r.cohort_ms, offset_days""".stripMargin,
     "hybrid_context" -> ("WITH " + queriesCte + ",\n" + keywordBody +
       """,
         |kw AS (SELECT q_id, doc_id, score, rating, rk FROM kr WHERE rk <= 5),

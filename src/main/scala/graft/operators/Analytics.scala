@@ -176,6 +176,29 @@ object Analytics {
       .crossJoin(purchases.agg(count(lit(1)).as("users_purchase_after_click")))
   }
 
+  /** Cohort retention: users grouped by first-active day, retained
+    * count per day offset. Two aggregations — distinct (user, day)
+    * activity and per-user first day — joined on user; both shuffle
+    * once on user_id and the result is O(days²) regardless of event
+    * volume.
+    */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val dayMs = 24L * 3600 * 1000
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), (col("ts_ms") - col("ts_ms") % dayMs).as("day_ms"))
+      .distinct()
+    val firstDay = ev.groupBy(col("user_id")).agg(min(col("day_ms")).as("cohort_ms"))
+    val cohortSize = firstDay.groupBy(col("cohort_ms")).agg(count(lit(1)).as("cohort_size"))
+    ev.join(firstDay, Seq("user_id"))
+      .select(col("cohort_ms"),
+        ((col("day_ms") - col("cohort_ms")) / dayMs).cast("long").as("offset_days"))
+      .groupBy(col("cohort_ms"), col("offset_days"))
+      .agg(count(lit(1)).as("retained"))
+      .join(cohortSize, Seq("cohort_ms"))
+      .select(col("cohort_ms"), col("offset_days"), col("retained"), col("cohort_size"))
+      .orderBy(col("cohort_ms"), col("offset_days"))
+  }
+
   /** One-row corpus + users + orders rollup — admin_dashboard_stats
     * (core/views.py:858) / get_admin_dashboard_stats
     * (core/views.py:1584). Single-pass aggregates per table, joined
