@@ -35,6 +35,7 @@ object SparkEntry {
     "props_extract"    -> (Analytics.propsExtract _),
     "funnel"           -> (Analytics.funnel _),
     "cohort_retention" -> (Analytics.cohortRetention _),
+    "asof_prev_view"   -> (AsOf.asofPrevView _),
     // §2.A ingestion / text processing
     "doc_chunk"       -> (Ingest.docChunk _),
     "doc_chunk_stats" -> (Ingest.docChunkStats _),
@@ -260,6 +261,20 @@ object SparkEntry {
         |SELECT (SELECT COUNT(*) FROM v) AS users_view,
         |  (SELECT COUNT(*) FROM c) AS users_click_after_view,
         |  (SELECT COUNT(*) FROM p) AS users_purchase_after_click""".stripMargin,
+    "asof_prev_view" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, event_type FROM events),
+        |p AS (SELECT user_id, event_id, ts_ms, 1 AS _side,
+        |    CAST(NULL AS BIGINT) AS view_event_id FROM ev WHERE event_type='purchase'),
+        |v AS (SELECT user_id, CAST(NULL AS BIGINT) AS event_id, ts_ms, 0 AS _side,
+        |    event_id AS view_event_id FROM ev WHERE event_type='view'),
+        |u AS (SELECT * FROM p UNION ALL SELECT * FROM v),
+        |w AS (SELECT *, last_value(CASE WHEN _side=0 THEN view_event_id END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id
+        |      ORDER BY ts_ms, _side, coalesce(view_event_id, 9223372036854775807)
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_view_event_id
+        |  FROM u)
+        |SELECT user_id, event_id, ts_ms, prev_view_event_id FROM w WHERE _side=1
+        |ORDER BY user_id, event_id""".stripMargin,
     "cohort_retention" ->
       """WITH ev AS (SELECT DISTINCT user_id,
         |    epoch_ms(ts) - epoch_ms(ts) % 86400000 AS day_ms FROM events),

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** As-of (most-recent-at-or-before) join — an operator Spark lacks
+  * natively. Implemented with the scalable union+window idiom: tag
+  * both sides, union, one window per key ordered by event time
+  * carrying the last right-side row forward, keep left rows. One
+  * shuffle on (key), zero range explosion — at 100 TB this beats a
+  * range join (no quadratic candidate pairs) and AQE handles key
+  * skew on the single exchange.
+  */
+object AsOf {
+
+  /** left ⟕asof right: for every left row, the latest right row with
+    * the same key and rightTs <= leftTs. `rightCols` are the payload
+    * columns carried over (null when no prior right row exists).
+    */
+  def joinAsOf(left: DataFrame, right: DataFrame, key: String, ts: String,
+      rightCols: Seq[String], rightId: String): DataFrame = {
+    val lTagged = left.withColumn("_side", lit(1))
+      .withColumns(rightCols.map(c => c -> lit(null).cast(right.schema(c).dataType)).toMap)
+    val rTagged = right.select((key +: ts +: rightCols).map(col): _*)
+      .withColumn("_side", lit(0))
+      .withColumns(left.columns.filterNot((key :: ts :: Nil).contains)
+        .map(c => c -> lit(null).cast(left.schema(c).dataType)).toMap)
+    val unioned = lTagged.unionByName(rTagged)
+    // right rows sort before left rows at equal ts => "at or before";
+    // coalesce tie-break avoids engine-specific NULL ordering
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts), col("_side"),
+        coalesce(col(rightId), lit(Long.MaxValue)))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rightCols.foldLeft(unioned) { (df, c) =>
+      df.withColumn(s"asof_$c",
+        last(when(col("_side") === 0, col(c)), ignoreNulls = true).over(w))
+    }
+    carried.where(col("_side") === 1)
+      .drop((rightCols :+ "_side"): _*)
+  }
+
+  /** For each purchase event, the user's most recent view at or
+    * before it — the query-level demo of the operator.
+    */
+  def asofPrevView(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts_ms"), col("value"))
+    val views = ev.where(col("event_type") === "view")
+      .select(col("user_id"), col("ts_ms"), col("event_id").as("view_event_id"))
+    joinAsOf(purchases, views, "user_id", "ts_ms", Seq("view_event_id"), "view_event_id")
+      .select(col("user_id"), col("event_id"), col("ts_ms"),
+        col("asof_view_event_id").as("prev_view_event_id"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+}

@@ -87,6 +87,20 @@ object Sessionize {
       }
   }
 
+  /** Streaming exactly-once event dedup: drops event_id replays
+    * inside the watermark window — the stream-side twin of
+    * Dedup.dedupExact for at-least-once sources.
+    */
+  def dedupStream(spark: SparkSession, events: Dataset[Ev]): Dataset[Ev] = {
+    import spark.implicits._
+    events
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+      .withWatermark("ts", "30 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+      .drop("ts")
+      .as[Ev]
+  }
+
   /** Streaming mirror of Analytics.liveUsers: per sliding 30-minute
     * window, the (approximate) number of distinct active users.
     * Exact distinct is unsupported in streaming append mode;
