@@ -36,6 +36,10 @@ object SparkEntry {
     "funnel"           -> (Analytics.funnel _),
     "cohort_retention" -> (Analytics.cohortRetention _),
     "asof_prev_view"   -> (AsOf.asofPrevView _),
+    "value_percentiles" -> (Analytics.valuePercentiles _),
+    "q_rollup"          -> (Analytics.qRollup _),
+    // sketch op: no oracle (implementations differ) → rows-only check
+    "approx_live_users" -> (Analytics.approxLiveUsers _),
     // §2.A ingestion / text processing
     "doc_chunk"       -> (Ingest.docChunk _),
     "doc_chunk_stats" -> (Ingest.docChunkStats _),
@@ -261,6 +265,17 @@ object SparkEntry {
         |SELECT (SELECT COUNT(*) FROM v) AS users_view,
         |  (SELECT COUNT(*) FROM c) AS users_click_after_view,
         |  (SELECT COUNT(*) FROM p) AS users_purchase_after_click""".stripMargin,
+    "value_percentiles" ->
+      """SELECT event_type,
+        |  floor((quantile_cont(value, 0.5)) * 10000.0 + 0.5) / 10000.0 AS p50,
+        |  floor((quantile_cont(value, 0.9)) * 10000.0 + 0.5) / 10000.0 AS p90,
+        |  floor((quantile_cont(value, 0.99)) * 10000.0 + 0.5) / 10000.0 AS p99
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
     "asof_prev_view" ->
       """WITH ev AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, event_type FROM events),
         |p AS (SELECT user_id, event_id, ts_ms, 1 AS _side,

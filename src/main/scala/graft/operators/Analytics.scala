@@ -199,6 +199,45 @@ object Analytics {
       .orderBy(col("cohort_ms"), col("offset_days"))
   }
 
+  /** Exact interpolated percentiles of event value per type (both
+    * engines implement the same R-7 interpolation; parity-rounded).
+    * At 100 TB the approx sketch variant (approxLiveUsers pattern)
+    * replaces the exact sort.
+    */
+  def valuePercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        graft.functions.Par.round4(expr("percentile(value, 0.5)")).as("p50"),
+        graft.functions.Par.round4(expr("percentile(value, 0.9)")).as("p90"),
+        graft.functions.Par.round4(expr("percentile(value, 0.99)")).as("p99"))
+      .orderBy(col("event_type"))
+
+  /** Hierarchical rollup of order revenue: (status, priority) →
+    * status subtotal → grand total in one pass (partial-aggregating
+    * ROLLUP, no repeated scans).
+    */
+  def qRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        (sum(dec(col("o_totalprice"))).cast("double")).as("total"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
+  /** Sketch-based distinct counting — the 100 TB replacement for the
+    * exact countDistinct in liveUsers (HLL++, mergeable partial
+    * aggregation). No DuckDB oracle: sketch implementations differ;
+    * the spec bounds the error against the exact count instead.
+    */
+  def approxLiveUsers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val nowMs = ev.agg(max(col("ts_ms")).as("now_ms"))
+    ev.select(col("user_id"), col("ts_ms"))
+      .crossJoin(nowMs)
+      .where(col("ts_ms") >= col("now_ms") - SessionGapMs)
+      .agg(approx_count_distinct(col("user_id")).as("approx_live_users"))
+  }
+
   /** One-row corpus + users + orders rollup — admin_dashboard_stats
     * (core/views.py:858) / get_admin_dashboard_stats
     * (core/views.py:1584). Single-pass aggregates per table, joined
