@@ -1,0 +1,87 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Par, ScoredId, TopKAgg, TextFunctions}
+
+/** Seeded randomized invariants for the pure building blocks. */
+class PropertySpec extends SparkSpec {
+
+  test("TopKAgg is merge-order independent (partial aggregation safe)") {
+    val rnd = new Random(42)
+    val agg = new TopKAgg(5)
+    (1 to 50).foreach { _ =>
+      val data = Vector.fill(200)(ScoredId(rnd.nextInt(50) / 10.0, rnd.nextLong().abs))
+      val sequential = data.foldLeft(agg.zero)(agg.reduce)
+      // random partitioning + merge tree
+      val parts = data.grouped(rnd.nextInt(40) + 1).toVector
+      val merged = rnd.shuffle(parts.map(_.foldLeft(agg.zero)(agg.reduce)))
+        .foldLeft(agg.zero)(agg.merge)
+      assert(agg.finish(sequential) == agg.finish(merged))
+    }
+  }
+
+  test("TopKAgg keeps exactly the k best with id tie-breaks") {
+    val rnd = new Random(7)
+    val agg = new TopKAgg(10)
+    val data = Vector.fill(500)(ScoredId(rnd.nextInt(20) / 10.0, rnd.nextInt(100000).toLong))
+      .distinctBy(_.id)
+    val got = agg.finish(data.foldLeft(agg.zero)(agg.reduce))
+    val expected = data.sortBy(s => (-s.score, s.id)).take(10)
+    assert(got == expected)
+  }
+
+  test("Par.round4 is within 5e-5, idempotent, and kills negative zero") {
+    val rnd = new Random(1)
+    val vals = Seq.fill(2000)(rnd.nextDouble() * 2 - 1) ++
+      Seq(-0.000001, 0.0, -0.0, 0.00005, -0.00005)
+    val df = spark.createDataFrame(vals.map(Tuple1(_))).toDF("x")
+      .select(col("x"), Par.round4(col("x")).as("r"))
+    df.collect().foreach { row =>
+      val x = row.getDouble(0); val r = row.getDouble(1)
+      assert(math.abs(r - x) <= 5.001e-5, s"$x -> $r")
+      assert(java.lang.Double.doubleToLongBits(r)
+        != java.lang.Double.doubleToLongBits(-0.0), s"negative zero from $x")
+    }
+    val twice = spark.createDataFrame(vals.map(Tuple1(_))).toDF("x")
+      .select(Par.round4(col("x")).as("r1"))
+      .select(col("r1"), Par.round4(col("r1")).as("r2"))
+    twice.collect().foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
+  test("chunking invariants hold for random texts") {
+    val rnd = new Random(3)
+    val texts = Seq.fill(200) {
+      val n = rnd.nextInt(400)
+      (0 until n).map(_ => if (rnd.nextInt(6) == 0) ' ' else ('a' + rnd.nextInt(26)).toChar).mkString
+    }.filter(_.trim.nonEmpty)
+    val df = spark.createDataFrame(texts.map(Tuple1(_))).toDF("text")
+      .select(col("text"), TextFunctions.chunks(col("text"), 50, 10).as("ch"))
+    df.collect().foreach { row =>
+      val text = row.getString(0)
+      val chunks = row.getSeq[String](1)
+      chunks.foreach { c =>
+        assert(c.nonEmpty && c.length <= 50 && c == c.trim)
+        assert(text.contains(c), s"chunk not a substring: '$c' of '$text'")
+      }
+      // reference semantics: text longer than chunk size ⇒ > 1 chunk
+      if (text.trim.length > 50) assert(chunks.length > 1 || text.length <= 50)
+    }
+  }
+
+  test("minhashPerm stays within [0, P) for 32-bit inputs") {
+    val rnd = new Random(9)
+    val hs = Seq.fill(1000)(rnd.nextLong().abs % 4294967296L)
+    val df = spark.createDataFrame(hs.map(Tuple1(_))).toDF("h")
+      .select((0 until 16).map(p =>
+        TextFunctions.minhashPerm(col("h"), lit(p.toLong)).as(s"m$p")): _*)
+    df.collect().foreach { row =>
+      (0 until 16).foreach { p =>
+        val v = row.getLong(p)
+        assert(v >= 0 && v < 4294967311L)
+      }
+    }
+  }
+}
