@@ -55,6 +55,7 @@ object SparkEntry {
     "token_count"     -> (TextAnalysis.tokenCount _),
     "doc_fingerprint" -> (TextAnalysis.docFingerprint _),
     "multimodal_meta" -> (TextAnalysis.multimodalMeta _),
+    "validate_docs"   -> (TextAnalysis.validateDocs _),
     // §2.B vector search
     "knn_brute"       -> (VectorSearch.knnBrute _),
     "knn_threshold"   -> (VectorSearch.knnThreshold _),
@@ -338,12 +339,15 @@ object SparkEntry {
         |b AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 4))::BIGINT % 16 AS dim,
         |  CASE WHEN ('0x' || substr(md5(t), 5, 1))::BIGINT % 2 = 0 THEN 1 ELSE -1 END AS sgn FROM tok),
         |agg AS (SELECT doc_id, dim, CAST(SUM(sgn) AS BIGINT) AS raw FROM b GROUP BY doc_id, dim),
+        |n0 AS (SELECT doc_id, dim, raw,
+        |  sqrt(CAST(SUM(raw*raw) OVER (PARTITION BY doc_id) AS DOUBLE)) AS nrm0 FROM agg),
         |n AS (SELECT doc_id, dim, raw,
-        |  sqrt(CAST(SUM(raw*raw) OVER (PARTITION BY doc_id) AS DOUBLE)) AS nrm FROM agg)
+        |  CASE WHEN nrm0 = 0.0 THEN 1e-10 ELSE nrm0 END AS nrm FROM n0)
         |SELECT doc_id, dim, floor((raw / nrm) * 10000.0 + 0.5) / 10000.0 AS weight FROM n ORDER BY doc_id, dim""".stripMargin,
     "vec_normalize" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
-        |n AS (SELECT vec_id, emb, sqrt(list_sum(list_transform(emb, x -> x*x))) AS nrm FROM e)
+        |n0 AS (SELECT vec_id, emb, sqrt(list_sum(list_transform(emb, x -> x*x))) AS nrm0 FROM e),
+        |n AS (SELECT vec_id, emb, CASE WHEN nrm0 = 0.0 THEN 1e-10 ELSE nrm0 END AS nrm FROM n0)
         |SELECT vec_id, CAST(g-1 AS BIGINT) AS dim, floor((emb[g]/nrm) * 10000.0 + 0.5) / 10000.0 AS v
         |FROM n, LATERAL (SELECT unnest(generate_series(1, len(emb))) g) s
         |ORDER BY vec_id, dim""".stripMargin,
@@ -444,6 +448,14 @@ object SparkEntry {
         |  ('0x' || substr(md5(text), 1, 4))::BIGINT % 1920 AS fake_width,
         |  ('0x' || substr(md5(text), 5, 4))::BIGINT % 1080 AS fake_height
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "validate_docs" ->
+      """WITH v AS (SELECT doc_id,
+        |  CASE WHEN trim(text) = '' THEN 'empty'
+        |       WHEN length(text) > 1000 THEN 'too_long'
+        |       WHEN len(string_split(text, ' ')) < 3 THEN 'too_short'
+        |       ELSE 'ok' END AS reason
+        |FROM documents)
+        |SELECT doc_id, reason = 'ok' AS valid, reason FROM v ORDER BY doc_id""".stripMargin,
     "knn_brute" -> (knnCte +
       """
         |SELECT q_id, vec_id, cos, rk FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin),

@@ -34,9 +34,13 @@ object TextFunctions {
     val starts = filter(
       sequence(lit(0), length(text) - 1, lit(stride)),
       s => (s === 0) || (s + lit(overlap) < length(text)))
-    filter(
-      transform(starts, s => trim(substring(text, s + 1, lit(size)))),
-      c => c =!= "")
+    // empty text guard (chunk_text("") == [], core/utils.py:78):
+    // sequence(0, -1) would otherwise count DOWN in Spark
+    when(length(text) > 0,
+      filter(
+        transform(starts, s => trim(substring(text, s + 1, lit(size)))),
+        c => c =!= ""))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** Word n-gram shingle set (distinct), the unit of MinHash /

@@ -63,7 +63,7 @@ object Ingest {
   /** Signed hashed-BoW counts: (idCol, dim, raw) — shared by docEmbed
     * and text-query embedding (VectorSearch.knnText).
     */
-  private[operators] def rawEmbed(df: DataFrame, id: org.apache.spark.sql.Column,
+  private[graft] def rawEmbed(df: DataFrame, id: org.apache.spark.sql.Column,
       text: org.apache.spark.sql.Column): DataFrame =
     df.select(id.as("_id"), explode(tokens(text)).as("tok"))
       .select(col("_id"),
@@ -73,12 +73,14 @@ object Ingest {
       .agg(sum(col("sgn")).as("raw"))
 
   /** Divide long-form (id, dim, raw) by the per-id L2 norm. */
-  private[operators] def normalizeLongForm(raw: DataFrame, idName: String): DataFrame = {
+  private[graft] def normalizeLongForm(raw: DataFrame, idName: String): DataFrame = {
     val w = Window.partitionBy(col("_id"))
     raw
       .withColumn("nrm", sqrt(sum(col("raw") * col("raw")).over(w)))
+      // zero-norm guard: reference normalize() substitutes 1e-10 so
+      // zero vectors stay zero instead of NaN (core/utils.py:132)
+      .withColumn("nrm", when(col("nrm") === 0.0, 1e-10).otherwise(col("nrm")))
       .select(col("_id").as(idName), col("dim"),
-        // + 0.0 canonicalizes -0.0 (DuckDB's round keeps the sign)
         Par.round4(col("raw") / col("nrm")).as("weight"))
   }
 
@@ -104,6 +106,8 @@ object Ingest {
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), emb.as("emb"),
         sqrt(aggregate(transform(emb, x => x * x), lit(0.0), (a, x) => a + x)).as("nrm"))
+      // zero-norm guard as in the reference (core/utils.py:132)
+      .withColumn("nrm", when(col("nrm") === 0.0, 1e-10).otherwise(col("nrm")))
       .select(col("vec_id"), posexplode(col("emb")).as(Seq("dim", "v")), col("nrm"))
       .select(col("vec_id"), col("dim").cast("long").as("dim"),
         Par.round4(col("v") / col("nrm")).as("v"))

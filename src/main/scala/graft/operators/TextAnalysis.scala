@@ -100,6 +100,23 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Input validation as a data-quality filter — the batch twin of
+    * validate_request_data (core/views.py:119: reject empty questions
+    * and length > 1000), extended with a minimum-token gate. Produces
+    * (doc_id, valid, reason) for downstream filtering or quarantine.
+    */
+  def validateDocs(spark: SparkSession, dir: String): DataFrame = {
+    val reason = when(trim(col("text")) === "", "empty")
+      .when(length(col("text")) > 1000, "too_long")
+      .when(size(tokens(col("text"))) < 3, "too_short")
+      .otherwise("ok")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), reason.as("reason"))
+      .withColumn("valid", col("reason") === "ok")
+      .select(col("doc_id"), col("valid"), col("reason"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Multimodal binary-column plumbing: documents carried as opaque
     * `binary` payloads with typed metadata extraction. The real
     * decode (image/audio libs) is STUBBED as a deterministic

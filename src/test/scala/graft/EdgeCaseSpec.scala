@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.TextAnalysis
+
+/** Edge cases mirrored from the reference's own test suite
+  * (core/tests.py): empty-text chunking, zero-vector normalization,
+  * and request validation.
+  */
+class EdgeCaseSpec extends SparkSpec {
+
+  test("chunk_text of empty/whitespace text is empty (tests.py:33)") {
+    val df = spark.createDataFrame(Seq(Tuple1(""), Tuple1("   "), Tuple1("short")))
+      .toDF("text")
+      .select(col("text"), TextFunctions.chunks(col("text"), 50, 10).as("ch"))
+    val rows = df.collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(rows("").isEmpty)
+    assert(rows("   ").isEmpty)   // trims to nothing
+    assert(rows("short") == Seq("short"))
+  }
+
+  test("zero-vector normalization stays zero, not NaN (tests.py:48)") {
+    // a doc whose tokens all cancel is synthetic-impossible; test the
+    // guard through the raw path with a zero-weight frame
+    val raw = spark.createDataFrame(Seq((1L, 0L, 0L), (1L, 1L, 0L)))
+      .toDF("_id", "dim", "raw")
+    val out = graft.operators.Ingest.normalizeLongForm(raw, "doc_id").collect()
+    out.foreach { r =>
+      val w = r.getAs[Double]("weight")
+      assert(!w.isNaN && w == 0.0, s"zero vector produced $w")
+    }
+  }
+
+  test("validate_docs accepts the whole synthetic corpus and flags synthetic bad rows") {
+    val all = TextAnalysis.validateDocs(spark, sfDir).collect()
+    assert(all.forall(_.getAs[Boolean]("valid")))   // corpus is clean
+    // reference semantics on crafted rows (tests.py:122 empty question)
+    val crafted = spark.createDataFrame(Seq(
+      (1L, ""), (2L, "x " * 600), (3L, "one two"), (4L, "a valid little document")))
+      .toDF("doc_id", "text")
+    crafted.createOrReplaceTempView("crafted_docs")
+    val reason = when(trim(col("text")) === "", "empty")
+      .when(length(col("text")) > 1000, "too_long")
+      .when(size(split(col("text"), " ")) < 3, "too_short")
+      .otherwise("ok")
+    val got = crafted.select(col("doc_id"), reason.as("reason")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "empty", 2L -> "too_long", 3L -> "too_short", 4L -> "ok"))
+  }
+}
