@@ -47,6 +47,8 @@ object SparkEntry {
     "vec_normalize"   -> (Ingest.vecNormalize _),
     // §2.F LLM-data-pipeline operators
     "dedup_exact"     -> (Dedup.dedupExact _),
+    "dedup_apply"     -> (Dedup.dedupApply _),
+    "deterministic_sample" -> (Dedup.deterministicSample _),
     "dedup_minhash"   -> (Dedup.dedupMinhash _),
     "dedup_simhash"   -> (Dedup.dedupSimhash _),
     "ngram_jaccard"   -> (Dedup.ngramJaccard _),
@@ -355,6 +357,18 @@ object SparkEntry {
       """
         |SELECT md5(text) AS text_md5, COUNT(*) AS n_dups, MIN(doc_id) AS keep_id
         |FROM corpus GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY keep_id""".stripMargin),
+    "dedup_apply" -> ("WITH " + corpusCte(perturb = false) +
+      """,
+        |keep AS (SELECT MIN(doc_id) AS doc_id FROM corpus GROUP BY md5(text))
+        |SELECT c.doc_id, CAST(length(c.text) AS BIGINT) AS n_chars
+        |FROM corpus c WHERE c.doc_id IN (SELECT doc_id FROM keep)
+        |ORDER BY c.doc_id""".stripMargin),
+    "deterministic_sample" ->
+      """SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms FROM events
+        |WHERE CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT AS DOUBLE) / 4294967296.0
+        |  < CASE WHEN event_type = 'purchase' THEN 1.0
+        |         WHEN event_type = 'error' THEN 0.5 ELSE 0.05 END
+        |ORDER BY event_id""".stripMargin,
     "dedup_minhash" -> ("WITH " + corpusCte(perturb = true) +
       """,
         |tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),

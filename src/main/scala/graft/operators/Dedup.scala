@@ -47,6 +47,38 @@ object Dedup {
       .where(col("n_dups") > 1)
       .orderBy(col("keep_id"))
 
+  /** Apply the dedup: keep one canonical copy per content hash (the
+    * min doc_id), drop the rest — a hash-aggregate plus a semi-join,
+    * the linear-scale "materialize the cleaned corpus" step that
+    * follows detection.
+    */
+  def dedupApply(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = corpusWithDups(spark, dir, perturb = false)
+    val keep = corpus.groupBy(md5(col("text")).as("text_md5"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    corpus.join(keep, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Deterministic content-hash sampling: a row is kept iff the md5
+    * of its id falls under the per-stratum rate. Unlike rand()-based
+    * sampleBy this is reproducible regardless of partitioning or
+    * cluster size — the property a training-data pipeline needs for
+    * auditable subsets.
+    */
+  def deterministicSample(spark: SparkSession, dir: String): DataFrame = {
+    val u = md5Long(col("event_id").cast("string"), 1, 8).cast("double") / 4294967296.0
+    val rate = when(col("event_type") === "purchase", 1.0)   // keep all rare events
+      .when(col("event_type") === "error", 0.5)
+      .otherwise(0.05)
+    Tables.events(spark, dir)
+      .where(u < rate)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts_ms"))
+      .orderBy(col("event_id"))
+  }
+
   /** MinHash + LSH near-dup: 16-perm signature (md5-string minima),
     * 4 bands of 4 rows; docs sharing a band bucket become candidate
     * pairs, then verified with true shingle Jaccard. Only the band
