@@ -97,6 +97,21 @@ object Ingest {
     embedCache.computeIfAbsent((System.identityHashCode(spark), dir),
       _ => docEmbed(spark, dir).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  /** Incremental re-index merge — the reference's reindex flow
+    * (core/views.py:1065 admin_reindex_documents / embed_pdfs
+    * --force): union the incoming batch with the existing corpus and
+    * keep the newest version of each doc_id. One shuffle on doc_id;
+    * at scale this is the MERGE INTO upsert against the index tables.
+    */
+  def mergeIncremental(existing: DataFrame, incoming: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("_version").desc)
+    existing.withColumn("_version", lit(0))
+      .unionByName(incoming.withColumn("_version", lit(1)))
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+      .drop("_version", "_rn")
+  }
+
   /** L2-normalize the `embeddings` table into long form
     * (vec_id, dim, v) — mirror of normalize (core/utils.py:126) over
     * the pre-computed vector column.

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{functions, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -51,4 +51,28 @@ object ChunkIndex {
       queryBuckets: Seq[Long]): DataFrame =
     readEmbeddings(spark, outPath)
       .where(col("bucket").isin(queryBuckets: _*))
+
+  /** End-to-end text search against the PERSISTED index: embed the
+    * query (hashed BoW), probe its `nProbe` dominant buckets
+    * (partition pruning on disk), sparse-dot-rank the docs inside —
+    * the full `search_similar_chunks` flow (core/utils.py:194) over
+    * the saved index rather than the in-session one.
+    */
+  def search(spark: SparkSession, outPath: String, queryText: String,
+      nProbe: Int, k: Int): DataFrame = {
+    import spark.implicits._
+    val qemb = Ingest.normalizeLongForm(
+      Ingest.rawEmbed(Seq((1L, queryText)).toDF("q_id", "q_text"),
+        col("q_id"), col("q_text")), "q_id")
+      .select(col("dim"), col("weight").as("qw"))
+    val qRows = qemb.collect()   // one query vector: ≤ EmbedDim rows
+    val buckets = qRows.sortBy(r => (-math.abs(r.getAs[Double]("qw")), r.getAs[Long]("dim")))
+      .take(nProbe).map(_.getAs[Long]("dim")).toSeq
+    val probed = searchBuckets(spark, outPath, buckets)
+    probed.join(functions.broadcast(qemb), Seq("dim"))
+      .groupBy(col("doc_id"))
+      .agg(graft.functions.Par.round4(sum(col("qw") * col("weight"))).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
 }
