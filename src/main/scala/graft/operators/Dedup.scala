@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Par
@@ -79,12 +79,6 @@ object Dedup {
       .orderBy(col("event_id"))
   }
 
-  /** MinHash + LSH near-dup: 16-perm signature (md5-string minima),
-    * 4 bands of 4 rows; docs sharing a band bucket become candidate
-    * pairs, then verified with true shingle Jaccard. Only the band
-    * join shuffles, keyed by (band, band_key) — candidate volume is
-    * O(near-dups), not O(n²).
-    */
   /** The posting list feeds several joins (bands, counts, both sides
     * of the intersection); Spark can't reuse the exchange across the
     * self-join's aliasing, so persist it — at 100 TB this would be a
@@ -93,6 +87,12 @@ object Dedup {
   private def cachedPosting(df: DataFrame): DataFrame =
     df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+  /** MinHash + LSH near-dup: 16-permutation signature (one md5 per
+    * distinct shingle + arithmetic permutations, TextFunctions
+    * .minhashPerm), 4 bands of 4 rows; docs sharing a band key become
+    * candidate pairs, verified with exact shingle Jaccard. Candidate
+    * volume is O(near-dups), not O(n²).
+    */
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
     val posting = cachedPosting(shinglePosting(
       corpusWithDups(spark, dir, perturb = true), col("doc_id"), col("text"), 3))

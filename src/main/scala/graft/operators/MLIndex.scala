@@ -7,7 +7,7 @@ import org.apache.spark.ml.linalg.{Vector => MLVector, Vectors}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Par, VectorFunctions => V}
+import graft.functions.{VectorFunctions => V}
 import graft.sources.Tables
 
 /** MLlib-powered batch index construction — the cluster-scale answer
