@@ -70,6 +70,7 @@ object SparkEntry {
     "hybrid_quality"    -> (KeywordSearch.hybridQuality _),
     "hybrid_rank"       -> (KeywordSearch.hybridRank _),
     "hybrid_context"    -> (KeywordSearch.hybridContext _),
+    "ask_batch"         -> (KeywordSearch.askBatch _),
   )
 
   /** Normalized double vectors + norms over `embeddings`. */
@@ -78,6 +79,23 @@ object SparkEntry {
       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
       |n AS (SELECT vec_id, label, emb,
       |    sqrt(list_sum(list_transform(emb, x -> x*x))) AS nrm FROM e)""".stripMargin
+
+  /** Contribution context blocks (shared by hybrid_context and
+    * ask_batch): kr → ranked hits → rendered blocks → per-query
+    * combined context.
+    */
+  private val contextCte =
+    """kw AS (SELECT q_id, doc_id, score, rating, rk FROM kr WHERE rk <= 5),
+      |hits AS (SELECT kw.*, d.text FROM kw JOIN documents d USING (doc_id)),
+      |blocks AS (SELECT q_id, rk,
+      |  concat('USER CONTRIBUTION #', CAST(rk AS VARCHAR), ':', chr(10),
+      |    'Answer: ', substr(text, 1, 40), chr(10),
+      |    'Rating: ', CAST(rating AS VARCHAR), '/5.0 (Similarity: ',
+      |    CAST(CAST(score*10000 AS BIGINT) AS VARCHAR), 'bp)') AS block
+      |  FROM hits),
+      |ctx AS (SELECT q_id, concat('USER CONTRIBUTIONS AND ENHANCEMENTS:', chr(10),
+      |  array_to_string(list(block ORDER BY rk), concat(chr(10), chr(10)))) AS combined_context
+      |  FROM blocks GROUP BY q_id)""".stripMargin
 
   /** knn_brute candidate scoring + ranking (rk unfiltered). */
   private val knnCte = vecCte +
@@ -305,19 +323,25 @@ object SparkEntry {
         |SELECT r.cohort_ms, CAST(r.offset_days AS BIGINT) AS offset_days, r.retained, cs.cohort_size
         |FROM r JOIN cs ON r.cohort_ms = cs.cohort_ms
         |ORDER BY r.cohort_ms, offset_days""".stripMargin,
-    "hybrid_context" -> ("WITH " + queriesCte + ",\n" + keywordBody +
+    "hybrid_context" -> ("WITH " + queriesCte + ",\n" + keywordBody + ",\n" + contextCte +
+      """
+        |SELECT q_id, combined_context FROM ctx ORDER BY q_id""".stripMargin),
+    "ask_batch" -> ("WITH " + queriesCte + ",\n" + keywordBody + ",\n" +
+      textEmbBody + ",\n" + contextCte +
       """,
-        |kw AS (SELECT q_id, doc_id, score, rating, rk FROM kr WHERE rk <= 5),
-        |hits AS (SELECT kw.*, d.text FROM kw JOIN documents d USING (doc_id)),
-        |blocks AS (SELECT q_id, rk,
-        |  concat('USER CONTRIBUTION #', CAST(rk AS VARCHAR), ':', chr(10),
-        |    'Answer: ', substr(text, 1, 40), chr(10),
-        |    'Rating: ', CAST(rating AS VARCHAR), '/5.0 (Similarity: ',
-        |    CAST(CAST(score*10000 AS BIGINT) AS VARCHAR), 'bp)') AS block
-        |  FROM hits)
-        |SELECT q_id, concat('USER CONTRIBUTIONS AND ENHANCEMENTS:', chr(10),
-        |  array_to_string(list(block ORDER BY rk), concat(chr(10), chr(10)))) AS combined_context
-        |FROM blocks GROUP BY q_id ORDER BY q_id""".stripMargin),
+        |fc AS (SELECT q_id, COUNT(*) AS faiss_count FROM tr WHERE rk <= 5 GROUP BY q_id),
+        |cc AS (SELECT q_id, COUNT(*) AS contribution_count FROM kr WHERE rk <= 5 GROUP BY q_id),
+        |j AS (SELECT coalesce(fc.q_id, cc.q_id) AS q_id,
+        |    CAST(coalesce(fc.faiss_count, 0) AS BIGINT) AS faiss_count,
+        |    CAST(coalesce(cc.contribution_count, 0) AS BIGINT) AS contribution_count
+        |  FROM fc FULL OUTER JOIN cc ON fc.q_id = cc.q_id)
+        |SELECT j.q_id, j.faiss_count, j.contribution_count,
+        |  j.faiss_count + j.contribution_count AS total_sources,
+        |  CASE WHEN j.faiss_count + j.contribution_count >= 3 THEN 'high'
+        |       WHEN j.faiss_count + j.contribution_count >= 1 THEN 'medium'
+        |       ELSE 'low' END AS search_effectiveness,
+        |  ctx.combined_context
+        |FROM j LEFT JOIN ctx ON j.q_id = ctx.q_id ORDER BY j.q_id""".stripMargin),
     "props_extract" ->
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

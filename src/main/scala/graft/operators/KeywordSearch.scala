@@ -95,6 +95,34 @@ object KeywordSearch {
       .orderBy(col("q_id"))
   }
 
+  /** The full `/api/ask` flow as one batch operator
+    * (core/views.py:225 `ask` → enhanced_search_with_contributions,
+    * enhanced_search.py:16): per query, the vector hits (knn_text)
+    * and contribution hits (keyword_search) are counted, search
+    * effectiveness is classified (analyze_search_effectiveness,
+    * enhanced_search.py:386: ≥3 sources high, ≥1 medium, else low),
+    * and the combined context is attached. Everything downstream of
+    * this row (the LLM call) is an external service.
+    */
+  def askBatch(spark: SparkSession, dir: String): DataFrame = {
+    val faiss = VectorSearch.knnText(spark, dir)
+      .groupBy(col("q_id")).agg(count(lit(1)).as("faiss_count"))
+    val contrib = keywordSearch(spark, dir)
+      .groupBy(col("q_id")).agg(count(lit(1)).as("contribution_count"))
+    val ctx = hybridContext(spark, dir)
+    faiss.join(contrib, Seq("q_id"), "full_outer")
+      .na.fill(0L, Seq("faiss_count", "contribution_count"))
+      .withColumn("total_sources", col("faiss_count") + col("contribution_count"))
+      .withColumn("search_effectiveness",
+        when(col("total_sources") >= 3, "high")
+          .when(col("total_sources") >= 1, "medium")
+          .otherwise("low"))
+      .join(ctx, Seq("q_id"), "left")
+      .select(col("q_id"), col("faiss_count"), col("contribution_count"),
+        col("total_sources"), col("search_effectiveness"), col("combined_context"))
+      .orderBy(col("q_id"))
+  }
+
   /** Prioritized merged ranking — prioritize_enhanced_results
     * (enhanced_search.py:325): top-2 contributions (by rating, usage)
     * first as 'high', then the vector hits as 'medium', then the
