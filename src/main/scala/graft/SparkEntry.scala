@@ -165,6 +165,30 @@ object SparkEntry {
       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
       |  WHERE len(t) >= 3)""".stripMargin
 
+  /** Hashed shingle posting list of `src` — oracle twin of
+    * TextFunctions.shinglePosting (16-hex-char md5 prefixes).
+    */
+  private def postingCte(src: String): String =
+    s"""tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM $src),
+       |posting AS (SELECT DISTINCT doc_id,
+       |    substr(md5(concat(t[i], ' ', t[i+1], ' ', t[i+2])), 1, 16) AS s
+       |  FROM tk, LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS i) ii
+       |  WHERE len(t) >= 3 AND concat(t[i], ' ', t[i+1], ' ', t[i+2]) <> '')""".stripMargin
+
+  /** Candidate-pair Jaccard over `posting` (itr/cnt CTEs shared by
+    * the dedup oracles).
+    */
+  private val jaccardTail =
+    """cnt AS (SELECT doc_id, COUNT(*) AS n FROM posting GROUP BY doc_id),
+      |itr AS (SELECT c.a_id, c.b_id, COUNT(*) AS inter
+      |  FROM cand c JOIN posting pa ON pa.doc_id = c.a_id
+      |  JOIN posting pb ON pb.doc_id = c.b_id AND pb.s = pa.s
+      |  GROUP BY c.a_id, c.b_id)
+      |SELECT a_id, b_id,
+      |  floor((CAST(inter AS DOUBLE)/(ca.n + cb.n - inter)) * 10000.0 + 0.5) / 10000.0 AS jaccard
+      |FROM itr JOIN cnt ca ON ca.doc_id = a_id JOIN cnt cb ON cb.doc_id = b_id
+      |ORDER BY jaccard DESC, a_id, b_id""".stripMargin
+
   private def corpusCte(perturb: Boolean): String = {
     val copy = if (perturb) "substr(text, strpos(text, ' ') + 1)" else "text"
     s"""corpus AS (
@@ -393,13 +417,9 @@ object SparkEntry {
         |  < CASE WHEN event_type = 'purchase' THEN 1.0
         |         WHEN event_type = 'error' THEN 0.5 ELSE 0.05 END
         |ORDER BY event_id""".stripMargin,
-    "dedup_minhash" -> ("WITH " + corpusCte(perturb = true) +
+    "dedup_minhash" -> ("WITH " + corpusCte(perturb = true) + ",\n" + postingCte("corpus") +
       """,
-        |tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
-        |posting AS (SELECT DISTINCT doc_id, concat(t[i], ' ', t[i+1], ' ', t[i+2]) AS s
-        |  FROM tk, LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS i) ii
-        |  WHERE len(t) >= 3 AND concat(t[i], ' ', t[i+1], ' ', t[i+2]) <> ''),
-        |hsh AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h FROM posting),
+        |hsh AS (SELECT doc_id, ('0x' || substr(s, 1, 8))::BIGINT AS h FROM posting),
         |mins AS (SELECT doc_id, p, MIN((976369*(p+1)*h + 1234567*p) % 4294967311) AS m
         |  FROM hsh, (SELECT unnest(generate_series(0, 15)) AS p) pp GROUP BY doc_id, p),
         |banded AS (SELECT doc_id, p // 4 AS bd,
@@ -408,15 +428,7 @@ object SparkEntry {
         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
         |  FROM banded a JOIN banded b ON a.bd = b.bd AND a.band_key = b.band_key
         |    AND a.doc_id < b.doc_id),
-        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM posting GROUP BY doc_id),
-        |itr AS (SELECT c.a_id, c.b_id, COUNT(*) AS inter
-        |  FROM cand c JOIN posting pa ON pa.doc_id = c.a_id
-        |  JOIN posting pb ON pb.doc_id = c.b_id AND pb.s = pa.s
-        |  GROUP BY c.a_id, c.b_id)
-        |SELECT a_id, b_id,
-        |  floor((CAST(inter AS DOUBLE)/(ca.n + cb.n - inter)) * 10000.0 + 0.5) / 10000.0 AS jaccard
-        |FROM itr JOIN cnt ca ON ca.doc_id = a_id JOIN cnt cb ON cb.doc_id = b_id
-        |ORDER BY jaccard DESC, a_id, b_id LIMIT 50""".stripMargin),
+        |""".stripMargin + jaccardTail + " LIMIT 50"),
     "dedup_simhash" -> ("WITH " + corpusCte(perturb = true) +
       """,
         |tok AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS h
@@ -435,16 +447,13 @@ object SparkEntry {
         |    AND a.doc_id < b.doc_id)
         |SELECT a_id, b_id, hamming FROM cand WHERE hamming <= 6
         |ORDER BY hamming, a_id, b_id""".stripMargin),
-    "ngram_jaccard" -> ("WITH " + shinglesCte +
+    "ngram_jaccard" -> ("WITH " + postingCte("documents") +
       """,
-        |posting AS (SELECT doc_id, sh, unnest(sh) AS s FROM sh),
         |rare AS (SELECT s FROM posting GROUP BY s HAVING COUNT(*) BETWEEN 2 AND 5),
         |blocked AS (SELECT p.* FROM posting p JOIN rare r USING (s)),
-        |pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
-        |    len(list_intersect(a.sh, b.sh)) AS inter, len(a.sh) AS na, len(b.sh) AS nb
-        |  FROM blocked a JOIN blocked b ON a.s = b.s AND a.doc_id < b.doc_id)
-        |SELECT a_id, b_id, floor((CAST(inter AS DOUBLE)/(na + nb - inter)) * 10000.0 + 0.5) / 10000.0 AS jaccard
-        |FROM pairs ORDER BY jaccard DESC, a_id, b_id LIMIT 20""".stripMargin),
+        |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM blocked a JOIN blocked b ON a.s = b.s AND a.doc_id < b.doc_id),
+        |""".stripMargin + jaccardTail + " LIMIT 20"),
     "lang_id" ->
       """WITH d AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents),
         |s AS (SELECT doc_id,

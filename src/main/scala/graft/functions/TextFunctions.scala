@@ -23,6 +23,10 @@ object TextFunctions {
   def md5Long(c: Column, start: Int, len: Int): Column =
     conv(substring(md5(c), start, len), 16, 10).cast("long")
 
+  /** Parse hex chars of an ALREADY-hashed column as a long. */
+  def hexLong(c: Column, start: Int, len: Int): Column =
+    conv(substring(c, start, len), 16, 10).cast("long")
+
   /** Overlapping fixed-size chunk array — trimmed, empties dropped,
     * replicating the reference's loop semantics exactly
     * (core/utils.py:71 `chunk_text`): stride = size - overlap, and a
@@ -69,8 +73,11 @@ object TextFunctions {
       .select(col("doc_id"), col("toks"),
         explode(sequence(lit(0), size(col("toks")) - n)).as("i"))
       .select(col("doc_id"),
-        concat_ws(" ", (0 until n).map(j => element_at(col("toks"), col("i") + j + 1)): _*).as("s"))
-      .where(col("s") =!= "")
+        concat_ws(" ", (0 until n).map(j => element_at(col("toks"), col("i") + j + 1)): _*).as("g"))
+      .where(col("g") =!= "")
+      // carry the 16-hex-char md5 prefix, not the gram text: ~4× less
+      // shuffle payload through distinct/joins; collisions ~2^-64·pairs
+      .select(col("doc_id"), substring(md5(col("g")), 1, 16).as("s"))
       .distinct()
   }
 

@@ -103,7 +103,7 @@ object Dedup {
       min(minhashPerm(col("h"), lit(p.toLong))).as(s"m$p")
     }
     val sigs = posting
-      .select(col("doc_id"), md5Long(col("s"), 1, 8).as("h"))
+      .select(col("doc_id"), hexLong(col("s"), 1, 8).as("h"))   // s is a md5 prefix already
       .groupBy(col("doc_id"))
       .agg(permMins.head, permMins.tail: _*)
     // band key = the band's minima joined in permutation order
