@@ -58,6 +58,7 @@ object SparkEntry {
     "doc_fingerprint" -> (TextAnalysis.docFingerprint _),
     "multimodal_meta" -> (TextAnalysis.multimodalMeta _),
     "validate_docs"   -> (TextAnalysis.validateDocs _),
+    "clean_text"      -> (TextAnalysis.cleanText _),
     // §2.B vector search
     "knn_brute"       -> (VectorSearch.knnBrute _),
     "knn_threshold"   -> (VectorSearch.knnThreshold _),
@@ -495,6 +496,12 @@ object SparkEntry {
         |  ('0x' || substr(md5(text), 1, 4))::BIGINT % 1920 AS fake_width,
         |  ('0x' || substr(md5(text), 5, 4))::BIGINT % 1080 AS fake_height
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "clean_text" ->
+      """WITH c AS (SELECT doc_id, text,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |    ' +', ' ', 'g')) AS clean_text
+        |FROM documents)
+        |SELECT doc_id, clean_text, clean_text <> text AS changed FROM c ORDER BY doc_id""".stripMargin,
     "validate_docs" ->
       """WITH v AS (SELECT doc_id,
         |  CASE WHEN trim(text) = '' THEN 'empty'

@@ -75,8 +75,14 @@ object KeywordSearch {
     * collected (rank, block) pairs; similarity is embedded as integer
     * basis points (cross-engine float formatting is not stable).
     */
-  def hybridContext(spark: SparkSession, dir: String): DataFrame = {
-    val hits = keywordSearch(spark, dir)
+  def hybridContext(spark: SparkSession, dir: String): DataFrame =
+    contextOf(keywordSearch(spark, dir), spark, dir)
+
+  /** Context assembly over an already-computed keyword-hit frame (so
+    * composed flows like askBatch score the corpus once).
+    */
+  private def contextOf(kw: DataFrame, spark: SparkSession, dir: String): DataFrame = {
+    val hits = kw
       .join(Tables.documents(spark, dir).select(col("doc_id"), col("text")), Seq("doc_id"))
     val block = concat(
       lit("USER CONTRIBUTION #"), col("rk").cast("string"),
@@ -105,11 +111,14 @@ object KeywordSearch {
     * this row (the LLM call) is an external service.
     */
   def askBatch(spark: SparkSession, dir: String): DataFrame = {
+    // score each side once; counts and context derive from the same frame
+    val kw = keywordSearch(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val faiss = VectorSearch.knnText(spark, dir)
       .groupBy(col("q_id")).agg(count(lit(1)).as("faiss_count"))
-    val contrib = keywordSearch(spark, dir)
+    val contrib = kw
       .groupBy(col("q_id")).agg(count(lit(1)).as("contribution_count"))
-    val ctx = hybridContext(spark, dir)
+    val ctx = contextOf(kw, spark, dir)
     faiss.join(contrib, Seq("q_id"), "full_outer")
       .na.fill(0L, Seq("faiss_count", "contribution_count"))
       .withColumn("total_sources", col("faiss_count") + col("contribution_count"))

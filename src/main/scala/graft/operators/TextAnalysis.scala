@@ -117,6 +117,20 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Text normalization for the cleaning stage of a pretraining
+    * pipeline: lowercase, strip non [a-z0-9 ] characters, collapse
+    * whitespace runs, trim. Pure narrow transform; `changed` flags
+    * rows the cleaner touched.
+    */
+  def cleanText(spark: SparkSession, dir: String): DataFrame = {
+    val cleaned = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), cleaned.as("clean_text"),
+        (cleaned =!= col("text")).as("changed"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Multimodal binary-column plumbing: documents carried as opaque
     * `binary` payloads with typed metadata extraction. The real
     * decode (image/audio libs) is STUBBED as a deterministic
