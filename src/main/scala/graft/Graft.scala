@@ -21,4 +21,14 @@ object Graft {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_similarity", exprs => CosineSimilarity(exprs.head, exprs(1)), "built-in")
+
+  /** Expose every operator as a temp view `graft_<name>` over the
+    * given data directory, so the whole surface is reachable from
+    * `spark.sql` (e.g. `SELECT * FROM graft_sessionize WHERE ...`).
+    * Views are lazy — nothing executes until queried.
+    */
+  def registerViews(spark: SparkSession, dir: String): Unit =
+    SparkEntry.queries.foreach { case (name, fn) =>
+      fn(spark, dir).createOrReplaceTempView(s"graft_$name")
+    }
 }
