@@ -18,7 +18,7 @@ object SkewJoin {
     require(saltFactor > 0)
     // deterministic scatter: hash of the full row, not rand()
     val bigSalted = big.withColumn("_salt",
-      pmod(hash(big.columns.map(col): _*), lit(saltFactor)))
+      pmod(hash(big.columns.toIndexedSeq.map(col): _*), lit(saltFactor)))
     val smallReplicated = small.withColumn("_salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))
     bigSalted.join(smallReplicated, Seq(key, "_salt")).drop("_salt")
