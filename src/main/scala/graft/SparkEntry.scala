@@ -63,6 +63,7 @@ object SparkEntry {
     "knn_brute"       -> (VectorSearch.knnBrute _),
     "knn_threshold"   -> (VectorSearch.knnThreshold _),
     "ann_ivf"         -> (VectorSearch.annIvf _),
+    "ann_lsh"         -> (VectorSearch.annLsh _),
     "knn_text"        -> (VectorSearch.knnText _),
     "dedup_embedding" -> (VectorSearch.dedupEmbedding _),
     // §2.C keyword + hybrid search
@@ -545,6 +546,25 @@ object SparkEntry {
         |s AS (SELECT p2.q_id, c.vec_id,
         |    floor((list_dot_product(p2.q_emb, c.emb)/(p2.q_nrm*c.nrm)) * 10000.0 + 0.5)/10000.0 AS cos
         |  FROM c JOIN p2 ON c.label = p2.label),
+        |r AS (SELECT q_id, vec_id, cos,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk FROM s)
+        |SELECT q_id, vec_id, cos, rk FROM r WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin),
+    "ann_lsh" -> (vecCte +
+      """,
+        |bits AS (SELECT vec_id, ii.i AS i,
+        |    CASE WHEN list_sum([emb[d+1] *
+        |        (('0x' || substr(md5(CAST(ii.i AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 8))::BIGINT
+        |          / 2147483648.0 - 1.0)
+        |      for d in generate_series(0, 63)]) > 0
+        |    THEN (CAST(1 AS BIGINT) << ii.i) ELSE 0 END AS bv
+        |  FROM n, (SELECT unnest(generate_series(0, 5)) AS i) ii),
+        |codes AS (SELECT vec_id, CAST(SUM(bv) AS BIGINT) AS code FROM bits GROUP BY vec_id),
+        |nc AS (SELECT n.vec_id, n.emb, n.nrm, codes.code FROM n JOIN codes ON n.vec_id = codes.vec_id),
+        |q AS (SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm, code FROM nc WHERE vec_id < 10),
+        |c AS (SELECT vec_id, emb, nrm, code FROM nc WHERE vec_id >= 10),
+        |s AS (SELECT q_id, c.vec_id,
+        |    floor((list_dot_product(q_emb, c.emb)/(q_nrm*c.nrm)) * 10000.0 + 0.5)/10000.0 AS cos
+        |  FROM q JOIN c ON q.code = c.code),
         |r AS (SELECT q_id, vec_id, cos,
         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk FROM s)
         |SELECT q_id, vec_id, cos, rk FROM r WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin),

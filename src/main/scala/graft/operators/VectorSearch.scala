@@ -104,6 +104,38 @@ object VectorSearch {
         V.cosine4(col("q_emb"), col("emb")).as("cos")), 3, "vec_id")
   }
 
+  val LshPlanes = 6
+
+  /** Random-hyperplane LSH code: bit i is the sign of the dot product
+    * with pseudo-random hyperplane i, whose components are derived
+    * deterministically from md5(i_d) — reproducible in the oracle, no
+    * RNG state. 6 planes → 64 buckets.
+    */
+  private def lshCode(emb: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until LshPlanes).map { i =>
+      val s = aggregate(
+        zip_with(emb, sequence(lit(0), lit(63)), (x, d) =>
+          x * (conv(substring(md5(concat(lit(i.toString), lit("_"), d.cast("string"))), 1, 8), 16, 10)
+            .cast("long").cast("double") / 2147483648.0 - 1.0)),
+        lit(0.0), (a, x) => a + x)
+      when(s > 0, lit(1L << i)).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** LSH-bucketed approximate search: queries hit only their own
+    * sign-bucket — at scale the code is a partition key and a probe
+    * reads 1/2^planes of the corpus. Queries whose bucket holds no
+    * corpus vector return no rows (the recall/probe tradeoff).
+    */
+  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    val v = vectors(spark, dir).withColumn("code", lshCode(col("emb")))
+    val q = v.where(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"), col("code"))
+    val corpus = v.where(col("vec_id") >= NQueries)
+    topKExplode(corpus.join(broadcast(q), Seq("code"))
+      .select(col("q_id"), col("vec_id"),
+        V.cosine4(col("q_emb"), col("emb")).as("cos")), 3, "vec_id")
+  }
+
   /** End-to-end text search: literal query strings → hashed-BoW
     * embedding (Ingest.rawEmbed) → cosine against doc_embed vectors →
     * top-k docs. Mirror of search_similar_chunks (core/utils.py:194):

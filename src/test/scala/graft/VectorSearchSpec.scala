@@ -39,6 +39,18 @@ class VectorSearchSpec extends SparkSpec {
     }
   }
 
+  test("ann_lsh is sound: bucket-mates only, never beats exact best") {
+    val exactTop = VectorSearch.knnBrute(spark, sfDir).collect()
+      .filter(_.getAs[Long]("rk") == 1L)
+      .map(r => r.getAs[Long]("q_id") -> r.getAs[Double]("cos")).toMap
+    val rows = VectorSearch.annLsh(spark, sfDir).collect()
+    assert(rows.nonEmpty)   // at least some queries share a bucket
+    rows.groupBy(_.getAs[Long]("q_id")).foreach { case (q, rs) =>
+      assert(rs.length <= 3)
+      assert(rs.map(_.getAs[Double]("cos")).max <= exactTop(q) + 1e-9)
+    }
+  }
+
   test("knn_text returns ranked docs per literal query") {
     val rows = VectorSearch.knnText(spark, sfDir).collect()
     val byQ = rows.groupBy(_.getAs[Long]("q_id"))
