@@ -37,6 +37,8 @@ object SparkEntry {
     "cohort_retention" -> (Analytics.cohortRetention _),
     "asof_prev_view"   -> (AsOf.asofPrevView _),
     "value_percentiles" -> (Analytics.valuePercentiles _),
+    "event_windows"     -> (Analytics.eventWindows _),
+    "value_outliers"    -> (Analytics.valueOutliers _),
     "q_rollup"          -> (Analytics.qRollup _),
     // sketch op: no oracle (implementations differ) → rows-only check
     "approx_live_users" -> (Analytics.approxLiveUsers _),
@@ -312,6 +314,23 @@ object SparkEntry {
         |SELECT (SELECT COUNT(*) FROM v) AS users_view,
         |  (SELECT COUNT(*) FROM c) AS users_click_after_view,
         |  (SELECT COUNT(*) FROM p) AS users_purchase_after_click""".stripMargin,
+    "event_windows" ->
+      """SELECT epoch_ms(ts) - epoch_ms(ts) % 3600000 AS window_ms, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_ms, event_type""".stripMargin,
+    "value_outliers" ->
+      """WITH st AS (SELECT event_type,
+        |    CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s,
+        |    CAST(SUM(CAST(value*value AS DECIMAL(18,4))) AS DOUBLE) AS ss
+        |  FROM events GROUP BY event_type),
+        |m AS (SELECT event_type, s/n AS mean, sqrt((ss - s*s/n)/(n - 1.0)) AS std FROM st),
+        |z AS (SELECT e.event_type, e.event_id, e.value,
+        |    floor(((e.value - m.mean)/m.std) * 10000.0 + 0.5)/10000.0 AS z
+        |  FROM events e JOIN m ON e.event_type = m.event_type)
+        |SELECT event_type, event_id, value, z FROM z WHERE abs(z) > 3.0
+        |ORDER BY event_type, event_id""".stripMargin,
     "value_percentiles" ->
       """SELECT event_type,
         |  floor((quantile_cont(value, 0.5)) * 10000.0 + 0.5) / 10000.0 AS p50,

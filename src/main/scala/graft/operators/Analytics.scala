@@ -238,6 +238,43 @@ object Analytics {
       .agg(approx_count_distinct(col("user_id")).as("approx_live_users"))
   }
 
+  /** Tumbling 1-hour event-time windows per type — the batch twin of
+    * the streaming windowed aggregation (window start = ts truncated
+    * to the hour; map-side combinable).
+    */
+  def eventWindows(spark: SparkSession, dir: String): DataFrame = {
+    val hourMs = 3600L * 1000
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("value"),
+        (col("ts_ms") - col("ts_ms") % hourMs).as("window_ms"))
+      .groupBy(col("window_ms"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast("double").as("total_value"))
+      .orderBy(col("window_ms"), col("event_type"))
+  }
+
+  /** Z-score outliers per event_type. Mean and variance come from
+    * DECIMAL-exact sum and sum-of-squares (var = (Σx² − (Σx)²/n)/(n−1)
+    * on exact inputs), so the scores are engine-deterministic — no
+    * Welford-order drift.
+    */
+  def valueOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val stats = Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(dec(col("value"))).cast("double").as("s"),
+        sum(dec(col("value") * col("value"), 4)).cast("double").as("ss"))
+      .select(col("event_type"), (col("s") / col("n")).as("mean"),
+        sqrt((col("ss") - col("s") * col("s") / col("n")) / (col("n") - 1.0)).as("std"))
+    Tables.events(spark, dir)
+      .join(broadcast(stats), Seq("event_type"))
+      .select(col("event_type"), col("event_id"), col("value"),
+        graft.functions.Par.round4((col("value") - col("mean")) / col("std")).as("z"))
+      .where(abs(col("z")) > 3.0)
+      .orderBy(col("event_type"), col("event_id"))
+  }
+
   /** One-row corpus + users + orders rollup — admin_dashboard_stats
     * (core/views.py:858) / get_admin_dashboard_stats
     * (core/views.py:1584). Single-pass aggregates per table, joined
