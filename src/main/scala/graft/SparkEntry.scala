@@ -50,6 +50,7 @@ object SparkEntry {
     // §2.F LLM-data-pipeline operators
     "dedup_exact"     -> (Dedup.dedupExact _),
     "dedup_apply"     -> (Dedup.dedupApply _),
+    "dedup_clusters"  -> (Dedup.dedupClusters _),
     "deterministic_sample" -> (Dedup.deterministicSample _),
     "dedup_minhash"   -> (Dedup.dedupMinhash _),
     "dedup_simhash"   -> (Dedup.dedupSimhash _),
@@ -217,6 +218,23 @@ object SparkEntry {
       |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
       |  FROM sess GROUP BY user_id, session_id
       |)""".stripMargin
+
+  /** Full dedup_minhash oracle (also the pair source for
+    * dedup_clusters' recursive component closure).
+    */
+  private val minhashOracle: String =
+    "WITH " + corpusCte(perturb = true) + ",\n" + postingCte("corpus") +
+      """,
+        |hsh AS (SELECT doc_id, ('0x' || substr(s, 1, 8))::BIGINT AS h FROM posting),
+        |mins AS (SELECT doc_id, p, MIN((976369*(p+1)*h + 1234567*p) % 4294967311) AS m
+        |  FROM hsh, (SELECT unnest(generate_series(0, 15)) AS p) pp GROUP BY doc_id, p),
+        |banded AS (SELECT doc_id, p // 4 AS bd,
+        |    array_to_string(list(CAST(m AS VARCHAR) ORDER BY p), '|') AS band_key
+        |  FROM mins GROUP BY doc_id, p // 4),
+        |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM banded a JOIN banded b ON a.bd = b.bd AND a.band_key = b.band_key
+        |    AND a.doc_id < b.doc_id),
+        |""".stripMargin + jaccardTail + " LIMIT 50"
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing" ->
@@ -438,18 +456,19 @@ object SparkEntry {
         |  < CASE WHEN event_type = 'purchase' THEN 1.0
         |         WHEN event_type = 'error' THEN 0.5 ELSE 0.05 END
         |ORDER BY event_id""".stripMargin,
-    "dedup_minhash" -> ("WITH " + corpusCte(perturb = true) + ",\n" + postingCte("corpus") +
-      """,
-        |hsh AS (SELECT doc_id, ('0x' || substr(s, 1, 8))::BIGINT AS h FROM posting),
-        |mins AS (SELECT doc_id, p, MIN((976369*(p+1)*h + 1234567*p) % 4294967311) AS m
-        |  FROM hsh, (SELECT unnest(generate_series(0, 15)) AS p) pp GROUP BY doc_id, p),
-        |banded AS (SELECT doc_id, p // 4 AS bd,
-        |    array_to_string(list(CAST(m AS VARCHAR) ORDER BY p), '|') AS band_key
-        |  FROM mins GROUP BY doc_id, p // 4),
-        |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-        |  FROM banded a JOIN banded b ON a.bd = b.bd AND a.band_key = b.band_key
-        |    AND a.doc_id < b.doc_id),
-        |""".stripMargin + jaccardTail + " LIMIT 50"),
+    "dedup_minhash" -> minhashOracle,
+    "dedup_clusters" ->
+      ("""WITH RECURSIVE pairs AS (
+         |""".stripMargin + minhashOracle +
+        """
+          |),
+          |p AS (SELECT a_id, b_id FROM pairs WHERE jaccard >= 0.8),
+          |edges AS (SELECT a_id AS a, b_id AS b FROM p
+          |  UNION ALL SELECT b_id AS a, a_id AS b FROM p),
+          |reach AS (SELECT a, b FROM edges
+          |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+          |SELECT a AS doc_id, least(a, MIN(b)) AS cluster_id FROM reach
+          |GROUP BY a ORDER BY doc_id""".stripMargin),
     "dedup_simhash" -> ("WITH " + corpusCte(perturb = true) +
       """,
         |tok AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS h

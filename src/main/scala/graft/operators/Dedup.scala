@@ -142,6 +142,39 @@ object Dedup {
           .as("jaccard"))
   }
 
+  /** Transitive dup clustering: connected components over the strong
+    * MinHash pairs (jaccard ≥ 0.8) via iterative min-label
+    * propagation — the step that turns pairwise candidates into
+    * canonical groups when duplicates chain (A≈B≈C). Ten fixed
+    * rounds bound the component diameter; each round is one join +
+    * partial-min aggregate. At real scale the loop would checkpoint
+    * every few rounds to cut lineage.
+    */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = dedupMinhash(spark, dir)
+      .where(col("jaccard") >= 0.8)
+      .select(col("a_id"), col("b_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges = pairs
+      .unionAll(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+      .localCheckpoint()
+    var labels = edges.select(col("a_id").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+      .localCheckpoint()
+    (1 to 10).foreach { _ =>
+      val nmin = edges.join(labels, col("b_id") === col("id"))
+        .groupBy(col("a_id")).agg(min(col("cluster")).as("nc"))
+      // localCheckpoint truncates lineage — without it the plan tree
+      // doubles every iteration and analysis blows the heap
+      labels = labels.join(nmin, col("id") === col("a_id"), "left")
+        .select(col("id"), least(col("cluster"), coalesce(col("nc"), col("cluster")))
+          .as("cluster"))
+        .localCheckpoint()
+    }
+    labels.select(col("id").as("doc_id"), col("cluster").as("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** SimHash near-dup: 32-bit signature from per-bit majority votes
     * of token md5s; candidate pairs share one of the two 16-bit
     * halves (guarantees recall for hamming ≤ 1 per half; standard

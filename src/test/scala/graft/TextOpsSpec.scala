@@ -64,6 +64,18 @@ class TextOpsSpec extends SparkSpec {
     assert(pairs.exists(r => r.getAs[Long]("b_id") == r.getAs[Long]("a_id") + 100000L))
   }
 
+  test("dedup_clusters: every member maps to its component minimum") {
+    val rows = Dedup.dedupClusters(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val cluster = rows.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    // cluster ids are fixpoints and the injected pairs collapse together
+    cluster.values.foreach(c => assert(cluster.getOrElse(c, c) == c))
+    cluster.foreach { case (id, c) => assert(c <= id) }
+    val injected = cluster.filter(_._1 >= 100000L)
+    assert(injected.nonEmpty)
+    injected.foreach { case (id, c) => assert(cluster.get(id - 100000L).forall(_ == c)) }
+  }
+
   test("lang_id picks the argmax profile") {
     val rows = TextAnalysis.langId(spark, sfDir).collect()
     assert(rows.length == Tables.documents(spark, sfDir).count())
