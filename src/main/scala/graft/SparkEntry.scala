@@ -39,6 +39,7 @@ object SparkEntry {
     "value_percentiles" -> (Analytics.valuePercentiles _),
     "event_windows"     -> (Analytics.eventWindows _),
     "value_outliers"    -> (Analytics.valueOutliers _),
+    "status_transition" -> (Analytics.statusTransition _),
     "q_rollup"          -> (Analytics.qRollup _),
     // sketch op: no oracle (implementations differ) → rows-only check
     "approx_live_users" -> (Analytics.approxLiveUsers _),
@@ -332,6 +333,19 @@ object SparkEntry {
         |SELECT (SELECT COUNT(*) FROM v) AS users_view,
         |  (SELECT COUNT(*) FROM c) AS users_click_after_view,
         |  (SELECT COUNT(*) FROM p) AS users_purchase_after_click""".stripMargin,
+    "status_transition" ->
+      """WITH d AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 5 = 0 THEN 'pending'
+        |       WHEN doc_id % 5 = 1 THEN 'rejected' ELSE 'approved' END AS status
+        |FROM documents),
+        |t AS (SELECT doc_id, status,
+        |  CASE WHEN status = 'pending' THEN 'approved' ELSE status END AS new_status FROM d),
+        |b AS (SELECT status, COUNT(*) AS n_before FROM t GROUP BY status),
+        |a AS (SELECT new_status AS status, COUNT(*) AS n_after FROM t GROUP BY new_status)
+        |SELECT coalesce(b.status, a.status) AS status,
+        |  CAST(coalesce(b.n_before, 0) AS BIGINT) AS n_before,
+        |  CAST(coalesce(a.n_after, 0) AS BIGINT) AS n_after
+        |FROM b FULL OUTER JOIN a ON b.status = a.status ORDER BY status""".stripMargin,
     "event_windows" ->
       """SELECT epoch_ms(ts) - epoch_ms(ts) % 3600000 AS window_ms, event_type,
         |  COUNT(*) AS n,

@@ -275,6 +275,28 @@ object Analytics {
       .orderBy(col("event_type"), col("event_id"))
   }
 
+  /** Bulk status transition — approve_all_pending_contributions
+    * (core/supabase_utils.py:368): flip every 'pending' row to
+    * 'approved' and report per-status counts before and after. The
+    * synthetic status derives deterministically from the doc id; the
+    * transition is a pure conditional projection (at scale: the
+    * transform feeding a MERGE write-back, cf. Ingest.mergeIncremental).
+    */
+  def statusTransition(spark: SparkSession, dir: String): DataFrame = {
+    val status = when(col("doc_id") % 5 === 0, "pending")
+      .when(col("doc_id") % 5 === 1, "rejected")
+      .otherwise("approved")
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), status.as("status"))
+      .withColumn("new_status",
+        when(col("status") === "pending", "approved").otherwise(col("status")))
+    docs.groupBy(col("status")).agg(count(lit(1)).as("n_before"))
+      .join(docs.groupBy(col("new_status").as("status"))
+        .agg(count(lit(1)).as("n_after")), Seq("status"), "full_outer")
+      .na.fill(0L, Seq("n_before", "n_after"))
+      .orderBy(col("status"))
+  }
+
   /** One-row corpus + users + orders rollup — admin_dashboard_stats
     * (core/views.py:858) / get_admin_dashboard_stats
     * (core/views.py:1584). Single-pass aggregates per table, joined
