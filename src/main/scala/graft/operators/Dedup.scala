@@ -161,15 +161,24 @@ object Dedup {
     var labels = edges.select(col("a_id").as("id")).distinct()
       .withColumn("cluster", col("id"))
       .localCheckpoint()
-    (1 to 10).foreach { _ =>
+    // propagate to FIXPOINT (a fixed round count only covers that
+    // diameter); terminates after diameter+1 rounds, capped defensively
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
       val nmin = edges.join(labels, col("b_id") === col("id"))
         .groupBy(col("a_id")).agg(min(col("cluster")).as("nc"))
       // localCheckpoint truncates lineage — without it the plan tree
       // doubles every iteration and analysis blows the heap
-      labels = labels.join(nmin, col("id") === col("a_id"), "left")
-        .select(col("id"), least(col("cluster"), coalesce(col("nc"), col("cluster")))
-          .as("cluster"))
+      val next = labels.join(nmin, col("id") === col("a_id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("nc"), col("cluster"))).as("cluster"))
         .localCheckpoint()
+      changed = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .where(col("n.cluster") =!= col("o.cluster")).count()
+      labels = next
+      rounds += 1
     }
     labels.select(col("id").as("doc_id"), col("cluster").as("cluster_id"))
       .orderBy(col("doc_id"))
