@@ -22,6 +22,7 @@ object SparkEntry {
     "q5_region_join"  -> (Relational.q5RegionJoin _),
     "q_window"        -> (Relational.qWindow _),
     "q_part_revenue"  -> (Relational.qPartRevenue _),
+    "q_rolling"       -> (Relational.qRolling _),
     // §2.D analytics
     "contribution_analytics" -> (Analytics.contributionAnalytics _),
     "top_rated"        -> (Analytics.topRated _),
@@ -274,6 +275,17 @@ object SparkEntry {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 1000.0 + 0.5) / 1000.0 AS run_sum,
         |    epoch_ms(ts) AS ts_ms
         |  FROM events) t WHERE rk <= 3 ORDER BY user_id, rk""".stripMargin,
+    "q_rolling" ->
+      """SELECT user_id, event_id, ts_ms, value,
+        |  floor((avg5) * 10000.0 + 0.5) / 10000.0 AS moving_avg5,
+        |  floor((value - coalesce(prev, value)) * 10000.0 + 0.5) / 10000.0 AS delta_prev
+        |FROM (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, value,
+        |    AVG(value) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+        |      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS avg5,
+        |    lag(value) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS prev
+        |  FROM events) t
+        |WHERE user_id < 20 ORDER BY user_id, ts_ms, event_id""".stripMargin,
     "contribution_analytics" ->
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*) AS avg_value,

@@ -111,6 +111,23 @@ object Relational {
       .orderBy(col("revenue").desc, col("p_brand"))
       .limit(10)
 
+  /** Sliding-frame window patterns per user: 5-row moving average of
+    * value and the delta vs the previous event — one shuffle on
+    * user_id serves both frames.
+    */
+  def qRolling(spark: SparkSession, dir: String): DataFrame = {
+    val byTime = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts_ms"), col("value"))
+      .withColumn("moving_avg5",
+        Par.round4(avg(col("value")).over(byTime.rowsBetween(-4, Window.currentRow))))
+      .withColumn("delta_prev",
+        Par.round4(col("value") - coalesce(lag(col("value"), 1).over(byTime), col("value"))))
+      .where(col("user_id") < 20)
+      .orderBy(col("user_id"), col("ts_ms"), col("event_id"))
+  }
+
   /** Window functions over the event stream: per-user value ranking
     * plus a running sum in event-time order. One shuffle on user_id
     * serves both windows (same partitioning).
