@@ -22,6 +22,9 @@ object Graft {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_similarity", exprs => CosineSimilarity(exprs.head, exprs(1)), "built-in")
 
+  private[graft] val cosineBuilder: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+      CosineSimilarity = exprs => CosineSimilarity(exprs.head, exprs(1))
+
   /** Expose every operator as a temp view `graft_<name>` over the
     * given data directory, so the whole surface is reachable from
     * `spark.sql` (e.g. `SELECT * FROM graft_sessionize WHERE ...`).

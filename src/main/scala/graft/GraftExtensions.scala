@@ -1,0 +1,24 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** Config-driven injection of graft's native expressions:
+  *
+  * {{{
+  * spark.sql.extensions=graft.GraftExtensions
+  * }}}
+  *
+  * registers `cosine_similarity` on every session the cluster builds —
+  * no application code needed (the Spark-idiomatic install path for a
+  * library shipping Catalyst expressions; `Graft.register` remains
+  * the per-session runtime alternative).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(extensions: SparkSessionExtensions): Unit =
+    extensions.injectFunction((
+      FunctionIdentifier("cosine_similarity"),
+      new ExpressionInfo(classOf[graft.plans.CosineSimilarity].getName, "cosine_similarity"),
+      Graft.cosineBuilder))
+}

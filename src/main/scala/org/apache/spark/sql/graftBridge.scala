@@ -10,4 +10,16 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object graftBridge {
   def columnOf(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expressionOf(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Apply an extensions installer to a registry — lets tests verify
+    * `spark.sql.extensions` wiring without building a second
+    * SparkContext (registerFunctions is private[sql]).
+    */
+  def appliedFunctionRegistry(installer: SparkSessionExtensions => Unit)
+      : org.apache.spark.sql.catalyst.analysis.FunctionRegistry = {
+    val ext = new SparkSessionExtensions
+    installer(ext)
+    ext.registerFunctions(
+      new org.apache.spark.sql.catalyst.analysis.SimpleFunctionRegistry)
+  }
 }
