@@ -69,6 +69,7 @@ object SparkEntry {
     "knn_threshold"   -> (VectorSearch.knnThreshold _),
     "ann_ivf"         -> (VectorSearch.annIvf _),
     "ann_lsh"         -> (VectorSearch.annLsh _),
+    "ann_recall"      -> (VectorSearch.annRecall _),
     "knn_text"        -> (VectorSearch.knnText _),
     "dedup_embedding" -> (VectorSearch.dedupEmbedding _),
     // §2.C keyword + hybrid search
@@ -613,6 +614,37 @@ object SparkEntry {
         |r AS (SELECT q_id, vec_id, cos,
         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk FROM s)
         |SELECT q_id, vec_id, cos, rk FROM r WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin),
+    "ann_recall" -> (knnCte +
+      """,
+        |ex AS (SELECT label, g-1 AS dim, emb[g] AS x
+        |  FROM n, LATERAL (SELECT unnest(generate_series(1, len(emb))) g) gg),
+        |cd AS (SELECT label, dim,
+        |    CAST(SUM(CAST(x AS DECIMAL(18,9))) AS DOUBLE)/COUNT(*) AS cv
+        |  FROM ex GROUP BY label, dim),
+        |cent AS (SELECT label, list(cv ORDER BY dim) AS c_emb FROM cd GROUP BY label),
+        |cent2 AS (SELECT label, c_emb,
+        |  sqrt(list_sum(list_transform(c_emb, x -> x*x))) AS c_nrm FROM cent),
+        |pr AS (SELECT q_id, q_emb, q_nrm, label,
+        |    floor((list_dot_product(q_emb, c_emb)/(q_nrm*c_nrm)) * 10000.0 + 0.5)/10000.0 AS c_cos
+        |  FROM q, cent2),
+        |probes AS (SELECT *, row_number() OVER (PARTITION BY q_id
+        |  ORDER BY c_cos DESC, label) AS prk FROM pr),
+        |p2 AS (SELECT q_id, q_emb, q_nrm, label FROM probes WHERE prk <= 2),
+        |cl AS (SELECT n.vec_id, n.label, n.emb, n.nrm FROM n WHERE vec_id >= 10),
+        |sv AS (SELECT p2.q_id, cl.vec_id,
+        |    floor((list_dot_product(p2.q_emb, cl.emb)/(p2.q_nrm*cl.nrm)) * 10000.0 + 0.5)/10000.0 AS cos
+        |  FROM cl JOIN p2 ON cl.label = p2.label),
+        |rv AS (SELECT q_id, vec_id, cos,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk FROM sv),
+        |ex3 AS (SELECT q_id, vec_id FROM r WHERE rk <= 3),
+        |ap AS (SELECT q_id, vec_id FROM rv WHERE rk <= 3),
+        |h AS (SELECT ap.q_id, COUNT(*) AS hits
+        |  FROM ap JOIN ex3 ON ap.q_id = ex3.q_id AND ap.vec_id = ex3.vec_id
+        |  GROUP BY ap.q_id)
+        |SELECT e.q_id, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+        |  floor((CAST(coalesce(h.hits, 0) AS DOUBLE)/3.0) * 10000.0 + 0.5)/10000.0 AS recall
+        |FROM (SELECT DISTINCT q_id FROM ex3) e LEFT JOIN h ON e.q_id = h.q_id
+        |ORDER BY e.q_id""".stripMargin),
     "ann_lsh" -> (vecCte +
       """,
         |bits AS (SELECT vec_id, ii.i AS i,

@@ -136,6 +136,24 @@ object VectorSearch {
         V.cosine4(col("q_emb"), col("emb")).as("cos")), 3, "vec_id")
   }
 
+  /** Recall@3 of the IVF probe search against exact brute force —
+    * the quality metric an ANN index owner monitors; self-measuring
+    * (both sides are this library's own operators).
+    */
+  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = knnBrute(spark, dir).where(col("rk") <= 3)
+      .select(col("q_id"), col("vec_id"))
+    val approx = annIvf(spark, dir).select(col("q_id"), col("vec_id"))
+    val hits = approx.join(exact, Seq("q_id", "vec_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("hits"))
+    exact.select(col("q_id")).distinct()
+      .join(hits, Seq("q_id"), "left")
+      .na.fill(0L, Seq("hits"))
+      .select(col("q_id"), col("hits"),
+        Par.round4(col("hits").cast("double") / 3.0).as("recall"))
+      .orderBy(col("q_id"))
+  }
+
   /** End-to-end text search: literal query strings → hashed-BoW
     * embedding (Ingest.rawEmbed) → cosine against doc_embed vectors →
     * top-k docs. Mirror of search_similar_chunks (core/utils.py:194):
