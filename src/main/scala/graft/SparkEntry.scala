@@ -53,6 +53,7 @@ object SparkEntry {
     "dedup_exact"     -> (Dedup.dedupExact _),
     "dedup_apply"     -> (Dedup.dedupApply _),
     "dedup_clusters"  -> (Dedup.dedupClusters _),
+    "neardup_apply"   -> (Dedup.neardupApply _),
     "deterministic_sample" -> (Dedup.deterministicSample _),
     "dedup_minhash"   -> (Dedup.dedupMinhash _),
     "dedup_simhash"   -> (Dedup.dedupSimhash _),
@@ -471,6 +472,23 @@ object SparkEntry {
       """
         |SELECT md5(text) AS text_md5, COUNT(*) AS n_dups, MIN(doc_id) AS keep_id
         |FROM corpus GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY keep_id""".stripMargin),
+    "neardup_apply" ->
+      ("""WITH RECURSIVE pairs AS (
+         |""".stripMargin + minhashOracle +
+        """
+          |),
+          |p AS (SELECT a_id, b_id FROM pairs WHERE jaccard >= 0.8),
+          |edges AS (SELECT a_id AS a, b_id AS b FROM p
+          |  UNION ALL SELECT b_id AS a, a_id AS b FROM p),
+          |reach AS (SELECT a, b FROM edges
+          |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+          |comp AS (SELECT a AS doc_id, least(a, MIN(b)) AS cluster_id FROM reach GROUP BY a),
+          |""".stripMargin + corpusCte(perturb = true) +
+        """
+          |SELECT c.doc_id, CAST(length(c.text) AS BIGINT) AS n_chars
+          |FROM corpus c
+          |WHERE c.doc_id NOT IN (SELECT doc_id FROM comp WHERE cluster_id <> doc_id)
+          |ORDER BY c.doc_id""".stripMargin),
     "dedup_apply" -> ("WITH " + corpusCte(perturb = false) +
       """,
         |keep AS (SELECT MIN(doc_id) AS doc_id FROM corpus GROUP BY md5(text))

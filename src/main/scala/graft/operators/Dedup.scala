@@ -184,6 +184,20 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Apply the near-dup clustering: drop every non-canonical cluster
+    * member (anti-join), keeping one representative per component —
+    * the final "materialize the near-deduped corpus" step.
+    */
+  def neardupApply(spark: SparkSession, dir: String): DataFrame = {
+    val drop = dedupClusters(spark, dir)
+      .where(col("cluster_id") =!= col("doc_id"))
+      .select(col("doc_id"))
+    corpusWithDups(spark, dir, perturb = true)
+      .join(drop, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   /** SimHash near-dup: 32-bit signature from per-bit majority votes
     * of token md5s; candidate pairs share one of the two 16-bit
     * halves (guarantees recall for hamming ≤ 1 per half; standard
