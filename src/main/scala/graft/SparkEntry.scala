@@ -223,10 +223,11 @@ object SparkEntry {
       |  FROM sess GROUP BY user_id, session_id
       |)""".stripMargin
 
-  /** Full dedup_minhash oracle (also the pair source for
-    * dedup_clusters' recursive component closure).
+  /** UNCAPPED verified-pair oracle (the pair source for
+    * dedup_clusters' / neardup_apply's recursive component closure —
+    * mirror of Dedup.minhashPairs).
     */
-  private val minhashOracle: String =
+  private val minhashPairsSql: String =
     "WITH " + corpusCte(perturb = true) + ",\n" + postingCte("corpus") +
       """,
         |hsh AS (SELECT doc_id, ('0x' || substr(s, 1, 8))::BIGINT AS h FROM posting),
@@ -238,7 +239,10 @@ object SparkEntry {
         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
         |  FROM banded a JOIN banded b ON a.bd = b.bd AND a.band_key = b.band_key
         |    AND a.doc_id < b.doc_id),
-        |""".stripMargin + jaccardTail + " LIMIT 50"
+        |""".stripMargin + jaccardTail
+
+  /** Top-50 report oracle (dedup_minhash). */
+  private val minhashOracle: String = minhashPairsSql + " LIMIT 50"
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing" ->
@@ -474,7 +478,7 @@ object SparkEntry {
         |FROM corpus GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY keep_id""".stripMargin),
     "neardup_apply" ->
       ("""WITH RECURSIVE pairs AS (
-         |""".stripMargin + minhashOracle +
+         |""".stripMargin + minhashPairsSql +
         """
           |),
           |p AS (SELECT a_id, b_id FROM pairs WHERE jaccard >= 0.8),
@@ -504,7 +508,7 @@ object SparkEntry {
     "dedup_minhash" -> minhashOracle,
     "dedup_clusters" ->
       ("""WITH RECURSIVE pairs AS (
-         |""".stripMargin + minhashOracle +
+         |""".stripMargin + minhashPairsSql +
         """
           |),
           |p AS (SELECT a_id, b_id FROM pairs WHERE jaccard >= 0.8),

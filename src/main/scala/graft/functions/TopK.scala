@@ -46,8 +46,50 @@ class TopKAgg(k: Int) extends Aggregator[ScoredId, TopBuf, Seq[ScoredId]] {
   override def outputEncoder: Encoder[Seq[ScoredId]] = ExpressionEncoder[Seq[ScoredId]]()
 }
 
+/** A candidate with a secondary tie-break score (e.g. rating). */
+case class Scored2Id(score: Double, score2: Double, id: Long)
+
+private[functions] case class Top2Buf(items: Seq[Scored2Id])
+
+/** TopKAgg with a secondary sort key: keeps the k best rows per group
+  * by (score desc, score2 desc, id asc) with map-side partial
+  * aggregation — same 100 TB shape as [[TopKAgg]] (the shuffle
+  * carries ≤ k rows per group and map partition), for rankings whose
+  * tie-break is a second score (keyword search ranks by score then
+  * rating, core/supabase_utils.py:304).
+  */
+class TopK2Agg(k: Int) extends Aggregator[Scored2Id, Top2Buf, Seq[Scored2Id]] {
+
+  private def better(a: Scored2Id, b: Scored2Id): Boolean =
+    a.score > b.score ||
+      (a.score == b.score &&
+        (a.score2 > b.score2 || (a.score2 == b.score2 && a.id < b.id)))
+
+  private def trim(items: Seq[Scored2Id]): Seq[Scored2Id] =
+    items.sortWith(better).take(k)
+
+  override def zero: Top2Buf = Top2Buf(Vector.empty)
+
+  override def reduce(b: Top2Buf, a: Scored2Id): Top2Buf =
+    if (b.items.length < k || better(a, b.items.last)) Top2Buf(trim(b.items :+ a))
+    else b
+
+  override def merge(b1: Top2Buf, b2: Top2Buf): Top2Buf =
+    Top2Buf(trim(b1.items ++ b2.items))
+
+  override def finish(b: Top2Buf): Seq[Scored2Id] = trim(b.items)
+
+  override def bufferEncoder: Encoder[Top2Buf] = ExpressionEncoder[Top2Buf]()
+
+  override def outputEncoder: Encoder[Seq[Scored2Id]] = ExpressionEncoder[Seq[Scored2Id]]()
+}
+
 object TopK {
   /** `top_k(score, id)` aggregate Column, k best per group. */
   def topK(k: Int)(score: Column, id: Column): Column =
     udaf(new TopKAgg(k)).apply(score, id)
+
+  /** `top_k(score, score2, id)` with a secondary tie-break score. */
+  def topK2(k: Int)(score: Column, score2: Column, id: Column): Column =
+    udaf(new TopK2Agg(k)).apply(score, score2, id)
 }

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.DfCache
 import graft.functions.Par
 import graft.functions.TextFunctions._
 import graft.sources.Tables
@@ -87,40 +88,55 @@ object Dedup {
   private def cachedPosting(df: DataFrame): DataFrame =
     df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-  /** MinHash + LSH near-dup: 16-permutation signature (one md5 per
-    * distinct shingle + arithmetic permutations, TextFunctions
-    * .minhashPerm), 4 bands of 4 rows; docs sharing a band key become
-    * candidate pairs, verified with exact shingle Jaccard. Candidate
-    * volume is O(near-dups), not O(n²).
+  /** MinHash + LSH near-dup candidate pairs, UNCAPPED: every pair
+    * sharing a band key, verified with exact shingle Jaccard — the
+    * pair source for the whole near-dup pipeline (clusters, apply).
+    * 16-permutation signature (one md5 per distinct shingle +
+    * arithmetic permutations, TextFunctions.minhashPerm), 4 bands of
+    * 4 rows. Candidate volume is O(near-dups), not O(n²). Computed
+    * once per (session, dir) and locally checkpointed: the pair set
+    * is tiny relative to the corpus and three downstream operators
+    * consume it — at 100 TB this is the parquet staging table between
+    * the detect and apply stages.
     */
-  def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
-    val posting = cachedPosting(shinglePosting(
-      corpusWithDups(spark, dir, perturb = true), col("doc_id"), col("text"), 3))
-    // one md5 per distinct shingle; the 16 permutation minima are 16
-    // agg columns → map-side partial min, one shuffle of #docs rows
-    val rows = MinhashPerms / Bands
-    val permMins = (0 until MinhashPerms).map { p =>
-      min(minhashPerm(col("h"), lit(p.toLong))).as(s"m$p")
+  private[graft] def minhashPairs(spark: SparkSession, dir: String): DataFrame =
+    DfCache.getOrCompute(spark, s"minhash_pairs:$dir") {
+      val posting = cachedPosting(shinglePosting(
+        corpusWithDups(spark, dir, perturb = true), col("doc_id"), col("text"), 3))
+      // one md5 per distinct shingle; the 16 permutation minima are 16
+      // agg columns → map-side partial min, one shuffle of #docs rows
+      val rows = MinhashPerms / Bands
+      val permMins = (0 until MinhashPerms).map { p =>
+        min(minhashPerm(col("h"), lit(p.toLong))).as(s"m$p")
+      }
+      val sigs = posting
+        .select(col("doc_id"), hexLong(col("s"), 1, 8).as("h"))   // s is a md5 prefix already
+        .groupBy(col("doc_id"))
+        .agg(permMins.head, permMins.tail: _*)
+      // band key = the band's minima joined in permutation order
+      val banded = sigs.select(col("doc_id"),
+        posexplode(array((0 until Bands).map { b =>
+          concat_ws("|", (0 until rows).map(r => col(s"m${b * rows + r}").cast("string")): _*)
+        }: _*)).as(Seq("bd", "band_key")))
+      val cand = banded.select(col("bd"), col("band_key"), col("doc_id").as("a_id"))
+        .join(banded.select(col("bd"), col("band_key"), col("doc_id").as("b_id")),
+          Seq("bd", "band_key"))
+        .where(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"))
+        .distinct()   // a pair may collide in several bands
+      val pairs = jaccardOf(cand, posting).localCheckpoint()   // materialize
+      posting.unpersist()
+      pairs
     }
-    val sigs = posting
-      .select(col("doc_id"), hexLong(col("s"), 1, 8).as("h"))   // s is a md5 prefix already
-      .groupBy(col("doc_id"))
-      .agg(permMins.head, permMins.tail: _*)
-    // band key = the band's minima joined in permutation order
-    val banded = sigs.select(col("doc_id"),
-      posexplode(array((0 until Bands).map { b =>
-        concat_ws("|", (0 until rows).map(r => col(s"m${b * rows + r}").cast("string")): _*)
-      }: _*)).as(Seq("bd", "band_key")))
-    val cand = banded.select(col("bd"), col("band_key"), col("doc_id").as("a_id"))
-      .join(banded.select(col("bd"), col("band_key"), col("doc_id").as("b_id")),
-        Seq("bd", "band_key"))
-      .where(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"))
-      .distinct()   // a pair may collide in several bands
-    jaccardOf(cand, posting)
+
+  /** Top-50 near-dup report over the full verified pair set — the
+    * human-facing detection listing; the clustering/apply path
+    * consumes the uncapped `minhashPairs` directly.
+    */
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    minhashPairs(spark, dir)
       .orderBy(col("jaccard").desc, col("a_id"), col("b_id"))
       .limit(50)
-  }
 
   /** Exact Jaccard for candidate (a_id, b_id) pairs via posting-list
     * joins: |∩| = matching-shingle row count, sizes from a small
@@ -142,47 +158,57 @@ object Dedup {
           .as("jaccard"))
   }
 
-  /** Transitive dup clustering: connected components over the strong
-    * MinHash pairs (jaccard ≥ 0.8) via iterative min-label
-    * propagation — the step that turns pairwise candidates into
-    * canonical groups when duplicates chain (A≈B≈C). Ten fixed
-    * rounds bound the component diameter; each round is one join +
-    * partial-min aggregate. At real scale the loop would checkpoint
-    * every few rounds to cut lineage.
+  /** Connected components over a symmetric-closed edge list via
+    * min-label propagation with POINTER DOUBLING: each round a node
+    * takes the least of its own label, its neighbors' labels, and its
+    * label's label (the doubling hop), so label depth halves per
+    * round — O(log diameter) rounds instead of O(diameter), the
+    * property that matters when a 100 TB corpus chains duplicates
+    * into long paths. One Spark action per round: the eager
+    * localCheckpoint materializes the new labels AND truncates
+    * lineage; the convergence probe (`chg` flag, limit-1 count) scans
+    * only the cached blocks it just produced.
     */
-  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = dedupMinhash(spark, dir)
-      .where(col("jaccard") >= 0.8)
-      .select(col("a_id"), col("b_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  private[operators] def components(pairs: DataFrame): DataFrame = {
     val edges = pairs
       .unionAll(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       .localCheckpoint()
     var labels = edges.select(col("a_id").as("id")).distinct()
       .withColumn("cluster", col("id"))
       .localCheckpoint()
-    // propagate to FIXPOINT (a fixed round count only covers that
-    // diameter); terminates after diameter+1 rounds, capped defensively
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 50) {
-      val nmin = edges.join(labels, col("b_id") === col("id"))
+    while (changed > 0 && rounds < 32) {
+      val nbrMin = edges.join(labels, col("b_id") === col("id"))
         .groupBy(col("a_id")).agg(min(col("cluster")).as("nc"))
-      // localCheckpoint truncates lineage — without it the plan tree
-      // doubles every iteration and analysis blows the heap
-      val next = labels.join(nmin, col("id") === col("a_id"), "left")
+      val hop = labels.join(nbrMin, col("id") === col("a_id"), "left")
+        .select(col("id"), col("cluster"),
+          least(col("cluster"), coalesce(col("nc"), col("cluster"))).as("c1"))
+      // doubling hop: follow the candidate label to ITS current label
+      val next = hop
+        .join(labels.select(col("id").as("c1"), col("cluster").as("cc")), Seq("c1"), "left")
         .select(col("id"),
-          least(col("cluster"), coalesce(col("nc"), col("cluster"))).as("cluster"))
-        .localCheckpoint()
-      changed = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .where(col("n.cluster") =!= col("o.cluster")).count()
-      labels = next
+          least(col("c1"), coalesce(col("cc"), col("c1"))).as("new_cluster"),
+          (least(col("c1"), coalesce(col("cc"), col("c1"))) < col("cluster")).as("chg"))
+        .localCheckpoint()   // the round's single job
+      changed = next.where(col("chg")).limit(1).count()
+      labels = next.select(col("id"), col("new_cluster").as("cluster"))
       rounds += 1
     }
     labels.select(col("id").as("doc_id"), col("cluster").as("cluster_id"))
-      .orderBy(col("doc_id"))
   }
+
+  /** Transitive dup clustering: connected components over ALL strong
+    * MinHash pairs (jaccard ≥ 0.8, uncapped) — the step that turns
+    * pairwise candidates into canonical groups when duplicates chain
+    * (A≈B≈C). Labels converge to the component minimum, matching the
+    * oracle's recursive closure.
+    */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    components(minhashPairs(spark, dir)
+        .where(col("jaccard") >= 0.8)
+        .select(col("a_id"), col("b_id")))
+      .orderBy(col("doc_id"))
 
   /** Apply the near-dup clustering: drop every non-canonical cluster
     * member (anti-join), keeping one representative per component —

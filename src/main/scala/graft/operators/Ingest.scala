@@ -86,16 +86,14 @@ object Ingest {
 
   /** Session-scoped cache of the hashed-BoW document index — the
     * analog of the reference loading its FAISS index once per process
-    * (core/utils.py:150 `load_index`). Keyed by (session, dir);
-    * persisted so the several operators sharing the index (knn_text,
-    * hybrid_*) compute it once.
+    * (core/utils.py:150 `load_index`). Keyed by (sessionUUID, dir)
+    * and evicted on application end via [[graft.DfCache]]; persisted
+    * so the several operators sharing the index (knn_text, hybrid_*)
+    * compute it once.
     */
-  private val embedCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
-
   def docEmbedCached(spark: SparkSession, dir: String): DataFrame =
-    embedCache.computeIfAbsent((System.identityHashCode(spark), dir),
-      _ => docEmbed(spark, dir).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    graft.DfCache.getOrCompute(spark, s"doc_embed:$dir")(
+      docEmbed(spark, dir).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** Incremental re-index merge — the reference's reindex flow
     * (core/views.py:1065 admin_reindex_documents / embed_pdfs

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.Par
+import graft.functions.{Par, TopK}
 import graft.functions.TextFunctions._
 import graft.sources.Tables
 
@@ -25,6 +25,9 @@ object KeywordSearch {
     * (supabase_utils.py:299-:304): 1.0 on substring containment, else
     * |q_tokens ∩ doc_tokens| / |q_tokens|; keep score > 0; rank by
     * (score desc, rating desc) with id tie-break, top-5 per query.
+    * Top-k via the map-side-combining TopK2Agg: the shuffle carries
+    * ≤ 5 rows per query and map partition — a per-query window would
+    * funnel every scored (doc × query) row into #queries partitions.
     */
   def keywordSearch(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -38,9 +41,11 @@ object KeywordSearch {
       .select(col("q_id"), col("doc_id"),
         Par.round4(score).as("score"), rating.as("rating"))
       .where(col("score") > 0)
-      .withColumn("rk", row_number().over(Window.partitionBy(col("q_id"))
-        .orderBy(col("score").desc, col("rating").desc, col("doc_id"))).cast("long"))
-      .where(col("rk") <= 5)
+      .groupBy(col("q_id"))
+      .agg(TopK.topK2(5)(col("score"), col("rating"), col("doc_id")).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("i", "hit")))
+      .select(col("q_id"), col("hit.id").as("doc_id"), col("hit.score").as("score"),
+        col("hit.score2").as("rating"), (col("i") + 1).cast("long").as("rk"))
       .orderBy(col("q_id"), col("rk"))
   }
 
