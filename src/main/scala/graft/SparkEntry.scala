@@ -70,6 +70,7 @@ object SparkEntry {
     "knn_threshold"   -> (VectorSearch.knnThreshold _),
     "ann_ivf"         -> (VectorSearch.annIvf _),
     "ann_lsh"         -> (VectorSearch.annLsh _),
+    "ann_lsh_recall"  -> (VectorSearch.annLshRecall _),
     "ann_recall"      -> (VectorSearch.annRecall _),
     "knn_text"        -> (VectorSearch.knnText _),
     "dedup_embedding" -> (VectorSearch.dedupEmbedding _),
@@ -105,6 +106,37 @@ object SparkEntry {
       |ctx AS (SELECT q_id, concat('USER CONTRIBUTIONS AND ENHANCEMENTS:', chr(10),
       |  array_to_string(list(block ORDER BY rk), concat(chr(10), chr(10)))) AS combined_context
       |  FROM blocks GROUP BY q_id)""".stripMargin
+
+  /** 6-bit random-hyperplane LSH codes over `n` (vecCte) — oracle
+    * twin of VectorSearch.lshCode: plane length follows len(emb).
+    */
+  private val lshCodesCte =
+    """bits AS (SELECT vec_id, ii.i AS i,
+      |    CASE WHEN list_sum([emb[d+1] *
+      |        (('0x' || substr(md5(CAST(ii.i AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 8))::BIGINT
+      |          / 2147483648.0 - 1.0)
+      |      for d in generate_series(0, len(emb)-1)]) > 0
+      |    THEN (CAST(1 AS BIGINT) << ii.i) ELSE 0 END AS bv
+      |  FROM n, (SELECT unnest(generate_series(0, 5)) AS i) ii),
+      |codes AS (SELECT vec_id, CAST(SUM(bv) AS BIGINT) AS code FROM bits GROUP BY vec_id),
+      |nc AS (SELECT n.vec_id, n.label, n.emb, n.nrm, codes.code
+      |  FROM n JOIN codes ON n.vec_id = codes.vec_id)""".stripMargin
+
+  /** Multi-probe LSH scored + ranked rows (lr unfiltered): each query
+    * probes its own code plus the 6 hamming-1 codes (p = -1 keeps the
+    * own bucket).
+    */
+  private val lshSearchCte =
+    """lq AS (SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm, code FROM nc WHERE vec_id < 10),
+      |probes AS (SELECT q_id, q_emb, q_nrm,
+      |    CASE WHEN pp.p < 0 THEN code ELSE xor(code, CAST(1 AS BIGINT) << pp.p) END AS code
+      |  FROM lq, (SELECT unnest(generate_series(-1, 5)) AS p) pp),
+      |lc AS (SELECT vec_id, emb, nrm, code FROM nc WHERE vec_id >= 10),
+      |ls AS (SELECT q_id, lc.vec_id,
+      |    floor((list_dot_product(q_emb, lc.emb)/(q_nrm*lc.nrm)) * 10000.0 + 0.5)/10000.0 AS cos
+      |  FROM probes JOIN lc ON probes.code = lc.code),
+      |lr AS (SELECT q_id, vec_id, cos,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk FROM ls)""".stripMargin
 
   /** knn_brute candidate scoring + ranking (rk unfiltered). */
   private val knnCte = vecCte +
@@ -667,34 +699,32 @@ object SparkEntry {
         |  floor((CAST(coalesce(h.hits, 0) AS DOUBLE)/3.0) * 10000.0 + 0.5)/10000.0 AS recall
         |FROM (SELECT DISTINCT q_id FROM ex3) e LEFT JOIN h ON e.q_id = h.q_id
         |ORDER BY e.q_id""".stripMargin),
-    "ann_lsh" -> (vecCte +
+    "ann_lsh" -> (vecCte + ",\n" + lshCodesCte + ",\n" + lshSearchCte +
+      """
+        |SELECT q_id, vec_id, cos, rk FROM lr WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin),
+    "ann_lsh_recall" -> (knnCte + ",\n" + lshCodesCte + ",\n" + lshSearchCte +
       """,
-        |bits AS (SELECT vec_id, ii.i AS i,
-        |    CASE WHEN list_sum([emb[d+1] *
-        |        (('0x' || substr(md5(CAST(ii.i AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 8))::BIGINT
-        |          / 2147483648.0 - 1.0)
-        |      for d in generate_series(0, 63)]) > 0
-        |    THEN (CAST(1 AS BIGINT) << ii.i) ELSE 0 END AS bv
-        |  FROM n, (SELECT unnest(generate_series(0, 5)) AS i) ii),
-        |codes AS (SELECT vec_id, CAST(SUM(bv) AS BIGINT) AS code FROM bits GROUP BY vec_id),
-        |nc AS (SELECT n.vec_id, n.emb, n.nrm, codes.code FROM n JOIN codes ON n.vec_id = codes.vec_id),
-        |q AS (SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm, code FROM nc WHERE vec_id < 10),
-        |c AS (SELECT vec_id, emb, nrm, code FROM nc WHERE vec_id >= 10),
-        |s AS (SELECT q_id, c.vec_id,
-        |    floor((list_dot_product(q_emb, c.emb)/(q_nrm*c.nrm)) * 10000.0 + 0.5)/10000.0 AS cos
-        |  FROM q JOIN c ON q.code = c.code),
-        |r AS (SELECT q_id, vec_id, cos,
-        |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk FROM s)
-        |SELECT q_id, vec_id, cos, rk FROM r WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin),
+        |ex3 AS (SELECT q_id, vec_id FROM r WHERE rk <= 3),
+        |ap AS (SELECT q_id, vec_id FROM lr WHERE rk <= 3),
+        |h AS (SELECT ap.q_id, COUNT(*) AS hits
+        |  FROM ap JOIN ex3 ON ap.q_id = ex3.q_id AND ap.vec_id = ex3.vec_id
+        |  GROUP BY ap.q_id)
+        |SELECT e.q_id, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+        |  floor((CAST(coalesce(h.hits, 0) AS DOUBLE)/3.0) * 10000.0 + 0.5)/10000.0 AS recall
+        |FROM (SELECT DISTINCT q_id FROM ex3) e LEFT JOIN h ON e.q_id = h.q_id
+        |ORDER BY e.q_id""".stripMargin),
     "knn_text" -> ("WITH " + queriesCte + ",\n" + textEmbBody +
       """
         |SELECT q_id, doc_id, cos, rk FROM tr WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin),
-    "dedup_embedding" -> (vecCte +
+    "dedup_embedding" -> (vecCte + ",\n" + lshCodesCte +
       """,
         |s AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
         |    floor((list_dot_product(a.emb, b.emb)/(a.nrm*b.nrm)) * 10000.0 + 0.5)/10000.0 AS cos
-        |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
-        |SELECT a_id, b_id, cos FROM s ORDER BY cos DESC, a_id, b_id LIMIT 20""".stripMargin),
+        |  FROM nc a JOIN nc b ON a.label = b.label AND a.code = b.code AND a.vec_id < b.vec_id),
+        |capped AS (SELECT a_id, b_id, cos,
+        |  row_number() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id) AS prk FROM s)
+        |SELECT a_id, b_id, cos FROM capped WHERE prk <= 8
+        |ORDER BY cos DESC, a_id, b_id LIMIT 20""".stripMargin),
     "keyword_search" -> ("WITH " + queriesCte + ",\n" + keywordBody +
       """
         |SELECT q_id, doc_id, score, rating, rk FROM kr WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin),

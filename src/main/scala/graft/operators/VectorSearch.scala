@@ -109,41 +109,66 @@ object VectorSearch {
   /** Random-hyperplane LSH code: bit i is the sign of the dot product
     * with pseudo-random hyperplane i, whose components are derived
     * deterministically from md5(i_d) — reproducible in the oracle, no
-    * RNG state. 6 planes → 64 buckets.
+    * RNG state. 6 planes → 64 buckets. Plane length follows the
+    * vector's own size (a hardcoded length would silently zero every
+    * bit on shorter embeddings: Spark's null-padded zip_with returns
+    * null while the oracle's list_sum skips nulls).
     */
-  private def lshCode(emb: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  private[operators] def lshCode(emb: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     (0 until LshPlanes).map { i =>
       val s = aggregate(
-        zip_with(emb, sequence(lit(0), lit(63)), (x, d) =>
+        zip_with(emb, sequence(lit(0), size(emb) - 1), (x, d) =>
           x * (conv(substring(md5(concat(lit(i.toString), lit("_"), d.cast("string"))), 1, 8), 16, 10)
             .cast("long").cast("double") / 2147483648.0 - 1.0)),
         lit(0.0), (a, x) => a + x)
       when(s > 0, lit(1L << i)).otherwise(0L)
     }.reduce(_ + _)
 
-  /** LSH-bucketed approximate search: queries hit only their own
-    * sign-bucket — at scale the code is a partition key and a probe
-    * reads 1/2^planes of the corpus. Queries whose bucket holds no
-    * corpus vector return no rows (the recall/probe tradeoff).
+  /** MULTI-PROBE LSH search: each query probes its own sign-bucket
+    * plus the 6 hamming-1 neighbor buckets (one plane flipped), the
+    * standard fix for single-probe's zero-recall queries — a vector
+    * just across one hyperplane lands one bit away. At scale the code
+    * is a partition key and a probe reads (planes+1)/2^planes of the
+    * corpus; a corpus vector has exactly one code, so the probe join
+    * never duplicates candidates.
     */
-  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+  def annLsh(spark: SparkSession, dir: String): DataFrame =
+    annLshWith(spark, dir, multiProbe = true)
+
+  /** LSH search with the probe set as a seam so recall of single- vs
+    * multi-probe is measurable (VectorSearchSpec).
+    */
+  private[graft] def annLshWith(spark: SparkSession, dir: String,
+      multiProbe: Boolean): DataFrame = {
     val v = vectors(spark, dir).withColumn("code", lshCode(col("emb")))
     val q = v.where(col("vec_id") < NQueries)
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"), col("code"))
+    val probeCodes =
+      if (multiProbe) col("code") +:
+        (0 until LshPlanes).map(i => col("code").bitwiseXOR(lit(1L << i)))
+      else Seq(col("code"))
+    val probes = q.select(col("q_id"), col("q_emb"),
+      explode(array(probeCodes: _*)).as("code"))
     val corpus = v.where(col("vec_id") >= NQueries)
-    topKExplode(corpus.join(broadcast(q), Seq("code"))
+    topKExplode(corpus.join(broadcast(probes), Seq("code"))
       .select(col("q_id"), col("vec_id"),
         V.cosine4(col("q_emb"), col("emb")).as("cos")), 3, "vec_id")
   }
 
-  /** Recall@3 of the IVF probe search against exact brute force —
-    * the quality metric an ANN index owner monitors; self-measuring
-    * (both sides are this library's own operators).
+  /** Recall@3 of the multi-probe LSH search against exact brute
+    * force — mirror of [[annRecall]] for the LSH index path.
     */
-  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+  def annLshRecall(spark: SparkSession, dir: String): DataFrame =
+    recallOf(annLsh(spark, dir), spark, dir)
+
+  /** Recall@3 of an approximate top-3 result against exact brute
+    * force — the quality metric an ANN index owner monitors;
+    * self-measuring (both sides are this library's own operators).
+    */
+  private def recallOf(approx0: DataFrame, spark: SparkSession, dir: String): DataFrame = {
     val exact = knnBrute(spark, dir).where(col("rk") <= 3)
       .select(col("q_id"), col("vec_id"))
-    val approx = annIvf(spark, dir).select(col("q_id"), col("vec_id"))
+    val approx = approx0.select(col("q_id"), col("vec_id"))
     val hits = approx.join(exact, Seq("q_id", "vec_id"))
       .groupBy(col("q_id")).agg(count(lit(1)).as("hits"))
     exact.select(col("q_id")).distinct()
@@ -153,6 +178,10 @@ object VectorSearch {
         Par.round4(col("hits").cast("double") / 3.0).as("recall"))
       .orderBy(col("q_id"))
   }
+
+  /** Recall@3 of the IVF probe search against exact brute force. */
+  def annRecall(spark: SparkSession, dir: String): DataFrame =
+    recallOf(annIvf(spark, dir), spark, dir)
 
   /** End-to-end text search: literal query strings → hashed-BoW
     * embedding (Ingest.rawEmbed) → cosine against doc_embed vectors →
@@ -175,19 +204,38 @@ object VectorSearch {
       .agg(Par.round4(sum(col("qw") * col("dw"))).as("cos")), K, "doc_id")
   }
 
-  /** Embedding-cosine near-duplicate candidates, bucketed by `label`
-    * (the coarse quantizer): top-20 same-bucket pairs by cosine —
-    * SURVEY.md §2.F `dedup_embedding`.
+  val PairCap = 8
+
+  /** Embedding near-dup candidate pairs over a (vec_id, label, emb)
+    * frame, bounded two ways against the hot-bucket blow-up a 100 TB
+    * corpus guarantees: (1) blocking on (`label`, LSH sign code) —
+    * the coarse quantizer bucket plus the 6-bit code splits a hot
+    * label into up to 64 sub-buckets while true near-dups (cosine ≈ 1
+    * ⇒ same side of every hyperplane) still collide; (2) a per-vector
+    * partner cap via the map-side-combining TopKAgg, so emitted pairs
+    * are ≤ PairCap·n (linear) no matter how dense a bucket is —
+    * identical-content floods are the exact-dedup stage's job, which
+    * runs first in the pipeline.
     */
-  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
-    val v = vectors(spark, dir)
-    val a = v.select(col("label"), col("vec_id").as("a_id"), col("emb").as("a_emb"))
-    val b = v.select(col("label"), col("vec_id").as("b_id"), col("emb").as("b_emb"))
-    a.join(b, Seq("label"))
+  private[graft] def embeddingDupCandidates(v: DataFrame): DataFrame = {
+    val coded = v.withColumn("code", lshCode(col("emb")))
+    val a = coded.select(col("label"), col("code"), col("vec_id").as("a_id"), col("emb").as("a_emb"))
+    val b = coded.select(col("label"), col("code"), col("vec_id").as("b_id"), col("emb").as("b_emb"))
+    a.join(b, Seq("label", "code"))
       .where(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
         V.cosine4(col("a_emb"), col("b_emb")).as("cos"))
+      .groupBy(col("a_id"))
+      .agg(graft.functions.TopK.topK(PairCap)(col("cos"), col("b_id")).as("top"))
+      .select(col("a_id"), explode(col("top")).as("hit"))
+      .select(col("a_id"), col("hit.id").as("b_id"), col("hit.score").as("cos"))
+  }
+
+  /** Embedding-cosine near-duplicate report: top-20 bounded candidate
+    * pairs by cosine — SURVEY.md §2.F `dedup_embedding`.
+    */
+  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame =
+    embeddingDupCandidates(vectors(spark, dir))
       .orderBy(col("cos").desc, col("a_id"), col("b_id"))
       .limit(20)
-  }
 }

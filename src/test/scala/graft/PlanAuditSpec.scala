@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 
-import graft.operators.{Relational, VectorSearch}
+import graft.operators.{KeywordSearch, Relational, VectorSearch}
 
 /** Regression guards for the scale-critical plan shapes (SURVEY.md
   * §5): filters pushed to the parquet scan, columns pruned, small
@@ -49,6 +49,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Window"), "knn should not use a window sort")
     // corpus scan must prune to the columns the search needs
     assert(!plan.contains("label"), "knn_brute scan reads pruned column label")
+  }
+
+  test("keyword_search: top-k runs as a partial aggregate, not a per-query window") {
+    val plan = finalPlan(KeywordSearch.keywordSearch(spark, sfDir))
+    assert(!plan.contains("Window"),
+      s"keyword top-k still uses a window exchange:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"), s"TopK2Agg missing:\n$plan")
+    assert(plan.toLowerCase.contains("partial_topk"),
+      s"no partial aggregation for keyword top-k:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      "query set should be broadcast against the corpus scan")
   }
 
   test("q1 aggregation is map-side partial") {

@@ -66,6 +66,35 @@ class VectorSearchSpec extends SparkSpec {
     rows.foreach(r => assert(r.getAs[Long]("a_id") < r.getAs[Long]("b_id")))
   }
 
+  test("multi-probe LSH recall >= single-probe recall") {
+    val exact = VectorSearch.knnBrute(spark, sfDir).collect()
+      .filter(_.getAs[Long]("rk") <= 3L)
+      .groupBy(_.getAs[Long]("q_id"))
+      .view.mapValues(_.map(_.getAs[Long]("vec_id")).toSet).toMap
+    def recall(multi: Boolean): Double = {
+      val hits = VectorSearch.annLshWith(spark, sfDir, multiProbe = multi).collect()
+        .count(r => exact(r.getAs[Long]("q_id")).contains(r.getAs[Long]("vec_id")))
+      hits.toDouble / (exact.size * 3)
+    }
+    val single = recall(multi = false)
+    val multi = recall(multi = true)
+    assert(multi >= single, s"multi-probe recall $multi < single-probe $single")
+  }
+
+  test("dedup_embedding candidates grow linearly on a hot bucket, not quadratically") {
+    import spark.implicits._
+    // near-identical vectors: one label, one LSH sub-bucket — the
+    // worst-case hot key. The per-vector cap must bound output pairs
+    // to ~PairCap*n (8x data -> ~8x pairs; uncapped would be 64x).
+    def hot(n: Int) = (0 until n).map { i =>
+      (i.toLong, "hot", Array.tabulate(8)(d => 1.0 + d + i * 1e-9))
+    }.toDF("vec_id", "label", "emb")
+    val c1 = VectorSearch.embeddingDupCandidates(hot(64)).count()
+    val c8 = VectorSearch.embeddingDupCandidates(hot(512)).count()
+    assert(c1 > 0)
+    assert(c8 <= 10 * c1, s"hot-bucket pair growth not linear: $c1 -> $c8")
+  }
+
   test("keyword_search scores follow the reference formula bounds") {
     val rows = KeywordSearch.keywordSearch(spark, sfDir).collect()
     assert(rows.nonEmpty)
