@@ -73,6 +73,7 @@ object SparkEntry {
     "ann_lsh_recall"  -> (VectorSearch.annLshRecall _),
     "ann_recall"      -> (VectorSearch.annRecall _),
     "knn_text"        -> (VectorSearch.knnText _),
+    "image_search"    -> ((s, d) => Multimodal.imageSearch(s, d)),
     "dedup_embedding" -> (VectorSearch.dedupEmbedding _),
     // §2.C keyword + hybrid search
     "keyword_search"    -> (KeywordSearch.keywordSearch _),
@@ -716,6 +717,13 @@ object SparkEntry {
     "knn_text" -> ("WITH " + queriesCte + ",\n" + textEmbBody +
       """
         |SELECT q_id, doc_id, cos, rk FROM tr WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin),
+    "image_search" ->
+      ("""WITH queries AS (SELECT doc_id AS q_id,
+         |    array_to_string(string_split(text, ' ')[1:5], ' ') AS q_text
+         |  FROM documents WHERE doc_id % 3 = 0 AND doc_id < 10),
+         |""".stripMargin + textEmbBody +
+        """
+          |SELECT q_id, doc_id, cos, rk FROM tr WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin),
     "dedup_embedding" -> (vecCte + ",\n" + lshCodesCte +
       """,
         |s AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,

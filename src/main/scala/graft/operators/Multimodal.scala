@@ -36,10 +36,37 @@ object Multimodal {
       .as[MediaRecord]
   }
 
-  /** STUB decoder: deterministic pseudo-metadata from the payload
-    * digest. A real implementation would call the codec here — the
-    * surrounding batching, schema and partitioning are unchanged.
+  /** Pluggable media codec: `open()` runs once per partition (the
+    * expensive codec/model init — exactly the mapInPandas batching
+    * rationale); the returned decoder handles each record. Swap
+    * [[StubCodec]] for a real libjpeg/ffmpeg/OCR implementation at
+    * deployment without touching any pipeline code.
     */
+  trait MediaCodec extends Serializable {
+    def open(): MediaDecoder
+  }
+
+  trait MediaDecoder {
+    def decode(r: MediaRecord): MediaFeatures
+    /** OCR/caption extraction for content search (image_search). */
+    def extractText(r: MediaRecord): String
+  }
+
+  /** STUB codec: deterministic pseudo-metadata from the payload
+    * digest, and "OCR" that reads the payload's first 5 words (the
+    * test payloads are text bytes). The surrounding batching, schema
+    * and partitioning are what a real codec would use unchanged.
+    */
+  object StubCodec extends MediaCodec {
+    def open(): MediaDecoder = new MediaDecoder {
+      private val md = MessageDigest.getInstance("MD5")
+      def decode(r: MediaRecord): MediaFeatures = fakeDecode(r, md)
+      def extractText(r: MediaRecord): String =
+        new String(r.payload, java.nio.charset.StandardCharsets.UTF_8)
+          .split(" ").take(5).mkString(" ")
+    }
+  }
+
   private[operators] def fakeDecode(r: MediaRecord, md: MessageDigest): MediaFeatures = {
     md.reset()
     val d = md.digest(r.payload)
@@ -53,16 +80,45 @@ object Multimodal {
       u16(0) % 1920 + 1, u16(2) % 1080 + 1, nFrames, frameHashes)
   }
 
-  /** Batched decode: one MessageDigest per partition (the expensive
-    * "codec init" happens once per batch, not per row — exactly the
-    * mapInPandas batching rationale).
+  /** Batched decode through the pluggable codec seam: one decoder
+    * open per partition, rows streamed through it.
     */
-  def decodeFeatures(spark: SparkSession, dir: String): Dataset[MediaFeatures] = {
+  def decodeFeatures(spark: SparkSession, dir: String,
+      codec: MediaCodec = StubCodec): Dataset[MediaFeatures] = {
     import spark.implicits._
     mediaRecords(spark, dir).mapPartitions { it =>
-      val md = MessageDigest.getInstance("MD5")   // per-partition codec init
-      it.map(fakeDecode(_, md))
+      val d = codec.open()   // per-partition codec init
+      it.map(d.decode)
     }
+  }
+
+  /** Content search over image payloads — the reference's
+    * image_search flow (core/views.py:499 `image_search`, :680
+    * `process_image_for_search`): decode the query images (stub OCR
+    * through the codec seam), embed the extracted text with the same
+    * hashed-BoW model as the document index, cosine-match against
+    * the cached index, top-5 docs per query image. Query set: the
+    * image-typed records with doc_id < 10.
+    */
+  def imageSearch(spark: SparkSession, dir: String,
+      codec: MediaCodec = StubCodec): DataFrame = {
+    import spark.implicits._
+    val q = mediaRecords(spark, dir)
+      .where(col("doc_id") < 10 && col("media_type") === "image")
+      .as[MediaRecord]
+      .mapPartitions { it =>
+        val d = codec.open()
+        it.map(r => (r.doc_id, d.extractText(r)))
+      }
+      .toDF("q_id", "q_text")
+    val qemb = graft.operators.Ingest.normalizeLongForm(
+      graft.operators.Ingest.rawEmbed(q, col("q_id"), col("q_text")), "q_id")
+      .select(col("q_id"), col("dim"), col("weight").as("qw"))
+    val demb = graft.operators.Ingest.docEmbedCached(spark, dir)
+      .select(col("doc_id"), col("dim"), col("weight").as("dw"))
+    VectorSearch.topKExplode(demb.join(broadcast(qemb), Seq("dim"))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(graft.functions.Par.round4(sum(col("qw") * col("dw"))).as("cos")), 5, "doc_id")
   }
 
   /** Relational view over the decoded features: per media type, size

@@ -39,7 +39,7 @@ object VectorSearch {
     * (graft.functions.TopK) — the shuffle carries ≤ k rows per query
     * and map partition, never the full candidate set (SURVEY.md §5).
     */
-  private def topKExplode(scored: DataFrame, k: Int, idName: String): DataFrame =
+  private[operators] def topKExplode(scored: DataFrame, k: Int, idName: String): DataFrame =
     scored.groupBy(col("q_id"))
       .agg(TopK.topK(k)(col("cos"), col(idName)).as("top"))
       .select(col("q_id"), posexplode(col("top")).as(Seq("i", "hit")))

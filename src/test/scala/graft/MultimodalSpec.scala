@@ -32,4 +32,31 @@ class MultimodalSpec extends SparkSpec {
     assert(videoFrames > rows.find(_.getAs[String]("media_type") == "image").get
       .getAs[Long]("total_frames"))
   }
+
+  test("image_search: decode -> embed -> top-5 docs per query image") {
+    val rows = Multimodal.imageSearch(spark, sfDir).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+    // image-typed query docs under id 10: doc_id % 3 == 0
+    assert(byQ.keySet == Set(0L, 3L, 6L, 9L))
+    byQ.foreach { case (q, rs) =>
+      assert(rs.length == 5)
+      val ranked = rs.sortBy(_.getAs[Long]("rk"))
+      val cos = ranked.map(_.getAs[Double]("cos"))
+      assert(cos.sameElements(cos.sortBy(-_)))
+      cos.foreach(c => assert(c >= -1.0001 && c <= 1.0001))
+    }
+  }
+
+  test("a custom MediaCodec drops into the same pipeline") {
+    val fixed = new Multimodal.MediaCodec {
+      def open(): Multimodal.MediaDecoder = new Multimodal.MediaDecoder {
+        def decode(r: graft.operators.MediaRecord): graft.operators.MediaFeatures =
+          graft.operators.MediaFeatures(r.doc_id, r.media_type, r.payload.length.toLong,
+            1, 1, 1, Seq(0L))
+        def extractText(r: graft.operators.MediaRecord): String = "fixed caption"
+      }
+    }
+    val feats = Multimodal.decodeFeatures(spark, sfDir, fixed).collect()
+    assert(feats.forall(f => f.width == 1 && f.n_frames == 1))
+  }
 }
