@@ -1,6 +1,20 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Throughput surface: every SparkEntry query timed over `Passes`
+  * full passes. Pass 1 is COLD (includes building the session-shared
+  * stages — posting lists, embedding index: the reference's
+  * build-the-FAISS-index-once cost); later passes are WARM (index
+  * resident, the reference's steady-state query path). Reported
+  * per-query numbers are the median across passes, which also damps
+  * the ~3x run-to-run VM noise a single-run bench can't distinguish
+  * from real regressions (SURVEY.md §8).
+  */
 object Bench {
+  val Passes = 3
+
+  private def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -14,15 +28,24 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // absorb JVM/codegen warm-up so per-query timings are comparable
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val passes: Seq[Map[String, Double]] = (1 to Passes).map { _ =>
+      names.map { name =>
+        val t0 = System.nanoTime()
+        try { SparkEntry.queries(name)(spark, sfDir).count() }
+        catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }.toMap
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val med = names.map(n => n -> median(passes.map(_(n))))
+    val qs = med.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val passTotals = passes.map(_.values.sum)
+    val total = med.map(_._2).sum
+    val pt = passTotals.mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""passes":$Passes,"pass_totals":$pt,"cold_total":${passTotals.head},""" +
+      s""""warm_total":${median(passTotals.tail)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

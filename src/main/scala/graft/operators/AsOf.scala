@@ -18,13 +18,22 @@ object AsOf {
 
   /** left ⟕asof right: for every left row, the latest right row with
     * the same key and rightTs <= leftTs. `rightCols` are the payload
-    * columns carried over (null when no prior right row exists).
+    * columns carried over (null when no prior right row exists). The
+    * payloads travel inside ONE struct marker per right row, so a
+    * right row whose payload value is genuinely NULL carries that
+    * NULL forward (a bare `last(..., ignoreNulls)` per column would
+    * skip it and resurrect a stale older value) — and one window
+    * expression serves any number of payload columns.
     */
   def joinAsOf(left: DataFrame, right: DataFrame, key: String, ts: String,
       rightCols: Seq[String], rightId: String): DataFrame = {
+    val carried0 = (rightCols :+ rightId).distinct   // tie-break id must travel too
+    val clash = carried0.filter(left.columns.contains)
+    require(clash.isEmpty,
+      s"rightCols collide with left columns: ${clash.mkString(", ")}")
     val lTagged = left.withColumn("_side", lit(1))
-      .withColumns(rightCols.map(c => c -> lit(null).cast(right.schema(c).dataType)).toMap)
-    val rTagged = right.select((key +: ts +: rightCols).map(col): _*)
+      .withColumns(carried0.map(c => c -> lit(null).cast(right.schema(c).dataType)).toMap)
+    val rTagged = right.select((key +: ts +: carried0).map(col): _*)
       .withColumn("_side", lit(0))
       .withColumns(left.columns.filterNot((key :: ts :: Nil).contains)
         .map(c => c -> lit(null).cast(left.schema(c).dataType)).toMap)
@@ -35,12 +44,14 @@ object AsOf {
       .orderBy(col(ts), col("_side"),
         coalesce(col(rightId), lit(Long.MaxValue)))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightCols.foldLeft(unioned) { (df, c) =>
-      df.withColumn(s"asof_$c",
-        last(when(col("_side") === 0, col(c)), ignoreNulls = true).over(w))
-    }
-    carried.where(col("_side") === 1)
-      .drop((rightCols :+ "_side"): _*)
+    val carried = unioned.withColumn("_asof",
+      last(when(col("_side") === 0, struct(rightCols.map(col): _*)),
+        ignoreNulls = true).over(w))
+    rightCols.foldLeft(carried) { (df, c) =>
+        df.withColumn(s"asof_$c", col("_asof").getField(c))
+      }
+      .where(col("_side") === 1)
+      .drop((carried0 :+ "_side" :+ "_asof"): _*)
   }
 
   /** For each purchase event, the user's most recent view at or

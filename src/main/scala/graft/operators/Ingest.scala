@@ -26,13 +26,19 @@ object Ingest {
     * in embed_pdfs.py:151.
     */
   def docChunk(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    chunksOf(Tables.documents(spark, dir))
+      .orderBy(col("doc_id"), col("chunk_index"))
+
+  /** Chunking over any (doc_id, text) frame — shared by docChunk and
+    * the incremental index upsert (ChunkIndex.upsert).
+    */
+  private[graft] def chunksOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"),
         posexplode(chunks(col("text"), ChunkSize, ChunkOverlap))
           .as(Seq("chunk_index", "chunk_text")))
       .withColumn("chunk_index", col("chunk_index").cast("long"))
       .withColumn("chunk_chars", length(col("chunk_text")).cast("long"))
-      .orderBy(col("doc_id"), col("chunk_index"))
 
   /** Per-document chunk stats (chunk counts / char totals the
     * reference logs at embed_pdfs.py:174).
@@ -55,10 +61,12 @@ object Ingest {
     * divided by the document's L2 norm.
     */
   def docEmbed(spark: SparkSession, dir: String): DataFrame =
-    normalizeLongForm(
-      rawEmbed(Tables.documents(spark, dir), col("doc_id"), col("text")),
-      "doc_id")
+    embedOf(Tables.documents(spark, dir))
       .orderBy(col("doc_id"), col("dim"))
+
+  /** Normalized hashed-BoW embedding of any (doc_id, text) frame. */
+  private[graft] def embedOf(docs: DataFrame): DataFrame =
+    normalizeLongForm(rawEmbed(docs, col("doc_id"), col("text")), "doc_id")
 
   /** Signed hashed-BoW counts: (idCol, dim, raw) — shared by docEmbed
     * and text-query embedding (VectorSearch.knnText).

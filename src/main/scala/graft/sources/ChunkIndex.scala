@@ -18,20 +18,84 @@ import graft.operators.Ingest
   */
 object ChunkIndex {
 
-  /** Build and persist the index tables (embed_pdfs.py:220
-    * `build_and_save_index`).
-    */
-  def write(spark: SparkSession, dir: String, outPath: String): Unit = {
-    Ingest.docChunk(spark, dir)
-      .write.mode(SaveMode.Overwrite).parquet(s"$outPath/chunks")
+  val ChunkShards = 8
+
+  private def withShard(chunks: DataFrame): DataFrame =
+    chunks.withColumn("shard", pmod(col("doc_id"), lit(ChunkShards.toLong)).cast("int"))
+
+  private def withBucket(emb: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(abs(col("weight")).desc, col("dim"))
-    Ingest.docEmbed(spark, dir)
-      .withColumn("bucket", first(col("dim")).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    emb.withColumn("bucket", first(col("dim")).over(
+      w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)).cast("int"))
+  }
+
+  /** Build and persist the index tables (embed_pdfs.py:220
+    * `build_and_save_index`). Both tables are partitioned — `chunks`
+    * by a doc_id shard, `embeddings` by the quantizer bucket — so
+    * incremental upserts can rewrite only touched partitions.
+    */
+  def write(spark: SparkSession, dir: String, outPath: String): Unit = {
+    withShard(Ingest.docChunk(spark, dir))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("shard")
+      .parquet(s"$outPath/chunks")
+    withBucket(Ingest.docEmbed(spark, dir))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("bucket")
       .parquet(s"$outPath/embeddings")
+  }
+
+  /** MERGE-style upsert of an incoming (doc_id, text) batch into the
+    * persisted index — the reference's write-back flows
+    * (core/supabase_utils.py:400 `update_contribution_status`,
+    * core/views.py:1065 `admin_reindex_documents`). Plain parquet has
+    * no transactional MERGE INTO; the at-scale pattern is DYNAMIC
+    * partition overwrite: rewrite exactly the partitions that hold an
+    * old or new version of an incoming doc (old and new may differ —
+    * re-embedding can move a doc to another bucket, so both sides'
+    * partitions are collected) and leave every other partition's
+    * files physically untouched.
+    */
+  def upsert(spark: SparkSession, outPath: String, incoming: DataFrame): Unit = {
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      val ids = incoming.select(col("doc_id")).distinct()
+      overwriteAffected(spark, s"$outPath/chunks", ids,
+        withShard(Ingest.chunksOf(incoming)), "shard")
+      overwriteAffected(spark, s"$outPath/embeddings", ids,
+        withBucket(Ingest.embedOf(incoming)), "bucket")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+  }
+
+  /** Rewrite only the partitions of `path` touched by `ids`: keep
+    * rows of other docs living there, drop the old versions, add the
+    * fresh rows. The kept slice is locally checkpointed before the
+    * overwrite — the write must not lazily re-read files it is
+    * replacing.
+    */
+  private def overwriteAffected(spark: SparkSession, path: String, ids: DataFrame,
+      fresh: DataFrame, partCol: String): Unit = {
+    val existing = spark.read.parquet(path)
+    val freshCk = fresh.localCheckpoint()
+    val affected = existing.join(broadcast(ids), Seq("doc_id"), "left_semi")
+      .select(col(partCol))
+      .unionByName(freshCk.select(col(partCol)))
+      .distinct().collect().map(_.get(0).toString.toInt)
+    val keep = existing
+      .where(col(partCol).isin(affected.map(x => x: Any): _*))   // partition-pruned scan
+      .join(broadcast(ids), Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    keep.unionByName(freshCk.select(keep.columns.map(col): _*))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy(partCol)
+      .parquet(path)
   }
 
   /** Load the persisted index (core/utils.py:150 `load_index` /

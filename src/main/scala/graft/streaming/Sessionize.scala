@@ -70,7 +70,14 @@ object Sessionize {
             sorted.foreach { e =>
               open match {
                 case Some(s) if e.ts_ms - s.endMs <= GapMs =>
-                  open = Some(s.copy(endMs = e.ts_ms, n = s.n + 1, value = s.value + e.value))
+                  // min/max, never assignment: a late event (cross-batch,
+                  // inside the watermark) must not drag the session end
+                  // backwards — that would make the next on-time event
+                  // look > GapMs away and wrongly split the session
+                  open = Some(s.copy(
+                    startMs = math.min(s.startMs, e.ts_ms),
+                    endMs = math.max(s.endMs, e.ts_ms),
+                    n = s.n + 1, value = s.value + e.value))
                 case Some(s) =>
                   closed += emit(s)
                   lastIdx = s.sessionIdx

@@ -21,6 +21,31 @@ class EdgeCaseSpec extends SparkSpec {
     assert(rows("short") == Seq("short"))
   }
 
+  test("joinAsOf carries a genuinely NULL right payload, not a stale older value") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val left = spark.createDataFrame(Seq((1L, 100L), (1L, 300L)))
+      .toDF("k", "ts")
+    val rightSchema = StructType(Seq(StructField("k", LongType, false),
+      StructField("ts", LongType, false), StructField("rid", LongType, false),
+      StructField("payload", StringType, true)))
+    val right = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, 50L, 1L, "old"),
+        Row(1L, 200L, 2L, null)),   // newest row before ts=300 has NULL payload
+      rightSchema)
+    val out = graft.operators.AsOf
+      .joinAsOf(left, right, "k", "ts", Seq("payload"), "rid")
+      .orderBy(col("ts")).collect()
+    assert(out(0).getAs[String]("asof_payload") == "old")
+    assert(out(1).getAs[String]("asof_payload") == null,
+      "NULL payload resurrected the stale older value")
+    // colliding payload names are rejected instead of silently overwritten
+    intercept[IllegalArgumentException] {
+      graft.operators.AsOf.joinAsOf(left, right, "k", "ts", Seq("ts"), "rid")
+    }
+  }
+
   test("zero-vector normalization stays zero, not NaN (tests.py:48)") {
     // a doc whose tokens all cancel is synthetic-impossible; test the
     // guard through the raw path with a zero-weight frame

@@ -25,6 +25,49 @@ class IncrementalSpec extends SparkSpec {
     assert(doc1 == orig1)
   }
 
+  test("upsert rewrites only affected partitions and the new docs are searchable") {
+    val out = Files.createTempDirectory("graft_upsert_idx").toString
+    ChunkIndex.write(spark, sfDir, out)
+    val before = ChunkIndex.readChunks(spark, out)
+    val nBefore = before.count()
+    val doc0ChunksBefore = before.where(col("doc_id") === 0L).count()
+    def partFiles(table: String): Map[String, Set[String]] =
+      new java.io.File(s"$out/$table").listFiles().filter(_.isDirectory)
+        .map(d => d.getName -> d.listFiles().map(_.getName).toSet).toMap
+    val chunkFilesBefore = partFiles("chunks")
+
+    // doc 0 replaced, doc 999999 brand new (shards 0 and 7)
+    // texts built ONLY from the probe query's tokens so both docs'
+    // dominant buckets are guaranteed to be probed (cos = 1.0)
+    val incoming = spark.createDataFrame(Seq(
+      (0L, "zebra quokka upsert"),
+      (999999L, "zebra quokka upsert zebra quokka upsert")))
+      .toDF("doc_id", "text")
+    ChunkIndex.upsert(spark, out, incoming)
+
+    // merged content: old doc-0 chunks gone, new docs present
+    val after = ChunkIndex.readChunks(spark, out)
+    val doc0 = after.where(col("doc_id") === 0L).collect()
+    assert(doc0.length == 1 && doc0.head.getAs[String]("chunk_text")
+      .startsWith("zebra quokka"))
+    assert(after.where(col("doc_id") === 999999L).count() == 1)
+    assert(after.count() == nBefore - doc0ChunksBefore + 2)
+
+    // physical MERGE guarantee: untouched shard dirs keep their files
+    val chunkFilesAfter = partFiles("chunks")
+    val touched = Set("shard=0", s"shard=${999999L % ChunkIndex.ChunkShards}")
+    chunkFilesBefore.keys.filterNot(touched).foreach { dir =>
+      assert(chunkFilesAfter(dir) == chunkFilesBefore(dir),
+        s"untouched partition $dir was rewritten")
+    }
+
+    // the re-indexed docs are found by searching the updated index
+    val hits = ChunkIndex.search(spark, out, "zebra quokka upsert", nProbe = 4, k = 5)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(hits.contains(0L) && hits.contains(999999L),
+      s"upserted docs not searchable: $hits")
+  }
+
   test("persisted-index search returns ranked docs through partition pruning") {
     val out = Files.createTempDirectory("graft_search_idx").toString
     ChunkIndex.write(spark, sfDir, out)

@@ -51,6 +51,38 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("late event inside the watermark merges without corrupting the session window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val min = 60L * 1000
+    val t0 = 1000L * 24 * 3600 * 1000
+    val input = MemoryStream[Ev]
+    val query = Sessionize.sessionize(spark, input.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("late_sessions").start()
+    try {
+      // batch 1: events at t0 and t0+10min open the session
+      input.addData(Ev(7L, 1L, t0, 1.0), Ev(7L, 2L, t0 + 10 * min, 1.0))
+      query.processAllAvailable()
+      // batch 2: a LATE event at t0+5min (inside the 30-min watermark)
+      // plus an on-time event at t0+38min. 38-10=28min <= gap, so all
+      // four belong to ONE session; a backwards-moved end (5min) would
+      // see 38-5=33min > gap and wrongly split it.
+      input.addData(Ev(7L, 3L, t0 + 5 * min, 1.0), Ev(7L, 4L, t0 + 38 * min, 1.0))
+      query.processAllAvailable()
+      input.addData(Ev(999999L, 9L, t0 + 10L * 24 * 3600 * 1000, 0.0))
+      query.processAllAvailable()
+
+      val sessions = spark.table("late_sessions")
+        .where(col("user_id") === 7L).collect()
+      assert(sessions.length == 1,
+        s"late event split the session: ${sessions.mkString("; ")}")
+      val s = sessions.head
+      assert(s.getAs[Long]("n_events") == 4L)
+      assert(s.getAs[Long]("start_ms") == t0)
+      assert(s.getAs[Long]("end_ms") == t0 + 38 * min)
+    } finally query.stop()
+  }
+
   test("streaming live-user window counts are emitted and bounded") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
