@@ -63,6 +63,7 @@ object SparkEntry {
     "token_count"     -> (TextAnalysis.tokenCount _),
     "doc_fingerprint" -> (TextAnalysis.docFingerprint _),
     "multimodal_meta" -> (TextAnalysis.multimodalMeta _),
+    "doc_extract"     -> ((s, d) => Multimodal.docExtract(s, d)),
     "validate_docs"   -> (TextAnalysis.validateDocs _),
     "clean_text"      -> (TextAnalysis.cleanText _),
     // §2.B vector search
@@ -612,6 +613,13 @@ object SparkEntry {
       """
         |SELECT doc_id, list_min(list_transform(sh, s -> md5(s))) AS fingerprint,
         |  CAST(len(sh) AS BIGINT) AS n_shingles FROM sh ORDER BY doc_id""".stripMargin),
+    "doc_extract" ->
+      """SELECT doc_id, CAST(g AS BIGINT) AS page_no,
+        |  substr(text, 1 + g*200, 200) AS page_text,
+        |  CAST(length(substr(text, 1 + g*200, 200)) AS BIGINT) AS page_chars
+        |FROM documents, LATERAL (SELECT unnest(generate_series(0, (length(text)-1)//200)) g) s
+        |WHERE length(text) > 0
+        |ORDER BY doc_id, page_no""".stripMargin,
     "multimodal_meta" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS byte_len, substr(text, 1, 4) AS magic,
         |  ('0x' || substr(md5(text), 1, 4))::BIGINT % 1920 AS fake_width,

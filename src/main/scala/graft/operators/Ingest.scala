@@ -103,6 +103,67 @@ object Ingest {
     graft.DfCache.getOrCompute(spark, s"doc_embed:$dir")(
       docEmbed(spark, dir).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  /** Pluggable batch text-embedding model — the inference seam for
+    * the reference's SentenceTransformer `embed_texts`
+    * (core/utils.py:105): `open()` runs once per partition (the
+    * expensive model load), then `embed` receives BATCHES of texts
+    * (the GPU-friendly shape — real models amortize per-call overhead
+    * across a batch). Swap [[HashedBowEmbedder]] for a real model
+    * runtime at deployment without touching pipeline code.
+    */
+  trait TextEmbedder extends Serializable {
+    def open(): TextEncoder
+    /** rows per inference batch. */
+    def batchSize: Int = 64
+  }
+
+  trait TextEncoder {
+    def embed(texts: Seq[String]): Seq[Array[Float]]
+  }
+
+  /** STUB model: the deterministic hashed-BoW + L2-normalize, i.e.
+    * exactly [[docEmbed]]'s math computed row-at-a-time in the model
+    * seam — so the seam's output is verifiable against the columnar
+    * pipeline (IngestSeamSpec).
+    */
+  object HashedBowEmbedder extends TextEmbedder {
+    def open(): TextEncoder = new TextEncoder {
+      private val md = java.security.MessageDigest.getInstance("MD5")
+      private def hex(s: String): String =
+        md.digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+      def embed(texts: Seq[String]): Seq[Array[Float]] = texts.map { t =>
+        val v = new Array[Double](EmbedDim)
+        t.split(" ").foreach { tok =>
+          val h = hex(tok)
+          val dim = (java.lang.Long.parseLong(h.substring(0, 4), 16) % EmbedDim).toInt
+          val sgn = if (java.lang.Long.parseLong(h.substring(4, 5), 16) % 2 == 0) 1.0 else -1.0
+          v(dim) += sgn
+        }
+        val nrm0 = math.sqrt(v.map(x => x * x).sum)
+        val nrm = if (nrm0 == 0.0) 1e-10 else nrm0
+        v.map(x => (math.floor(x / nrm * 10000.0 + 0.5) / 10000.0).toFloat)
+      }
+    }
+  }
+
+  /** Batched model inference over a (doc_id, text) frame: texts are
+    * grouped into `embedder.batchSize` chunks per partition and sent
+    * through the model together. Output is wide form
+    * (doc_id, embedding array) — the shape an ANN index ingests.
+    */
+  def embedWith(spark: SparkSession, docs: DataFrame,
+      embedder: TextEmbedder): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val enc = embedder.open()   // per-partition model load
+        it.grouped(embedder.batchSize).flatMap { batch =>
+          batch.map(_._1).zip(enc.embed(batch.map(_._2)))
+        }
+      }
+      .toDF("doc_id", "embedding")
+  }
+
   /** Incremental re-index merge — the reference's reindex flow
     * (core/views.py:1065 admin_reindex_documents / embed_pdfs
     * --force): union the incoming batch with the existing corpus and

@@ -50,7 +50,11 @@ object Multimodal {
     def decode(r: MediaRecord): MediaFeatures
     /** OCR/caption extraction for content search (image_search). */
     def extractText(r: MediaRecord): String
+    /** Per-page text extraction for binary documents (doc_extract). */
+    def extractPages(r: MediaRecord): Seq[String]
   }
+
+  val PageChars = 200
 
   /** STUB codec: deterministic pseudo-metadata from the payload
     * digest, and "OCR" that reads the payload's first 5 words (the
@@ -64,6 +68,9 @@ object Multimodal {
       def extractText(r: MediaRecord): String =
         new String(r.payload, java.nio.charset.StandardCharsets.UTF_8)
           .split(" ").take(5).mkString(" ")
+      def extractPages(r: MediaRecord): Seq[String] =
+        new String(r.payload, java.nio.charset.StandardCharsets.UTF_8)
+          .grouped(PageChars).toSeq
     }
   }
 
@@ -90,6 +97,30 @@ object Multimodal {
       val d = codec.open()   // per-partition codec init
       it.map(d.decode)
     }
+  }
+
+  /** Per-page text extraction from binary document payloads — the
+    * reference's PDF ingestion front end (core/utils.py:38
+    * `extract_text_from_pdf`, core/supabase_utils.py:193
+    * `_extract_pdf_text_by_page`): decode each payload into pages
+    * through the codec seam (stub: fixed-width page splits), one
+    * output row per page. The downstream chunk/embed pipeline starts
+    * from these rows — ingestion no longer assumes pre-extracted
+    * text.
+    */
+  def docExtract(spark: SparkSession, dir: String,
+      codec: MediaCodec = StubCodec): DataFrame = {
+    import spark.implicits._
+    mediaRecords(spark, dir)
+      .mapPartitions { it =>
+        val d = codec.open()
+        it.flatMap(r => d.extractPages(r).zipWithIndex.map {
+          case (page, i) => (r.doc_id, i.toLong, page)
+        })
+      }
+      .toDF("doc_id", "page_no", "page_text")
+      .withColumn("page_chars", length(col("page_text")).cast("long"))
+      .orderBy(col("doc_id"), col("page_no"))
   }
 
   /** Content search over image payloads — the reference's

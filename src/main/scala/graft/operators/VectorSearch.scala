@@ -106,20 +106,36 @@ object VectorSearch {
 
   val LshPlanes = 6
 
+  val LshMaxDim = 256
+
+  /** Hyperplane component (plane i, dim d), derived deterministically
+    * from md5("i_d") — identical to the oracle's SQL md5 derivation,
+    * but computed ONCE at plan-construction time: the constants don't
+    * depend on the row, so hashing them per vector (6 planes × dims
+    * md5 calls per row) would be pure waste in the hot path.
+    */
+  private lazy val lshPlanes: IndexedSeq[IndexedSeq[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until LshPlanes).map { i =>
+      (0 until LshMaxDim).map { d =>
+        val hex = md.digest(s"${i}_$d".getBytes("UTF-8"))
+          .take(4).map(b => f"${b & 0xff}%02x").mkString
+        java.lang.Long.parseLong(hex, 16).toDouble / 2147483648.0 - 1.0
+      }
+    }
+  }
+
   /** Random-hyperplane LSH code: bit i is the sign of the dot product
-    * with pseudo-random hyperplane i, whose components are derived
-    * deterministically from md5(i_d) — reproducible in the oracle, no
-    * RNG state. 6 planes → 64 buckets. Plane length follows the
-    * vector's own size (a hardcoded length would silently zero every
-    * bit on shorter embeddings: Spark's null-padded zip_with returns
-    * null while the oracle's list_sum skips nulls).
+    * with pseudo-random hyperplane i (constants above). 6 planes → 64
+    * buckets. Plane length follows the vector's own size via slice (a
+    * hardcoded length would silently zero every bit on shorter
+    * embeddings: Spark's null-padded zip_with returns null while the
+    * oracle's list_sum skips nulls).
     */
   private[operators] def lshCode(emb: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     (0 until LshPlanes).map { i =>
-      val s = aggregate(
-        zip_with(emb, sequence(lit(0), size(emb) - 1), (x, d) =>
-          x * (conv(substring(md5(concat(lit(i.toString), lit("_"), d.cast("string"))), 1, 8), 16, 10)
-            .cast("long").cast("double") / 2147483648.0 - 1.0)),
+      val plane = slice(lit(lshPlanes(i).toArray), lit(1), size(emb))
+      val s = aggregate(zip_with(emb, plane, (x, p) => x * p),
         lit(0.0), (a, x) => a + x)
       when(s > 0, lit(1L << i)).otherwise(0L)
     }.reduce(_ + _)

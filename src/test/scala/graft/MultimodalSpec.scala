@@ -54,6 +54,7 @@ class MultimodalSpec extends SparkSpec {
           graft.operators.MediaFeatures(r.doc_id, r.media_type, r.payload.length.toLong,
             1, 1, 1, Seq(0L))
         def extractText(r: graft.operators.MediaRecord): String = "fixed caption"
+        def extractPages(r: graft.operators.MediaRecord): Seq[String] = Seq("page")
       }
     }
     val feats = Multimodal.decodeFeatures(spark, sfDir, fixed).collect()
