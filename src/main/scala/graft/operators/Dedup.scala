@@ -169,7 +169,15 @@ object Dedup {
     * lineage; the convergence probe (`chg` flag, limit-1 count) scans
     * only the cached blocks it just produced.
     */
-  private[operators] def components(pairs: DataFrame): DataFrame = {
+  private[operators] def components(pairs: DataFrame): DataFrame =
+    componentsWithRounds(pairs)._1
+
+  /** components + the number of propagation rounds it took — exposed
+    * so the O(log diameter) convergence claim is spec-testable
+    * (DedupScaleSpec: a 1024-node chain converges in ≤ 12 rounds, not
+    * ~1024).
+    */
+  private[graft] def componentsWithRounds(pairs: DataFrame): (DataFrame, Int) = {
     val edges = pairs
       .unionAll(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       .localCheckpoint()
@@ -195,7 +203,7 @@ object Dedup {
       labels = next.select(col("id"), col("new_cluster").as("cluster"))
       rounds += 1
     }
-    labels.select(col("id").as("doc_id"), col("cluster").as("cluster_id"))
+    (labels.select(col("id").as("doc_id"), col("cluster").as("cluster_id")), rounds)
   }
 
   /** Transitive dup clustering: connected components over ALL strong
@@ -264,8 +272,9 @@ object Dedup {
     * pairs are compared; top-20 by similarity.
     */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val posting = cachedPosting(shinglePosting(
-      Tables.documents(spark, dir), col("doc_id"), col("text"), 3))
+    val posting = DfCache.getOrCompute(spark, s"nat_posting:$dir")(
+      cachedPosting(shinglePosting(
+        Tables.documents(spark, dir), col("doc_id"), col("text"), 3)))
     val rare = posting.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .where(col("df") >= 2 && col("df") <= 5)
       .select(col("s"))

@@ -56,4 +56,19 @@ class ScaleSmokeSpec extends SparkSpec {
       assert(scaled(q) == expected, s"query $q changed")
     }
   }
+
+  test("components converges in O(log diameter) rounds on a 1024-node chain") {
+    import spark.implicits._
+    // worst case for plain min-propagation: one long path. Pointer
+    // doubling must converge in ~log2(1024)=10 rounds, not ~1024.
+    val n = 1024
+    val pairs = (0L until (n - 1).toLong).map(i => (i, i + 1))
+      .toDF("a_id", "b_id")
+    val (labels, rounds) = graft.operators.Dedup.componentsWithRounds(pairs)
+    val out = labels.collect()
+    assert(out.length == n)
+    assert(out.forall(_.getAs[Long]("cluster_id") == 0L),
+      "chain did not collapse to one component")
+    assert(rounds <= 12, s"pointer doubling failed: $rounds rounds for diameter $n")
+  }
 }
