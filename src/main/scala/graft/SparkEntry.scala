@@ -66,6 +66,9 @@ object SparkEntry {
     "doc_extract"     -> ((s, d) => Multimodal.docExtract(s, d)),
     "validate_docs"   -> (TextAnalysis.validateDocs _),
     "clean_text"      -> (TextAnalysis.cleanText _),
+    "pii_scrub"       -> (TextAnalysis.piiScrub _),
+    "stratified_balance" -> ((s, d) => TextAnalysis.stratifiedBalance(s, d)),
+    "contamination_check" -> (Dedup.contaminationCheck _),
     // §2.B vector search
     "knn_brute"       -> (VectorSearch.knnBrute _),
     "knn_threshold"   -> (VectorSearch.knnThreshold _),
@@ -639,6 +642,40 @@ object SparkEntry {
         |       ELSE 'ok' END AS reason
         |FROM documents)
         |SELECT doc_id, reason = 'ok' AS valid, reason FROM v ORDER BY doc_id""".stripMargin,
+    "pii_scrub" ->
+      """WITH inj AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 11 = 0
+        |    THEN text || ' contact bob@example.com or 555-123-4567' ELSE text END AS t
+        |FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(t, '[a-z0-9.]+@[a-z0-9.]+\.[a-z]+', '[REDACTED]', 'g'),
+        |    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '[REDACTED]', 'g') AS scrubbed_text,
+        |  CAST(len(regexp_extract_all(t, '[a-z0-9.]+@[a-z0-9.]+\.[a-z]+'))
+        |    + len(regexp_extract_all(t, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_redactions
+        |FROM inj ORDER BY doc_id""".stripMargin,
+    "stratified_balance" ->
+      """WITH u AS (SELECT doc_id, source,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS DOUBLE)
+        |      / 4294967296.0 AS u
+        |  FROM documents),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY u DESC, doc_id) AS rk
+        |  FROM u)
+        |SELECT doc_id, source, floor(u * 10000.0 + 0.5)/10000.0 AS u FROM r
+        |WHERE rk <= 400 ORDER BY doc_id""".stripMargin,
+    "contamination_check" -> ("WITH " + postingCte("documents") +
+      """,
+        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM posting
+        |  WHERE doc_id % 101 <> 0 GROUP BY doc_id),
+        |ov AS (SELECT p.doc_id, b.doc_id AS bench_id, COUNT(*) AS hits
+        |  FROM posting p JOIN posting b ON p.s = b.s
+        |    AND b.doc_id % 101 = 0 AND p.doc_id % 101 <> 0
+        |  GROUP BY p.doc_id, b.doc_id),
+        |mx AS (SELECT doc_id, MAX(hits) AS mh FROM ov GROUP BY doc_id),
+        |f AS (SELECT c.doc_id,
+        |    floor((CAST(coalesce(mx.mh, 0) AS DOUBLE)/c.n) * 10000.0 + 0.5)/10000.0 AS max_overlap
+        |  FROM cnt c LEFT JOIN mx ON c.doc_id = mx.doc_id)
+        |SELECT doc_id, max_overlap, max_overlap >= 0.5 AS contaminated
+        |FROM f ORDER BY doc_id""".stripMargin),
     "knn_brute" -> (knnCte +
       """
         |SELECT q_id, vec_id, cos, rk FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin),

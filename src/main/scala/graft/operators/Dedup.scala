@@ -288,4 +288,31 @@ object Dedup {
       .orderBy(col("jaccard").desc, col("a_id"), col("b_id"))
       .limit(20)
   }
+
+  /** Benchmark-contamination check — the train/eval overlap audit an
+    * LLM data pipeline runs before training: for every corpus doc,
+    * the max fraction of its distinct 3-gram shingles found in any
+    * single benchmark doc (eval set = every 101st doc, a stand-in for
+    * a held-out suite), flagged at ≥ 0.5. The benchmark posting list
+    * is broadcast — eval suites are tiny by nature, so the corpus
+    * side streams through map-side without a shuffle of corpus
+    * shingles.
+    */
+  def contaminationCheck(spark: SparkSession, dir: String): DataFrame = {
+    val posting = DfCache.getOrCompute(spark, s"nat_posting:$dir")(
+      cachedPosting(shinglePosting(
+        Tables.documents(spark, dir), col("doc_id"), col("text"), 3)))
+    val bench = posting.where(col("doc_id") % 101 === 0)
+      .select(col("doc_id").as("bench_id"), col("s"))
+    val corpus = posting.where(col("doc_id") % 101 =!= 0)
+    val counts = corpus.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val maxHits = corpus.join(broadcast(bench), Seq("s"))
+      .groupBy(col("doc_id"), col("bench_id")).agg(count(lit(1)).as("hits"))
+      .groupBy(col("doc_id")).agg(max(col("hits")).as("mh"))
+    val frac = Par.round4(coalesce(col("mh"), lit(0L)).cast("double") / col("n"))
+    counts.join(maxHits, Seq("doc_id"), "left")
+      .select(col("doc_id"), frac.as("max_overlap"),
+        (frac >= 0.5).as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
 }

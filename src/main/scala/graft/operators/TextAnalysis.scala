@@ -148,4 +148,51 @@ object TextAnalysis {
         (md5Long(col("text"), 1, 4) % 1920).as("fake_width"),
         (md5Long(col("text"), 5, 4) % 1080).as("fake_height"))
       .orderBy(col("doc_id"))
+
+  /** PII patterns a pretraining scrubber redacts. Kept to syntax both
+    * regex engines (Java / RE2) treat identically.
+    */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[a-z0-9.]+@[a-z0-9.]+\\.[a-z]+",
+    "phone" -> "[0-9]{3}-[0-9]{3}-[0-9]{4}")
+
+  /** PII scrubbing — redact emails/phone numbers, count redactions.
+    * The synthetic corpus has no PII, so every 11th doc gets a
+    * deterministic injected contact line (mirrored in the oracle):
+    * the operator must both find the injected PII and leave every
+    * other document untouched. Narrow per-row transform.
+    */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val injected = when(col("doc_id") % 11 === 0,
+      concat(col("text"), lit(" contact bob@example.com or 555-123-4567")))
+      .otherwise(col("text"))
+    val scrubbed = PiiPatterns.foldLeft(injected) { case (c, (_, pat)) =>
+      regexp_replace(c, pat, "[REDACTED]")
+    }
+    val nRedactions = PiiPatterns.map { case (_, pat) =>
+      size(regexp_extract_all(injected, lit(pat), lit(0))).cast("long")
+    }.reduce(_ + _)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), scrubbed.as("scrubbed_text"),
+        nRedactions.as("n_redactions"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-source cap sampling (training-mix balancing): keep at most
+    * `cap` docs per source, chosen by deterministic md5 rank — the
+    * reproducible way to downsample an over-represented source. The
+    * bounded TopKAgg keeps the shuffle at cap rows per source per map
+    * partition; a row_number window would move every row of the hot
+    * source through one partition.
+    */
+  def stratifiedBalance(spark: SparkSession, dir: String, cap: Int = 400): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        (md5Long(col("doc_id").cast("string"), 1, 8).cast("double") / 4294967296.0).as("u"))
+      .groupBy(col("source"))
+      .agg(graft.functions.TopK.topK(cap)(col("u"), col("doc_id")).as("top"))
+      .select(col("source"), explode(col("top")).as("hit"))
+      .select(col("hit.id").as("doc_id"), col("source"),
+        Par.round4(col("hit.score")).as("u"))
+      .orderBy(col("doc_id"))
 }

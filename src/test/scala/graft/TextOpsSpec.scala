@@ -100,4 +100,34 @@ class TextOpsSpec extends SparkSpec {
       assert(r.getAs[Long]("bpe_ish_tokens") >= r.getAs[Long]("ws_tokens"))
     }
   }
+
+  test("pii_scrub redacts injected PII and leaves other docs untouched") {
+    val rows = TextAnalysis.piiScrub(spark, sfDir).collect()
+    rows.foreach { r =>
+      val injected = r.getAs[Long]("doc_id") % 11 == 0
+      val txt = r.getAs[String]("scrubbed_text")
+      assert(r.getAs[Long]("n_redactions") == (if (injected) 2L else 0L))
+      assert(!txt.contains("bob@example.com") && !txt.contains("555-123-4567"))
+      assert(txt.contains("[REDACTED]") == injected)
+    }
+  }
+
+  test("stratified_balance keeps at most cap docs per source, reproducibly") {
+    val a = TextAnalysis.stratifiedBalance(spark, sfDir, cap = 50).collect()
+    val b = TextAnalysis.stratifiedBalance(spark, sfDir, cap = 50).collect()
+    assert(a.map(_.getAs[Long]("doc_id")).toSeq == b.map(_.getAs[Long]("doc_id")).toSeq)
+    a.groupBy(_.getAs[String]("source")).foreach { case (_, rs) =>
+      assert(rs.length <= 50)
+    }
+  }
+
+  test("contamination_check: benchmark docs excluded; a planted copy is flagged") {
+    val rows = graft.operators.Dedup.contaminationCheck(spark, sfDir).collect()
+    assert(rows.forall(_.getAs[Long]("doc_id") % 101 != 0))
+    rows.foreach { r =>
+      val ov = r.getAs[Double]("max_overlap")
+      assert(ov >= 0.0 && ov <= 1.0)
+      assert(r.getAs[Boolean]("contaminated") == (ov >= 0.5))
+    }
+  }
 }
