@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 
-import graft.operators.{KeywordSearch, Relational, VectorSearch}
+import graft.operators.{Dedup, KeywordSearch, Relational, TextAnalysis, VectorSearch}
 
 /** Regression guards for the scale-critical plan shapes (SURVEY.md
   * §5): filters pushed to the parquet scan, columns pruned, small
@@ -60,6 +60,19 @@ class PlanAuditSpec extends SparkSpec {
       s"no partial aggregation for keyword top-k:\n$plan")
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
       "query set should be broadcast against the corpus scan")
+  }
+
+  test("stratified_balance: cap sampling is a partial aggregate, not a window") {
+    val plan = finalPlan(TextAnalysis.stratifiedBalance(spark, sfDir, cap = 50))
+    assert(!plan.contains("Window"), s"cap sampling uses a window exchange:\n$plan")
+    assert(plan.toLowerCase.contains("partial_topk"),
+      s"no partial aggregation for the per-source cap:\n$plan")
+  }
+
+  test("contamination_check: benchmark posting is broadcast, corpus never reshuffled by shingle") {
+    val plan = finalPlan(Dedup.contaminationCheck(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark set should be the broadcast side:\n$plan")
   }
 
   test("q1 aggregation is map-side partial") {
