@@ -74,6 +74,23 @@ object ChunkIndex {
     }
   }
 
+  /** Live incremental indexing: a Structured Streaming sink that
+    * upserts each micro-batch of (doc_id, text) into the persisted
+    * index via [[upsert]] — the streaming form of the reference's
+    * ingest/reindex flow (documents become searchable as they
+    * arrive, and only the touched partitions are rewritten per
+    * batch). `foreachBatch` is the standard exactly-once-per-batch
+    * seam for sinks without native streaming support (plain parquet
+    * MERGE here).
+    */
+  def streamingUpsert(docs: DataFrame, outPath: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) upsert(batch.sparkSession, outPath, batch)
+      }
+
   /** Rewrite only the partitions of `path` touched by `ids`: keep
     * rows of other docs living there, drop the old versions, add the
     * fresh rows. The kept slice is locally checkpointed before the

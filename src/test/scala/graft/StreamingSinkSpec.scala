@@ -41,4 +41,32 @@ class StreamingSinkSpec extends SparkSpec {
     val maxUsers = sunk.agg(max(col("live_users"))).collect().head.getLong(0)
     assert(maxUsers > 0 && maxUsers <= 2L * events.map(_.user_id).distinct.length)
   }
+
+  test("streaming upsert: arriving docs become searchable in the persisted index") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val out = Files.createTempDirectory("graft_stream_idx").toString
+    graft.sources.ChunkIndex.write(spark, sfDir, out)
+    val input = MemoryStream[(Long, String)]
+    val q = graft.sources.ChunkIndex
+      .streamingUpsert(input.toDS().toDF("doc_id", "text"), out)
+      .option("checkpointLocation", s"$out/checkpoint")
+      .start()
+    try {
+      input.addData((888888L, "zebra quokka streaming")); q.processAllAvailable()
+      val hits1 = graft.sources.ChunkIndex
+        .search(spark, out, "zebra quokka streaming", nProbe = 4, k = 5)
+        .collect().map(_.getAs[Long]("doc_id")).toSet
+      assert(hits1.contains(888888L), s"batch-1 doc not searchable: $hits1")
+      // a second micro-batch REPLACES the doc (newest wins per doc_id)
+      input.addData((888888L, "walrus ocelot streaming")); q.processAllAvailable()
+      val hits2 = graft.sources.ChunkIndex
+        .search(spark, out, "walrus ocelot streaming", nProbe = 4, k = 5)
+        .collect().map(_.getAs[Long]("doc_id")).toSet
+      assert(hits2.contains(888888L), s"batch-2 replacement not searchable: $hits2")
+      assert(graft.sources.ChunkIndex.readChunks(spark, out)
+        .where(col("doc_id") === 888888L).count() == 1,
+        "old version not replaced")
+    } finally q.stop()
+  }
 }
