@@ -4,7 +4,7 @@ import scala.util.Random
 
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Par, ScoredId, TopKAgg, TextFunctions}
+import graft.functions.{Par, Scored2Id, ScoredId, TopK2Agg, TopKAgg, TextFunctions}
 
 /** Seeded randomized invariants for the pure building blocks. */
 class PropertySpec extends SparkSpec {
@@ -31,6 +31,35 @@ class PropertySpec extends SparkSpec {
     val got = agg.finish(data.foldLeft(agg.zero)(agg.reduce))
     val expected = data.sortBy(s => (-s.score, s.id)).take(10)
     assert(got == expected)
+  }
+
+  test("TopK2Agg is merge-order independent and honors the secondary key") {
+    val rnd = new Random(99)
+    val agg = new TopK2Agg(5)
+    (1 to 50).foreach { _ =>
+      val data = Vector.fill(200)(
+        Scored2Id(rnd.nextInt(5) / 10.0, rnd.nextInt(5) / 10.0, rnd.nextInt(100000).toLong))
+        .distinctBy(_.id)
+      val sequential = agg.finish(data.foldLeft(agg.zero)(agg.reduce))
+      val parts = data.grouped(rnd.nextInt(40) + 1).toVector
+      val merged = agg.finish(rnd.shuffle(parts.map(_.foldLeft(agg.zero)(agg.reduce)))
+        .foldLeft(agg.zero)(agg.merge))
+      assert(sequential == merged)
+      val expected = data.sortBy(s => (-s.score, -s.score2, s.id)).take(5)
+      assert(sequential == expected)
+    }
+  }
+
+  test("pii_scrub is idempotent: scrubbing twice changes nothing") {
+    val once = graft.operators.TextAnalysis.piiScrub(spark, sfDir)
+      .select(col("doc_id"), col("scrubbed_text").as("text"))
+    val pats = graft.operators.TextAnalysis.PiiPatterns
+    val twice = pats.foldLeft(col("text")) { case (c, (_, p)) =>
+      regexp_replace(c, p, "[REDACTED]")
+    }
+    val changed = once.select(col("doc_id"), (twice =!= col("text")).as("chg"))
+      .where(col("chg")).count()
+    assert(changed == 0L, s"$changed docs changed on second scrub")
   }
 
   test("Par.round4 is within 5e-5, idempotent, and kills negative zero") {
