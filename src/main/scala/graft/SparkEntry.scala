@@ -42,8 +42,9 @@ object SparkEntry {
     "value_outliers"    -> (Analytics.valueOutliers _),
     "status_transition" -> (Analytics.statusTransition _),
     "q_rollup"          -> (Analytics.qRollup _),
-    // sketch op: no oracle (implementations differ) → rows-only check
+    // sketch ops: no oracle (implementations differ) → rows-only check
     "approx_live_users" -> (Analytics.approxLiveUsers _),
+    "approx_value_percentiles" -> (Analytics.approxValuePercentiles _),
     // §2.A ingestion / text processing
     "doc_chunk"       -> (Ingest.docChunk _),
     "doc_chunk_stats" -> (Ingest.docChunkStats _),

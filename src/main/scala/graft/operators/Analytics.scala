@@ -213,6 +213,23 @@ object Analytics {
         graft.functions.Par.round4(expr("percentile(value, 0.99)")).as("p99"))
       .orderBy(col("event_type"))
 
+  /** Sketch percentiles — the 100 TB twin of the exact
+    * [[valuePercentiles]]: `percentile_approx` keeps a bounded
+    * mergeable sketch per group instead of buffering every value
+    * (exact percentile holds the whole group in one aggregation
+    * buffer — a single hot event_type at scale would OOM). No DuckDB
+    * oracle (sketch implementations differ); AnalyticsSpec bounds the
+    * error against the exact operator.
+    */
+  def approxValuePercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50"),
+        percentile_approx(col("value"), lit(0.9), lit(10000)).as("p90"),
+        percentile_approx(col("value"), lit(0.99), lit(10000)).as("p99"))
+      .orderBy(col("event_type"))
+
   /** Hierarchical rollup of order revenue: (status, priority) →
     * status subtotal → grand total in one pass (partial-aggregating
     * ROLLUP, no repeated scans).

@@ -62,4 +62,27 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_docs") > 0 && r.getAs[Long]("n_events") > 0
       && r.getAs[Long]("n_orders") > 0 && r.getAs[Double]("avg_order_value") > 0)
   }
+
+  test("approx_value_percentiles honors the sketch's RANK guarantee") {
+    // percentile_approx bounds rank error (not value error — in a
+    // sparse tail the nearest actual value can sit far from the
+    // interpolated exact quantile), so assert the rank of each
+    // returned value is within ~1% of the requested quantile
+    val values = graft.sources.Tables.events(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.col("value")).collect()
+      .groupBy(_.getAs[String]("event_type"))
+      .view.mapValues(_.map(_.getAs[Double]("value")).sorted).toMap
+    val approx = Analytics.approxValuePercentiles(spark, sfDir).collect()
+    assert(approx.map(_.getAs[String]("event_type")).toSet == values.keySet)
+    approx.foreach { r =>
+      val vs = values(r.getAs[String]("event_type"))
+      def rankOf(x: Double): Double = vs.count(_ <= x).toDouble / vs.length
+      Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99).foreach { case (c, q) =>
+        val rk = rankOf(r.getAs[Double](c))
+        // sketch rank error + the discreteness of small per-type groups
+        assert(math.abs(rk - q) <= 0.02, s"$c rank $rk too far from $q")
+      }
+    }
+  }
 }
