@@ -94,10 +94,10 @@ object Ingest {
 
   /** Session-scoped cache of the hashed-BoW document index — the
     * analog of the reference loading its FAISS index once per process
-    * (core/utils.py:150 `load_index`). Keyed by (sessionUUID, dir)
-    * and evicted on application end via [[graft.DfCache]]; persisted
-    * so the several operators sharing the index (knn_text, hybrid_*)
-    * compute it once.
+    * (core/utils.py:150 `load_index`). Cached per (session, dir) via
+    * [[graft.DfCache]] (evicted on application end / DfCache.evict);
+    * persisted so the several operators sharing the index (knn_text,
+    * hybrid_*, image_search) compute it once.
     */
   def docEmbedCached(spark: SparkSession, dir: String): DataFrame =
     graft.DfCache.getOrCompute(spark, s"doc_embed:$dir")(

@@ -142,14 +142,7 @@ object Multimodal {
         it.map(r => (r.doc_id, d.extractText(r)))
       }
       .toDF("q_id", "q_text")
-    val qemb = graft.operators.Ingest.normalizeLongForm(
-      graft.operators.Ingest.rawEmbed(q, col("q_id"), col("q_text")), "q_id")
-      .select(col("q_id"), col("dim"), col("weight").as("qw"))
-    val demb = graft.operators.Ingest.docEmbedCached(spark, dir)
-      .select(col("doc_id"), col("dim"), col("weight").as("dw"))
-    VectorSearch.topKExplode(demb.join(broadcast(qemb), Seq("dim"))
-      .groupBy(col("q_id"), col("doc_id"))
-      .agg(graft.functions.Par.round4(sum(col("qw") * col("dw"))).as("cos")), 5, "doc_id")
+    VectorSearch.searchByText(spark, dir, q, 5)
   }
 
   /** Relational view over the decoded features: per media type, size

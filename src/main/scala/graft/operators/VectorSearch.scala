@@ -106,7 +106,7 @@ object VectorSearch {
 
   val LshPlanes = 6
 
-  val LshMaxDim = 256
+  val LshMaxDim = 1024   // covers common model dims (384/768/1024)
 
   /** Hyperplane component (plane i, dim d), derived deterministically
     * from md5("i_d") — identical to the oracle's SQL md5 derivation,
@@ -132,13 +132,20 @@ object VectorSearch {
     * embeddings: Spark's null-padded zip_with returns null while the
     * oracle's list_sum skips nulls).
     */
-  private[operators] def lshCode(emb: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    (0 until LshPlanes).map { i =>
+  private[operators] def lshCode(emb: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val code = (0 until LshPlanes).map { i =>
       val plane = slice(lit(lshPlanes(i).toArray), lit(1), size(emb))
       val s = aggregate(zip_with(emb, plane, (x, p) => x * p),
         lit(0.0), (a, x) => a + x)
       when(s > 0, lit(1L << i)).otherwise(0L)
     }.reduce(_ + _)
+    // beyond the precomputed planes the null-padded zip would silently
+    // put EVERY vector in bucket 0 — fail loudly instead
+    when(size(emb) > LshMaxDim,
+      raise_error(concat(lit(s"lshCode supports at most $LshMaxDim dims, got "),
+        size(emb).cast("string"))).cast("long"))
+      .otherwise(code)
+  }
 
   /** MULTI-PROBE LSH search: each query probes its own sign-bucket
     * plus the 6 hamming-1 neighbor buckets (one plane flipped), the
@@ -208,8 +215,17 @@ object VectorSearch {
     */
   def knnText(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val queries = Seq((1L, "join hash table"), (2L, "stream window agg"))
-      .toDF("q_id", "q_text")
+    searchByText(spark, dir,
+      Seq((1L, "join hash table"), (2L, "stream window agg")).toDF("q_id", "q_text"), K)
+  }
+
+  /** Text search against the cached doc index for any (q_id, q_text)
+    * frame — the shared tail of knn_text and image_search: hashed-BoW
+    * embed the queries, broadcast them, sparse-dot against the index
+    * long form, bounded top-k.
+    */
+  private[operators] def searchByText(spark: SparkSession, dir: String,
+      queries: DataFrame, k: Int): DataFrame = {
     val qemb = Ingest.normalizeLongForm(
       Ingest.rawEmbed(queries, col("q_id"), col("q_text")), "q_id")
       .select(col("q_id"), col("dim"), col("weight").as("qw"))
@@ -217,7 +233,7 @@ object VectorSearch {
       .select(col("doc_id"), col("dim"), col("weight").as("dw"))
     topKExplode(demb.join(broadcast(qemb), Seq("dim"))
       .groupBy(col("q_id"), col("doc_id"))
-      .agg(Par.round4(sum(col("qw") * col("dw"))).as("cos")), K, "doc_id")
+      .agg(Par.round4(sum(col("qw") * col("dw"))).as("cos")), k, "doc_id")
   }
 
   val PairCap = 8

@@ -58,20 +58,11 @@ object ChunkIndex {
     * files physically untouched.
     */
   def upsert(spark: SparkSession, outPath: String, incoming: DataFrame): Unit = {
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try {
-      val ids = incoming.select(col("doc_id")).distinct()
-      overwriteAffected(spark, s"$outPath/chunks", ids,
-        withShard(Ingest.chunksOf(incoming)), "shard")
-      overwriteAffected(spark, s"$outPath/embeddings", ids,
-        withBucket(Ingest.embedOf(incoming)), "bucket")
-    } finally {
-      prev match {
-        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-        case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-      }
-    }
+    val ids = incoming.select(col("doc_id")).distinct()
+    overwriteAffected(spark, s"$outPath/chunks", ids,
+      withShard(Ingest.chunksOf(incoming)), "shard")
+    overwriteAffected(spark, s"$outPath/embeddings", ids,
+      withBucket(Ingest.embedOf(incoming)), "bucket")
   }
 
   /** Live incremental indexing: a Structured Streaming sink that
@@ -95,7 +86,12 @@ object ChunkIndex {
     * rows of other docs living there, drop the old versions, add the
     * fresh rows. The kept slice is locally checkpointed before the
     * overwrite — the write must not lazily re-read files it is
-    * replacing.
+    * replacing. Dynamic overwrite (writer-scoped option, never a
+    * session-conf mutation) only rewrites partitions PRESENT in the
+    * written data, so an affected partition the output no longer
+    * touches (the updated doc moved bucket, or was the partition's
+    * only occupant) is deleted explicitly — its remaining rows all
+    * belonged to the updated docs.
     */
   private def overwriteAffected(spark: SparkSession, path: String, ids: DataFrame,
       fresh: DataFrame, partCol: String): Unit = {
@@ -109,10 +105,19 @@ object ChunkIndex {
       .where(col(partCol).isin(affected.map(x => x: Any): _*))   // partition-pruned scan
       .join(broadcast(ids), Seq("doc_id"), "left_anti")
       .localCheckpoint()
-    keep.unionByName(freshCk.select(keep.columns.map(col): _*))
-      .write.mode(SaveMode.Overwrite)
+    val out = keep.unionByName(freshCk.select(keep.columns.map(col): _*))
+      .localCheckpoint()
+    val written = out.select(col(partCol)).distinct().collect()
+      .map(_.get(0).toString.toInt).toSet
+    out.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partCol)
       .parquet(path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (affected.toSet -- written).foreach { p =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/$partCol=$p"), true)
+    }
   }
 
   /** Load the persisted index (core/utils.py:150 `load_index` /

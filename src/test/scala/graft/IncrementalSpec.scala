@@ -68,6 +68,30 @@ class IncrementalSpec extends SparkSpec {
       s"upserted docs not searchable: $hits")
   }
 
+  test("upsert deletes a vacated partition instead of leaving stale rows") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_vacate_idx").toString
+    ChunkIndex.write(spark, sfDir, out)
+    // "zebra"-only text puts a doc's whole weight on one dim: its bucket
+    val zBucket = Ingest.embedOf(Seq((1L, "zebra")).toDF("doc_id", "text"))
+      .collect().head.getAs[Long]("dim").toInt
+    // move EVERY doc of some other bucket B to the zebra bucket -> B is vacated
+    val byBucket = ChunkIndex.readEmbeddings(spark, out)
+      .select(col("doc_id"), col("bucket")).distinct().collect()
+      .groupBy(_.getAs[Int]("bucket"))
+    val (bucket, docs) = byBucket.filter(_._1 != zBucket).minBy(_._2.length)
+    ChunkIndex.upsert(spark, out,
+      docs.map(r => (r.getAs[Long]("doc_id"), "zebra zebra zebra")).toSeq
+        .toDF("doc_id", "text"))
+    val after = ChunkIndex.readEmbeddings(spark, out)
+    assert(after.where(col("bucket") === bucket).count() == 0,
+      s"stale rows survive in vacated bucket $bucket")
+    val movedBuckets = after
+      .where(col("doc_id").isin(docs.map(_.getAs[Long]("doc_id")).toSeq: _*))
+      .select(col("bucket")).distinct().collect().map(_.getAs[Int]("bucket")).toSet
+    assert(movedBuckets == Set(zBucket), s"moved docs in $movedBuckets, not $zBucket")
+  }
+
   test("persisted-index search returns ranked docs through partition pruning") {
     val out = Files.createTempDirectory("graft_search_idx").toString
     ChunkIndex.write(spark, sfDir, out)
