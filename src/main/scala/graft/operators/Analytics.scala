@@ -20,7 +20,7 @@ import Relational.dec
   */
 object Analytics {
 
-  private val SessionGapMs = 30L * 60 * 1000   // reference: 30-min activity window
+  val SessionGapMs = 30L * 60 * 1000   // reference: 30-min activity window
 
   /** count + average value by type — mirror of
     * get_contribution_analytics (core/supabase_utils.py:315): total

@@ -17,16 +17,13 @@ object Bucketing {
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS $table")
     // an interrupted earlier write can leave the location behind with
-    // no catalog entry — clean it or saveAsTable refuses the name
-    val warehouse = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
-    val leftover = new java.io.File(warehouse, table)
-    if (leftover.exists()) {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete()
-      }
-      rm(leftover)
-    }
+    // no catalog entry — clean it or saveAsTable refuses the name.
+    // Hadoop FileSystem (not java.io.File) so non-local warehouses
+    // work; lowercase because managed-table dirs are lowercased.
+    val leftover = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = leftover.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(leftover)) fs.delete(leftover, true)
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, key)
       .sortBy(key)

@@ -95,26 +95,33 @@ object ChunkIndex {
     */
   private def overwriteAffected(spark: SparkSession, path: String, ids: DataFrame,
       fresh: DataFrame, partCol: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path))) {
+      // bootstrap: nothing to merge — the first batch creates the table
+      fresh.write.mode(SaveMode.Overwrite).partitionBy(partCol).parquet(path)
+      return
+    }
     val existing = spark.read.parquet(path)
     val freshCk = fresh.localCheckpoint()
     val affected = existing.join(broadcast(ids), Seq("doc_id"), "left_semi")
       .select(col(partCol))
       .unionByName(freshCk.select(col(partCol)))
       .distinct().collect().map(_.get(0).toString.toInt)
+    // localCheckpoint severs lineage from the files being overwritten —
+    // keep and fresh are each materialized exactly once
     val keep = existing
       .where(col(partCol).isin(affected.map(x => x: Any): _*))   // partition-pruned scan
       .join(broadcast(ids), Seq("doc_id"), "left_anti")
       .localCheckpoint()
-    val out = keep.unionByName(freshCk.select(keep.columns.map(col): _*))
-      .localCheckpoint()
-    val written = out.select(col(partCol)).distinct().collect()
-      .map(_.get(0).toString.toInt).toSet
-    out.write.mode(SaveMode.Overwrite)
+    val written = keep.select(col(partCol))
+      .unionByName(freshCk.select(col(partCol)))
+      .distinct().collect().map(_.get(0).toString.toInt).toSet
+    keep.unionByName(freshCk.select(keep.columns.map(col): _*))
+      .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partCol)
       .parquet(path)
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     (affected.toSet -- written).foreach { p =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$path/$partCol=$p"), true)
     }
@@ -147,13 +154,17 @@ object ChunkIndex {
   def search(spark: SparkSession, outPath: String, queryText: String,
       nProbe: Int, k: Int): DataFrame = {
     import spark.implicits._
-    val qemb = Ingest.normalizeLongForm(
+    val qRows = Ingest.normalizeLongForm(
       Ingest.rawEmbed(Seq((1L, queryText)).toDF("q_id", "q_text"),
         col("q_id"), col("q_text")), "q_id")
       .select(col("dim"), col("weight").as("qw"))
-    val qRows = qemb.collect()   // one query vector: ≤ EmbedDim rows
+      .collect()   // one query vector: ≤ EmbedDim rows, ONE job
     val buckets = qRows.sortBy(r => (-math.abs(r.getAs[Double]("qw")), r.getAs[Long]("dim")))
       .take(nProbe).map(_.getAs[Long]("dim")).toSeq
+    // rebuild the broadcast side from the collected rows — re-using the
+    // uncached qemb frame would re-run the whole embed job in the join
+    val qemb = qRows.map(r => (r.getAs[Long]("dim"), r.getAs[Double]("qw")))
+      .toSeq.toDF("dim", "qw")
     val probed = searchBuckets(spark, outPath, buckets)
     probed.join(functions.broadcast(qemb), Seq("dim"))
       .groupBy(col("doc_id"))

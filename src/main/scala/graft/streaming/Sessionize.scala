@@ -15,8 +15,12 @@ case class Ev(user_id: Long, event_id: Long, ts_ms: Long, value: Double)
 case class SessionOut(user_id: Long, session_id: Long, start_ms: Long,
     end_ms: Long, n_events: Long, session_value: Double)
 
+/** `valueCents`: the session value accumulated as exact integer
+  * cents (DECIMAL(18,2) semantics) — double addition would drift
+  * from the batch twin's decimal-exact sum with arrival order.
+  */
 private[streaming] case class OpenSession(sessionIdx: Long, startMs: Long,
-    endMs: Long, n: Long, value: Double)
+    endMs: Long, n: Long, valueCents: Long)
 
 /** Per-user state: the open session (if any) plus the count of
   * sessions already numbered — the counter must survive session
@@ -37,29 +41,52 @@ private[streaming] case class UserSessions(lastIdx: Long, open: Option[OpenSessi
   */
 object Sessionize {
 
-  val GapMs = 30L * 60 * 1000
+  /** Single source of truth for the session gap; the watermark spec
+    * is DERIVED from it because correct late-event merging relies on
+    * the invariant watermark delay ≤ gap (an accepted late event is
+    * then always within the gap of the open session — the same
+    * grouping the batch sort produces). Widening the watermark past
+    * the gap would silently merge sessions batch splits.
+    */
+  val GapMs: Long = graft.operators.Analytics.SessionGapMs
+  val WatermarkSpec: String = s"${GapMs / 60000} minutes"
+
+  /** How long a flushed user's session COUNTER survives before its
+    * state row is dropped — bounds state at O(users active within
+    * retention), not O(users ever seen). A user idle longer restarts
+    * numbering at 1 (documented retention tradeoff vs the batch
+    * numbering, which spans all time).
+    */
+  val CounterRetentionMs: Long = 30L * 24 * 3600 * 1000
+
+  private def cents(v: Double): Long =
+    BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+      .underlying.unscaledValue.longValueExact
 
   def sessionize(spark: SparkSession, events: Dataset[Ev]): Dataset[SessionOut] = {
     import spark.implicits._
     events
       .withColumn("ts", timestamp_millis(col("ts_ms")))
-      .withWatermark("ts", "30 minutes")
+      .withWatermark("ts", WatermarkSpec)
       .as[Ev]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[UserSessions, SessionOut](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, evs: Iterator[Ev], state: GroupState[UserSessions]) =>
           def emit(s: OpenSession) =
-            SessionOut(userId, s.sessionIdx, s.startMs, s.endMs, s.n, s.value)
+            SessionOut(userId, s.sessionIdx, s.startMs, s.endMs, s.n, s.valueCents / 100.0)
           if (evs.isEmpty && state.hasTimedOut) {
-            // watermark passed the gap: flush the open session but keep
-            // the counter so later sessions continue the numbering
             val st = state.get
             st.open match {
               case Some(s) =>
+                // watermark passed the gap: flush the open session; keep
+                // the counter (numbering parity) under a retention timer
                 state.update(UserSessions(s.sessionIdx, None))
+                state.setTimeoutTimestamp(s.endMs + CounterRetentionMs)
                 Iterator.single(emit(s))
-              case None => Iterator.empty
+              case None =>
+                state.remove()   // retention expired: state stays bounded
+                Iterator.empty
             }
           } else {
             val sorted = evs.toSeq.sortBy(e => (e.ts_ms, e.event_id))
@@ -77,13 +104,13 @@ object Sessionize {
                   open = Some(s.copy(
                     startMs = math.min(s.startMs, e.ts_ms),
                     endMs = math.max(s.endMs, e.ts_ms),
-                    n = s.n + 1, value = s.value + e.value))
+                    n = s.n + 1, valueCents = s.valueCents + cents(e.value)))
                 case Some(s) =>
                   closed += emit(s)
                   lastIdx = s.sessionIdx
-                  open = Some(OpenSession(s.sessionIdx + 1, e.ts_ms, e.ts_ms, 1, e.value))
+                  open = Some(OpenSession(s.sessionIdx + 1, e.ts_ms, e.ts_ms, 1, cents(e.value)))
                 case None =>
-                  open = Some(OpenSession(lastIdx + 1, e.ts_ms, e.ts_ms, 1, e.value))
+                  open = Some(OpenSession(lastIdx + 1, e.ts_ms, e.ts_ms, 1, cents(e.value)))
               }
             }
             state.update(UserSessions(lastIdx, open))
@@ -102,7 +129,7 @@ object Sessionize {
     import spark.implicits._
     events
       .withColumn("ts", timestamp_millis(col("ts_ms")))
-      .withWatermark("ts", "30 minutes")
+      .withWatermark("ts", WatermarkSpec)
       .dropDuplicatesWithinWatermark("event_id")
       .drop("ts")
       .as[Ev]
@@ -116,7 +143,7 @@ object Sessionize {
   def liveUserCounts(spark: SparkSession, events: Dataset[Ev]) = {
     events
       .withColumn("ts", timestamp_millis(col("ts_ms")))
-      .withWatermark("ts", "30 minutes")
+      .withWatermark("ts", WatermarkSpec)
       .groupBy(window(col("ts"), "30 minutes", "10 minutes"))
       .agg(approx_count_distinct(col("user_id")).as("live_users"),
         count(lit(1)).as("n_events"))

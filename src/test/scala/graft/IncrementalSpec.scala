@@ -92,6 +92,17 @@ class IncrementalSpec extends SparkSpec {
     assert(movedBuckets == Set(zBucket), s"moved docs in $movedBuckets, not $zBucket")
   }
 
+  test("upsert bootstraps an index that was never written") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_boot_idx").toString + "/fresh"
+    ChunkIndex.upsert(spark, out,
+      Seq((1L, "zebra quokka bootstrap")).toDF("doc_id", "text"))
+    assert(ChunkIndex.readChunks(spark, out).count() == 1)
+    val hits = ChunkIndex.search(spark, out, "zebra quokka bootstrap", nProbe = 4, k = 5)
+      .collect().map(_.getAs[Long]("doc_id"))
+    assert(hits.sameElements(Array(1L)))
+  }
+
   test("persisted-index search returns ranked docs through partition pruning") {
     val out = Files.createTempDirectory("graft_search_idx").toString
     ChunkIndex.write(spark, sfDir, out)

@@ -38,11 +38,13 @@ class StreamingSpec extends SparkSpec {
         .where(col("user_id") =!= 999999L)
         .collect()
         .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_id"),
-          r.getAs[Long]("start_ms"), r.getAs[Long]("end_ms"), r.getAs[Long]("n_events")))
+          r.getAs[Long]("start_ms"), r.getAs[Long]("end_ms"), r.getAs[Long]("n_events"),
+          r.getAs[Double]("session_value")))
         .sortBy(t => (t._1, t._2))
       val batch = Analytics.sessionize(spark, sfDir).collect()
         .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_id"),
-          r.getAs[Long]("start_ms"), r.getAs[Long]("end_ms"), r.getAs[Long]("n_events")))
+          r.getAs[Long]("start_ms"), r.getAs[Long]("end_ms"), r.getAs[Long]("n_events"),
+          r.getAs[Double]("session_value")))
         .sortBy(t => (t._1, t._2))
       assert(streamed.length == batch.length,
         s"streamed ${streamed.length} sessions vs batch ${batch.length}")
