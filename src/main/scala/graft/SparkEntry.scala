@@ -107,7 +107,7 @@ object SparkEntry {
       |  concat('USER CONTRIBUTION #', CAST(rk AS VARCHAR), ':', chr(10),
       |    'Answer: ', substr(text, 1, 40), chr(10),
       |    'Rating: ', CAST(rating AS VARCHAR), '/5.0 (Similarity: ',
-      |    CAST(CAST(score*10000 AS BIGINT) AS VARCHAR), 'bp)') AS block
+      |    CAST(CAST(floor(score*10000 + 0.5) AS BIGINT) AS VARCHAR), 'bp)') AS block
       |  FROM hits),
       |ctx AS (SELECT q_id, concat('USER CONTRIBUTIONS AND ENHANCEMENTS:', chr(10),
       |  array_to_string(list(block ORDER BY rk), concat(chr(10), chr(10)))) AS combined_context

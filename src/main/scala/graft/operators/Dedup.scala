@@ -234,8 +234,13 @@ object Dedup {
 
   /** SimHash near-dup: 32-bit signature from per-bit majority votes
     * of token md5s; candidate pairs share one of the two 16-bit
-    * halves (guarantees recall for hamming ≤ 1 per half; standard
-    * block-key trick), verified with exact hamming ≤ 6.
+    * halves, verified with exact hamming ≤ 6. Recall is GUARANTEED
+    * only for hamming ≤ 1 (a single differing bit leaves one half
+    * intact); pairs with 2-6 differing bits are found iff all diffs
+    * fall in one half — the standard LSH-style recall/candidate-
+    * volume tradeoff (guaranteeing hamming ≤ 6 needs 7 blocks of
+    * ~4.5 bits, whose 16-value keys would make candidate generation
+    * quadratic).
     */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     val tok = corpusWithDups(spark, dir, perturb = true)

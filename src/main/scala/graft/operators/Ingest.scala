@@ -133,7 +133,8 @@ object Ingest {
         md.digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
       def embed(texts: Seq[String]): Seq[Array[Float]] = texts.map { t =>
         val v = new Array[Double](EmbedDim)
-        t.split(" ").foreach { tok =>
+        // limit -1: keep trailing empty tokens, matching Spark's split
+        t.split(" ", -1).foreach { tok =>
           val h = hex(tok)
           val dim = (java.lang.Long.parseLong(h.substring(0, 4), 16) % EmbedDim).toInt
           val sgn = if (java.lang.Long.parseLong(h.substring(4, 5), 16) % 2 == 0) 1.0 else -1.0
@@ -158,7 +159,11 @@ object Ingest {
       .mapPartitions { it =>
         val enc = embedder.open()   // per-partition model load
         it.grouped(embedder.batchSize).flatMap { batch =>
-          batch.map(_._1).zip(enc.embed(batch.map(_._2)))
+          val vecs = enc.embed(batch.map(_._2))
+          // a short return would silently mis-pair every later doc
+          require(vecs.size == batch.size,
+            s"embedder returned ${vecs.size} vectors for ${batch.size} texts")
+          batch.map(_._1).zip(vecs)
         }
       }
       .toDF("doc_id", "embedding")
@@ -171,7 +176,11 @@ object Ingest {
     * at scale this is the MERGE INTO upsert against the index tables.
     */
   def mergeIncremental(existing: DataFrame, incoming: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("_version").desc)
+    // second sort key: duplicate doc_ids WITHIN one side tie on
+    // _version, and a tie-less window picks whichever row the shuffle
+    // delivers first — a content hash makes the survivor deterministic
+    val tieBreak = xxhash64(existing.columns.map(col).toIndexedSeq: _*)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("_version").desc, tieBreak)
     existing.withColumn("_version", lit(0))
       .unionByName(incoming.withColumn("_version", lit(1)))
       .withColumn("_rn", row_number().over(w))

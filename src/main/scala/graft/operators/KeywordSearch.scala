@@ -59,6 +59,17 @@ object KeywordSearch {
       .select(col("doc_id"), col("source"), col("n_chars"))
       .orderBy(col("doc_id"))
 
+  /** keywordSearch's top-5 frame cached per (session, dir) for the
+    * composed flows (context, ask, rank) — persisted via DfCache so
+    * repeat consumers don't rescan the corpus and nothing leaks
+    * un-unpersisted frames. keywordSearch itself stays uncached so
+    * its plan remains auditable.
+    */
+  private def keywordTopCached(spark: SparkSession, dir: String): DataFrame =
+    graft.DfCache.getOrCompute(spark, s"keyword_top:$dir")(
+      keywordSearch(spark, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   /** Result-quality assessment per query — _assess_faiss_quality
     * (enhanced_search.py:170): avg similarity + count bonus
     * min(n/5, 0.2), capped at 1.0, over the knn_brute top-5.
@@ -81,7 +92,7 @@ object KeywordSearch {
     * basis points (cross-engine float formatting is not stable).
     */
   def hybridContext(spark: SparkSession, dir: String): DataFrame =
-    contextOf(keywordSearch(spark, dir), spark, dir)
+    contextOf(keywordTopCached(spark, dir), spark, dir)
 
   /** Context assembly over an already-computed keyword-hit frame (so
     * composed flows like askBatch score the corpus once).
@@ -93,7 +104,11 @@ object KeywordSearch {
       lit("USER CONTRIBUTION #"), col("rk").cast("string"),
       lit(":\nAnswer: "), substring(col("text"), 1, 40),
       lit("\nRating: "), col("rating").cast("string"),
-      lit("/5.0 (Similarity: "), (col("score") * 10000).cast("long").cast("string"),
+      // floor(x+0.5), not a bare cast: cast truncates, and 573 of the
+      // 10001 possible round4 scores sit just UNDER their bp integer
+      // in binary (0.0003*10000 = 2.9999...), where DuckDB's rounding
+      // cast would disagree bitwise
+      lit("/5.0 (Similarity: "), floor(col("score") * 10000 + 0.5).cast("long").cast("string"),
       lit("bp)"))
     hits
       .groupBy(col("q_id"))
@@ -117,8 +132,7 @@ object KeywordSearch {
     */
   def askBatch(spark: SparkSession, dir: String): DataFrame = {
     // score each side once; counts and context derive from the same frame
-    val kw = keywordSearch(spark, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val kw = keywordTopCached(spark, dir)
     val faiss = VectorSearch.knnText(spark, dir)
       .groupBy(col("q_id")).agg(count(lit(1)).as("faiss_count"))
     val contrib = kw
@@ -143,7 +157,7 @@ object KeywordSearch {
     * remaining contributions as 'low'.
     */
   def hybridRank(spark: SparkSession, dir: String): DataFrame = {
-    val contrib = keywordSearch(spark, dir).where(col("q_id") === 1)
+    val contrib = keywordTopCached(spark, dir).where(col("q_id") === 1)
       .join(Tables.documents(spark, dir).select(col("doc_id"), col("n_chars").as("usage")),
         Seq("doc_id"))
       .withColumn("crk", row_number().over(Window.partitionBy(col("q_id"))

@@ -54,21 +54,14 @@ object MLIndex {
     val probes = q.crossJoin(broadcast(centroids))
       .select(col("q_id"), col("q_emb"), col("bucket"),
         V.cosine4(col("q_emb"), col("c_emb")).as("c_cos"))
-      .withColumn("prk", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
-          .orderBy(col("c_cos").desc, col("bucket"))))
+      .withColumn("prk", VectorSearch.rank("c_cos", "bucket", "q_id"))
       .where(col("prk") <= nProbe)
       .select(col("q_id"), col("q_emb"), col("bucket"))
-    indexed.where(col("vec_id") >= VectorSearch.NQueries)
-      .join(broadcast(probes), Seq("bucket"))
-      .select(col("q_id"), col("vec_id"),
-        V.cosine4(col("q_emb"), col("emb")).as("cos"))
-      .groupBy(col("q_id"))
-      .agg(graft.functions.TopK.topK(k)(col("cos"), col("vec_id")).as("top"))
-      .select(col("q_id"), posexplode(col("top")).as(Seq("i", "hit")))
-      .select(col("q_id"), col("hit.id").as("vec_id"), col("hit.score").as("cos"),
-        (col("i") + 1).cast("long").as("rk"))
-      .orderBy(col("q_id"), col("rk"))
+    VectorSearch.topKExplode(
+      indexed.where(col("vec_id") >= VectorSearch.NQueries)
+        .join(broadcast(probes), Seq("bucket"))
+        .select(col("q_id"), col("vec_id"),
+          V.cosine4(col("q_emb"), col("emb")).as("cos")), k, "vec_id")
   }
 
   /** TF-IDF document vectors via the MLlib pipeline
@@ -101,6 +94,9 @@ object MLIndex {
       .where(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
         V.cosine4(col("a_emb"), col("b_emb")).as("cos"))
+      // an all-zero tfidf vector (every token in every doc) yields
+      // cosine 0/0 = NaN, which Spark orders ABOVE every real value
+      .where(!isnan(col("cos")))
       .orderBy(col("cos").desc, col("a_id"), col("b_id"))
       .limit(k)
   }

@@ -16,11 +16,17 @@ object SkewJoin {
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       saltFactor: Int): DataFrame = {
     require(saltFactor > 0)
-    // deterministic scatter: hash of the full row, not rand()
+    require(!big.columns.contains("_salt") && !small.columns.contains("_salt"),
+      "inputs already carry a _salt column")
+    // per-row ordinal scatter, not a content hash: a hot key made of
+    // byte-identical rows (the exact default-user case above) would
+    // hash to ONE salt and defeat the whole exercise; the ordinal
+    // spreads duplicates evenly and join correctness never depends on
+    // the salt value
     val bigSalted = big.withColumn("_salt",
-      pmod(hash(big.columns.toIndexedSeq.map(col): _*), lit(saltFactor)))
+      pmod(monotonically_increasing_id(), lit(saltFactor.toLong)))
     val smallReplicated = small.withColumn("_salt",
-      explode(sequence(lit(0), lit(saltFactor - 1))))
+      explode(sequence(lit(0L), lit(saltFactor - 1L))))
     bigSalted.join(smallReplicated, Seq(key, "_salt")).drop("_salt")
   }
 }

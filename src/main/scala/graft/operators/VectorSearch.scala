@@ -31,7 +31,7 @@ object VectorSearch {
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), V.toDouble(col("embedding")).as("emb"))
 
-  private def rank(cosCol: String, byId: String, part: String): org.apache.spark.sql.Column =
+  private[operators] def rank(cosCol: String, byId: String, part: String): org.apache.spark.sql.Column =
     row_number().over(Window.partitionBy(col(part))
       .orderBy(col(cosCol).desc, col(byId))).cast("long")
 
