@@ -26,20 +26,33 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // absorb JVM/codegen warm-up so per-query timings are comparable
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => }
+    // absorb JVM/codegen warm-up on the BENCH dataset so per-query
+    // timings are comparable (entry()'s hardcoded sf0.001 path may not
+    // exist on this machine)
+    try SparkEntry.queries("dashboard_stats")(spark, sfDir).count()
+    catch { case _: Throwable => }
     val names = SparkEntry.queries.keys.toSeq.sorted
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val passes: Seq[Map[String, Double]] = (1 to Passes).map { _ =>
       names.map { name =>
         val t0 = System.nanoTime()
         try { SparkEntry.queries(name)(spark, sfDir).count() }
-        catch { case _: Throwable => -1L }
+        catch {
+          // a failing query must be VISIBLE, not timed as a fast success
+          case e: Throwable =>
+            errors.getOrElseUpdate(name, e.getClass.getSimpleName + ": " +
+              String.valueOf(e.getMessage).replaceAll("[\"\\\\\n]", " ").take(120))
+        }
         name -> (System.nanoTime() - t0) / 1e9
       }.toMap
     }
     val med = names.map(n => n -> median(passes.map(_(n))))
-    val qs = med.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = med.map { case (k, v) =>
+        val t = if (errors.contains(k)) -1.0 else v   // failed => sentinel
+        s"\"" + k + "\":" + t
+      }
       .mkString("{", ",", "}")
+    val errJson = errors.map { case (k, m) => s"\"$k\":\"$m\"" }.mkString("{", ",", "}")
     val passTotals = passes.map(_.values.sum)
     val total = med.map(_._2).sum
     val pt = passTotals.mkString("[", ",", "]")
@@ -50,7 +63,7 @@ object Bench {
       else passTotals.head
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""passes":$Passes,"pass_totals":$pt,"cold_total":${passTotals.head},""" +
-      s""""warm_total":$warm,"sf":"$sfDir"}""")
+      s""""warm_total":$warm,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -596,7 +596,9 @@ object SparkEntry {
       """WITH q AS (SELECT doc_id,
         |  CAST(length(text) AS BIGINT) AS chars,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS words,
-        |  CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)/length(text) AS punct_ratio_r,
+        |  CASE WHEN length(text) = 0 THEN 0.0
+        |    ELSE CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)/length(text)
+        |  END AS punct_ratio_r,
         |  CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
         |    ['a','the','data','table','row','value'])) AS DOUBLE)
         |    / len(list_distinct(string_split(text, ' '))) AS stop_ratio_r,
@@ -625,7 +627,7 @@ object SparkEntry {
         |WHERE length(text) > 0
         |ORDER BY doc_id, page_no""".stripMargin,
     "multimodal_meta" ->
-      """SELECT doc_id, CAST(length(text) AS BIGINT) AS byte_len, substr(text, 1, 4) AS magic,
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len, substr(text, 1, 4) AS magic,
         |  ('0x' || substr(md5(text), 1, 4))::BIGINT % 1920 AS fake_width,
         |  ('0x' || substr(md5(text), 5, 4))::BIGINT % 1080 AS fake_height
         |FROM documents ORDER BY doc_id""".stripMargin,
@@ -648,12 +650,13 @@ object SparkEntry {
         |  CASE WHEN doc_id % 11 = 0
         |    THEN text || ' contact bob@example.com or 555-123-4567' ELSE text END AS t
         |FROM documents)
-        |SELECT doc_id,
+        |, scr AS (SELECT doc_id,
         |  regexp_replace(regexp_replace(t, '[a-z0-9.]+@[a-z0-9.]+\.[a-z]+', '[REDACTED]', 'g'),
-        |    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '[REDACTED]', 'g') AS scrubbed_text,
-        |  CAST(len(regexp_extract_all(t, '[a-z0-9.]+@[a-z0-9.]+\.[a-z]+'))
-        |    + len(regexp_extract_all(t, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_redactions
-        |FROM inj ORDER BY doc_id""".stripMargin,
+        |    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '[REDACTED]', 'g') AS scrubbed_text
+        |FROM inj)
+        |SELECT doc_id, scrubbed_text,
+        |  CAST(len(regexp_extract_all(scrubbed_text, '\[REDACTED\]')) AS BIGINT) AS n_redactions
+        |FROM scr ORDER BY doc_id""".stripMargin,
     "stratified_balance" ->
       """WITH u AS (SELECT doc_id, source,
         |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS DOUBLE)

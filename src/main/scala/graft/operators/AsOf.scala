@@ -31,6 +31,14 @@ object AsOf {
     val clash = carried0.filter(left.columns.contains)
     require(clash.isEmpty,
       s"rightCols collide with left columns: ${clash.mkString(", ")}")
+    val reserved = Seq("_side", "_asof").filter(c =>
+      left.columns.contains(c) || right.columns.contains(c))
+    require(reserved.isEmpty,
+      s"inputs already carry reserved column(s): ${reserved.mkString(", ")}")
+    // numeric tie-break: equal-ts ordering coalesces rightId with
+    // Long.MaxValue, so a non-numeric id would coerce to string order
+    require(right.schema(rightId).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"rightId '$rightId' must be numeric for the equal-ts tie-break")
     val lTagged = left.withColumn("_side", lit(1))
       .withColumns(carried0.map(c => c -> lit(null).cast(right.schema(c).dataType)).toMap)
     val rTagged = right.select((key +: ts +: carried0).map(col): _*)

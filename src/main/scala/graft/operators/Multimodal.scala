@@ -68,9 +68,14 @@ object Multimodal {
       def extractText(r: MediaRecord): String =
         new String(r.payload, java.nio.charset.StandardCharsets.UTF_8)
           .split(" ").take(5).mkString(" ")
-      def extractPages(r: MediaRecord): Seq[String] =
-        new String(r.payload, java.nio.charset.StandardCharsets.UTF_8)
-          .grouped(PageChars).toSeq
+      def extractPages(r: MediaRecord): Seq[String] = {
+        // split by CODEPOINTS, not UTF-16 chars: String.grouped would
+        // shift page boundaries vs the oracle's substr on any non-BMP
+        // text and could split a surrogate pair in half
+        val cps = new String(r.payload, java.nio.charset.StandardCharsets.UTF_8)
+          .codePoints.toArray
+        cps.grouped(PageChars).map(a => new String(a, 0, a.length)).toSeq
+      }
     }
   }
 

@@ -68,7 +68,9 @@ object TextAnalysis {
     val avgWordLen = (chars - (words - 1)).cast("double") / words
     Tables.documents(spark, dir)
       .select(col("doc_id"), chars.cast("long").as("chars"), words.cast("long").as("words"),
-        Par.round4(punct.cast("double") / chars).as("punct_ratio"),
+        // empty-text guard: x/0 is NULL in Spark but inf in DuckDB
+        Par.round4(when(chars === 0, 0.0)
+          .otherwise(punct.cast("double") / chars)).as("punct_ratio"),
         Par.round4(stopRatio).as("stop_ratio"),
         Par.round4(avgWordLen).as("avg_word_len"),
         Par.round4(lit(0.4) * least(words.cast("double") / 100.0, lit(1.0))
@@ -169,9 +171,12 @@ object TextAnalysis {
     val scrubbed = PiiPatterns.foldLeft(injected) { case (c, (_, pat)) =>
       regexp_replace(c, pat, "[REDACTED]")
     }
-    val nRedactions = PiiPatterns.map { case (_, pat) =>
-      size(regexp_extract_all(injected, lit(pat), lit(0))).cast("long")
-    }.reduce(_ + _)
+    // count markers in the OUTPUT, not matches in the input: with
+    // overlapping patterns (phone inside an email) sequential
+    // replacement performs fewer redactions than the per-pattern
+    // pre-scrub match counts would claim
+    val nRedactions =
+      size(regexp_extract_all(scrubbed, lit("\\[REDACTED\\]"), lit(0))).cast("long")
     Tables.documents(spark, dir)
       .select(col("doc_id"), scrubbed.as("scrubbed_text"),
         nRedactions.as("n_redactions"))

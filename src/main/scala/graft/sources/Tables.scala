@@ -30,6 +30,9 @@ object Tables {
     */
   def events(s: SparkSession, dir: String): DataFrame =
     apply(s, dir, "events")
+      // `div` truncates toward zero; DuckDB's epoch_ms floors. Equal
+      // for the post-epoch timestamps event data can contain — a
+      // pre-1970 ts would disagree by 1ms (nonsensical in this domain)
       .withColumn("ts_ms", org.apache.spark.sql.functions.expr("ts div 1000000"))
       .drop("ts")
   def documents(s: SparkSession, dir: String): DataFrame = apply(s, dir, "documents")
