@@ -68,6 +68,7 @@ object SparkEntry {
     "validate_docs"   -> (TextAnalysis.validateDocs _),
     "clean_text"      -> (TextAnalysis.cleanText _),
     "pii_scrub"       -> (TextAnalysis.piiScrub _),
+    "repetition_score" -> (TextAnalysis.repetitionScore _),
     "stratified_balance" -> ((s, d) => TextAnalysis.stratifiedBalance(s, d)),
     "contamination_check" -> (Dedup.contaminationCheck _),
     // §2.B vector search
@@ -666,6 +667,17 @@ object SparkEntry {
         |  FROM u)
         |SELECT doc_id, source, floor(u * 10000.0 + 0.5)/10000.0 AS u FROM r
         |WHERE rk <= 400 ORDER BY doc_id""".stripMargin,
+    "repetition_score" -> ("WITH " + postingCte("documents") +
+      """,
+        |dc AS (SELECT doc_id, COUNT(*) AS n_distinct FROM posting GROUP BY doc_id),
+        |t AS (SELECT doc_id, greatest(len(string_split(text, ' ')) - 2, 0) AS n_shingles
+        |  FROM documents)
+        |SELECT t.doc_id, CAST(t.n_shingles AS BIGINT) AS n_shingles,
+        |  CAST(coalesce(dc.n_distinct, 0) AS BIGINT) AS n_distinct,
+        |  CASE WHEN t.n_shingles = 0 THEN 0.0
+        |    ELSE floor((1.0 - CAST(coalesce(dc.n_distinct, 0) AS DOUBLE)/t.n_shingles)
+        |      * 10000.0 + 0.5)/10000.0 END AS rep_ratio
+        |FROM t LEFT JOIN dc ON t.doc_id = dc.doc_id ORDER BY t.doc_id""".stripMargin),
     "contamination_check" -> ("WITH " + postingCte("documents") +
       """,
         |cnt AS (SELECT doc_id, COUNT(*) AS n FROM posting

@@ -276,10 +276,17 @@ object Dedup {
     * shingles (document frequency in [2,5]) so only plausibly-similar
     * pairs are compared; top-20 by similarity.
     */
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val posting = DfCache.getOrCompute(spark, s"nat_posting:$dir")(
+  /** Natural-corpus distinct-shingle posting list, cached per
+    * (session, dir) — shared by ngram_jaccard, contamination_check
+    * and repetition_score.
+    */
+  private[graft] def natPosting(spark: SparkSession, dir: String): DataFrame =
+    DfCache.getOrCompute(spark, s"nat_posting:$dir")(
       cachedPosting(shinglePosting(
         Tables.documents(spark, dir), col("doc_id"), col("text"), 3)))
+
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val posting = natPosting(spark, dir)
     val rare = posting.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .where(col("df") >= 2 && col("df") <= 5)
       .select(col("s"))
@@ -304,9 +311,7 @@ object Dedup {
     * shingles.
     */
   def contaminationCheck(spark: SparkSession, dir: String): DataFrame = {
-    val posting = DfCache.getOrCompute(spark, s"nat_posting:$dir")(
-      cachedPosting(shinglePosting(
-        Tables.documents(spark, dir), col("doc_id"), col("text"), 3)))
+    val posting = natPosting(spark, dir)
     val bench = posting.where(col("doc_id") % 101 === 0)
       .select(col("doc_id").as("bench_id"), col("s"))
     val corpus = posting.where(col("doc_id") % 101 =!= 0)

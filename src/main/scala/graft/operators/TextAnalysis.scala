@@ -183,6 +183,28 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Intra-document repetition score — the Gopher-style quality
+    * signal a pretraining cleaner filters on: the fraction of a
+    * doc's word-3-grams that are repeats of an earlier shingle
+    * (1 - distinct/total). Reuses the cached natural posting list;
+    * the total is pure arithmetic over the token count, so the only
+    * shuffle is the posting count's map-side-combined groupBy.
+    */
+  def repetitionScore(spark: SparkSession, dir: String): DataFrame = {
+    val distinctCnt = Dedup.natPosting(spark, dir)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_distinct"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        greatest(size(tokens(col("text"))) - 2, lit(0)).cast("long").as("n_shingles"))
+      .join(distinctCnt, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_distinct"))
+      .select(col("doc_id"), col("n_shingles"), col("n_distinct"),
+        when(col("n_shingles") === 0, 0.0)
+          .otherwise(Par.round4(lit(1.0)
+            - col("n_distinct").cast("double") / col("n_shingles"))).as("rep_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-source cap sampling (training-mix balancing): keep at most
     * `cap` docs per source, chosen by deterministic md5 rank — the
     * reproducible way to downsample an over-represented source. The

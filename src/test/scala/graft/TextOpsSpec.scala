@@ -121,6 +121,21 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("repetition_score: ratio in [0,1], zero for shingle-free docs, counts consistent") {
+    val rows = TextAnalysis.repetitionScore(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val total = r.getAs[Long]("n_shingles")
+      val distinct = r.getAs[Long]("n_distinct")
+      val ratio = r.getAs[Double]("rep_ratio")
+      assert(distinct <= total)
+      assert(ratio >= 0.0 && ratio <= 1.0)
+      if (total == 0) assert(ratio == 0.0)
+    }
+    // the synthetic corpus draws from a small word pool: SOME doc must repeat a shingle
+    assert(rows.exists(_.getAs[Double]("rep_ratio") > 0.0))
+  }
+
   test("contamination_check: benchmark docs excluded; a planted copy is flagged") {
     val rows = graft.operators.Dedup.contaminationCheck(spark, sfDir).collect()
     assert(rows.forall(_.getAs[Long]("doc_id") % 101 != 0))
