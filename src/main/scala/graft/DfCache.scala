@@ -3,33 +3,63 @@ package graft
 import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.scheduler.{SparkListener, SparkListenerApplicationEnd}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.storage.StorageLevel
 
 /** Session-scoped cache of shared intermediate DataFrames — the
   * analog of the reference loading its FAISS index once per process
   * (core/utils.py:150 `load_index`). Keyed on the live SparkSession
   * instance (an identity-hash key can collide after the session is
-  * GC'd and hand out a frame bound to a stopped session). The map is
-  * weak-keyed, but cached DataFrames strongly reference their session
-  * (value → key), so weakness alone cannot collect entries — actual
-  * eviction happens via the application-end listener (one per
-  * SparkContext) and the explicit [[evict]] hook for tearing down a
-  * session inside a long-lived app. Values are persisted/checkpointed
-  * frames that several operators sharing a pipeline stage (knn_text,
-  * hybrid_*, the dedup family) compute once.
+  * GC'd and hand out a frame bound to a stopped session).
+  *
+  * Lifecycle: the map is weak-keyed, but cached DataFrames strongly
+  * reference their session (value → key), so weakness alone cannot
+  * collect entries. Actual release happens through (a) the explicit
+  * [[evict]] hook — call it when retiring a session inside a
+  * long-lived multi-session application, otherwise each retired
+  * session's MEMORY_AND_DISK blocks live until application end — and
+  * (b) the application-end listener, which unpersists what it can and
+  * drops the entries. Note that per-session keying means two live
+  * sessions over the same dir each cache their own copy of a frame;
+  * that is deliberate (frames are bound to the session that built
+  * them) but worth knowing when sizing executors.
+  *
+  * Concurrency: values are memoized cells, so the (possibly
+  * minutes-long) Spark jobs a compute runs happen OUTSIDE the map's
+  * bin locks — concurrent callers of other keys never block on a
+  * colliding bin, and a compute that itself calls getOrCompute for a
+  * different key cannot deadlock the map (same-key recursion is a
+  * programming error and would self-deadlock on the cell).
   */
 object DfCache {
 
+  /** Bump when the logic of ANY staged computation changes: the
+    * version is part of the staging path, so stale tables from an
+    * older build are never read (they are simply orphaned).
+    */
+  val StagingVersion = 1
+
+  /** Once-only holder; `compute` runs outside the owning map's locks. */
+  private final class Cell(compute: () => DataFrame) {
+    @volatile private var v: DataFrame = _
+    def value: DataFrame = {
+      if (v == null) synchronized { if (v == null) v = compute() }
+      v
+    }
+    /** The frame iff already computed — eviction must not trigger a build. */
+    def peek: Option[DataFrame] = Option(v)
+  }
+
   private val cache =
-    new java.util.WeakHashMap[SparkSession, ConcurrentHashMap[String, DataFrame]]()
+    new java.util.WeakHashMap[SparkSession, ConcurrentHashMap[String, Cell]]()
   private val hookedApps = ConcurrentHashMap.newKeySet[String]()
 
-  private def perSession(spark: SparkSession): ConcurrentHashMap[String, DataFrame] = {
+  private def perSession(spark: SparkSession): ConcurrentHashMap[String, Cell] = {
     val appId = spark.sparkContext.applicationId
     val ctx = spark.sparkContext
     cache.synchronized {
       var m = cache.get(spark)
-      if (m == null) { m = new ConcurrentHashMap[String, DataFrame](); cache.put(spark, m) }
+      if (m == null) { m = new ConcurrentHashMap[String, Cell](); cache.put(spark, m) }
       if (hookedApps.add(appId)) {
         // captures only the appId string — never the session itself
         ctx.addSparkListener(new SparkListener {
@@ -37,8 +67,16 @@ object DfCache {
             cache.synchronized {
               val it = cache.entrySet().iterator()
               while (it.hasNext) {
-                val s = it.next().getKey
-                if (s != null && s.sparkContext.applicationId == appId) it.remove()
+                val entry = it.next()
+                val s = entry.getKey
+                if (s != null && s.sparkContext.applicationId == appId) {
+                  // best-effort: the context is tearing down, but blocks
+                  // released here don't wait for process exit
+                  entry.getValue.values.forEach(c => c.peek.foreach { df =>
+                    try df.unpersist() catch { case _: Throwable => () }
+                  })
+                  it.remove()
+                }
               }
               hookedApps.remove(appId)
             }
@@ -53,15 +91,102 @@ object DfCache {
     * persisted or locally checkpointed.
     */
   def getOrCompute(spark: SparkSession, key: String)(compute: => DataFrame): DataFrame =
-    perSession(spark).computeIfAbsent(key, _ => compute)
+    perSession(spark).computeIfAbsent(key, _ => new Cell(() => compute)).value
 
   /** Drop and unpersist every cached frame of `spark` — call when
     * retiring a session inside a still-running application.
     */
   def evict(spark: SparkSession): Unit = {
     val m = cache.synchronized(cache.remove(spark))
-    if (m != null) m.values.forEach { df =>
+    if (m != null) m.values.forEach(c => c.peek.foreach { df =>
       try df.unpersist() catch { case _: Throwable => () }
+    })
+  }
+
+  /** Drop and unpersist one cached frame. */
+  def evictKey(spark: SparkSession, key: String): Unit = {
+    val m = cache.synchronized(cache.get(spark))
+    if (m != null) {
+      val c = m.remove(key)
+      if (c != null) c.peek.foreach { df =>
+        try df.unpersist() catch { case _: Throwable => () }
+      }
+    }
+  }
+
+  // ---------------------------------------------------------------
+  // Parquet staging: the CROSS-PROCESS analog of getOrCompute.
+  // ---------------------------------------------------------------
+
+  private def stagingRoot: String =
+    sys.env.getOrElse("SPARK_GRAFT_STAGING",
+      new java.io.File("target/staging").getAbsolutePath)
+
+  private def sanitize(key: String): String =
+    key.map(c => if (c.isLetterOrDigit || c == '.' || c == '-' || c == '_') c else '_')
+
+  /** Fingerprint of the input files a staged computation depends on
+    * (name/length/mtime of every file under each path) — part of the
+    * staging path, so regenerated input data invalidates the staged
+    * table automatically instead of serving stale rows.
+    */
+  def inputFingerprint(spark: SparkSession, paths: String*): String = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val md = java.security.MessageDigest.getInstance("MD5")
+    paths.sorted.foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(conf)
+      if (fs.exists(hp)) {
+        val it = fs.listFiles(hp, true)
+        val entries = scala.collection.mutable.ArrayBuffer[String]()
+        while (it.hasNext) {
+          val f = it.next()
+          entries += s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}"
+        }
+        entries.sorted.foreach(e => md.update(e.getBytes("UTF-8")))
+      }
+    }
+    md.digest().map(b => f"${b & 0xff}%02x").mkString.take(16)
+  }
+
+  /** Materialize `df` as a parquet staging table (write-if-absent)
+    * and return the read-back frame, persisted MEMORY_AND_DISK.
+    *
+    * This is the pattern a 100 TB pipeline uses between stages — the
+    * detect/apply boundary lands in a table, not an in-memory
+    * checkpoint — and it is what cuts the COLD pass: a fresh JVM
+    * (new cluster job over the same inputs) reads the staged parquet
+    * instead of recomputing the stage. The path embeds
+    * [[StagingVersion]] (logic changes orphan old tables) and the
+    * caller-supplied input fingerprint (regenerated data invalidates
+    * automatically). Writes go to a temp dir then rename into place;
+    * a half-written table (no _SUCCESS) is discarded and rewritten.
+    * If the staging root is unwritable the frame falls back to a
+    * plain localCheckpoint — staging is an optimization, never a
+    * correctness dependency.
+    */
+  def stagedFrame(spark: SparkSession, key: String, fingerprint: String)
+      (df: => DataFrame): DataFrame = {
+    val dir = s"$stagingRoot/v$StagingVersion/${sanitize(key)}_$fingerprint"
+    try {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val target = new org.apache.hadoop.fs.Path(dir)
+      val fs = target.getFileSystem(conf)
+      val success = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
+      if (!fs.exists(success)) {
+        if (fs.exists(target)) fs.delete(target, true)   // half-written leftover
+        val tmp = new org.apache.hadoop.fs.Path(
+          dir + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
+        df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        fs.mkdirs(target.getParent)
+        if (!fs.rename(tmp, target)) {
+          // another writer won the race — serve its table
+          fs.delete(tmp, true)
+        }
+      }
+      spark.read.parquet(dir).persist(StorageLevel.MEMORY_AND_DISK)
+    } catch {
+      case _: java.io.IOException => df.localCheckpoint()
     }
   }
 }

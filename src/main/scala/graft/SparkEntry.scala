@@ -569,18 +569,28 @@ object SparkEntry {
         |halves AS (
         |  SELECT doc_id, simhash, 0 AS half_idx, simhash >> 16 AS half FROM sh
         |  UNION ALL SELECT doc_id, simhash, 1, simhash & 65535 FROM sh),
-        |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+        |cand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
         |    CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
         |  FROM halves a JOIN halves b ON a.half_idx = b.half_idx AND a.half = b.half
-        |    AND a.doc_id < b.doc_id)
-        |SELECT a_id, b_id, hamming FROM cand WHERE hamming <= 6
+        |    AND a.doc_id < b.doc_id
+        |  WHERE a.half_idx = 0 OR (a.simhash >> 16) <> (b.simhash >> 16)),
+        |capped AS (SELECT a_id, b_id, hamming,
+        |    row_number() OVER (PARTITION BY a_id ORDER BY hamming, b_id) AS prk
+        |  FROM cand WHERE hamming <= 6)
+        |SELECT a_id, b_id, hamming FROM capped WHERE prk <= 8
         |ORDER BY hamming, a_id, b_id""".stripMargin),
     "ngram_jaccard" -> ("WITH " + postingCte("documents") +
       """,
-        |rare AS (SELECT s FROM posting GROUP BY s HAVING COUNT(*) BETWEEN 2 AND 5),
-        |blocked AS (SELECT p.* FROM posting p JOIN rare r USING (s)),
-        |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-        |  FROM blocked a JOIN blocked b ON a.s = b.s AND a.doc_id < b.doc_id),
+        |nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |dfq AS (SELECT s, COUNT(*) AS df FROM posting, nd GROUP BY s, n_docs
+        |  HAVING COUNT(*) BETWEEN 2 AND greatest(5, (n_docs + 99) // 100)),
+        |blocked AS (SELECT p.doc_id, p.s, dfq.df FROM posting p JOIN dfq USING (s)),
+        |pfx AS (SELECT doc_id, s FROM (SELECT doc_id, s,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY df, s) AS rnk FROM blocked) t
+        |  WHERE rnk <= 5),
+        |cand AS (SELECT DISTINCT least(a.doc_id, b.doc_id) AS a_id,
+        |    greatest(a.doc_id, b.doc_id) AS b_id
+        |  FROM pfx a JOIN blocked b ON a.s = b.s AND a.doc_id <> b.doc_id),
         |""".stripMargin + jaccardTail + " LIMIT 20"),
     "lang_id" ->
       """WITH d AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents),

@@ -95,13 +95,16 @@ object Ingest {
   /** Session-scoped cache of the hashed-BoW document index — the
     * analog of the reference loading its FAISS index once per process
     * (core/utils.py:150 `load_index`). Cached per (session, dir) via
-    * [[graft.DfCache]] (evicted on application end / DfCache.evict);
-    * persisted so the several operators sharing the index (knn_text,
-    * hybrid_*, image_search) compute it once.
+    * [[graft.DfCache]] (evicted on application end / DfCache.evict)
+    * and staged as a parquet table, so the several operators sharing
+    * the index (knn_text, hybrid_*, image_search) compute it once per
+    * session and a fresh JVM skips the build entirely.
     */
   def docEmbedCached(spark: SparkSession, dir: String): DataFrame =
     graft.DfCache.getOrCompute(spark, s"doc_embed:$dir")(
-      docEmbed(spark, dir).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      graft.DfCache.stagedFrame(spark, s"doc_embed:$dir",
+        graft.DfCache.inputFingerprint(spark, s"$dir/documents.parquet"))(
+        docEmbed(spark, dir)))
 
   /** Pluggable batch text-embedding model — the inference seam for
     * the reference's SentenceTransformer `embed_texts`

@@ -75,6 +75,25 @@ class PlanAuditSpec extends SparkSpec {
       s"benchmark set should be the broadcast side:\n$plan")
   }
 
+  test("ann_ivf: corpus scanned once per execution, centroids from a prebuilt table") {
+    VectorSearch.annIvf(spark, sfDir).collect()   // build + cache the centroid table
+    val plan = finalPlan(VectorSearch.annIvf(spark, sfDir))
+    // AQE's toString prints Final + Initial sections — count the final only
+    val finalSection = plan.split("== Initial Plan ==").head
+    val parquetScans = "Scan parquet".r.findAllIn(finalSection).size
+    // queries + fine-search candidates come from the one embeddings
+    // scan pair (query slice + corpus slice); the centroid side must be
+    // the checkpointed <= #labels-row table, NOT a re-averaging scan
+    // topKExplode's posexplode(top) is fine; posexplode(emb) would be
+    // the per-execution centroid re-averaging
+    assert(!plan.contains("posexplode(emb"),
+      s"centroids re-derived inline (posexplode(emb) in query plan):\n$plan")
+    assert(plan.contains("ExistingRDD") || plan.contains("LocalTableScan"),
+      s"centroid table not served from the prebuilt frame:\n$plan")
+    assert(parquetScans <= 2,
+      s"expected <= 2 embeddings scans (queries + corpus), saw $parquetScans:\n$plan")
+  }
+
   test("q1 aggregation is map-side partial") {
     val plan = finalPlan(Relational.q1Pricing(spark, sfDir))
     assert(plan.contains("partial_sum") || plan.contains("HashAggregate"),

@@ -57,6 +57,84 @@ class ScaleSmokeSpec extends SparkSpec {
     }
   }
 
+  test("simhash pair count stays <= cap*n when one half-bucket holds the whole corpus") {
+    import spark.implicits._
+    // boilerplate-heavy corpus: every doc shares a long common prefix,
+    // so (near-)identical simhashes flood one half-bucket — the shape
+    // that made the uncapped join O(bucket²)
+    val n = 200
+    val boiler = (1 to 30).map(i => s"common$i").mkString(" ")
+    val docs = (0L until n.toLong).map(i => (i, s"$boiler unique$i"))
+      .toDF("doc_id", "text")
+    val pairs = graft.operators.Dedup.simhashPartners(docs).collect()
+    assert(pairs.nonEmpty, "hot bucket produced no verified pairs at all")
+    assert(pairs.length <= graft.operators.Dedup.SimhashPartnerCap * n,
+      s"cap failed: ${pairs.length} pairs for $n docs")
+    val perVec = pairs.groupBy(_.getAs[Long]("a_id")).map(_._2.length)
+    assert(perVec.max <= graft.operators.Dedup.SimhashPartnerCap)
+  }
+
+  test("ngram_jaccard relative window still finds candidates under 8x replication") {
+    import spark.implicits._
+    import graft.functions.TextFunctions.shinglePosting
+    // 8 copies of each of 100 texts: every shingle's df is 8 — the old
+    // absolute df<=5 window finds NOTHING here; the corpus-relative
+    // ceiling max(5, ceil(800/100))=8 keeps the duplicates visible
+    val docs = (for { t <- 0 until 100; c <- 0 until mult }
+      yield ((c * 1000 + t).toLong, s"alpha$t beta$t gamma$t delta$t epsilon$t"))
+      .toDF("doc_id", "text")
+    val posting = shinglePosting(docs, col("doc_id"), col("text"), 3)
+    val top = graft.operators.Dedup.ngramJaccardOf(posting, docs.select(col("doc_id")))
+      .collect()
+    assert(top.length == 20, s"expected a full top-20, got ${top.length}")
+    assert(top.forall(_.getAs[Double]("jaccard") == 1.0))
+  }
+
+  test("components runs exactly one Spark job per propagation round") {
+    import spark.implicits._
+    val pairs = (0L until 63L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+      .localCheckpoint()
+    // the claim under test is "no separate probe ACTION": every driver-
+    // blocking materialization is a localCheckpoint; a probe would
+    // surface as a `count`/`collect` job. Async broadcast-exchange
+    // sub-jobs (withThreadLocalCaptured) belong to the same action.
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val probes = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(s: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val site = s.stageInfos.map(_.name.takeWhile(_ != ' ')).distinct.mkString("+")
+        if (site.contains("localCheckpoint")) jobs.incrementAndGet()
+        else if (!site.contains("withThreadLocalCaptured")) probes.add(site)
+      }
+    }
+    // AQE splits one action into a job per shuffle stage; disable it
+    // here so jobs == actions and the no-separate-probe claim is
+    // directly countable
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val (labels, rounds) = graft.operators.Dedup.componentsWithRounds(pairs)
+      // listener bus is async: wait until the job count is stable
+      var last = -1
+      var spins = 0
+      while (jobs.get() != last && spins < 30) {
+        last = jobs.get(); Thread.sleep(100); spins += 1
+      }
+      // edges checkpoint + initial labels checkpoint + 1 job per round:
+      // the convergence flag rides the checkpoint job's accumulator,
+      // not a separate probe action
+      assert(jobs.get() == 2 + rounds,
+        s"expected ${2 + rounds} checkpoint jobs (2 setup + $rounds rounds), saw ${jobs.get()}")
+      assert(probes.isEmpty, "unexpected non-checkpoint actions: " +
+        probes.toArray.mkString(", "))
+      assert(labels.collect().forall(_.getAs[Long]("cluster_id") == 0L))
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    }
+  }
+
   test("components converges in O(log diameter) rounds on a 1024-node chain") {
     import spark.implicits._
     // worst case for plain min-propagation: one long path. Pointer
