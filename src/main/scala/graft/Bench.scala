@@ -40,8 +40,10 @@ object Bench {
         catch {
           // a failing query must be VISIBLE, not timed as a fast success
           case e: Throwable =>
+            // JSON-safe: strip EVERY control char plus quote/backslash —
+            // Spark messages carry \r\t and box-drawing plan fragments
             errors.getOrElseUpdate(name, e.getClass.getSimpleName + ": " +
-              String.valueOf(e.getMessage).replaceAll("[\"\\\\\n]", " ").take(120))
+              String.valueOf(e.getMessage).replaceAll("[\\p{Cntrl}\"\\\\]", " ").take(120))
         }
         name -> (System.nanoTime() - t0) / 1e9
       }.toMap

@@ -125,6 +125,13 @@ object DfCache {
   private def sanitize(key: String): String =
     key.map(c => if (c.isLetterOrDigit || c == '.' || c == '-' || c == '_') c else '_')
 
+  /** Versioned staging location for (key, input fingerprint) — for
+    * components that manage their own multi-table layout under it
+    * (ChunkIndex's persisted index).
+    */
+  def stagingPath(key: String, fingerprint: String): String =
+    s"$stagingRoot/v$StagingVersion/${sanitize(key)}_$fingerprint"
+
   /** Fingerprint of the input files a staged computation depends on
     * (name/length/mtime of every file under each path) — part of the
     * staging path, so regenerated input data invalidates the staged

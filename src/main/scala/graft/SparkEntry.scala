@@ -50,6 +50,8 @@ object SparkEntry {
     "doc_chunk_stats" -> (Ingest.docChunkStats _),
     "doc_embed"       -> (Ingest.docEmbed _),
     "vec_normalize"   -> (Ingest.vecNormalize _),
+    "pipeline_ingest" -> (Ingest.pipelineIngest _),
+    "index_search"    -> ((s, d) => graft.sources.ChunkIndex.indexSearch(s, d)),
     // §2.F LLM-data-pipeline operators
     "dedup_exact"     -> (Dedup.dedupExact _),
     "dedup_apply"     -> (Dedup.dedupApply _),
@@ -511,6 +513,58 @@ object SparkEntry {
         |SELECT vec_id, CAST(g-1 AS BIGINT) AS dim, floor((emb[g]/nrm) * 10000.0 + 0.5) / 10000.0 AS v
         |FROM n, LATERAL (SELECT unnest(generate_series(1, len(emb))) g) s
         |ORDER BY vec_id, dim""".stripMargin,
+    "pipeline_ingest" ->
+      """WITH pg AS (SELECT doc_id, CAST(g AS BIGINT) AS page_no,
+        |    substr(text, 1 + g*200, 200) AS page_text
+        |  FROM documents, LATERAL (SELECT unnest(generate_series(0, (length(text)-1)//200)) g) s
+        |  WHERE length(text) > 0),
+        |pc AS (SELECT doc_id, page_no, [x for x in
+        |    [trim(substr(page_text, h+1, 120)) for h in generate_series(0, length(page_text)-1, 96)
+        |     if h = 0 or h + 24 < length(page_text)] if x <> ''] AS lst
+        |  FROM pg),
+        |ck AS (SELECT doc_id, page_no, CAST(g-1 AS BIGINT) AS chunk_index, lst[g] AS chunk_text
+        |  FROM pc, LATERAL (SELECT unnest(generate_series(1, len(lst))) g) s),
+        |tok AS (SELECT doc_id, page_no, chunk_index, unnest(string_split(chunk_text, ' ')) AS t FROM ck),
+        |b AS (SELECT doc_id, page_no, chunk_index,
+        |    ('0x' || substr(md5(t), 1, 4))::BIGINT % 16 AS dim,
+        |    CASE WHEN ('0x' || substr(md5(t), 5, 1))::BIGINT % 2 = 0 THEN 1 ELSE -1 END AS sgn FROM tok),
+        |agg AS (SELECT doc_id, page_no, chunk_index, dim, CAST(SUM(sgn) AS BIGINT) AS raw
+        |  FROM b GROUP BY doc_id, page_no, chunk_index, dim),
+        |n0 AS (SELECT doc_id, page_no, chunk_index, dim, raw,
+        |  sqrt(CAST(SUM(raw*raw) OVER (PARTITION BY doc_id, page_no, chunk_index) AS DOUBLE)) AS nrm0 FROM agg),
+        |n AS (SELECT doc_id, page_no, chunk_index, dim, raw,
+        |  CASE WHEN nrm0 = 0.0 THEN 1e-10 ELSE nrm0 END AS nrm FROM n0)
+        |SELECT doc_id, page_no, chunk_index, dim,
+        |  floor((raw / nrm) * 10000.0 + 0.5) / 10000.0 AS weight
+        |FROM n ORDER BY doc_id, page_no, chunk_index, dim""".stripMargin,
+    "index_search" ->
+      """WITH queries(q_id, q_text) AS (VALUES (CAST(1 AS BIGINT), 'hash join')),
+        |qtok AS (SELECT q_id, unnest(string_split(q_text, ' ')) AS t FROM queries),
+        |qb AS (SELECT q_id, ('0x' || substr(md5(t), 1, 4))::BIGINT % 16 AS dim,
+        |  CASE WHEN ('0x' || substr(md5(t), 5, 1))::BIGINT % 2 = 0 THEN 1 ELSE -1 END AS sgn FROM qtok),
+        |qagg AS (SELECT dim, CAST(SUM(sgn) AS BIGINT) AS raw FROM qb GROUP BY q_id, dim),
+        |qn0 AS (SELECT dim, raw, sqrt(CAST(SUM(raw*raw) OVER () AS DOUBLE)) AS nrm0 FROM qagg),
+        |qn AS (SELECT dim, raw, CASE WHEN nrm0 = 0.0 THEN 1e-10 ELSE nrm0 END AS nrm FROM qn0),
+        |qe AS (SELECT dim, floor((raw/nrm) * 10000.0 + 0.5)/10000.0 AS qw FROM qn),
+        |dtok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |db AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 4))::BIGINT % 16 AS dim,
+        |  CASE WHEN ('0x' || substr(md5(t), 5, 1))::BIGINT % 2 = 0 THEN 1 ELSE -1 END AS sgn FROM dtok),
+        |dagg AS (SELECT doc_id, dim, CAST(SUM(sgn) AS BIGINT) AS raw FROM db GROUP BY doc_id, dim),
+        |dn0 AS (SELECT doc_id, dim, raw,
+        |  sqrt(CAST(SUM(raw*raw) OVER (PARTITION BY doc_id) AS DOUBLE)) AS nrm0 FROM dagg),
+        |dn AS (SELECT doc_id, dim, raw,
+        |  CASE WHEN nrm0 = 0.0 THEN 1e-10 ELSE nrm0 END AS nrm FROM dn0),
+        |de AS (SELECT doc_id, dim, floor((raw/nrm) * 10000.0 + 0.5)/10000.0 AS weight FROM dn),
+        |bkt AS (SELECT doc_id, dim AS bucket FROM (SELECT doc_id, dim,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY abs(weight) DESC, dim) AS r FROM de) t
+        |  WHERE r = 1),
+        |probes AS (SELECT dim FROM (SELECT dim,
+        |    row_number() OVER (ORDER BY abs(qw) DESC, dim) AS r FROM qe) t WHERE r <= 2),
+        |sc AS (SELECT de.doc_id, floor((SUM(qw * weight)) * 10000.0 + 0.5)/10000.0 AS score
+        |  FROM de JOIN bkt USING (doc_id) JOIN qe USING (dim)
+        |  WHERE bkt.bucket IN (SELECT dim FROM probes)
+        |  GROUP BY de.doc_id)
+        |SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 5""".stripMargin,
     "dedup_exact" -> ("WITH " + corpusCte(perturb = false) +
       """
         |SELECT md5(text) AS text_md5, COUNT(*) AS n_dups, MIN(doc_id) AS keep_id
@@ -662,7 +716,7 @@ object SparkEntry {
         |    THEN text || ' contact bob@example.com or 555-123-4567' ELSE text END AS t
         |FROM documents)
         |, scr AS (SELECT doc_id,
-        |  regexp_replace(regexp_replace(t, '[a-z0-9.]+@[a-z0-9.]+\.[a-z]+', '[REDACTED]', 'g'),
+        |  regexp_replace(regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[REDACTED]', 'g'),
         |    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '[REDACTED]', 'g') AS scrubbed_text
         |FROM inj)
         |SELECT doc_id, scrubbed_text,

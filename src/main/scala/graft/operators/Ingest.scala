@@ -172,6 +172,33 @@ object Ingest {
       .toDF("doc_id", "embedding")
   }
 
+  /** The reference's FULL ingestion flow composed as one declarative
+    * query — extract pages from the binary payload, chunk each page,
+    * embed each chunk, emit normalized index rows — exactly what
+    * `ingest_document` runs as a single transaction
+    * (core/supabase_utils.py:203: extract → chunk → embed → store).
+    * Every stage is a narrow transform over the previous one, so
+    * Catalyst fuses the whole pipeline into one pass over the corpus:
+    * no stage boundary materializes, which is the point of declaring
+    * ingestion as a query instead of an imperative loop. Output:
+    * (doc_id, page_no, chunk_index, dim, weight) — the long-form
+    * index rows ChunkIndex persists.
+    */
+  def pipelineIngest(spark: SparkSession, dir: String): DataFrame = {
+    val pages = Multimodal.docExtract(spark, dir)   // codec seam: payload → pages
+    val pageChunks = pages.select(col("doc_id"), col("page_no"),
+        posexplode(chunks(col("page_text"), ChunkSize, ChunkOverlap))
+          .as(Seq("chunk_index", "chunk_text")))
+      .withColumn("chunk_index", col("chunk_index").cast("long"))
+    val keyed = pageChunks.select(
+      struct(col("doc_id"), col("page_no"), col("chunk_index")).as("k"),
+      col("chunk_text"))
+    normalizeLongForm(rawEmbed(keyed, col("k"), col("chunk_text")), "k")
+      .select(col("k.doc_id").as("doc_id"), col("k.page_no").as("page_no"),
+        col("k.chunk_index").as("chunk_index"), col("dim"), col("weight"))
+      .orderBy(col("doc_id"), col("page_no"), col("chunk_index"), col("dim"))
+  }
+
   /** Incremental re-index merge — the reference's reindex flow
     * (core/views.py:1065 admin_reindex_documents / embed_pdfs
     * --force): union the incoming batch with the existing corpus and

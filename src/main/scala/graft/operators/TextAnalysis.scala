@@ -152,10 +152,12 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
 
   /** PII patterns a pretraining scrubber redacts. Kept to syntax both
-    * regex engines (Java / RE2) treat identically.
+    * regex engines (Java / RE2) treat identically; the email class
+    * covers mixed case and the +/_/%/- local-part characters real
+    * addresses use (Bob+tag@Example.com must not survive scrubbing).
     */
   val PiiPatterns: Seq[(String, String)] = Seq(
-    "email" -> "[a-z0-9.]+@[a-z0-9.]+\\.[a-z]+",
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
     "phone" -> "[0-9]{3}-[0-9]{3}-[0-9]{4}")
 
   /** PII scrubbing — redact emails/phone numbers, count redactions.

@@ -56,13 +56,38 @@ object ChunkIndex {
     * re-embedding can move a doc to another bucket, so both sides'
     * partitions are collected) and leave every other partition's
     * files physically untouched.
+    *
+    * The `chunks` side's shard is doc_id % [[ChunkShards]] — derivable
+    * arithmetically from the incoming ids, so only the `embeddings`
+    * side (whose bucket depends on old vector content) pays an
+    * existence scan.
+    *
+    * CRASH WINDOW: the two-table mutation is not atomic — a crash
+    * between the chunks and embeddings writes (or between a dynamic
+    * overwrite and its vacated-partition delete) can leave moved docs
+    * readable in both old and new partitions. A `_GRAFT_UPSERT_INPROGRESS`
+    * manifest is created before the first mutation and removed after
+    * the last: its presence on recovery means "re-deliver this batch"
+    * — which is exactly what the streaming path does (foreachBatch
+    * re-runs the micro-batch; the upsert is idempotent), and what an
+    * ad-hoc caller must do before trusting reads.
     */
   def upsert(spark: SparkSession, outPath: String, incoming: DataFrame): Unit = {
+    val root = new org.apache.hadoop.fs.Path(outPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(root, "_GRAFT_UPSERT_INPROGRESS")
+    fs.mkdirs(root)
+    fs.create(marker, true).close()
     val ids = incoming.select(col("doc_id")).distinct()
+    // old chunk shards are a pure function of the ids — no table scan
+    val chunkOldParts = ids
+      .select(pmod(col("doc_id"), lit(ChunkShards.toLong)).cast("int").as("shard"))
+      .distinct()
     overwriteAffected(spark, s"$outPath/chunks", ids,
-      withShard(Ingest.chunksOf(incoming)), "shard")
+      withShard(Ingest.chunksOf(incoming)), "shard", Some(chunkOldParts))
     overwriteAffected(spark, s"$outPath/embeddings", ids,
-      withBucket(Ingest.embedOf(incoming)), "bucket")
+      withBucket(Ingest.embedOf(incoming)), "bucket", None)
+    fs.delete(marker, false)
   }
 
   /** Live incremental indexing: a Structured Streaming sink that
@@ -94,7 +119,8 @@ object ChunkIndex {
     * belonged to the updated docs.
     */
   private def overwriteAffected(spark: SparkSession, path: String, ids: DataFrame,
-      fresh: DataFrame, partCol: String): Unit = {
+      fresh: DataFrame, partCol: String,
+      oldParts: Option[DataFrame]): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new org.apache.hadoop.fs.Path(path))) {
@@ -104,8 +130,11 @@ object ChunkIndex {
     }
     val existing = spark.read.parquet(path)
     val freshCk = fresh.localCheckpoint()
-    val affected = existing.join(broadcast(ids), Seq("doc_id"), "left_semi")
-      .select(col(partCol))
+    // partitions holding OLD versions: derived arithmetically when the
+    // partition key is a function of doc_id, else an existence scan
+    val oldSide = oldParts.getOrElse(
+      existing.join(broadcast(ids), Seq("doc_id"), "left_semi").select(col(partCol)))
+    val affected = oldSide
       .unionByName(freshCk.select(col(partCol)))
       .distinct().collect().map(_.get(0).toString.toInt)
     // localCheckpoint severs lineage from the files being overwritten —
@@ -126,6 +155,34 @@ object ChunkIndex {
       fs.delete(new org.apache.hadoop.fs.Path(s"$path/$partCol=$p"), true)
     }
   }
+
+  /** Build the persisted index for `dir` once per machine (not once
+    * per session): the index lands under the fingerprinted staging
+    * path, so a fresh JVM — or the correctness/bench driver — reuses
+    * the on-disk tables, and regenerated input data rebuilds them.
+    * A `_GRAFT_INDEX_DONE` marker distinguishes a complete two-table
+    * write from a crashed partial one.
+    */
+  def ensureIndex(spark: SparkSession, dir: String): String = {
+    val path = graft.DfCache.stagingPath(s"chunk_index:$dir",
+      graft.DfCache.inputFingerprint(spark, s"$dir/documents.parquet"))
+    val done = new org.apache.hadoop.fs.Path(path, "_GRAFT_INDEX_DONE")
+    val fs = done.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(done)) {
+      write(spark, dir, path)
+      fs.create(done, true).close()
+    }
+    path
+  }
+
+  /** Search over the PERSISTED index as an oracle-checked query: build
+    * (or reuse) the on-disk index, then run the partition-pruned
+    * [[search]] against it — the full save_index → load_index →
+    * search_similar_chunks flow (core/utils.py:137/:150/:194) under
+    * the DuckDB gate rather than ScalaTest only.
+    */
+  def indexSearch(spark: SparkSession, dir: String): DataFrame =
+    search(spark, ensureIndex(spark, dir), "hash join", nProbe = 2, k = 5)
 
   /** Load the persisted index (core/utils.py:150 `load_index` /
     * :178 `load_metadata`).
