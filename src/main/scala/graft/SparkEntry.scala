@@ -639,12 +639,18 @@ object SparkEntry {
         |dfq AS (SELECT s, COUNT(*) AS df FROM posting, nd GROUP BY s, n_docs
         |  HAVING COUNT(*) BETWEEN 2 AND greatest(5, (n_docs + 99) // 100)),
         |blocked AS (SELECT p.doc_id, p.s, dfq.df FROM posting p JOIN dfq USING (s)),
-        |pfx AS (SELECT doc_id, s FROM (SELECT doc_id, s,
+        |pfx AS (SELECT doc_id, s, df FROM (SELECT doc_id, s, df,
         |    row_number() OVER (PARTITION BY doc_id ORDER BY df, s) AS rnk FROM blocked) t
         |  WHERE rnk <= 5),
-        |cand AS (SELECT DISTINCT least(a.doc_id, b.doc_id) AS a_id,
-        |    greatest(a.doc_id, b.doc_id) AS b_id
-        |  FROM pfx a JOIN blocked b ON a.s = b.s AND a.doc_id <> b.doc_id),
+        |bcap AS (SELECT doc_id, s FROM (SELECT doc_id, s,
+        |    row_number() OVER (PARTITION BY s ORDER BY doc_id) AS brnk FROM blocked) t
+        |  WHERE brnk <= 64),
+        |cand0 AS (SELECT DISTINCT least(a.doc_id, b.doc_id) AS a_id,
+        |    greatest(a.doc_id, b.doc_id) AS b_id, a.s AS s, a.df AS df
+        |  FROM pfx a JOIN bcap b ON a.s = b.s AND a.doc_id <> b.doc_id),
+        |cand AS (SELECT a_id, b_id FROM (SELECT a_id, b_id,
+        |    COUNT(*) AS shared, MIN(df) AS mdf FROM cand0 GROUP BY a_id, b_id
+        |    ORDER BY shared DESC, mdf, a_id, b_id LIMIT 200) t),
         |""".stripMargin + jaccardTail + " LIMIT 20"),
     "lang_id" ->
       """WITH d AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents),

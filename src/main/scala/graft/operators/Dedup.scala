@@ -334,28 +334,45 @@ object Dedup {
     * prefix-filter size of similarity-join literature).
     */
   val NgramPrefix = 5
+  /** Max docs considered per blocking shingle (bucket cap): bounds
+    * candidate volume even when the relative df ceiling grows with
+    * the corpus.
+    */
+  val NgramBucketCap = 64
+  /** Candidate pairs that get EXACT Jaccard verification, selected by
+    * the cheap blocking-evidence proxy — the verify stage's hard
+    * budget.
+    */
+  val NgramVerifyBudget = 200
 
-  /** Word-3-gram Jaccard over the natural corpus, blocked by rare
-    * shingles so only plausibly-similar pairs are compared; top-20 by
-    * similarity. Two rules keep this correct AND linear at 100×:
+  /** Word-3-gram Jaccard over the natural corpus: top-20 most-similar
+    * pairs. Three rules keep this correct AND linear at 100×:
     *
-    *  - the rarity window is CORPUS-RELATIVE, df ∈
-    *    [2, max(5, ⌈N/100⌉)] for N documents — an absolute upper
-    *    bound silently collapses recall at scale (every shingle's df
-    *    outgrows it while the query stays green);
-    *  - PREFIX FILTERING: each doc contributes only its
-    *    [[NgramPrefix]] rarest in-window shingles as blocking keys
-    *    (a pair is a candidate iff it shares a shingle in EITHER
-    *    side's prefix), so candidate volume is O(prefix · df · n),
-    *    never Σ C(df,2) over every in-window shingle — the relative
-    *    window alone made the candidate set quadratic in bucket
-    *    density once df ceilings grew with the corpus.
+    *  - CORPUS-RELATIVE rarity window, df ∈ [2, max(5, ⌈N/100⌉)] for
+    *    N documents — an absolute upper bound silently collapses
+    *    recall at scale (every shingle's df outgrows it while the
+    *    query stays green);
+    *  - BOUNDED BLOCKING: each doc contributes its [[NgramPrefix]]
+    *    rarest in-window shingles as blocking keys, and each blocking
+    *    shingle pairs at most [[NgramBucketCap]] docs — candidates
+    *    are ≤ prefix·cap·n no matter how the df ceiling grows (the
+    *    relative window alone re-admits Σ C(df,2) blow-up on
+    *    duplicate-heavy corpora, where EVERY shingle lands in-window);
+    *  - TWO-STAGE RANKING: candidates are ranked by cheap blocking
+    *    evidence (shared rare shingles, then rarest-shared df) and
+    *    only the [[NgramVerifyBudget]] strongest get the exact
+    *    posting-list Jaccard — verification cost is a constant, not a
+    *    function of how many near-dups the corpus hides.
     *
-    * RECALL CONTRACT: a pair is compared iff one of its ~5 rarest
-    * shared shingles survives the window; true near-dups share most
-    * shingles, so their rarest shared shingle is (with high
-    * probability) in both prefixes — the standard prefix-filter
-    * recall argument.
+    * RECALL CONTRACT: a pair reaches the verify stage iff it shares a
+    * shingle that is (a) inside the relative window, (b) among one
+    * side's NgramPrefix rarest, (c) within the first NgramBucketCap
+    * occupants of that shingle's bucket, and (d) carries enough
+    * blocking evidence to rank in the verify budget. True near-dups
+    * share most shingles including their rarest, so they satisfy all
+    * four with high probability — the standard prefix-filter
+    * argument; pairs whose only common shingles are corpus-common are
+    * deliberately never compared.
     */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
     ngramJaccardOf(natPosting(spark, dir),
@@ -364,7 +381,8 @@ object Dedup {
   /** The blocked-Jaccard body over an explicit posting list + corpus
     * id frame — split out so the relative-window recall property is
     * testable (ScaleSmokeSpec: candidates stay nonzero under 8×
-    * corpus replication, where the old absolute window found none).
+    * corpus replication, where the old absolute window found none,
+    * and runtime stays bounded).
     */
   private[graft] def ngramJaccardOf(posting: DataFrame, docIds: DataFrame): DataFrame = {
     // single-row broadcast: the corpus-relative df ceiling
@@ -375,22 +393,36 @@ object Dedup {
         col("df") <= greatest(lit(5L), expr("(n_docs + 99) div 100")))
       .select(col("s"), col("df"))
     val blocked = posting.join(dfq, "s")   // ids only — no arrays in the join
-    // per-doc prefix: the NgramPrefix rarest in-window shingles. The
-    // window partitions by doc_id (millions of small groups — no hot
-    // key) and exists only to pick blocking keys, not to rank output.
+    // per-doc prefix: rarest in-window shingles. Both windows partition
+    // into small bounded groups (≤ shingles-per-doc / ≤ df rows) and
+    // pick blocking keys, not output ranks.
     val pw = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
     val prefix = blocked
       .withColumn("rnk", row_number().over(pw))
       .where(col("rnk") <= NgramPrefix)
+      .select(col("s"), col("doc_id"), col("df"))
+    // per-shingle bucket cap: deterministic first occupants
+    val bw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("s")).orderBy(col("doc_id"))
+    val bcap = blocked
+      .withColumn("brnk", row_number().over(bw))
+      .where(col("brnk") <= NgramBucketCap)
       .select(col("s"), col("doc_id"))
-    val cand = prefix.select(col("s"), col("doc_id").as("a_id"))
-      .join(blocked.select(col("s"), col("doc_id").as("b_id")), Seq("s"))
+    val cand0 = prefix.select(col("s"), col("doc_id").as("a_id"), col("df"))
+      .join(bcap.select(col("s"), col("doc_id").as("b_id")), Seq("s"))
       .where(col("a_id") =!= col("b_id"))
       .select(least(col("a_id"), col("b_id")).as("a_id"),
-        greatest(col("a_id"), col("b_id")).as("b_id"))
+        greatest(col("a_id"), col("b_id")).as("b_id"), col("s"), col("df"))
       .distinct()
-    jaccardOf(cand, posting)
+    // proxy rank: shared blocking shingles desc, rarest shared df asc —
+    // a bounded global top-K (TakeOrdered), then exact verification
+    val ranked = cand0.groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("shared"), min(col("df")).as("mdf"))
+      .orderBy(col("shared").desc, col("mdf"), col("a_id"), col("b_id"))
+      .limit(NgramVerifyBudget)
+      .select(col("a_id"), col("b_id"))
+    jaccardOf(ranked, posting)
       .orderBy(col("jaccard").desc, col("a_id"), col("b_id"))
       .limit(20)
   }
