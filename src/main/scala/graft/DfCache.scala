@@ -40,10 +40,13 @@ object DfCache {
   val StagingVersion = 1
 
   /** Once-only holder; `compute` runs outside the owning map's locks. */
-  private final class Cell(compute: () => DataFrame) {
-    @volatile private var v: DataFrame = _
+  private final class Cell(c0: () => DataFrame) {
+    private var compute = c0   // dropped after first evaluation: the
+    @volatile private var v: DataFrame = _ // closure pins operator scope
     def value: DataFrame = {
-      if (v == null) synchronized { if (v == null) v = compute() }
+      if (v == null) synchronized {
+        if (v == null) { v = compute(); compute = null }
+      }
       v
     }
     /** The frame iff already computed — eviction must not trigger a build. */
@@ -174,7 +177,7 @@ object DfCache {
     */
   def stagedFrame(spark: SparkSession, key: String, fingerprint: String)
       (df: => DataFrame): DataFrame = {
-    val dir = s"$stagingRoot/v$StagingVersion/${sanitize(key)}_$fingerprint"
+    val dir = stagingPath(key, fingerprint)
     try {
       val conf = spark.sparkContext.hadoopConfiguration
       val target = new org.apache.hadoop.fs.Path(dir)
@@ -186,14 +189,19 @@ object DfCache {
           dir + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
         df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
         fs.mkdirs(target.getParent)
-        if (!fs.rename(tmp, target)) {
-          // another writer won the race — serve its table
+        // LocalFileSystem's rename falls back to a COPY INTO an existing
+        // target dir (nesting the tmp table inside it) — never rename
+        // onto an existing path; a concurrent winner's table is served
+        if (fs.exists(target) || !fs.rename(tmp, target)) {
           fs.delete(tmp, true)
         }
       }
       spark.read.parquet(dir).persist(StorageLevel.MEMORY_AND_DISK)
     } catch {
-      case _: java.io.IOException => df.localCheckpoint()
+      // staging is an optimization, never a correctness dependency:
+      // any failure (IO, aborted Spark write job, unreadable dir)
+      // falls back to an in-session materialization
+      case scala.util.control.NonFatal(_) => df.localCheckpoint()
     }
   }
 }

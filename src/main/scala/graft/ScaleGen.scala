@@ -46,9 +46,14 @@ object ScaleGen {
     w(replicate(t("lineitem"), mult) { (df, k) =>
       df.withColumn("l_orderkey", col("l_orderkey") + lit(k * 1000000000L))
     }, "lineitem")
+    // events.ts arrives as a nanos long (legacy flag above); writing
+    // that long back would break the DuckDB oracle's epoch_ms(ts) on
+    // the scaled dir — publish a real TIMESTAMP_NTZ (micros) instead;
+    // Tables.events handles both physical types
     w(replicate(t("events"), mult) { (df, k) =>
       df.withColumn("event_id", col("event_id") + lit(k * 1000000000L))
         .withColumn("user_id", col("user_id") + lit(k * 1000000L))
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     }, "events")
     // copies keep their text/vector content: id blocks stay below the
     // +100000 near-dup-injection offset the dedup operators use

@@ -166,11 +166,23 @@ object ChunkIndex {
   def ensureIndex(spark: SparkSession, dir: String): String = {
     val path = graft.DfCache.stagingPath(s"chunk_index:$dir",
       graft.DfCache.inputFingerprint(spark, s"$dir/documents.parquet"))
-    val done = new org.apache.hadoop.fs.Path(path, "_GRAFT_INDEX_DONE")
+    val target = new org.apache.hadoop.fs.Path(path)
+    val done = new org.apache.hadoop.fs.Path(target, "_GRAFT_INDEX_DONE")
     val fs = done.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(done)) {
-      write(spark, dir, path)
-      fs.create(done, true).close()
+      if (fs.exists(target)) fs.delete(target, true)   // crashed partial build
+      // build under a tmp dir, marker included, then publish with one
+      // rename: two concurrent builders never write the same files and
+      // the done marker can only ever describe a complete two-table set
+      val tmp = new org.apache.hadoop.fs.Path(
+        path + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
+      write(spark, dir, tmp.toString)
+      fs.create(new org.apache.hadoop.fs.Path(tmp, "_GRAFT_INDEX_DONE"), true).close()
+      fs.mkdirs(target.getParent)
+      // LocalFileSystem renames onto an EXISTING dir by copying into it
+      // (nesting) — only rename onto a free path; a concurrent winner's
+      // published index is served instead
+      if (fs.exists(target) || !fs.rename(tmp, target)) fs.delete(tmp, true)
     }
     path
   }

@@ -28,13 +28,22 @@ object Tables {
     * epoch-millis `ts_ms` column — the engine-wide event-time
     * representation (matches DuckDB's `epoch_ms(ts)`).
     */
-  def events(s: SparkSession, dir: String): DataFrame =
-    apply(s, dir, "events")
-      // `div` truncates toward zero; DuckDB's epoch_ms floors. Equal
-      // for the post-epoch timestamps event data can contain — a
-      // pre-1970 ts would disagree by 1ms (nonsensical in this domain)
-      .withColumn("ts_ms", org.apache.spark.sql.functions.expr("ts div 1000000"))
-      .drop("ts")
+  def events(s: SparkSession, dir: String): DataFrame = {
+    val raw = apply(s, dir, "events")
+    // `div` truncates toward zero; DuckDB's epoch_ms floors. Equal
+    // for the post-epoch timestamps event data can contain — a
+    // pre-1970 ts would disagree by 1ms (nonsensical in this domain).
+    // The driver's table carries TIMESTAMP(NANOS) read as a long
+    // (legacy flag); ScaleGen-replicated dirs carry a true timestamp.
+    val tsMs = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        org.apache.spark.sql.functions.expr("ts div 1000000")
+      // cast: unix_millis rejects TIMESTAMP_NTZ; session TZ is UTC so
+      // the cast is identity for either physical timestamp type
+      case _ => org.apache.spark.sql.functions.expr("unix_millis(cast(ts as timestamp))")
+    }
+    raw.withColumn("ts_ms", tsMs).drop("ts")
+  }
   def documents(s: SparkSession, dir: String): DataFrame = apply(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = apply(s, dir, "embeddings")
 }
