@@ -273,15 +273,26 @@ object Dedup {
     *    never O(bucket²) shuffled rows.
     */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
-    simhashPartners(corpusWithDups(spark, dir, perturb = true))
+    simhashPartnersOfSigs(
+      DfCache.getOrCompute(spark, s"simhash_sigs:$dir")(
+        DfCache.stagedFrame(spark, s"simhash_sigs:$dir",
+          DfCache.inputFingerprint(spark, s"$dir/documents.parquet"))(
+          simhashSigs(corpusWithDups(spark, dir, perturb = true)))))
       .orderBy(col("hamming"), col("a_id"), col("b_id"))
 
   /** Capped verified simhash partner pairs of any (doc_id, text)
     * frame — split from [[dedupSimhash]] so the linear-output bound is
-    * directly testable (DedupScaleSpec: pair count stays ≤ cap·n when
-    * one half-bucket is replicated 8×).
+    * directly testable (ScaleSmokeSpec: pair count stays ≤ cap·n when
+    * one half-bucket holds the whole corpus).
     */
-  private[graft] def simhashPartners(corpus: DataFrame): DataFrame = {
+  private[graft] def simhashPartners(corpus: DataFrame): DataFrame =
+    simhashPartnersOfSigs(simhashSigs(corpus))
+
+  /** (doc_id, simhash) signature table — an index artifact: built
+    * once per session and staged cross-process ([[DfCache]]) for the
+    * oracle query; per-bit majority votes of token md5s.
+    */
+  private[graft] def simhashSigs(corpus: DataFrame): DataFrame = {
     val tok = corpus
       .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
       .select(col("doc_id"), md5Long(col("t"), 1, 8).as("h"))
@@ -289,11 +300,14 @@ object Dedup {
       sum(when(shiftright(col("h"), bit).bitwiseAND(1) === 1, 1).otherwise(-1))
         .as(s"v$bit")
     }
-    val sim = tok.groupBy(col("doc_id")).agg(bitVotes.head, bitVotes.tail: _*)
+    tok.groupBy(col("doc_id")).agg(bitVotes.head, bitVotes.tail: _*)
       .select(col("doc_id"),
         (0 until SimhashBits).map { bit =>
           when(col(s"v$bit") > 0, lit(1L << bit)).otherwise(0L)
         }.reduce(_ + _).as("simhash"))
+  }
+
+  private def simhashPartnersOfSigs(sim: DataFrame): DataFrame = {
     val halves = sim.select(col("doc_id"), col("simhash"),
         lit(0).as("half_idx"), shiftright(col("simhash"), 16).as("half"))
       .unionAll(sim.select(col("doc_id"), col("simhash"),

@@ -170,6 +170,19 @@ object VectorSearch {
       .otherwise(code)
   }
 
+  /** Corpus vectors with their LSH sign code — an INDEX artifact
+    * (the coded table is what a deployed LSH index persists), built
+    * once per session and staged cross-process keyed by the
+    * embeddings fingerprint. Shared by ann_lsh, ann_lsh_recall and
+    * dedup_embedding; at 100 TB the code becomes a partition column
+    * and this staging table IS the index.
+    */
+  private[graft] def codedVectors(spark: SparkSession, dir: String): DataFrame =
+    graft.DfCache.getOrCompute(spark, s"lsh_codes:$dir")(
+      graft.DfCache.stagedFrame(spark, s"lsh_codes:$dir",
+        graft.DfCache.inputFingerprint(spark, s"$dir/embeddings.parquet"))(
+        vectors(spark, dir).withColumn("code", lshCode(col("emb")))))
+
   /** MULTI-PROBE LSH search: each query probes its own sign-bucket
     * plus the 6 hamming-1 neighbor buckets (one plane flipped), the
     * standard fix for single-probe's zero-recall queries — a vector
@@ -186,7 +199,7 @@ object VectorSearch {
     */
   private[graft] def annLshWith(spark: SparkSession, dir: String,
       multiProbe: Boolean): DataFrame = {
-    val v = vectors(spark, dir).withColumn("code", lshCode(col("emb")))
+    val v = codedVectors(spark, dir)
     val q = v.where(col("vec_id") < NQueries)
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"), col("code"))
     val probeCodes =
@@ -273,7 +286,10 @@ object VectorSearch {
     * runs first in the pipeline.
     */
   private[graft] def embeddingDupCandidates(v: DataFrame): DataFrame = {
-    val coded = v.withColumn("code", lshCode(col("emb")))
+    // a frame from the coded index skips the per-execution code build
+    val coded =
+      if (v.columns.contains("code")) v
+      else v.withColumn("code", lshCode(col("emb")))
     val a = coded.select(col("label"), col("code"), col("vec_id").as("a_id"), col("emb").as("a_emb"))
     val b = coded.select(col("label"), col("code"), col("vec_id").as("b_id"), col("emb").as("b_emb"))
     a.join(b, Seq("label", "code"))
@@ -290,7 +306,7 @@ object VectorSearch {
     * pairs by cosine — SURVEY.md §2.F `dedup_embedding`.
     */
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame =
-    embeddingDupCandidates(vectors(spark, dir))
+    embeddingDupCandidates(codedVectors(spark, dir))
       .orderBy(col("cos").desc, col("a_id"), col("b_id"))
       .limit(20)
 }
