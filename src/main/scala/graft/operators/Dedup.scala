@@ -388,9 +388,19 @@ object Dedup {
     * argument; pairs whose only common shingles are corpus-common are
     * deliberately never compared.
     */
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
-    ngramJaccardOf(natPosting(spark, dir),
-      Tables.documents(spark, dir).select(col("doc_id")))
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val posting = natPosting(spark, dir)
+    // the ranked candidate set is a detect-stage artifact (like the
+    // minhash pair source): built once per session, staged cross-process
+    val ranked = DfCache.getOrCompute(spark, s"ngram_cand:$dir")(
+      DfCache.stagedFrame(spark, s"ngram_cand:$dir",
+        DfCache.inputFingerprint(spark, s"$dir/documents.parquet"))(
+        ngramCandidates(posting,
+          Tables.documents(spark, dir).select(col("doc_id")))))
+    jaccardOf(ranked, posting)
+      .orderBy(col("jaccard").desc, col("a_id"), col("b_id"))
+      .limit(20)
+  }
 
   /** The blocked-Jaccard body over an explicit posting list + corpus
     * id frame — split out so the relative-window recall property is
@@ -398,7 +408,15 @@ object Dedup {
     * corpus replication, where the old absolute window found none,
     * and runtime stays bounded).
     */
-  private[graft] def ngramJaccardOf(posting: DataFrame, docIds: DataFrame): DataFrame = {
+  private[graft] def ngramJaccardOf(posting: DataFrame, docIds: DataFrame): DataFrame =
+    jaccardOf(ngramCandidates(posting, docIds), posting)
+      .orderBy(col("jaccard").desc, col("a_id"), col("b_id"))
+      .limit(20)
+
+  /** Blocking + proxy-ranking stage: the [[NgramVerifyBudget]]
+    * strongest candidate pairs by blocking evidence.
+    */
+  private def ngramCandidates(posting: DataFrame, docIds: DataFrame): DataFrame = {
     // single-row broadcast: the corpus-relative df ceiling
     val nDocs = docIds.agg(count(lit(1)).as("n_docs"))
     val dfq = posting.groupBy(col("s")).agg(count(lit(1)).as("df"))
@@ -436,9 +454,7 @@ object Dedup {
       .orderBy(col("shared").desc, col("mdf"), col("a_id"), col("b_id"))
       .limit(NgramVerifyBudget)
       .select(col("a_id"), col("b_id"))
-    jaccardOf(ranked, posting)
-      .orderBy(col("jaccard").desc, col("a_id"), col("b_id"))
-      .limit(20)
+    ranked
   }
 
   /** Benchmark-contamination check — the train/eval overlap audit an

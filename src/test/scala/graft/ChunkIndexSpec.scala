@@ -36,4 +36,19 @@ class ChunkIndexSpec extends SparkSpec {
       .map(_.get(0).toString.toLong).toSet
     assert(buckets.subsetOf(Set(0L, 1L)))
   }
+
+  test("ensureIndex builds once and is idempotent across calls") {
+    val p1 = ChunkIndex.ensureIndex(spark, sfDir)
+    val done = new java.io.File(p1, "_GRAFT_INDEX_DONE")
+    assert(done.exists(), "published index missing completeness marker")
+    val stamp = done.lastModified()
+    val p2 = ChunkIndex.ensureIndex(spark, sfDir)
+    assert(p2 == p1, "fingerprinted path changed without input change")
+    assert(done.lastModified() == stamp, "second call rebuilt the index")
+    // the published dir must not contain a nested tmp build
+    assert(!new java.io.File(p1).listFiles().exists(_.getName.contains(".tmp-")),
+      "tmp build nested inside the published index")
+    val hits = ChunkIndex.indexSearch(spark, sfDir).collect()
+    assert(hits.nonEmpty && hits.length <= 5)
+  }
 }
