@@ -122,8 +122,9 @@ object DfCache {
   // ---------------------------------------------------------------
 
   private def stagingRoot: String =
-    sys.env.getOrElse("SPARK_GRAFT_STAGING",
-      new java.io.File("target/staging").getAbsolutePath)
+    sys.props.get("graft.staging")   // test override (per-JVM)
+      .orElse(sys.env.get("SPARK_GRAFT_STAGING"))
+      .getOrElse(new java.io.File("target/staging").getAbsolutePath)
 
   private def sanitize(key: String): String =
     key.map(c => if (c.isLetterOrDigit || c == '.' || c == '-' || c == '_') c else '_')

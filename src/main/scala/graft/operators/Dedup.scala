@@ -176,7 +176,7 @@ object Dedup {
     * localCheckpoint materializes the new labels AND truncates
     * lineage, and the convergence flag rides along as a
     * LongAccumulator incremented inside that same job — no separate
-    * probe action (DedupScaleSpec counts the jobs). A task retry can
+    * probe action (ScaleSmokeSpec counts the jobs). A task retry can
     * only inflate the accumulator, never fake convergence: zero means
     * no task saw a change.
     */
@@ -185,7 +185,7 @@ object Dedup {
 
   /** components + the number of propagation rounds it took — exposed
     * so the O(log diameter) convergence claim is spec-testable
-    * (DedupScaleSpec: a 1024-node chain converges in ≤ 12 rounds, not
+    * (ScaleSmokeSpec: a 1024-node chain converges in ≤ 12 rounds, not
     * ~1024).
     */
   private[graft] def componentsWithRounds(pairs: DataFrame): (DataFrame, Int) = {

@@ -76,26 +76,27 @@ object VectorSearch {
   }
 
   /** Per-label mean centroids of the embeddings table — the IVF
-    * coarse-quantizer table, built ONCE per (session, dir) and served
-    * from a localCheckpointed ≤ #labels-row frame (graft.DfCache).
+    * coarse-quantizer table, built ONCE per (session, dir) and staged
+    * cross-process as a ≤ #labels-row parquet table (graft.DfCache).
     * Centroid dims go through DECIMAL so the mean is
     * order-independent and oracle-exact. At 100 TB this is the
-    * index-BUILD step (MLIndex.kmeansIvf / ChunkIndex own the
+    * index-BUILD step (MLIndex.kmeansIvf / ChunkIndex own the richer
     * persisted form); the query path must read a tiny prebuilt table,
     * never re-average the corpus per execution.
     */
   private[graft] def centroidsOf(spark: SparkSession, dir: String): DataFrame =
-    graft.DfCache.getOrCompute(spark, s"ivf_centroids:$dir") {
-      // long-form → decimal-exact per-dim mean → assembled centroid
-      vectors(spark, dir)
-        .select(col("label"), posexplode(col("emb")).as(Seq("dim", "x")))
-        .groupBy(col("label"), col("dim"))
-        .agg((sum(col("x").cast(DecimalType(18, 9))).cast("double") / count(lit(1))).as("cv"))
-        .groupBy(col("label"))
-        .agg(transform(array_sort(collect_list(struct(col("dim"), col("cv")))),
-          s => s.getField("cv")).as("c_emb"))
-        .localCheckpoint()
-    }
+    graft.DfCache.getOrCompute(spark, s"ivf_centroids:$dir")(
+      graft.DfCache.stagedFrame(spark, s"ivf_centroids:$dir",
+        graft.DfCache.inputFingerprint(spark, s"$dir/embeddings.parquet")) {
+        // long-form → decimal-exact per-dim mean → assembled centroid
+        vectors(spark, dir)
+          .select(col("label"), posexplode(col("emb")).as(Seq("dim", "x")))
+          .groupBy(col("label"), col("dim"))
+          .agg((sum(col("x").cast(DecimalType(18, 9))).cast("double") / count(lit(1))).as("cv"))
+          .groupBy(col("label"))
+          .agg(transform(array_sort(collect_list(struct(col("dim"), col("cv")))),
+            s => s.getField("cv")).as("c_emb"))
+      })
 
   /** IVF-style approximate search: probe the nProbe nearest centroids
     * per query, then search only those label buckets. Uses the

@@ -38,17 +38,27 @@ class ChunkIndexSpec extends SparkSpec {
   }
 
   test("ensureIndex builds once and is idempotent across calls") {
-    val p1 = ChunkIndex.ensureIndex(spark, sfDir)
-    val done = new java.io.File(p1, "_GRAFT_INDEX_DONE")
-    assert(done.exists(), "published index missing completeness marker")
-    val stamp = done.lastModified()
-    val p2 = ChunkIndex.ensureIndex(spark, sfDir)
-    assert(p2 == p1, "fingerprinted path changed without input change")
-    assert(done.lastModified() == stamp, "second call rebuilt the index")
-    // the published dir must not contain a nested tmp build
-    assert(!new java.io.File(p1).listFiles().exists(_.getName.contains(".tmp-")),
-      "tmp build nested inside the published index")
-    val hits = ChunkIndex.indexSearch(spark, sfDir).collect()
-    assert(hits.nonEmpty && hits.length <= 5)
+    // isolated staging root: the build path must actually run here,
+    // regardless of what previous JVMs left under target/staging
+    val root = Files.createTempDirectory("graft_staging").toString
+    System.setProperty("graft.staging", root)
+    try {
+      val p1 = ChunkIndex.ensureIndex(spark, sfDir)
+      assert(p1.startsWith(root), "test staging root not honored")
+      val done = new java.io.File(p1, "_GRAFT_INDEX_DONE")
+      assert(done.exists(), "published index missing completeness marker")
+      // a rebuild republishes the whole dir — a planted canary detects
+      // it robustly (mtime granularity can hide a same-second rebuild)
+      val canary = new java.io.File(p1, "_canary")
+      assert(canary.createNewFile())
+      val p2 = ChunkIndex.ensureIndex(spark, sfDir)
+      assert(p2 == p1, "fingerprinted path changed without input change")
+      assert(canary.exists(), "second call rebuilt the index")
+      // the published dir must not contain a nested tmp build
+      assert(!new java.io.File(p1).listFiles().exists(_.getName.contains(".tmp-")),
+        "tmp build nested inside the published index")
+      val hits = ChunkIndex.indexSearch(spark, sfDir).collect()
+      assert(hits.nonEmpty && hits.length <= 5)
+    } finally System.clearProperty("graft.staging")
   }
 }
