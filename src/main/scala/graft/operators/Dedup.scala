@@ -226,20 +226,28 @@ object Dedup {
     * MinHash pairs (jaccard ≥ 0.8, uncapped) — the step that turns
     * pairwise candidates into canonical groups when duplicates chain
     * (A≈B≈C). Labels converge to the component minimum, matching the
-    * oracle's recursive closure.
+    * oracle's recursive closure. The assignment is THE canonical
+    * detect-stage output, so it is computed once per session and
+    * staged cross-process like the pair source that feeds it — a
+    * fresh JVM skips the whole fixpoint.
     */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame =
-    components(minhashPairs(spark, dir)
-        .where(col("jaccard") >= 0.8)
-        .select(col("a_id"), col("b_id")))
-      .orderBy(col("doc_id"))
+    clustersCached(spark, dir).orderBy(col("doc_id"))
+
+  private def clustersCached(spark: SparkSession, dir: String): DataFrame =
+    DfCache.getOrCompute(spark, s"dedup_clusters:$dir")(
+      DfCache.stagedFrame(spark, s"dedup_clusters:$dir",
+        DfCache.inputFingerprint(spark, s"$dir/documents.parquet"))(
+        components(minhashPairs(spark, dir)
+          .where(col("jaccard") >= 0.8)
+          .select(col("a_id"), col("b_id")))))
 
   /** Apply the near-dup clustering: drop every non-canonical cluster
     * member (anti-join), keeping one representative per component —
     * the final "materialize the near-deduped corpus" step.
     */
   def neardupApply(spark: SparkSession, dir: String): DataFrame = {
-    val drop = dedupClusters(spark, dir)
+    val drop = clustersCached(spark, dir)
       .where(col("cluster_id") =!= col("doc_id"))
       .select(col("doc_id"))
     corpusWithDups(spark, dir, perturb = true)
