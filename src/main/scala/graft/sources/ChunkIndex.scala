@@ -30,20 +30,27 @@ object ChunkIndex {
       w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)).cast("int"))
   }
 
+  /** Full overwrite, partitioned by `partCol` — EXCEPT for a 0-row
+    * frame, which goes out flat: an empty `partitionBy` write emits
+    * no schema-bearing footer at all and the table becomes unreadable
+    * (UNABLE_TO_INFER_SCHEMA on the next load). The partition key is
+    * also a data column, so readers are unaffected by the layout.
+    */
+  private def writePartitioned(df: DataFrame, partCol: String, path: String): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    if (df.isEmpty) w.parquet(path) else w.partitionBy(partCol).parquet(path)
+  }
+
   /** Build and persist the index tables (embed_pdfs.py:220
     * `build_and_save_index`). Both tables are partitioned — `chunks`
     * by a doc_id shard, `embeddings` by the quantizer bucket — so
     * incremental upserts can rewrite only touched partitions.
     */
   def write(spark: SparkSession, dir: String, outPath: String): Unit = {
-    withShard(Ingest.docChunk(spark, dir))
-      .write.mode(SaveMode.Overwrite)
-      .partitionBy("shard")
-      .parquet(s"$outPath/chunks")
-    withBucket(Ingest.docEmbed(spark, dir))
-      .write.mode(SaveMode.Overwrite)
-      .partitionBy("bucket")
-      .parquet(s"$outPath/embeddings")
+    writePartitioned(withShard(Ingest.docChunk(spark, dir)), "shard",
+      s"$outPath/chunks")
+    writePartitioned(withBucket(Ingest.docEmbed(spark, dir)), "bucket",
+      s"$outPath/embeddings")
   }
 
   /** MERGE-style upsert of an incoming (doc_id, text) batch into the
@@ -125,7 +132,7 @@ object ChunkIndex {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new org.apache.hadoop.fs.Path(path))) {
       // bootstrap: nothing to merge — the first batch creates the table
-      fresh.write.mode(SaveMode.Overwrite).partitionBy(partCol).parquet(path)
+      writePartitioned(fresh, partCol, path)
       return
     }
     val existing = spark.read.parquet(path)

@@ -58,6 +58,21 @@ class EdgeCaseSpec extends SparkSpec {
     }
   }
 
+  test("pipeline_ingest and index_search survive an empty corpus") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_empty").toString
+    val stagingRoot = java.nio.file.Files.createTempDirectory("graft_empty_stage").toString
+    // empty documents table with the production schema
+    graft.sources.Tables.documents(spark, sfDir).where(lit(false))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    System.setProperty("graft.staging", stagingRoot)
+    try {
+      assert(graft.operators.Ingest.pipelineIngest(spark, tmp).count() == 0)
+      // ensureIndex publishes an empty-but-complete index; search is empty
+      val hits = graft.sources.ChunkIndex.indexSearch(spark, tmp).collect()
+      assert(hits.isEmpty)
+    } finally System.clearProperty("graft.staging")
+  }
+
   test("validate_docs accepts the whole synthetic corpus and flags synthetic bad rows") {
     val all = TextAnalysis.validateDocs(spark, sfDir).collect()
     assert(all.forall(_.getAs[Boolean]("valid")))   // corpus is clean
