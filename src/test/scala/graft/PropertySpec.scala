@@ -100,6 +100,39 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("components matches a union-find oracle on random graphs") {
+    import spark.implicits._
+    val rnd = new Random(11)
+    (1 to 5).foreach { trial =>
+      val n = 60 + trial * 30
+      // random sparse graph: isolated-from-edges nodes excluded (the
+      // operator's domain is nodes that appear in a pair)
+      val edges = Vector.fill(n)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).filter(e => e._1 != e._2)
+      val (labels, _) = graft.operators.Dedup.componentsWithRounds(
+        edges.toDF("a_id", "b_id"))
+      val got = labels.collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+      // driver-side union-find oracle with path compression
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // canonical label = component minimum
+      val members = parent.keys.toSeq
+      val minOf = members.groupBy(find).map { case (r, ms) => r -> ms.min }
+      val expected = members.map(m => m -> minOf(find(m))).toMap
+      assert(got == expected,
+        s"trial $trial: ${got.size} vs ${expected.size} labeled nodes, " +
+          s"first diff: ${(got.toSet diff expected.toSet).take(3)}")
+    }
+  }
+
   test("minhashPerm stays within [0, P) for 32-bit inputs") {
     val rnd = new Random(9)
     val hs = Seq.fill(1000)(rnd.nextLong().abs % 4294967296L)
