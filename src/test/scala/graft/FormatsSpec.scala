@@ -31,6 +31,28 @@ class FormatsSpec extends SparkSpec {
     assert(canon(back).sameElements(canon(events)))
   }
 
+  test("jsonl quarantine: good rows parse, bad lines kept inspectable, none lost") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_jsonl").toString
+    val lines = Seq(
+      """{"doc_id": 1, "text": "alpha beta"}""",
+      """{"doc_id": 2, "text": "gamma}""",            // unterminated string
+      """{"doc_id": 3, "text": "delta epsilon"}""",
+      """not json at all""",
+      """{"doc_id": "not-a-number", "text": "zeta"}""") // type mismatch
+    Files.write(java.nio.file.Paths.get(s"$dir/part.jsonl"),
+      String.join("\n", lines: _*).getBytes("UTF-8"))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val (good, bad) = Formats.readJsonlQuarantine(spark, dir, schema)
+    val goodRows = good.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(goodRows == Map(1L -> "alpha beta", 3L -> "delta epsilon"))
+    val quarantined = bad.collect().map(_.getString(0))
+    assert(quarantined.length == 3, s"expected 3 quarantined, got ${quarantined.toSeq}")
+    assert(quarantined.contains("not json at all"))   // raw line preserved
+    assert(goodRows.size + quarantined.length == lines.length, "rows lost")
+  }
+
   test("explicit-schema read prunes and types correctly") {
     val out = Files.createTempDirectory("graft_json2").toString + "/events"
     Formats.writeJson(events, out)
