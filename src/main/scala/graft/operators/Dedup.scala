@@ -187,18 +187,57 @@ object Dedup {
     * so the O(log diameter) convergence claim is spec-testable
     * (ScaleSmokeSpec: a 1024-node chain converges in ≤ 12 rounds, not
     * ~1024).
+    *
+    * CHECKPOINT HYGIENE: each round materializes a fresh O(n)-row
+    * labels frame; the previous round's blocks are dead the moment the
+    * new one lands, so they are unpersisted inside the loop — peak
+    * executor storage is ≤ 2 label frames + the edge list, not
+    * O(rounds) frames (a billion-doc corpus runs ~12 rounds; pinning
+    * 12 label tables is the difference between fitting and spilling).
+    *
+    * RELIABLE MODE (`reliableDir = Some(path)`): localCheckpoint is
+    * non-reliable — a lost executor drops blocks with no lineage to
+    * rebuild them, aborting the whole fixpoint. For cluster runs, pass
+    * a (distributed-FS) directory and every round stages to parquet
+    * instead; a round survives any executor loss and each round's
+    * files are deleted when the next lands. Opt in globally with
+    * `-Dgraft.components.checkpointDir=...` (read by dedupClusters).
+    * The convergence accumulator rides the write job the same way.
     */
-  private[graft] def componentsWithRounds(pairs: DataFrame): (DataFrame, Int) = {
+  private[graft] def componentsWithRounds(pairs: DataFrame,
+      reliableDir: Option[String] = None): (DataFrame, Int) = {
     val spark = pairs.sparkSession
     val acc = spark.sparkContext.longAccumulator("graft.components.changed")
     // rides inside the checkpoint job: counts rows whose label improved
     val mark = udf { chg: Boolean => if (chg) acc.add(1L); chg }
-    val edges = pairs
-      .unionAll(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
-      .localCheckpoint()
-    var labels = edges.select(col("a_id").as("id")).distinct()
-      .withColumn("cluster", col("id"))
-      .localCheckpoint()
+    def materialize(df: DataFrame, slot: String): DataFrame = reliableDir match {
+      case Some(dir) =>
+        val path = s"$dir/$slot"
+        df.write.mode("overwrite").parquet(path)
+        spark.read.parquet(path)
+      case None => df.localCheckpoint()
+    }
+    // frees a round's storage: cached blocks in local mode, the staged
+    // parquet directory in reliable mode. Never called on the frame a
+    // live reference still needs.
+    def release(df: DataFrame, slot: String): Unit = reliableDir match {
+      case Some(dir) =>
+        val p = new org.apache.hadoop.fs.Path(s"$dir/$slot")
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      case None =>
+        df.queryExecution.analyzed.collectLeaves().foreach {
+          case l: org.apache.spark.sql.execution.LogicalRDD =>
+            l.rdd.unpersist(blocking = false)
+          case _ => ()
+        }
+    }
+    val edges = materialize(pairs
+      .unionAll(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id"))),
+      "edges")
+    var prev = materialize(edges.select(col("a_id").as("id")).distinct()
+      .withColumn("cluster", col("id")), "round_0")
+    var prevSlot = "round_0"
+    var labels = prev
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 32) {
@@ -209,16 +248,21 @@ object Dedup {
           least(col("cluster"), coalesce(col("nc"), col("cluster"))).as("c1"))
       // doubling hop: follow the candidate label to ITS current label
       acc.reset()
-      val next = hop
+      val slot = s"round_${rounds + 1}"
+      val next = materialize(hop
         .join(labels.select(col("id").as("c1"), col("cluster").as("cc")), Seq("c1"), "left")
         .select(col("id"),
           least(col("c1"), coalesce(col("cc"), col("c1"))).as("new_cluster"),
-          mark(least(col("c1"), coalesce(col("cc"), col("c1"))) < col("cluster")).as("chg"))
-        .localCheckpoint()   // the round's ONLY job — flag included
+          mark(least(col("c1"), coalesce(col("cc"), col("c1"))) < col("cluster")).as("chg")),
+        slot)   // the round's ONLY job — flag included
       changed = acc.value
+      release(prev, prevSlot)   // previous round is dead once `next` landed
+      prev = next
+      prevSlot = slot
       labels = next.select(col("id"), col("new_cluster").as("cluster"))
       rounds += 1
     }
+    release(edges, "edges")   // the final labels frame doesn't read edges
     (labels.select(col("id").as("doc_id"), col("cluster").as("cluster_id")), rounds)
   }
 
@@ -238,9 +282,11 @@ object Dedup {
     DfCache.getOrCompute(spark, s"dedup_clusters:$dir")(
       DfCache.stagedFrame(spark, s"dedup_clusters:$dir",
         DfCache.inputFingerprint(spark, s"$dir/documents.parquet"))(
-        components(minhashPairs(spark, dir)
+        componentsWithRounds(minhashPairs(spark, dir)
           .where(col("jaccard") >= 0.8)
-          .select(col("a_id"), col("b_id")))))
+          .select(col("a_id"), col("b_id")),
+          // cluster runs opt into fault-tolerant per-round staging
+          sys.props.get("graft.components.checkpointDir"))._1))
 
   /** Apply the near-dup clustering: drop every non-canonical cluster
     * member (anti-join), keeping one representative per component —

@@ -135,6 +135,44 @@ class ScaleSmokeSpec extends SparkSpec {
     }
   }
 
+  test("components fixpoint retains at most the final labels frame's blocks") {
+    import spark.implicits._
+    // each round localCheckpoints a fresh labels frame; the loop must
+    // unpersist the dead rounds (and the edge list) or a billion-doc
+    // corpus pins ~12 label tables in executor storage
+    val pairs = (0L until 255L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+      .localCheckpoint()
+    val before = spark.sparkContext.getRDDStorageInfo.map(_.id).toSet
+    val (labels, rounds) = graft.operators.Dedup.componentsWithRounds(pairs)
+    assert(labels.collect().forall(_.getAs[Long]("cluster_id") == 0L))
+    assert(rounds >= 4, s"chain of 256 should need several rounds, took $rounds")
+    // unpersist is async: wait for the dead rounds' blocks to drain
+    var leftover = Seq.empty[String]
+    var spins = 0
+    while ({
+      leftover = spark.sparkContext.getRDDStorageInfo.toSeq
+        .filterNot(i => before(i.id)).map(_.name)
+      leftover.length > 1 && spins < 50
+    }) { Thread.sleep(100); spins += 1 }
+    assert(leftover.length <= 1,
+      s"fixpoint leaked checkpoint blocks after $rounds rounds: $leftover")
+  }
+
+  test("reliable checkpoint mode stages rounds to parquet, keeps only the final round") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_ck").toString
+    val pairs = (0L until 63L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val (labels, rounds) =
+      graft.operators.Dedup.componentsWithRounds(pairs, Some(tmp))
+    val out = labels.collect()
+    assert(out.length == 64)
+    assert(out.forall(_.getAs[Long]("cluster_id") == 0L))
+    // every superseded round dir AND the edge stage must be deleted;
+    // the returned frame reads from the surviving final round only
+    val kept = new java.io.File(tmp).listFiles.map(_.getName).toSet
+    assert(kept == Set(s"round_$rounds"), s"stale checkpoint dirs: $kept")
+  }
+
   test("components converges in O(log diameter) rounds on a 1024-node chain") {
     import spark.implicits._
     // worst case for plain min-propagation: one long path. Pointer
