@@ -63,9 +63,15 @@ object Bench {
     val warm =
       if (passTotals.size > 1) passTotals.tail.sum / passTotals.tail.size
       else passTotals.head
+    // "no silent caps": the dropped-candidate counts ride every bench
+    // line, so a cap that starts biting at a new scale is visible in
+    // the same artifact that claims the timing (untimed — one-off
+    // aggregates over the already-staged artifacts)
+    val audit = try Audit.json(spark, sfDir)
+      catch { case e: Throwable => s"""{"error":"${e.getClass.getSimpleName}"}""" }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""passes":$Passes,"pass_totals":$pt,"cold_total":${passTotals.head},""" +
-      s""""warm_total":$warm,"errors":$errJson,"sf":"$sfDir"}""")
+      s""""warm_total":$warm,"errors":$errJson,"cap_audit":$audit,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -35,9 +35,11 @@ object DfCache {
 
   /** Bump when the logic of ANY staged computation changes: the
     * version is part of the staging path, so stale tables from an
-    * older build are never read (they are simply orphaned).
+    * older build are never read. Old-version trees are reclaimed by
+    * [[gc]]; superseded fingerprints within the current version are
+    * swept opportunistically at publish time ([[publishStaged]]).
     */
-  val StagingVersion = 1
+  val StagingVersion = 2
 
   /** Once-only holder; `compute` runs outside the owning map's locks. */
   private final class Cell(c0: () => DataFrame) {
@@ -148,16 +150,104 @@ object DfCache {
       val hp = new org.apache.hadoop.fs.Path(p)
       val fs = hp.getFileSystem(conf)
       if (fs.exists(hp)) {
+        val rootUri = fs.makeQualified(hp).toUri
         val it = fs.listFiles(hp, true)
         val entries = scala.collection.mutable.ArrayBuffer[String]()
         while (it.hasNext) {
           val f = it.next()
-          entries += s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}"
+          // ROOT-RELATIVE path, not basename: files in different
+          // subdirectories with identical name/len/mtime must stay
+          // distinguishable (partitioned tables have many part-0000s)
+          val rel = rootUri.relativize(f.getPath.toUri).getPath
+          entries += s"$rel:${f.getLen}:${f.getModificationTime}"
         }
+        // file count: a pruned-to-empty dir differs from a missing one
+        md.update(s"$p#${entries.size};".getBytes("UTF-8"))
         entries.sorted.foreach(e => md.update(e.getBytes("UTF-8")))
       }
     }
     md.digest().map(b => f"${b & 0xff}%02x").mkString.take(16)
+  }
+
+  /** Write-if-absent publisher for a staged directory: runs `write`
+    * against a tmp path, marks it complete (`doneFile`), renames into
+    * place, then sweeps superseded fingerprints of the same key. The
+    * shared commit path of [[stagedFrame]], ChunkIndex.ensureIndex
+    * and the JSONL source generator (Formats.jsonlIngest). Returns
+    * the published dir (which a concurrent winner may have produced).
+    */
+  private[graft] def publishStaged(spark: SparkSession, key: String,
+      fingerprint: String, doneFile: String)(write: String => Unit): String = {
+    val dir = stagingPath(key, fingerprint)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val target = new org.apache.hadoop.fs.Path(dir)
+    val fs = target.getFileSystem(conf)
+    val done = new org.apache.hadoop.fs.Path(target, doneFile)
+    if (!fs.exists(done)) {
+      if (fs.exists(target)) fs.delete(target, true)   // half-written leftover
+      val tmp = new org.apache.hadoop.fs.Path(
+        dir + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
+      write(tmp.toString)
+      val tmpDone = new org.apache.hadoop.fs.Path(tmp, doneFile)
+      if (!fs.exists(tmpDone)) fs.create(tmpDone, true).close()
+      fs.mkdirs(target.getParent)
+      // LocalFileSystem's rename falls back to a COPY INTO an existing
+      // target dir (nesting the tmp table inside it) — never rename
+      // onto an existing path; a concurrent winner's table is served
+      if (fs.exists(target) || !fs.rename(tmp, target)) {
+        fs.delete(tmp, true)
+      }
+      sweepStaleFingerprints(fs, target.getParent, sanitize(key), fingerprint)
+    }
+    dir
+  }
+
+  /** STAGING GC, opportunistic half: once `liveFp` for a key is
+    * published, every sibling `key_<otherFp>` is stale BY DEFINITION
+    * (the fingerprint is a pure function of the current inputs) — a
+    * regenerated corpus would otherwise orphan its old staged tables
+    * forever. A concurrent reader of a swept table loses only a
+    * cache: stagedFrame's fallback recomputes in-session.
+    */
+  private def sweepStaleFingerprints(fs: org.apache.hadoop.fs.FileSystem,
+      parent: org.apache.hadoop.fs.Path, keyPrefix: String, liveFp: String): Unit =
+    try {
+      fs.listStatus(parent).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith(keyPrefix + "_") && n != s"${keyPrefix}_$liveFp") {
+          // only dirs whose ENTIRE tail is a fingerprint are this key's:
+          // a longer key that merely starts the same ("key_extra_<fp>")
+          // has a non-hex tail here and is left alone
+          val tail = n.substring(keyPrefix.length + 1)
+          if (tail.length == 16 && tail.forall(c => (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f')))
+            fs.delete(st.getPath, true)
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  /** STAGING GC, explicit half: drops every staging tree from an
+    * older [[StagingVersion]] (a version bump orphans them wholesale)
+    * and, within the current version, any entry not modified for
+    * `maxAgeMs` — the long-lived-deployment sweep for keys whose
+    * inputs were deleted rather than regenerated.
+    */
+  def gc(spark: SparkSession, maxAgeMs: Long = Long.MaxValue): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(stagingRoot)
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) return
+    val now = System.currentTimeMillis()
+    fs.listStatus(root).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("v") && n != s"v$StagingVersion" &&
+          n.drop(1).forall(_.isDigit)) {
+        fs.delete(st.getPath, true)
+      } else if (n == s"v$StagingVersion" && maxAgeMs != Long.MaxValue) {
+        fs.listStatus(st.getPath).foreach { e =>
+          if (now - e.getModificationTime > maxAgeMs) fs.delete(e.getPath, true)
+        }
+      }
+    }
   }
 
   /** Materialize `df` as a parquet staging table (write-if-absent)
@@ -175,29 +265,19 @@ object DfCache {
     * If the staging root is unwritable the frame falls back to a
     * plain localCheckpoint — staging is an optimization, never a
     * correctness dependency.
+    *
+    * `persist = false` skips the MEMORY_AND_DISK persist of the
+    * read-back: a single-consumer staged read shouldn't pay cache
+    * population for blocks nothing re-reads.
     */
-  def stagedFrame(spark: SparkSession, key: String, fingerprint: String)
-      (df: => DataFrame): DataFrame = {
-    val dir = stagingPath(key, fingerprint)
+  def stagedFrame(spark: SparkSession, key: String, fingerprint: String,
+      persist: Boolean = true)(df: => DataFrame): DataFrame = {
     try {
-      val conf = spark.sparkContext.hadoopConfiguration
-      val target = new org.apache.hadoop.fs.Path(dir)
-      val fs = target.getFileSystem(conf)
-      val success = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
-      if (!fs.exists(success)) {
-        if (fs.exists(target)) fs.delete(target, true)   // half-written leftover
-        val tmp = new org.apache.hadoop.fs.Path(
-          dir + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
-        df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-        fs.mkdirs(target.getParent)
-        // LocalFileSystem's rename falls back to a COPY INTO an existing
-        // target dir (nesting the tmp table inside it) — never rename
-        // onto an existing path; a concurrent winner's table is served
-        if (fs.exists(target) || !fs.rename(tmp, target)) {
-          fs.delete(tmp, true)
-        }
+      val dir = publishStaged(spark, key, fingerprint, "_SUCCESS") { tmp =>
+        df.write.mode(SaveMode.Overwrite).parquet(tmp)
       }
-      spark.read.parquet(dir).persist(StorageLevel.MEMORY_AND_DISK)
+      val back = spark.read.parquet(dir)
+      if (persist) back.persist(StorageLevel.MEMORY_AND_DISK) else back
     } catch {
       // staging is an optimization, never a correctness dependency:
       // any failure (IO, aborted Spark write job, unreadable dir)

@@ -48,10 +48,11 @@ object SparkEntry {
     // §2.A ingestion / text processing
     "doc_chunk"       -> (Ingest.docChunk _),
     "doc_chunk_stats" -> (Ingest.docChunkStats _),
-    "doc_embed"       -> (Ingest.docEmbed _),
+    "doc_embed"       -> (Ingest.docEmbedQuery _),
     "vec_normalize"   -> (Ingest.vecNormalize _),
     "pipeline_ingest" -> (Ingest.pipelineIngest _),
     "index_search"    -> ((s, d) => graft.sources.ChunkIndex.indexSearch(s, d)),
+    "jsonl_ingest"    -> ((s, d) => graft.sources.Formats.jsonlIngest(s, d)),
     // §2.F LLM-data-pipeline operators
     "dedup_exact"     -> (Dedup.dedupExact _),
     "dedup_apply"     -> (Dedup.dedupApply _),
@@ -286,6 +287,16 @@ object SparkEntry {
   private val minhashOracle: String = minhashPairsSql + " LIMIT 50"
 
   def oracleSql: Map[String, String] = Map(
+    // the quarantine reader's row accounting, arithmetically: good
+    // lines are every doc_id % 13 != 0 (the generator corrupts the
+    // rest), so both aggregates derive straight from the table
+    "jsonl_ingest" ->
+      """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id % 13 <> 0 GROUP BY lang
+        |UNION ALL
+        |SELECT '__quarantined__' AS lang, COUNT(*) AS n_docs, CAST(0 AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id % 13 = 0
+        |ORDER BY lang""".stripMargin,
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

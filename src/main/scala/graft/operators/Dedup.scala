@@ -327,12 +327,17 @@ object Dedup {
     *    never O(bucket²) shuffled rows.
     */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
-    simhashPartnersOfSigs(
-      DfCache.getOrCompute(spark, s"simhash_sigs:$dir")(
-        DfCache.stagedFrame(spark, s"simhash_sigs:$dir",
-          DfCache.inputFingerprint(spark, s"$dir/documents.parquet"))(
-          simhashSigs(corpusWithDups(spark, dir, perturb = true)))))
+    simhashPartnersOfSigs(simhashSigsCached(spark, dir))
       .orderBy(col("hamming"), col("a_id"), col("b_id"))
+
+  /** The staged signature table behind [[dedupSimhash]] — shared with
+    * the cap audit so both count the same artifact.
+    */
+  private[operators] def simhashSigsCached(spark: SparkSession, dir: String): DataFrame =
+    DfCache.getOrCompute(spark, s"simhash_sigs:$dir")(
+      DfCache.stagedFrame(spark, s"simhash_sigs:$dir",
+        DfCache.inputFingerprint(spark, s"$dir/documents.parquet"))(
+        simhashSigs(corpusWithDups(spark, dir, perturb = true))))
 
   /** Capped verified simhash partner pairs of any (doc_id, text)
     * frame — split from [[dedupSimhash]] so the linear-output bound is
@@ -361,7 +366,11 @@ object Dedup {
         }.reduce(_ + _).as("simhash"))
   }
 
-  private def simhashPartnersOfSigs(sim: DataFrame): DataFrame = {
+  /** Pre-cap qualifying pair stream (hamming ≤ 6, each pair exactly
+    * once) — split from the capped tail so the cap audit can count
+    * what [[SimhashPartnerCap]] drops.
+    */
+  private[operators] def simhashQualifying(sim: DataFrame): DataFrame = {
     val halves = sim.select(col("doc_id"), col("simhash"),
         lit(0).as("half_idx"), shiftright(col("simhash"), 16).as("half"))
       .unionAll(sim.select(col("doc_id"), col("simhash"),
@@ -379,13 +388,16 @@ object Dedup {
       .select(col("a_id"), col("b_id"),
         bit_count(col("a_sim").bitwiseXOR(col("b_sim"))).cast("long").as("hamming"))
       .where(col("hamming") <= 6)
+  }
+
+  private def simhashPartnersOfSigs(sim: DataFrame): DataFrame =
+    simhashQualifying(sim)
       .groupBy(col("a_id"))
       .agg(graft.functions.TopK.topK(SimhashPartnerCap)(
         -col("hamming").cast("double"), col("b_id")).as("top"))
       .select(col("a_id"), explode(col("top")).as("hit"))
       .select(col("a_id"), col("hit.id").as("b_id"),
         (-col("hit.score")).cast("long").as("hamming"))
-  }
 
   /** Natural-corpus distinct-shingle posting list, cached per
     * (session, dir) and staged as parquet — shared by ngram_jaccard,
@@ -467,10 +479,10 @@ object Dedup {
       .orderBy(col("jaccard").desc, col("a_id"), col("b_id"))
       .limit(20)
 
-  /** Blocking + proxy-ranking stage: the [[NgramVerifyBudget]]
-    * strongest candidate pairs by blocking evidence.
+  /** In-window (s, doc_id, df) blocking entries — the stage both caps
+    * act on; split out so the cap audit can count what they drop.
     */
-  private def ngramCandidates(posting: DataFrame, docIds: DataFrame): DataFrame = {
+  private[operators] def ngramBlocked(posting: DataFrame, docIds: DataFrame): DataFrame = {
     // single-row broadcast: the corpus-relative df ceiling
     val nDocs = docIds.agg(count(lit(1)).as("n_docs"))
     val dfq = posting.groupBy(col("s")).agg(count(lit(1)).as("df"))
@@ -478,7 +490,15 @@ object Dedup {
       .where(col("df") >= 2 &&
         col("df") <= greatest(lit(5L), expr("(n_docs + 99) div 100")))
       .select(col("s"), col("df"))
-    val blocked = posting.join(dfq, "s")   // ids only — no arrays in the join
+    posting.join(dfq, "s")   // ids only — no arrays in the join
+  }
+
+  /** Uncapped grouped candidate pairs with their blocking evidence
+    * (`shared` blocking shingles, rarest shared `mdf`) — everything
+    * before the [[NgramVerifyBudget]] top-K.
+    */
+  private[operators] def ngramRankedPairs(posting: DataFrame, docIds: DataFrame): DataFrame = {
+    val blocked = ngramBlocked(posting, docIds)
     // per-doc prefix: rarest in-window shingles. Both windows partition
     // into small bounded groups (≤ shingles-per-doc / ≤ df rows) and
     // pick blocking keys, not output ranks.
@@ -501,15 +521,20 @@ object Dedup {
       .select(least(col("a_id"), col("b_id")).as("a_id"),
         greatest(col("a_id"), col("b_id")).as("b_id"), col("s"), col("df"))
       .distinct()
-    // proxy rank: shared blocking shingles desc, rarest shared df asc —
-    // a bounded global top-K (TakeOrdered), then exact verification
-    val ranked = cand0.groupBy(col("a_id"), col("b_id"))
+    cand0.groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("shared"), min(col("df")).as("mdf"))
+  }
+
+  /** Blocking + proxy-ranking stage: the [[NgramVerifyBudget]]
+    * strongest candidate pairs by blocking evidence — shared blocking
+    * shingles desc, rarest shared df asc; a bounded global top-K
+    * (TakeOrdered), then exact verification.
+    */
+  private def ngramCandidates(posting: DataFrame, docIds: DataFrame): DataFrame =
+    ngramRankedPairs(posting, docIds)
       .orderBy(col("shared").desc, col("mdf"), col("a_id"), col("b_id"))
       .limit(NgramVerifyBudget)
       .select(col("a_id"), col("b_id"))
-    ranked
-  }
 
   /** Benchmark-contamination check — the train/eval overlap audit an
     * LLM data pipeline runs before training: for every corpus doc,
@@ -534,5 +559,35 @@ object Dedup {
       .select(col("doc_id"), frac.as("max_overlap"),
         (frac >= 0.5).as("contaminated"))
       .orderBy(col("doc_id"))
+  }
+
+  /** "No silent caps": per-cap (candidates, emitted) counts for every
+    * bounded stage in this file — what [[SimhashPartnerCap]],
+    * [[NgramBucketCap]] and [[NgramVerifyBudget]] actually dropped on
+    * this corpus, as data instead of a doc comment. Each row is one
+    * aggregate over the same staged artifact its query consumes.
+    * `unit` says what is being counted (verified pairs vs blocking
+    * entries). Collected by [[graft.Audit]]; reported by Bench.
+    */
+  def capAudit(spark: SparkSession, dir: String): DataFrame = {
+    def summarize(perKey: DataFrame, stage: String, cap: Int, unit: String): DataFrame =
+      perKey
+        .agg(coalesce(sum(col("c")), lit(0L)).as("candidates"),
+          coalesce(sum(least(col("c"), lit(cap.toLong))), lit(0L)).as("emitted"))
+        .select(lit(stage).as("stage"), lit(cap.toLong).as("cap"),
+          lit(unit).as("unit"), col("candidates"), col("emitted"))
+    val sim = summarize(
+      simhashQualifying(simhashSigsCached(spark, dir))
+        .groupBy(col("a_id")).agg(count(lit(1)).as("c")),
+      "dedup_simhash.partner_cap", SimhashPartnerCap, "verified_pairs")
+    val posting = natPosting(spark, dir)
+    val docIds = Tables.documents(spark, dir).select(col("doc_id"))
+    val bucket = summarize(
+      ngramBlocked(posting, docIds).groupBy(col("s")).agg(count(lit(1)).as("c")),
+      "ngram_jaccard.bucket_cap", NgramBucketCap, "blocking_entries")
+    val verify = summarize(
+      ngramRankedPairs(posting, docIds).agg(count(lit(1)).as("c")),
+      "ngram_jaccard.verify_budget", NgramVerifyBudget, "candidate_pairs")
+    sim.unionByName(bucket).unionByName(verify)
   }
 }

@@ -286,7 +286,11 @@ object VectorSearch {
     * identical-content floods are the exact-dedup stage's job, which
     * runs first in the pipeline.
     */
-  private[graft] def embeddingDupCandidates(v: DataFrame): DataFrame = {
+  /** Pre-cap blocked pair stream (each in-bucket pair exactly once,
+    * with cosine) — split from the capped tail so the cap audit can
+    * count what [[PairCap]] drops.
+    */
+  private[operators] def embeddingBlockedPairs(v: DataFrame): DataFrame = {
     // a frame from the coded index skips the per-execution code build
     val coded =
       if (v.columns.contains("code")) v
@@ -297,11 +301,14 @@ object VectorSearch {
       .where(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
         V.cosine4(col("a_emb"), col("b_emb")).as("cos"))
+  }
+
+  private[graft] def embeddingDupCandidates(v: DataFrame): DataFrame =
+    embeddingBlockedPairs(v)
       .groupBy(col("a_id"))
       .agg(graft.functions.TopK.topK(PairCap)(col("cos"), col("b_id")).as("top"))
       .select(col("a_id"), explode(col("top")).as("hit"))
       .select(col("a_id"), col("hit.id").as("b_id"), col("hit.score").as("cos"))
-  }
 
   /** Embedding-cosine near-duplicate report: top-20 bounded candidate
     * pairs by cosine — SURVEY.md §2.F `dedup_embedding`.
@@ -310,4 +317,17 @@ object VectorSearch {
     embeddingDupCandidates(codedVectors(spark, dir))
       .orderBy(col("cos").desc, col("a_id"), col("b_id"))
       .limit(20)
+
+  /** "No silent caps": what [[PairCap]] dropped from the blocked
+    * embedding pair stream on this corpus — see Dedup.capAudit for
+    * the column contract.
+    */
+  def capAudit(spark: SparkSession, dir: String): DataFrame =
+    embeddingBlockedPairs(codedVectors(spark, dir))
+      .groupBy(col("a_id")).agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(col("c")), lit(0L)).as("candidates"),
+        coalesce(sum(least(col("c"), lit(PairCap.toLong))), lit(0L)).as("emitted"))
+      .select(lit("dedup_embedding.pair_cap").as("stage"),
+        lit(PairCap.toLong).as("cap"), lit("blocked_pairs").as("unit"),
+        col("candidates"), col("emitted"))
 }

@@ -1,5 +1,6 @@
 package graft.sources
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{functions, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -11,14 +12,55 @@ import graft.operators.Ingest
   *
   * Instead of a binary blob on one node, the index is two parquet
   * tables: `chunks` (the metadata sidecar) and `embeddings` in long
-  * form, the latter PARTITIONED BY a coarse quantizer bucket — the
+  * form, the latter partitioned by a coarse quantizer bucket — the
   * hashed-BoW dimension with the largest |weight|. A search that
-  * probes buckets then becomes parquet partition PRUNING: on a
-  * 100 TB corpus only probed directories are read at all.
+  * probes buckets reads ONLY the probed partitions' files: on a
+  * 100 TB corpus only probed directories are touched at all.
+  *
+  * == Commit protocol (MANIFEST, not in-place mutation) ==
+  *
+  * Plain parquet has no atomic multi-table commit, and the previous
+  * design's dynamic partition overwrite left a documented crash
+  * window between the chunks and embeddings writes. This layout
+  * closes it the way table formats do (cf. Iceberg's manifest lists):
+  *
+  * {{{
+  *   root/
+  *     manifests/m-<seq>-<uuid>.txt   # partition -> data dir, BOTH tables
+  *     data/w-<uuid>/chunks/_p=3/…    # immutable once written
+  *     data/w-<uuid>/embeddings/_p=7/…
+  * }}}
+  *
+  * A write lands new partition directories under a fresh `data/w-*`
+  * prefix (copy-on-write — existing files are NEVER modified or
+  * overwritten), then publishes ONE manifest naming the current data
+  * dir of every partition of both tables. The manifest is written to
+  * a tmp name and renamed to its final unique name — rename onto a
+  * fresh path is atomic on every real filesystem — and readers
+  * resolve the HIGHEST-sequence manifest, so a crash anywhere before
+  * the rename leaves readers on the previous fully-consistent
+  * two-table state. There is no pointer file to corrupt and no
+  * in-progress marker to honor; partitions an upsert vacates are
+  * simply not referenced by the new manifest. Superseded manifests /
+  * unreferenced data dirs are snapshots until [[vacuum]] reclaims
+  * them.
+  *
+  * The partition key is kept as a DATA column too (the directory key
+  * is a duplicated `_p` column): manifest-selected directories read
+  * back with their full schema with no dependence on Spark partition
+  * discovery.
   */
 object ChunkIndex {
 
   val ChunkShards = 8
+
+  /** Manifest key for a 0-row table written flat: an empty
+    * `partitionBy` write emits no schema-bearing footer at all and
+    * the table becomes unreadable (UNABLE_TO_INFER_SCHEMA on load),
+    * so empty tables land as one flat schema-bearing dir instead.
+    */
+  private val FlatKey = "__flat__"
+  private val PartDirCol = "_p"
 
   private def withShard(chunks: DataFrame): DataFrame =
     chunks.withColumn("shard", pmod(col("doc_id"), lit(ChunkShards.toLong)).cast("int"))
@@ -30,71 +72,229 @@ object ChunkIndex {
       w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)).cast("int"))
   }
 
-  /** Full overwrite, partitioned by `partCol` — EXCEPT for a 0-row
-    * frame, which goes out flat: an empty `partitionBy` write emits
-    * no schema-bearing footer at all and the table becomes unreadable
-    * (UNABLE_TO_INFER_SCHEMA on the next load). The partition key is
-    * also a data column, so readers are unaffected by the layout.
+  // ----------------------------------------------------------------
+  // Manifest IO
+  // ----------------------------------------------------------------
+
+  private case class Manifest(seq: Long, tables: Map[String, Map[String, String]]) {
+    def table(name: String): Map[String, String] = tables.getOrElse(name, Map.empty)
+  }
+
+  private def fsOf(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def newId(): String = java.util.UUID.randomUUID().toString.take(8)
+
+  private def readSmallFile(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+  }
+
+  private def manifestDir(root: Path) = new Path(root, "manifests")
+
+  /** The committed state: the complete manifest with the highest
+    * (seq, uuid) name, or None for a never-committed root. Name order
+    * is commit order — seq is zero-padded; the uuid breaks ties
+    * between racing writers deterministically (last wins).
     */
-  private def writePartitioned(df: DataFrame, partCol: String, path: String): Unit = {
-    val w = df.write.mode(SaveMode.Overwrite)
-    if (df.isEmpty) w.parquet(path) else w.partitionBy(partCol).parquet(path)
+  private def currentManifest(spark: SparkSession, root: String): Option[Manifest] = {
+    val fs = fsOf(spark, new Path(root))
+    val dir = manifestDir(new Path(root))
+    if (!fs.exists(dir)) return None
+    val names = fs.listStatus(dir).map(_.getPath.getName)
+      .filter(n => n.startsWith("m-") && n.endsWith(".txt"))
+    if (names.isEmpty) return None
+    val latest = names.max
+    val lines = readSmallFile(fs, new Path(dir, latest)).split("\n")
+    var seq = 0L
+    val tabs = scala.collection.mutable.Map[String, Map[String, String]]()
+      .withDefaultValue(Map.empty)
+    lines.filter(_.nonEmpty).foreach { l =>
+      l.split(" ", 3) match {
+        case Array("seq", n)       => seq = n.toLong
+        case Array(t, part, rel)   => tabs(t) = tabs(t) + (part -> rel)
+        case _                     => ()
+      }
+    }
+    Some(Manifest(seq, tabs.toMap))
+  }
+
+  /** Publish a manifest: write complete under a tmp name, then one
+    * rename to the final (fresh, unique) name — the commit point.
+    */
+  private def commit(spark: SparkSession, root: String, m: Manifest): Unit = {
+    val rootP = new Path(root)
+    val fs = fsOf(spark, rootP)
+    fs.mkdirs(manifestDir(rootP))
+    val content = (Seq(s"seq ${m.seq}") ++
+      m.tables.toSeq.sortBy(_._1).flatMap { case (t, mp) =>
+        mp.toSeq.sortBy(_._1).map { case (p, rel) => s"$t $p $rel" }
+      }).mkString("\n")
+    val name = f"m-${m.seq}%09d-${newId()}.txt"
+    val tmp = new Path(manifestDir(rootP), s".tmp-$name")
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+    if (!fs.rename(tmp, new Path(manifestDir(rootP), name)))
+      throw new java.io.IOException(s"manifest commit failed at $root/$name")
+  }
+
+  /** Reclaim storage a long-lived index no longer needs: every
+    * manifest below the current one and every `data/w-*` dir the
+    * current manifest doesn't reference. NOT called automatically —
+    * superseded manifests are consistent snapshots a concurrent
+    * reader may still hold; run vacuum when no reader can be older
+    * than the current commit.
+    */
+  def vacuum(spark: SparkSession, root: String): Unit = {
+    val rootP = new Path(root)
+    val fs = fsOf(spark, rootP)
+    currentManifest(spark, root).foreach { m =>
+      val mDir = manifestDir(rootP)
+      val names = fs.listStatus(mDir).map(_.getPath.getName)
+        .filter(n => n.startsWith("m-") && n.endsWith(".txt"))
+      names.sorted.dropRight(1).foreach(n => fs.delete(new Path(mDir, n), false))
+      fs.listStatus(mDir).map(_.getPath)
+        .filter(_.getName.startsWith(".tmp-")).foreach(fs.delete(_, false))
+      val live = m.tables.values.flatMap(_.values)
+        .map(rel => rel.split("/").take(2).mkString("/")).toSet   // data/w-<id>
+      val dataDir = new Path(rootP, "data")
+      if (fs.exists(dataDir)) fs.listStatus(dataDir).map(_.getPath)
+        .filter(p => !live.contains(s"data/${p.getName}"))
+        .foreach(fs.delete(_, true))
+    }
+  }
+
+  /** Write `df`'s partitions (copy-on-write) under
+    * `data/<writeId>/<table>` and return the partition → relative-dir
+    * mapping the manifest should carry. The partition key is
+    * duplicated into the throwaway [[PartDirCol]] for the directory
+    * layout, so the real column stays in the data files.
+    */
+  private def writeTablePartitions(spark: SparkSession, df: DataFrame,
+      partCol: String, root: String, writeId: String, table: String): Map[String, String] = {
+    val rel = s"data/$writeId/$table"
+    val abs = s"$root/$rel"
+    if (df.isEmpty) {
+      df.write.mode(SaveMode.Overwrite).parquet(abs)
+      Map(FlatKey -> rel)
+    } else {
+      df.withColumn(PartDirCol, col(partCol))
+        .write.mode(SaveMode.Overwrite).partitionBy(PartDirCol).parquet(abs)
+      val fs = fsOf(spark, new Path(abs))
+      fs.listStatus(new Path(abs)).map(_.getPath.getName)
+        .filter(_.startsWith(PartDirCol + "="))
+        .map(n => n.stripPrefix(PartDirCol + "=") -> s"$rel/$n")
+        .toMap
+    }
   }
 
   /** Build and persist the index tables (embed_pdfs.py:220
-    * `build_and_save_index`). Both tables are partitioned — `chunks`
-    * by a doc_id shard, `embeddings` by the quantizer bucket — so
-    * incremental upserts can rewrite only touched partitions.
+    * `build_and_save_index`) as the root's first commit. Both tables
+    * are partitioned — `chunks` by a doc_id shard, `embeddings` by
+    * the quantizer bucket — so incremental upserts rewrite only
+    * touched partitions.
     */
   def write(spark: SparkSession, dir: String, outPath: String): Unit = {
-    writePartitioned(withShard(Ingest.docChunk(spark, dir)), "shard",
-      s"$outPath/chunks")
-    writePartitioned(withBucket(Ingest.docEmbed(spark, dir)), "bucket",
-      s"$outPath/embeddings")
+    val writeId = s"w-${newId()}"
+    val ch = writeTablePartitions(spark, withShard(Ingest.docChunk(spark, dir)),
+      "shard", outPath, writeId, "chunks")
+    val em = writeTablePartitions(spark, withBucket(Ingest.docEmbed(spark, dir)),
+      "bucket", outPath, writeId, "embeddings")
+    commit(spark, outPath, Manifest(1L, Map("chunks" -> ch, "embeddings" -> em)))
   }
 
   /** MERGE-style upsert of an incoming (doc_id, text) batch into the
     * persisted index — the reference's write-back flows
     * (core/supabase_utils.py:400 `update_contribution_status`,
-    * core/views.py:1065 `admin_reindex_documents`). Plain parquet has
-    * no transactional MERGE INTO; the at-scale pattern is DYNAMIC
-    * partition overwrite: rewrite exactly the partitions that hold an
-    * old or new version of an incoming doc (old and new may differ —
+    * core/views.py:1065 `admin_reindex_documents`). Copy-on-write
+    * MERGE: fresh versions of exactly the partitions that hold an old
+    * or new version of an incoming doc (old and new may differ —
     * re-embedding can move a doc to another bucket, so both sides'
-    * partitions are collected) and leave every other partition's
-    * files physically untouched.
+    * partitions are collected) land under a new write dir; every
+    * other partition's files are untouched and carried forward by
+    * reference in the new manifest.
     *
     * The `chunks` side's shard is doc_id % [[ChunkShards]] — derivable
     * arithmetically from the incoming ids, so only the `embeddings`
     * side (whose bucket depends on old vector content) pays an
-    * existence scan.
+    * existence scan — and that scan is manifest-pruned to the two id
+    * columns.
     *
-    * CRASH WINDOW: the two-table mutation is not atomic — a crash
-    * between the chunks and embeddings writes (or between a dynamic
-    * overwrite and its vacated-partition delete) can leave moved docs
-    * readable in both old and new partitions. A `_GRAFT_UPSERT_INPROGRESS`
-    * manifest is created before the first mutation and removed after
-    * the last: its presence on recovery means "re-deliver this batch"
-    * — which is exactly what the streaming path does (foreachBatch
-    * re-runs the micro-batch; the upsert is idempotent), and what an
-    * ad-hoc caller must do before trusting reads.
+    * ATOMICITY: both tables' new partitions are fully written before
+    * the single manifest commit makes any of them visible, so the
+    * former crash window between the two table mutations is gone —
+    * a crash at ANY point leaves readers on the previous consistent
+    * two-table state, and re-delivering the batch (the streaming
+    * path's natural behavior; the upsert is idempotent) completes it.
     */
   def upsert(spark: SparkSession, outPath: String, incoming: DataFrame): Unit = {
-    val root = new org.apache.hadoop.fs.Path(outPath)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val marker = new org.apache.hadoop.fs.Path(root, "_GRAFT_UPSERT_INPROGRESS")
-    fs.mkdirs(root)
-    fs.create(marker, true).close()
-    val ids = incoming.select(col("doc_id")).distinct()
-    // old chunk shards are a pure function of the ids — no table scan
-    val chunkOldParts = ids
-      .select(pmod(col("doc_id"), lit(ChunkShards.toLong)).cast("int").as("shard"))
-      .distinct()
-    overwriteAffected(spark, s"$outPath/chunks", ids,
-      withShard(Ingest.chunksOf(incoming)), "shard", Some(chunkOldParts))
-    overwriteAffected(spark, s"$outPath/embeddings", ids,
-      withBucket(Ingest.embedOf(incoming)), "bucket", None)
-    fs.delete(marker, false)
+    currentManifest(spark, outPath) match {
+      case None =>
+        // bootstrap: nothing to merge — the first batch creates the index
+        val writeId = s"w-${newId()}"
+        val ch = writeTablePartitions(spark, withShard(Ingest.chunksOf(incoming)),
+          "shard", outPath, writeId, "chunks")
+        val em = writeTablePartitions(spark, withBucket(Ingest.embedOf(incoming)),
+          "bucket", outPath, writeId, "embeddings")
+        commit(spark, outPath, Manifest(1L, Map("chunks" -> ch, "embeddings" -> em)))
+      case Some(m) =>
+        val writeId = s"w-${newId()}"
+        val ids = incoming.select(col("doc_id")).distinct()
+        // old chunk shards are a pure function of the ids — no table scan
+        val chunkOldParts = Some(ids
+          .select(pmod(col("doc_id"), lit(ChunkShards.toLong)).cast("int").as("shard"))
+          .distinct().collect().map(_.get(0).toString).toSet)
+        val ch = upsertTable(spark, outPath, m.table("chunks"), "shard",
+          ids, withShard(Ingest.chunksOf(incoming)), chunkOldParts, writeId, "chunks")
+        val em = upsertTable(spark, outPath, m.table("embeddings"), "bucket",
+          ids, withBucket(Ingest.embedOf(incoming)), None, writeId, "embeddings")
+        commit(spark, outPath,
+          Manifest(m.seq + 1, Map("chunks" -> ch, "embeddings" -> em)))
+    }
+  }
+
+  /** One table's copy-on-write merge: read ONLY the affected
+    * partitions' current files (manifest-selected paths — the scan
+    * is pruned by construction), drop the old versions of incoming
+    * docs, write survivors + fresh rows under the new write dir, and
+    * return the updated mapping. A partition the merge vacates is
+    * simply absent from it.
+    */
+  private def upsertTable(spark: SparkSession, root: String,
+      mapping: Map[String, String], partCol: String, ids: DataFrame,
+      fresh: DataFrame, oldParts: Option[Set[String]], writeId: String,
+      table: String): Map[String, String] = {
+    // fresh feeds two jobs (partition list + merged write): materialize once
+    val freshCk = fresh.localCheckpoint()
+    val freshParts = freshCk.select(col(partCol)).distinct()
+      .collect().map(_.get(0).toString).toSet
+    val olds: Set[String] = oldParts.getOrElse {
+      val paths = mapping.values.toSeq.map(r => s"$root/$r")
+      if (paths.isEmpty) Set.empty[String]
+      else spark.read.parquet(paths: _*)
+        .join(functions.broadcast(ids), Seq("doc_id"), "left_semi")
+        .select(col(partCol)).distinct().collect().map(_.get(0).toString).toSet
+    }
+    // a flat (empty-table) dir holds no partition key: always rewrite it
+    val affected = olds ++ freshParts + FlatKey
+    val keepPaths = mapping.filter(kv => affected(kv._1)).values
+      .toSeq.map(r => s"$root/$r")
+    val keep =
+      if (keepPaths.isEmpty) freshCk.limit(0)
+      else spark.read.parquet(keepPaths: _*)
+        .join(functions.broadcast(ids), Seq("doc_id"), "left_anti")
+    // copy-on-write: keep is read from the OLD dirs and written to NEW
+    // ones — no lineage-severing checkpoint needed, nothing overwrites
+    // the files it reads
+    val written = writeTablePartitions(spark,
+      keep.unionByName(freshCk.select(keep.columns.map(col).toIndexedSeq: _*)),
+      partCol, root, writeId, table)
+    val carried = (mapping -- affected).filterNot(_._1 == FlatKey)
+    // an all-vacated merge writes a flat empty dir; drop it if real
+    // partitions survive elsewhere
+    val w = if (written.keySet == Set(FlatKey) && carried.nonEmpty) Map.empty[String, String]
+            else written
+    carried ++ w
   }
 
   /** Live incremental indexing: a Structured Streaming sink that
@@ -103,8 +303,8 @@ object ChunkIndex {
     * ingest/reindex flow (documents become searchable as they
     * arrive, and only the touched partitions are rewritten per
     * batch). `foreachBatch` is the standard exactly-once-per-batch
-    * seam for sinks without native streaming support (plain parquet
-    * MERGE here).
+    * seam for sinks without native streaming support; each batch is
+    * one manifest commit.
     */
   def streamingUpsert(docs: DataFrame, outPath: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
@@ -114,88 +314,25 @@ object ChunkIndex {
         if (!batch.isEmpty) upsert(batch.sparkSession, outPath, batch)
       }
 
-  /** Rewrite only the partitions of `path` touched by `ids`: keep
-    * rows of other docs living there, drop the old versions, add the
-    * fresh rows. The kept slice is locally checkpointed before the
-    * overwrite — the write must not lazily re-read files it is
-    * replacing. Dynamic overwrite (writer-scoped option, never a
-    * session-conf mutation) only rewrites partitions PRESENT in the
-    * written data, so an affected partition the output no longer
-    * touches (the updated doc moved bucket, or was the partition's
-    * only occupant) is deleted explicitly — its remaining rows all
-    * belonged to the updated docs.
-    */
-  private def overwriteAffected(spark: SparkSession, path: String, ids: DataFrame,
-      fresh: DataFrame, partCol: String,
-      oldParts: Option[DataFrame]): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(path))) {
-      // bootstrap: nothing to merge — the first batch creates the table
-      writePartitioned(fresh, partCol, path)
-      return
-    }
-    val existing = spark.read.parquet(path)
-    val freshCk = fresh.localCheckpoint()
-    // partitions holding OLD versions: derived arithmetically when the
-    // partition key is a function of doc_id, else an existence scan
-    val oldSide = oldParts.getOrElse(
-      existing.join(broadcast(ids), Seq("doc_id"), "left_semi").select(col(partCol)))
-    val affected = oldSide
-      .unionByName(freshCk.select(col(partCol)))
-      .distinct().collect().map(_.get(0).toString.toInt)
-    // localCheckpoint severs lineage from the files being overwritten —
-    // keep and fresh are each materialized exactly once
-    val keep = existing
-      .where(col(partCol).isin(affected.map(x => x: Any): _*))   // partition-pruned scan
-      .join(broadcast(ids), Seq("doc_id"), "left_anti")
-      .localCheckpoint()
-    val written = keep.select(col(partCol))
-      .unionByName(freshCk.select(col(partCol)))
-      .distinct().collect().map(_.get(0).toString.toInt).toSet
-    keep.unionByName(freshCk.select(keep.columns.map(col): _*))
-      .write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(partCol)
-      .parquet(path)
-    (affected.toSet -- written).foreach { p =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/$partCol=$p"), true)
-    }
-  }
-
   /** Build the persisted index for `dir` once per machine (not once
     * per session): the index lands under the fingerprinted staging
     * path, so a fresh JVM — or the correctness/bench driver — reuses
     * the on-disk tables, and regenerated input data rebuilds them.
-    * A `_GRAFT_INDEX_DONE` marker distinguishes a complete two-table
-    * write from a crashed partial one.
+    * A `_GRAFT_INDEX_DONE` marker distinguishes a complete build
+    * from a crashed partial one (the manifest protocol already makes
+    * partial states invisible; the marker just short-circuits the
+    * rebuild decision). Published through DfCache.publishStaged, so
+    * a superseded fingerprint's index is swept like any staged table.
     */
-  def ensureIndex(spark: SparkSession, dir: String): String = {
-    val path = graft.DfCache.stagingPath(s"chunk_index:$dir",
-      graft.DfCache.inputFingerprint(spark, s"$dir/documents.parquet"))
-    val target = new org.apache.hadoop.fs.Path(path)
-    val done = new org.apache.hadoop.fs.Path(target, "_GRAFT_INDEX_DONE")
-    val fs = done.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(done)) {
-      if (fs.exists(target)) fs.delete(target, true)   // crashed partial build
-      // build under a tmp dir, marker included, then publish with one
-      // rename: two concurrent builders never write the same files and
-      // the done marker can only ever describe a complete two-table set
-      val tmp = new org.apache.hadoop.fs.Path(
-        path + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
-      write(spark, dir, tmp.toString)
-      fs.create(new org.apache.hadoop.fs.Path(tmp, "_GRAFT_INDEX_DONE"), true).close()
-      fs.mkdirs(target.getParent)
-      // LocalFileSystem renames onto an EXISTING dir by copying into it
-      // (nesting) — only rename onto a free path; a concurrent winner's
-      // published index is served instead
-      if (fs.exists(target) || !fs.rename(tmp, target)) fs.delete(tmp, true)
-    }
-    path
-  }
+  def ensureIndex(spark: SparkSession, dir: String): String =
+    graft.DfCache.publishStaged(spark, s"chunk_index:$dir",
+      graft.DfCache.inputFingerprint(spark, s"$dir/documents.parquet"),
+      "_GRAFT_INDEX_DONE") { tmp =>
+        write(spark, dir, tmp)
+      }
 
   /** Search over the PERSISTED index as an oracle-checked query: build
-    * (or reuse) the on-disk index, then run the partition-pruned
+    * (or reuse) the on-disk index, then run the manifest-pruned
     * [[search]] against it — the full save_index → load_index →
     * search_similar_chunks flow (core/utils.py:137/:150/:194) under
     * the DuckDB gate rather than ScalaTest only.
@@ -204,28 +341,57 @@ object ChunkIndex {
     search(spark, ensureIndex(spark, dir), "hash join", nProbe = 2, k = 5)
 
   /** Load the persisted index (core/utils.py:150 `load_index` /
-    * :178 `load_metadata`).
+    * :178 `load_metadata`): every partition dir the current manifest
+    * references.
     */
   def readChunks(spark: SparkSession, outPath: String): DataFrame =
-    spark.read.parquet(s"$outPath/chunks")
+    readTable(spark, outPath, "chunks")
 
   def readEmbeddings(spark: SparkSession, outPath: String): DataFrame =
-    spark.read.parquet(s"$outPath/embeddings")
+    readTable(spark, outPath, "embeddings")
 
-  /** Probe-pruned search over the persisted index: only the query's
-    * own dominant buckets are scanned (partition pruning), then the
-    * sparse dot product ranks docs within them.
+  /** Ops/test visibility: the committed partition → absolute-dir
+    * mapping of one table (empty if the root was never committed).
+    */
+  private[graft] def partitionDirs(spark: SparkSession, root: String,
+      table: String): Map[String, String] =
+    currentManifest(spark, root)
+      .map(_.table(table).map { case (p, rel) => p -> s"$root/$rel" })
+      .getOrElse(Map.empty)
+
+  private def readTable(spark: SparkSession, root: String, table: String): DataFrame = {
+    val m = currentManifest(spark, root).getOrElse(
+      throw new java.io.FileNotFoundException(s"no committed index at $root"))
+    val paths = m.table(table).values.toSeq.sorted.map(r => s"$root/$r")
+    spark.read.parquet(paths: _*)
+  }
+
+  /** Probe-pruned search over the persisted index: ONLY the probed
+    * buckets' directories are read at all — the manifest maps bucket
+    * → dir, so pruning is explicit path selection, no partition
+    * discovery or scan-time filtering involved. (The residual filter
+    * only matters for a flat empty-table dir.)
     */
   def searchBuckets(spark: SparkSession, outPath: String,
-      queryBuckets: Seq[Long]): DataFrame =
-    readEmbeddings(spark, outPath)
+      queryBuckets: Seq[Long]): DataFrame = {
+    val m = currentManifest(spark, outPath).getOrElse(
+      throw new java.io.FileNotFoundException(s"no committed index at $outPath"))
+    val mapping = m.table("embeddings")
+    val sel = queryBuckets.map(_.toString).flatMap(mapping.get) ++
+      mapping.get(FlatKey)
+    val paths =
+      if (sel.nonEmpty) sel.map(r => s"$outPath/$r")
+      // no probed bucket exists: read one real dir for schema, filter to 0
+      else mapping.values.toSeq.sorted.take(1).map(r => s"$outPath/$r")
+    spark.read.parquet(paths: _*)
       .where(col("bucket").isin(queryBuckets: _*))
+  }
 
   /** End-to-end text search against the PERSISTED index: embed the
-    * query (hashed BoW), probe its `nProbe` dominant buckets
-    * (partition pruning on disk), sparse-dot-rank the docs inside —
-    * the full `search_similar_chunks` flow (core/utils.py:194) over
-    * the saved index rather than the in-session one.
+    * query (hashed BoW), probe its `nProbe` dominant buckets (read
+    * only their directories), sparse-dot-rank the docs inside — the
+    * full `search_similar_chunks` flow (core/utils.py:194) over the
+    * saved index rather than the in-session one.
     */
   def search(spark: SparkSession, outPath: String, queryText: String,
       nProbe: Int, k: Int): DataFrame = {

@@ -24,14 +24,18 @@ class ChunkIndexSpec extends SparkSpec {
       .agg(countDistinct(col("bucket")).as("nb")).collect()
     assert(perDoc.forall(_.getAs[Long]("nb") == 1L))
 
-    // probing two buckets must prune partitions at the scan
+    // probing two buckets must read ONLY their directories — the
+    // manifest turns pruning into explicit path selection, so the
+    // scan's input files are the proof
     val probed = ChunkIndex.searchBuckets(spark, out, Seq(0L, 1L))
     probed.collect()
-    val plan = probed.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters: [bucket#") || plan.contains("bucket IN (0,1)")
-      || plan.contains("PartitionFilters") && plan.contains("bucket"),
-      s"no partition pruning:\n$plan")
-    // partition-value inference reads the bucket back as Int
+    val dirs = probed.inputFiles.map(f => new java.io.File(f).getParentFile.getName).toSet
+    assert(dirs.nonEmpty && dirs.subsetOf(Set("_p=0", "_p=1")),
+      s"probe read outside the probed buckets' dirs: $dirs")
+    val allDirs = ChunkIndex.readEmbeddings(spark, out).inputFiles
+      .map(f => new java.io.File(f).getParentFile.getName).toSet
+    assert(dirs.size < allDirs.size, "probe read the whole table")
+    // the bucket key survives as a data column in the selected dirs
     val buckets = probed.select("bucket").distinct().collect()
       .map(_.get(0).toString.toLong).toSet
     assert(buckets.subsetOf(Set(0L, 1L)))

@@ -52,6 +52,58 @@ class DfCacheSpec extends SparkSpec {
     } finally System.clearProperty("graft.staging")
   }
 
+  test("publishing a new fingerprint sweeps the superseded table (staging GC)") {
+    val root = Files.createTempDirectory("graft_dfc_gc").toString
+    System.setProperty("graft.staging", root)
+    try {
+      // a key whose sanitized form merely EXTENDS k4's must survive the
+      // sweep — only a pure-fingerprint tail identifies k4's tables
+      DfCache.stagedFrame(spark, "k4:/x_more", "cafecafecafecafe")(frame())
+      DfCache.stagedFrame(spark, "k4:/x", "aaaaaaaaaaaaaaaa")(frame())
+      DfCache.stagedFrame(spark, "k4:/x", "bbbbbbbbbbbbbbbb")(frame())
+      val names = new java.io.File(s"$root/v${DfCache.StagingVersion}")
+        .listFiles().map(_.getName).toSeq
+      assert(!names.contains("k4__x_aaaaaaaaaaaaaaaa"),
+        s"superseded fingerprint not swept: $names")
+      assert(names.contains("k4__x_bbbbbbbbbbbbbbbb"), s"live table swept: $names")
+      assert(names.contains("k4__x_more_cafecafecafecafe"),
+        s"prefix-sharing OTHER key swept: $names")
+    } finally System.clearProperty("graft.staging")
+  }
+
+  test("gc() drops older-version trees and TTL-expired entries") {
+    val root = Files.createTempDirectory("graft_dfc_gc2").toString
+    System.setProperty("graft.staging", root)
+    try {
+      val old = new java.io.File(s"$root/v${DfCache.StagingVersion - 1}/stale_table")
+      old.mkdirs()
+      DfCache.stagedFrame(spark, "k5:/x", "fp")(frame())
+      val live = new java.io.File(DfCache.stagingPath("k5:/x", "fp"))
+      DfCache.gc(spark)
+      assert(!old.exists(), "older-version tree survived gc()")
+      assert(live.exists(), "current-version table swept by default gc()")
+      // TTL sweep: age the entry, then gc with a 1-hour TTL
+      live.setLastModified(System.currentTimeMillis() - 2 * 3600 * 1000L)
+      DfCache.gc(spark, maxAgeMs = 3600 * 1000L)
+      assert(!live.exists(), "TTL-expired entry survived gc(maxAgeMs)")
+    } finally System.clearProperty("graft.staging")
+  }
+
+  test("inputFingerprint distinguishes same-named files in different subdirs") {
+    val r1 = Files.createTempDirectory("graft_fp1").toFile
+    val r2 = Files.createTempDirectory("graft_fp2").toFile
+    new java.io.File(r1, "a").mkdirs(); new java.io.File(r2, "b").mkdirs()
+    val f1 = new java.io.File(r1, "a/part-0.parquet")
+    val f2 = new java.io.File(r2, "b/part-0.parquet")
+    Files.write(f1.toPath, "same-bytes".getBytes)
+    Files.write(f2.toPath, "same-bytes".getBytes)
+    val t = 1700000000000L   // identical name, length AND mtime
+    f1.setLastModified(t); f2.setLastModified(t)
+    assert(DfCache.inputFingerprint(spark, r1.toString) !=
+      DfCache.inputFingerprint(spark, r2.toString),
+      "basename-only fingerprint: different layouts collide")
+  }
+
   test("stagedFrame falls back to localCheckpoint when the root is unwritable") {
     // a FILE where the root should be: every fs op under it fails
     val blocker = Files.createTempFile("graft_dfc3", ".blk").toString

@@ -44,13 +44,18 @@ class FormatsSpec extends SparkSpec {
       String.join("\n", lines: _*).getBytes("UTF-8"))
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType)))
-    val (good, bad) = Formats.readJsonlQuarantine(spark, dir, schema)
-    val goodRows = good.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val read = Formats.readJsonlQuarantine(spark, dir, schema)
+    val goodRows = read.good.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(goodRows == Map(1L -> "alpha beta", 3L -> "delta epsilon"))
-    val quarantined = bad.collect().map(_.getString(0))
+    val quarantined = read.quarantined.collect().map(_.getString(0))
     assert(quarantined.length == 3, s"expected 3 quarantined, got ${quarantined.toSeq}")
     assert(quarantined.contains("not json at all"))   // raw line preserved
     assert(goodRows.size + quarantined.length == lines.length, "rows lost")
+    // the release hook frees the shared cached scan (no pinned blocks)
+    val before = spark.sparkContext.getPersistentRDDs.size
+    read.release()
+    assert(spark.sparkContext.getPersistentRDDs.size < before,
+      "release() did not unpersist the cached scan")
   }
 
   test("explicit-schema read prunes and types correctly") {

@@ -31,10 +31,7 @@ class IncrementalSpec extends SparkSpec {
     val before = ChunkIndex.readChunks(spark, out)
     val nBefore = before.count()
     val doc0ChunksBefore = before.where(col("doc_id") === 0L).count()
-    def partFiles(table: String): Map[String, Set[String]] =
-      new java.io.File(s"$out/$table").listFiles().filter(_.isDirectory)
-        .map(d => d.getName -> d.listFiles().map(_.getName).toSet).toMap
-    val chunkFilesBefore = partFiles("chunks")
+    val chunkDirsBefore = ChunkIndex.partitionDirs(spark, out, "chunks")
 
     // doc 0 replaced, doc 999999 brand new (shards 0 and 7)
     // texts built ONLY from the probe query's tokens so both docs'
@@ -53,12 +50,18 @@ class IncrementalSpec extends SparkSpec {
     assert(after.where(col("doc_id") === 999999L).count() == 1)
     assert(after.count() == nBefore - doc0ChunksBefore + 2)
 
-    // physical MERGE guarantee: untouched shard dirs keep their files
-    val chunkFilesAfter = partFiles("chunks")
-    val touched = Set("shard=0", s"shard=${999999L % ChunkIndex.ChunkShards}")
-    chunkFilesBefore.keys.filterNot(touched).foreach { dir =>
-      assert(chunkFilesAfter(dir) == chunkFilesBefore(dir),
-        s"untouched partition $dir was rewritten")
+    // physical MERGE guarantee, now by construction: an untouched
+    // partition is carried forward AS THE SAME DIRECTORY — the new
+    // manifest references the old files rather than copies of them
+    val chunkDirsAfter = ChunkIndex.partitionDirs(spark, out, "chunks")
+    val touched = Set("0", (999999L % ChunkIndex.ChunkShards).toString)
+    chunkDirsBefore.keys.filterNot(touched).foreach { p =>
+      assert(chunkDirsAfter(p) == chunkDirsBefore(p),
+        s"untouched partition $p was rewritten")
+    }
+    touched.foreach { p =>
+      assert(chunkDirsAfter(p) != chunkDirsBefore(p),
+        s"touched partition $p kept its old directory")
     }
 
     // the re-indexed docs are found by searching the updated index
@@ -86,10 +89,55 @@ class IncrementalSpec extends SparkSpec {
     val after = ChunkIndex.readEmbeddings(spark, out)
     assert(after.where(col("bucket") === bucket).count() == 0,
       s"stale rows survive in vacated bucket $bucket")
+    assert(!ChunkIndex.partitionDirs(spark, out, "embeddings")
+      .contains(bucket.toString),
+      s"vacated bucket $bucket still referenced by the manifest")
     val movedBuckets = after
       .where(col("doc_id").isin(docs.map(_.getAs[Long]("doc_id")).toSeq: _*))
       .select(col("bucket")).distinct().collect().map(_.getAs[Int]("bucket")).toSet
     assert(movedBuckets == Set(zBucket), s"moved docs in $movedBuckets, not $zBucket")
+  }
+
+  test("a crash between the two table writes is invisible until the manifest commit") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_crash_idx").toString
+    ChunkIndex.write(spark, sfDir, out)
+    val chunksBefore = ChunkIndex.readChunks(spark, out).count()
+    val embBefore = ChunkIndex.readEmbeddings(spark, out).count()
+    val doc0Before = ChunkIndex.readChunks(spark, out)
+      .where(col("doc_id") === 0L).collect().map(_.getAs[String]("chunk_text")).toSet
+
+    // simulate an upsert killed AFTER its chunks write, BEFORE the
+    // manifest commit: new data dirs exist on disk, no manifest names
+    // them. (This is exactly the on-disk state the old in-progress
+    // marker could only warn about.)
+    Seq((0L, 0L, "crashed half-written chunk", 25L, 0))
+      .toDF("doc_id", "chunk_index", "chunk_text", "chunk_chars", "shard")
+      .write.parquet(s"$out/data/w-crashed/chunks/_p=0")
+
+    // readers resolve the manifest, so the orphaned write is invisible:
+    // both tables still serve the previous consistent commit
+    assert(ChunkIndex.readChunks(spark, out).count() == chunksBefore)
+    assert(ChunkIndex.readEmbeddings(spark, out).count() == embBefore)
+    assert(ChunkIndex.readChunks(spark, out).where(col("doc_id") === 0L)
+      .collect().map(_.getAs[String]("chunk_text")).toSet == doc0Before,
+      "reader saw mixed state from a crashed upsert")
+
+    // recovery = re-deliver the batch (upsert is idempotent): one new
+    // commit, both tables consistent with the re-delivered content
+    val incoming = Seq((0L, "zebra quokka recovery")).toDF("doc_id", "text")
+    ChunkIndex.upsert(spark, out, incoming)
+    val doc0 = ChunkIndex.readChunks(spark, out).where(col("doc_id") === 0L).collect()
+    assert(doc0.length == 1 && doc0.head.getAs[String]("chunk_text")
+      .startsWith("zebra quokka"))
+    val emb0 = ChunkIndex.readEmbeddings(spark, out).where(col("doc_id") === 0L)
+    assert(emb0.count() > 0, "embeddings side missing the re-delivered doc")
+
+    // vacuum reclaims the orphaned write dir and superseded manifests
+    ChunkIndex.vacuum(spark, out)
+    assert(!new java.io.File(s"$out/data/w-crashed").exists(),
+      "vacuum left the crashed write's orphan data")
+    assert(ChunkIndex.readChunks(spark, out).count() > 0, "vacuum broke the live index")
   }
 
   test("upsert bootstraps an index that was never written") {
@@ -111,8 +159,13 @@ class IncrementalSpec extends SparkSpec {
     assert(rows.nonEmpty && rows.length <= 5)
     val scores = rows.map(_.getAs[Double]("score"))
     assert(scores.sameElements(scores.sortBy(-_)))
-    val plan = hits.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
-      s"search should prune index partitions:\n$plan")
+    // pruning is explicit path selection now: the search read at most
+    // nProbe of the index's bucket directories
+    val readDirs = hits.inputFiles
+      .map(f => new java.io.File(f).getParentFile.getName).toSet
+    assert(readDirs.nonEmpty && readDirs.size <= 4,
+      s"search read ${readDirs.size} bucket dirs for nProbe=4: $readDirs")
+    assert(ChunkIndex.partitionDirs(spark, out, "embeddings").size > readDirs.size,
+      "index too small for the pruning assertion to mean anything")
   }
 }
