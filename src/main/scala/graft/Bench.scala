@@ -69,9 +69,14 @@ object Bench {
     // aggregates over the already-staged artifacts)
     val audit = try Audit.json(spark, sfDir)
       catch { case e: Throwable => s"""{"error":"${e.getClass.getSimpleName}"}""" }
+    // pass-1 per-query times: the cold pass is where index-build cost
+    // lands, and a cold regression is invisible in the medians
+    val coldQs = names.map(n => s"\"" + n + "\":" + passes.head(n))
+      .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""passes":$Passes,"pass_totals":$pt,"cold_total":${passTotals.head},""" +
-      s""""warm_total":$warm,"errors":$errJson,"cap_audit":$audit,"sf":"$sfDir"}""")
+      s""""warm_total":$warm,"cold_queries":$coldQs,""" +
+      s""""errors":$errJson,"cap_audit":$audit,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
