@@ -161,6 +161,93 @@ object Ingest {
     }
   }
 
+  /** A model ARTIFACT loaded from a file — the deployment shape of a
+    * real embedding model (reference: SentenceTransformer weights
+    * fetched once and held per process, core/utils.py:25 `get_model`):
+    * `open()` reads the artifact once per partition, `embed` runs
+    * batched inference against it. The model itself is a seeded
+    * random-projection matrix over hashed-BoW counts (public
+    * technique: Johnson–Lindenstrauss random projection), so the
+    * output is NOT the columnar [[docEmbed]] math — it exercises the
+    * seam with an external artifact the pipeline cannot reproduce
+    * without the file, while staying deterministic for tests.
+    *
+    * `modelPath` must be readable on every executor (shared storage /
+    * `SparkContext.addFile` + `SparkFiles.get` on a real cluster; a
+    * local path in local mode).
+    */
+  final class RandomProjectionEmbedder(modelPath: String) extends TextEmbedder {
+    def open(): TextEncoder = new TextEncoder {
+      private val model = RandomProjectionModel.load(modelPath)   // per-partition load
+      private val md = java.security.MessageDigest.getInstance("MD5")
+      private def hex(s: String): String =
+        md.digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+      def embed(texts: Seq[String]): Seq[Array[Float]] = texts.map { t =>
+        // hashed-BoW counts in the model's INPUT space...
+        val counts = new Array[Double](model.inDim)
+        t.split(" ", -1).foreach { tok =>
+          val h = hex(tok)
+          val dim = (java.lang.Long.parseLong(h.substring(0, 4), 16) % model.inDim).toInt
+          val sgn = if (java.lang.Long.parseLong(h.substring(4, 5), 16) % 2 == 0) 1.0 else -1.0
+          counts(dim) += sgn
+        }
+        // ...projected through the loaded matrix, then L2-normalized
+        val out = new Array[Double](model.outDim)
+        var i = 0
+        while (i < model.inDim) {
+          val c = counts(i)
+          if (c != 0.0) {
+            var j = 0
+            while (j < model.outDim) { out(j) += c * model.weight(i, j); j += 1 }
+          }
+          i += 1
+        }
+        val nrm0 = math.sqrt(out.map(x => x * x).sum)
+        val nrm = if (nrm0 == 0.0) 1e-10 else nrm0
+        out.map(x => (x / nrm).toFloat)
+      }
+    }
+  }
+
+  /** Writer/loader for the random-projection model artifact: a small
+    * binary file (magic, dims, then row-major float32 weights) whose
+    * values are a pure function of the seed — `write` is the "train
+    * and publish" step, `load` the per-partition cold start.
+    */
+  object RandomProjectionModel {
+    private val Magic = 0x47525031   // "GRP1"
+
+    final class Loaded(val inDim: Int, val outDim: Int, w: Array[Float]) {
+      def weight(i: Int, j: Int): Float = w(i * outDim + j)
+    }
+
+    def write(path: String, seed: Long, inDim: Int, outDim: Int): Unit = {
+      val f = new java.io.File(path)
+      Option(f.getParentFile).foreach(_.mkdirs())
+      val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+        new java.io.FileOutputStream(f)))
+      try {
+        out.writeInt(Magic); out.writeInt(inDim); out.writeInt(outDim)
+        val rnd = new java.util.Random(seed)
+        var n = 0
+        while (n < inDim * outDim) { out.writeFloat(rnd.nextGaussian().toFloat); n += 1 }
+      } finally out.close()
+    }
+
+    def load(path: String): Loaded = {
+      val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+        new java.io.FileInputStream(path)))
+      try {
+        require(in.readInt() == Magic, s"$path is not a graft RP model")
+        val inDim = in.readInt(); val outDim = in.readInt()
+        val w = new Array[Float](inDim * outDim)
+        var n = 0
+        while (n < w.length) { w(n) = in.readFloat(); n += 1 }
+        new Loaded(inDim, outDim, w)
+      } finally in.close()
+    }
+  }
+
   /** Batched model inference over a (doc_id, text) frame: texts are
     * grouped into `embedder.batchSize` chunks per partition and sent
     * through the model together. Output is wide form
