@@ -660,8 +660,9 @@ object SparkEntry {
         |    greatest(a.doc_id, b.doc_id) AS b_id, a.s AS s, a.df AS df
         |  FROM pfx a JOIN bcap b ON a.s = b.s AND a.doc_id <> b.doc_id),
         |cand AS (SELECT a_id, b_id FROM (SELECT a_id, b_id,
-        |    COUNT(*) AS shared, MIN(df) AS mdf FROM cand0 GROUP BY a_id, b_id
-        |    ORDER BY shared DESC, mdf, a_id, b_id LIMIT 200) t),
+        |    row_number() OVER (ORDER BY COUNT(*) DESC, MIN(df), a_id, b_id) AS vrk
+        |  FROM cand0 GROUP BY a_id, b_id) t, nd
+        |  WHERE vrk <= greatest(200, (n_docs + 24) // 25)),
         |""".stripMargin + jaccardTail + " LIMIT 20"),
     "lang_id" ->
       """WITH d AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents),

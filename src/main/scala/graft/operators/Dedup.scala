@@ -419,11 +419,23 @@ object Dedup {
     * the corpus.
     */
   val NgramBucketCap = 64
-  /** Candidate pairs that get EXACT Jaccard verification, selected by
-    * the cheap blocking-evidence proxy — the verify stage's hard
-    * budget.
+  /** FLOOR of the exact-verification budget: candidate pairs that get
+    * EXACT Jaccard verification, selected by the cheap
+    * blocking-evidence proxy. The effective budget is
+    * [[ngramVerifyBudget]] — corpus-relative, like the df window: an
+    * absolute constant would silently shrink the detector's recall as
+    * the corpus grows past it (cap_audit made that visible; this
+    * makes it scale).
     */
   val NgramVerifyBudget = 200
+
+  /** Effective verify budget for an `nDocs`-document corpus:
+    * max(floor, ⌈nDocs/25⌉) — identical formula in the DuckDB oracle.
+    * Verification cost stays linear in corpus size (each verified
+    * pair is one bounded posting-list intersection).
+    */
+  def ngramVerifyBudget(nDocs: Long): Long =
+    math.max(NgramVerifyBudget.toLong, (nDocs + 24L) / 25L)
 
   /** Word-3-gram Jaccard over the natural corpus: top-20 most-similar
     * pairs. Three rules keep this correct AND linear at 100×:
@@ -525,16 +537,20 @@ object Dedup {
       .agg(count(lit(1)).as("shared"), min(col("df")).as("mdf"))
   }
 
-  /** Blocking + proxy-ranking stage: the [[NgramVerifyBudget]]
+  /** Blocking + proxy-ranking stage: the [[ngramVerifyBudget]]
     * strongest candidate pairs by blocking evidence — shared blocking
     * shingles desc, rarest shared df asc; a bounded global top-K
-    * (TakeOrdered), then exact verification.
+    * (TakeOrdered), then exact verification. The corpus count is one
+    * driver-side aggregate per candidate build (the build itself is
+    * staged, so steady state never pays it).
     */
-  private def ngramCandidates(posting: DataFrame, docIds: DataFrame): DataFrame =
+  private def ngramCandidates(posting: DataFrame, docIds: DataFrame): DataFrame = {
+    val budget = ngramVerifyBudget(docIds.count())
     ngramRankedPairs(posting, docIds)
       .orderBy(col("shared").desc, col("mdf"), col("a_id"), col("b_id"))
-      .limit(NgramVerifyBudget)
+      .limit(math.min(budget, Int.MaxValue.toLong).toInt)
       .select(col("a_id"), col("b_id"))
+  }
 
   /** Benchmark-contamination check — the train/eval overlap audit an
     * LLM data pipeline runs before training: for every corpus doc,
@@ -570,24 +586,25 @@ object Dedup {
     * entries). Collected by [[graft.Audit]]; reported by Bench.
     */
   def capAudit(spark: SparkSession, dir: String): DataFrame = {
-    def summarize(perKey: DataFrame, stage: String, cap: Int, unit: String): DataFrame =
+    def summarize(perKey: DataFrame, stage: String, cap: Long, unit: String): DataFrame =
       perKey
         .agg(coalesce(sum(col("c")), lit(0L)).as("candidates"),
-          coalesce(sum(least(col("c"), lit(cap.toLong))), lit(0L)).as("emitted"))
-        .select(lit(stage).as("stage"), lit(cap.toLong).as("cap"),
+          coalesce(sum(least(col("c"), lit(cap))), lit(0L)).as("emitted"))
+        .select(lit(stage).as("stage"), lit(cap).as("cap"),
           lit(unit).as("unit"), col("candidates"), col("emitted"))
     val sim = summarize(
       simhashQualifying(simhashSigsCached(spark, dir))
         .groupBy(col("a_id")).agg(count(lit(1)).as("c")),
-      "dedup_simhash.partner_cap", SimhashPartnerCap, "verified_pairs")
+      "dedup_simhash.partner_cap", SimhashPartnerCap.toLong, "verified_pairs")
     val posting = natPosting(spark, dir)
     val docIds = Tables.documents(spark, dir).select(col("doc_id"))
     val bucket = summarize(
       ngramBlocked(posting, docIds).groupBy(col("s")).agg(count(lit(1)).as("c")),
-      "ngram_jaccard.bucket_cap", NgramBucketCap, "blocking_entries")
+      "ngram_jaccard.bucket_cap", NgramBucketCap.toLong, "blocking_entries")
     val verify = summarize(
       ngramRankedPairs(posting, docIds).agg(count(lit(1)).as("c")),
-      "ngram_jaccard.verify_budget", NgramVerifyBudget, "candidate_pairs")
+      "ngram_jaccard.verify_budget", ngramVerifyBudget(docIds.count()),
+      "candidate_pairs")
     sim.unionByName(bucket).unionByName(verify)
   }
 }

@@ -90,6 +90,17 @@ class ScaleSmokeSpec extends SparkSpec {
     assert(top.forall(_.getAs[Double]("jaccard") == 1.0))
   }
 
+  test("ngram verify budget is corpus-relative above its floor") {
+    import graft.operators.Dedup
+    // below 5000 docs the floor holds (sf0.01/sf0.1 outputs unchanged);
+    // past it the budget tracks the corpus, so recall doesn't silently
+    // shrink at 100x — the same formula the DuckDB oracle applies
+    assert(Dedup.ngramVerifyBudget(500) == 200)
+    assert(Dedup.ngramVerifyBudget(5000) == 200)
+    assert(Dedup.ngramVerifyBudget(40000) == 1600)
+    assert(Dedup.ngramVerifyBudget(1000000) == 40000)
+  }
+
   test("components runs exactly one Spark job per propagation round") {
     import spark.implicits._
     val pairs = (0L until 63L).map(i => (i, i + 1)).toDF("a_id", "b_id")
