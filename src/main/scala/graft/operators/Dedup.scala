@@ -452,9 +452,10 @@ object Dedup {
     *    duplicate-heavy corpora, where EVERY shingle lands in-window);
     *  - TWO-STAGE RANKING: candidates are ranked by cheap blocking
     *    evidence (shared rare shingles, then rarest-shared df) and
-    *    only the [[NgramVerifyBudget]] strongest get the exact
-    *    posting-list Jaccard — verification cost is a constant, not a
-    *    function of how many near-dups the corpus hides.
+    *    only the [[ngramVerifyBudget]] strongest get the exact
+    *    posting-list Jaccard — the budget scales with the corpus
+    *    (max(200, ⌈n/25⌉)) so verification stays LINEAR in corpus
+    *    size while recall no longer shrinks past the floor.
     *
     * RECALL CONTRACT: a pair reaches the verify stage iff it shares a
     * shingle that is (a) inside the relative window, (b) among one
