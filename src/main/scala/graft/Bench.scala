@@ -70,8 +70,13 @@ object Bench {
     val audit = try Audit.json(spark, sfDir)
       catch { case e: Throwable => s"""{"error":"${e.getClass.getSimpleName}"}""" }
     // pass-1 per-query times: the cold pass is where index-build cost
-    // lands, and a cold regression is invisible in the medians
-    val coldQs = names.map(n => s"\"" + n + "\":" + passes.head(n))
+    // lands, and a cold regression is invisible in the medians. Same
+    // failure sentinel as the medians — a fast exception must not read
+    // as a cold-time improvement.
+    val coldQs = names.map { n =>
+        val t = if (errors.contains(n)) -1.0 else passes.head(n)
+        s"\"" + n + "\":" + t
+      }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""passes":$Passes,"pass_totals":$pt,"cold_total":${passTotals.head},""" +

@@ -22,6 +22,16 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // a filter name that matches nothing (typo, renamed query) must be
+    // LOUD: silently dumping nothing leaves stale parquet in outDir and
+    // the gate would compare the fresh oracle against old Spark output
+    only.foreach { f =>
+      val unknown = f -- SparkEntry.queries.keySet
+      if (unknown.nonEmpty) {
+        System.err.println(s"[verify] unknown query name(s): ${unknown.toSeq.sorted.mkString(",")}")
+        sys.exit(2)
+      }
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

@@ -140,20 +140,37 @@ object Ingest {
     * seam — so the seam's output is verifiable against the columnar
     * pipeline (IngestSeamSpec).
     */
+  /** Signed hashed-BoW token counts into `nDims` buckets — the one
+    * row-at-a-time spelling of [[rawEmbed]]'s hashing convention
+    * (md5Long(tok,1,4) → bucket, md5Long(tok,5,1) → sign), shared by
+    * every encoder so the convention cannot drift between them.
+    * `nDims` must stay within the 4-hex-char hash space (≤ 0x10000) —
+    * larger values would leave buckets permanently unreachable.
+    */
+  private final class BowHasher(nDims: Int) {
+    require(nDims > 0 && nDims <= 0x10000,
+      s"hashed-BoW dims must be in (0, 65536], got $nDims")
+    private val md = java.security.MessageDigest.getInstance("MD5")
+    private def hex(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    def counts(t: String): Array[Double] = {
+      val v = new Array[Double](nDims)
+      // limit -1: keep trailing empty tokens, matching Spark's split
+      t.split(" ", -1).foreach { tok =>
+        val h = hex(tok)
+        val dim = (java.lang.Long.parseLong(h.substring(0, 4), 16) % nDims).toInt
+        val sgn = if (java.lang.Long.parseLong(h.substring(4, 5), 16) % 2 == 0) 1.0 else -1.0
+        v(dim) += sgn
+      }
+      v
+    }
+  }
+
   object HashedBowEmbedder extends TextEmbedder {
     def open(): TextEncoder = new TextEncoder {
-      private val md = java.security.MessageDigest.getInstance("MD5")
-      private def hex(s: String): String =
-        md.digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+      private val hasher = new BowHasher(EmbedDim)
       def embed(texts: Seq[String]): Seq[Array[Float]] = texts.map { t =>
-        val v = new Array[Double](EmbedDim)
-        // limit -1: keep trailing empty tokens, matching Spark's split
-        t.split(" ", -1).foreach { tok =>
-          val h = hex(tok)
-          val dim = (java.lang.Long.parseLong(h.substring(0, 4), 16) % EmbedDim).toInt
-          val sgn = if (java.lang.Long.parseLong(h.substring(4, 5), 16) % 2 == 0) 1.0 else -1.0
-          v(dim) += sgn
-        }
+        val v = hasher.counts(t)
         val nrm0 = math.sqrt(v.map(x => x * x).sum)
         val nrm = if (nrm0 == 0.0) 1e-10 else nrm0
         v.map(x => (math.floor(x / nrm * 10000.0 + 0.5) / 10000.0).toFloat)
@@ -179,19 +196,11 @@ object Ingest {
   final class RandomProjectionEmbedder(modelPath: String) extends TextEmbedder {
     def open(): TextEncoder = new TextEncoder {
       private val model = RandomProjectionModel.load(modelPath)   // per-partition load
-      private val md = java.security.MessageDigest.getInstance("MD5")
-      private def hex(s: String): String =
-        md.digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+      private val hasher = new BowHasher(model.inDim)
       def embed(texts: Seq[String]): Seq[Array[Float]] = texts.map { t =>
-        // hashed-BoW counts in the model's INPUT space...
-        val counts = new Array[Double](model.inDim)
-        t.split(" ", -1).foreach { tok =>
-          val h = hex(tok)
-          val dim = (java.lang.Long.parseLong(h.substring(0, 4), 16) % model.inDim).toInt
-          val sgn = if (java.lang.Long.parseLong(h.substring(4, 5), 16) % 2 == 0) 1.0 else -1.0
-          counts(dim) += sgn
-        }
-        // ...projected through the loaded matrix, then L2-normalized
+        // hashed-BoW counts in the model's INPUT space, projected
+        // through the loaded matrix, then L2-normalized
+        val counts = hasher.counts(t)
         val out = new Array[Double](model.outDim)
         var i = 0
         while (i < model.inDim) {
@@ -221,7 +230,20 @@ object Ingest {
       def weight(i: Int, j: Int): Float = w(i * outDim + j)
     }
 
+    /** Dims an artifact may carry: the input space must fit the
+      * 4-hex-char bucket hash (otherwise rows past 65536 are
+      * permanently unreachable) and the weight array must fit an Int.
+      */
+    private def validateDims(inDim: Int, outDim: Int): Unit = {
+      require(inDim > 0 && inDim <= 0x10000,
+        s"inDim must be in (0, 65536], got $inDim")
+      require(outDim > 0, s"outDim must be positive, got $outDim")
+      require(inDim.toLong * outDim <= Int.MaxValue,
+        s"weight matrix $inDim x $outDim exceeds array limits")
+    }
+
     def write(path: String, seed: Long, inDim: Int, outDim: Int): Unit = {
+      validateDims(inDim, outDim)
       val f = new java.io.File(path)
       Option(f.getParentFile).foreach(_.mkdirs())
       val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
@@ -240,6 +262,7 @@ object Ingest {
       try {
         require(in.readInt() == Magic, s"$path is not a graft RP model")
         val inDim = in.readInt(); val outDim = in.readInt()
+        validateDims(inDim, outDim)
         val w = new Array[Float](inDim * outDim)
         var n = 0
         while (n < w.length) { w(n) = in.readFloat(); n += 1 }

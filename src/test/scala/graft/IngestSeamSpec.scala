@@ -57,14 +57,20 @@ class IngestSeamSpec extends SparkSpec {
     val rp = Ingest.embedWith(spark, docs, new Ingest.RandomProjectionEmbedder(modelPath))
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getSeq[Float](1).toVector).toMap
 
-    // (1) the output is NOT the hashed-BoW stub's — the seam carries a
-    // genuinely external model, not a re-derivation of pipeline math
+    // (1) the LOADED WEIGHTS drive the output: a different-seed
+    // artifact at the same dims produces different vectors — the seam
+    // carries a genuinely external model, not a re-derivation of
+    // pipeline math (a dims-only check would pass vacuously)
+    val otherPath = new java.io.File(new java.io.File(modelPath).getParent, "rp2.model").getPath
+    Ingest.RandomProjectionModel.write(otherPath, seed = 7L, inDim = 64, outDim = 24)
+    val rpOther = Ingest.embedWith(spark, docs, new Ingest.RandomProjectionEmbedder(otherPath))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getSeq[Float](1).toVector).toMap
     val bow = Ingest.embedWith(spark, docs, Ingest.HashedBowEmbedder)
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getSeq[Float](1).toVector).toMap
-    assert(rp.keySet == bow.keySet)
+    assert(rp.keySet == bow.keySet && rpOther.keySet == rp.keySet)
     assert(rp.values.head.length == 24 && bow.values.head.length == Ingest.EmbedDim)
-    assert(rp.count { case (id, v) => v != bow(id) } > 190,
-      "projection output should not coincide with the stub")
+    assert(rp.count { case (id, v) => v != rpOther(id) } > 190,
+      "different artifacts must embed differently — output ignores the loaded weights")
 
     // (2) deterministic: a second run over the same artifact bit-matches
     val rp2 = Ingest.embedWith(spark, docs, new Ingest.RandomProjectionEmbedder(modelPath))
