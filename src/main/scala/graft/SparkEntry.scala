@@ -269,22 +269,67 @@ object SparkEntry {
     * dedup_clusters' / neardup_apply's recursive component closure —
     * mirror of Dedup.minhashPairs).
     */
+  /** minhash → bands → candidate pairs over a `posting` already in
+    * scope — shared by the doc-level pair report and the rep-level
+    * quotient chain below.
+    */
+  private val minhashStagesSql: String =
+    """hsh AS (SELECT doc_id, ('0x' || substr(s, 1, 8))::BIGINT AS h FROM posting),
+      |mins AS (SELECT doc_id, p, MIN((976369*(p+1)*h + 1234567*p) % 4294967311) AS m
+      |  FROM hsh, (SELECT unnest(generate_series(0, 15)) AS p) pp GROUP BY doc_id, p),
+      |banded AS (SELECT doc_id, p // 4 AS bd,
+      |    array_to_string(list(CAST(m AS VARCHAR) ORDER BY p), '|') AS band_key
+      |  FROM mins GROUP BY doc_id, p // 4),
+      |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM banded a JOIN banded b ON a.bd = b.bd AND a.band_key = b.band_key
+      |    AND a.doc_id < b.doc_id)""".stripMargin
+
   private val minhashPairsSql: String =
     "WITH " + corpusCte(perturb = true) + ",\n" + postingCte("corpus") +
-      """,
-        |hsh AS (SELECT doc_id, ('0x' || substr(s, 1, 8))::BIGINT AS h FROM posting),
-        |mins AS (SELECT doc_id, p, MIN((976369*(p+1)*h + 1234567*p) % 4294967311) AS m
-        |  FROM hsh, (SELECT unnest(generate_series(0, 15)) AS p) pp GROUP BY doc_id, p),
-        |banded AS (SELECT doc_id, p // 4 AS bd,
-        |    array_to_string(list(CAST(m AS VARCHAR) ORDER BY p), '|') AS band_key
-        |  FROM mins GROUP BY doc_id, p // 4),
-        |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-        |  FROM banded a JOIN banded b ON a.bd = b.bd AND a.band_key = b.band_key
-        |    AND a.doc_id < b.doc_id),
-        |""".stripMargin + jaccardTail
+      ",\n" + minhashStagesSql + ",\n" + jaccardTail
 
   /** Top-50 report oracle (dedup_minhash). */
   private val minhashOracle: String = minhashPairsSql + " LIMIT 50"
+
+  /** Shared component chain for dedup_clusters/neardup_apply,
+    * QUOTIENTED by exact-content group BEFORE minhash: bands and
+    * jaccard are pure functions of the text, so every md5(text) group
+    * shares all band keys (an internal clique at jaccard 1) and a
+    * cross-group edge exists between two groups iff it exists between
+    * their representatives — the whole posting/minhash/band/verify
+    * pipeline therefore runs on ONE rep per distinct text and the
+    * recursive closure on the ~#distinct-texts rep graph, instead of
+    * on every doc. The doc-level spelling was correct but infeasible
+    * as an oracle at the 32× ladder rung (the cand ⋈ posting ⋈
+    * posting verify join spilled past 78 GB of DuckDB temp); this
+    * form is equivalent and stays small at every scale. A doc is
+    * clustered iff it has ≥ 1 qualifying edge: cross-group (its rep
+    * is in the rep closure) or intra-group (group size ≥ 2 and the
+    * text shingles, i.e. ≥ 3 tokens).
+    */
+  private val clustersQuotientSql: String =
+    "WITH RECURSIVE " + corpusCte(perturb = true) +
+      """,
+        |grp AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS r,
+        |    COUNT(*) OVER (PARTITION BY md5(text)) AS gn,
+        |    (len(string_split(text, ' ')) >= 3) AS hasp
+        |  FROM corpus),
+        |reps AS (SELECT c.doc_id, c.text FROM corpus c
+        |  JOIN (SELECT DISTINCT r FROM grp) rr ON c.doc_id = rr.r),
+        |pairs AS (WITH """.stripMargin + postingCte("reps") +
+      ",\n" + minhashStagesSql + ",\n" + jaccardTail +
+      """
+        |),
+        |rp AS (SELECT a_id, b_id FROM pairs WHERE jaccard >= 0.8),
+        |edges AS (SELECT a_id AS a, b_id AS b FROM rp
+        |  UNION ALL SELECT b_id AS a, a_id AS b FROM rp),
+        |reach AS (SELECT a, b FROM edges
+        |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |repc AS (SELECT a AS r, least(a, MIN(b)) AS cl FROM reach GROUP BY a),
+        |clus AS (SELECT g.doc_id AS doc_id, coalesce(rc.cl, g.r) AS cluster_id
+        |  FROM grp g LEFT JOIN repc rc ON rc.r = g.r
+        |  WHERE rc.r IS NOT NULL OR (g.gn >= 2 AND g.hasp))
+        |""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     // the quarantine reader's row accounting, arithmetically: good
@@ -581,21 +626,10 @@ object SparkEntry {
         |SELECT md5(text) AS text_md5, COUNT(*) AS n_dups, MIN(doc_id) AS keep_id
         |FROM corpus GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY keep_id""".stripMargin),
     "neardup_apply" ->
-      ("""WITH RECURSIVE pairs AS (
-         |""".stripMargin + minhashPairsSql +
-        """
-          |),
-          |p AS (SELECT a_id, b_id FROM pairs WHERE jaccard >= 0.8),
-          |edges AS (SELECT a_id AS a, b_id AS b FROM p
-          |  UNION ALL SELECT b_id AS a, a_id AS b FROM p),
-          |reach AS (SELECT a, b FROM edges
-          |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-          |comp AS (SELECT a AS doc_id, least(a, MIN(b)) AS cluster_id FROM reach GROUP BY a),
-          |""".stripMargin + corpusCte(perturb = true) +
-        """
-          |SELECT c.doc_id, CAST(length(c.text) AS BIGINT) AS n_chars
+      (clustersQuotientSql +
+        """SELECT c.doc_id, CAST(length(c.text) AS BIGINT) AS n_chars
           |FROM corpus c
-          |WHERE c.doc_id NOT IN (SELECT doc_id FROM comp WHERE cluster_id <> doc_id)
+          |WHERE c.doc_id NOT IN (SELECT doc_id FROM clus WHERE cluster_id <> doc_id)
           |ORDER BY c.doc_id""".stripMargin),
     "dedup_apply" -> ("WITH " + corpusCte(perturb = false) +
       """,
@@ -611,17 +645,8 @@ object SparkEntry {
         |ORDER BY event_id""".stripMargin,
     "dedup_minhash" -> minhashOracle,
     "dedup_clusters" ->
-      ("""WITH RECURSIVE pairs AS (
-         |""".stripMargin + minhashPairsSql +
-        """
-          |),
-          |p AS (SELECT a_id, b_id FROM pairs WHERE jaccard >= 0.8),
-          |edges AS (SELECT a_id AS a, b_id AS b FROM p
-          |  UNION ALL SELECT b_id AS a, a_id AS b FROM p),
-          |reach AS (SELECT a, b FROM edges
-          |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
-          |SELECT a AS doc_id, least(a, MIN(b)) AS cluster_id FROM reach
-          |GROUP BY a ORDER BY doc_id""".stripMargin),
+      (clustersQuotientSql +
+        "SELECT doc_id, cluster_id FROM clus ORDER BY doc_id"),
     "dedup_simhash" -> ("WITH " + corpusCte(perturb = true) +
       """,
         |tok AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS h
