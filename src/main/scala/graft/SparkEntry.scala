@@ -37,11 +37,13 @@ object SparkEntry {
     "funnel"           -> (Analytics.funnel _),
     "cohort_retention" -> (Analytics.cohortRetention _),
     "asof_prev_view"   -> (AsOf.asofPrevView _),
+    "range_active_sessions" -> (RangeJoin.rangeActiveSessions _),
     "value_percentiles" -> (Analytics.valuePercentiles _),
     "event_windows"     -> (Analytics.eventWindows _),
     "value_outliers"    -> (Analytics.valueOutliers _),
     "status_transition" -> (Analytics.statusTransition _),
     "q_rollup"          -> (Analytics.qRollup _),
+    "pivot_events"      -> (Analytics.pivotEvents _),
     // sketch ops: no oracle (implementations differ) → rows-only check
     "approx_live_users" -> (Analytics.approxLiveUsers _),
     "approx_value_percentiles" -> (Analytics.approxValuePercentiles _),
@@ -81,6 +83,8 @@ object SparkEntry {
     "ann_lsh"         -> (VectorSearch.annLsh _),
     "ann_lsh_recall"  -> (VectorSearch.annLshRecall _),
     "ann_recall"      -> (VectorSearch.annRecall _),
+    "ann_quantized"   -> (VectorSearch.annQuantized _),
+    "ann_quantized_recall" -> (VectorSearch.annQuantizedRecall _),
     "knn_text"        -> (VectorSearch.knnText _),
     "image_search"    -> ((s, d) => Multimodal.imageSearch(s, d)),
     "dedup_embedding" -> (VectorSearch.dedupEmbedding _),
@@ -149,6 +153,26 @@ object SparkEntry {
       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk FROM ls)""".stripMargin
 
   /** knn_brute candidate scoring + ranking (rk unfiltered). */
+  /** Int8 scalar-quantized search over `n` (vecCte) — oracle twin of
+    * VectorSearch.quantizeInt8 + annQuantized: per-vector scale
+    * 127/max|x|, codes floor(x·s+0.5), both sides dequantized (c/s)
+    * before cosine. `rq` is the unfiltered quantized ranking.
+    */
+  private val quantCte =
+    """qz AS (SELECT vec_id, emb,
+      |    127.0/greatest(list_max(list_transform(emb, x -> abs(x))), 1e-12) AS s FROM n),
+      |cq AS (SELECT vec_id, s, list_transform(emb, x -> floor(x*s + 0.5)) AS codes FROM qz),
+      |dn AS (SELECT vec_id, demb,
+      |    sqrt(list_sum(list_transform(demb, x -> x*x))) AS dnrm
+      |  FROM (SELECT vec_id, list_transform(codes, c -> c/s) AS demb FROM cq)),
+      |qq AS (SELECT vec_id AS q_id, demb AS q_emb, dnrm AS q_nrm FROM dn WHERE vec_id < 10),
+      |cc AS (SELECT vec_id, demb, dnrm FROM dn WHERE vec_id >= 10),
+      |sq AS (SELECT q_id, vec_id,
+      |    floor((list_dot_product(q_emb, demb)/(q_nrm*dnrm)) * 10000.0 + 0.5)/10000.0 AS cos
+      |  FROM qq, cc),
+      |rq AS (SELECT q_id, vec_id, cos,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk FROM sq)""".stripMargin
+
   private val knnCte = vecCte +
     """,
       |q AS (SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm FROM n WHERE vec_id < 10),
@@ -503,6 +527,22 @@ object SparkEntry {
         |  FROM u)
         |SELECT user_id, event_id, ts_ms, prev_view_event_id FROM w WHERE _side=1
         |ORDER BY user_id, event_id""".stripMargin,
+    "pivot_events" ->
+      """SELECT user_id,
+        |  CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
+        |  CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error,
+        |  CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+        |  CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS n_signup,
+        |  CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "range_active_sessions" -> (sessionizeSql +
+      """,
+        |p AS (SELECT event_id, epoch_ms(ts) AS ts_ms FROM events WHERE event_type = 'purchase'),
+        |j AS (SELECT p.event_id, COUNT(*) AS n_active
+        |  FROM p JOIN per_session s ON p.ts_ms >= s.start_ms AND p.ts_ms <= s.end_ms
+        |  GROUP BY p.event_id)
+        |SELECT p.event_id, p.ts_ms, CAST(coalesce(j.n_active, 0) AS BIGINT) AS n_active
+        |FROM p LEFT JOIN j ON p.event_id = j.event_id ORDER BY p.event_id""".stripMargin),
     "cohort_retention" ->
       """WITH ev AS (SELECT DISTINCT user_id,
         |    epoch_ms(ts) - epoch_ms(ts) % 86400000 AS day_ms FROM events),
@@ -861,6 +901,20 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk FROM sv),
         |ex3 AS (SELECT q_id, vec_id FROM r WHERE rk <= 3),
         |ap AS (SELECT q_id, vec_id FROM rv WHERE rk <= 3),
+        |h AS (SELECT ap.q_id, COUNT(*) AS hits
+        |  FROM ap JOIN ex3 ON ap.q_id = ex3.q_id AND ap.vec_id = ex3.vec_id
+        |  GROUP BY ap.q_id)
+        |SELECT e.q_id, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+        |  floor((CAST(coalesce(h.hits, 0) AS DOUBLE)/3.0) * 10000.0 + 0.5)/10000.0 AS recall
+        |FROM (SELECT DISTINCT q_id FROM ex3) e LEFT JOIN h ON e.q_id = h.q_id
+        |ORDER BY e.q_id""".stripMargin),
+    "ann_quantized" -> (vecCte + ",\n" + quantCte +
+      """
+        |SELECT q_id, vec_id, cos, rk FROM rq WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin),
+    "ann_quantized_recall" -> (knnCte + ",\n" + quantCte +
+      """,
+        |ex3 AS (SELECT q_id, vec_id FROM r WHERE rk <= 3),
+        |ap AS (SELECT q_id, vec_id FROM rq WHERE rk <= 3),
         |h AS (SELECT ap.q_id, COUNT(*) AS hits
         |  FROM ap JOIN ex3 ON ap.q_id = ex3.q_id AND ap.vec_id = ex3.vec_id
         |  GROUP BY ap.q_id)

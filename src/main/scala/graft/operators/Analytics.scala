@@ -241,6 +241,30 @@ object Analytics {
         (sum(dec(col("o_totalprice"))).cast("double")).as("total"))
       .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
 
+  /** The event-type domain (TESTDATA.md events.event_type). Pivoting
+    * against an explicit value list keeps the plan a single-pass
+    * conditional aggregate — omitting it makes Spark run an extra
+    * collect-distinct job over the whole corpus first, a full scan a
+    * 100 TB table cannot afford (and a nondeterministic schema).
+    */
+  val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Per-user event-type pivot — the wide activity-matrix view of
+    * the dashboard's per-category counters (reference:
+    * core/views.py dashboard counters per content type). Catalyst
+    * rewrites `pivot` over a literal value list into one hash
+    * aggregate of `count(CASE WHEN …)` columns: one shuffle on
+    * user_id, no per-type scans.
+    */
+  def pivotEvents(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+      .select(col("user_id") +:
+        EventTypes.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+      .orderBy(col("user_id"))
+
   /** Sketch-based distinct counting — the 100 TB replacement for the
     * exact countDistinct in liveUsers (HLL++, mergeable partial
     * aggregation). No DuckDB oracle: sketch implementations differ;

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Point-in-interval (range) join — the other join Spark lacks
+  * natively (AsOf.scala covers most-recent-at-or-before). A naive
+  * `points.join(intervals, ts between (start, end))` has no equi
+  * key, so Catalyst plans BroadcastNestedLoopJoin: O(|P|·|I|)
+  * comparisons and a broadcast of a whole side — a scale killer the
+  * moment neither side is tiny.
+  *
+  * Bucketed formulation instead: pick a bucket width W, explode each
+  * interval to every W-bucket it overlaps, tag each point with its
+  * single bucket, equi-join on the bucket, then re-check exact
+  * containment. Each qualifying (point, interval) pair meets in
+  * exactly one bucket — the point's — so no post-join dedup is
+  * needed. Cost is one shuffle on the bucket key (AQE splits hot
+  * buckets) plus interval replication of ceil(len/W)+1 rows; choose
+  * W near the median interval length so replication stays O(1) per
+  * interval. This is the interval-join strategy Flink's SQL interval
+  * join and DuckDB's IEJoin papers build on, expressed as a plain
+  * Catalyst-optimizable equi-join.
+  *
+  * Reference behavior anchored: active-session containment checks
+  * (reference: core/session_utils.py:215 get_user_session_stats
+  * counts sessions whose activity window covers "now") generalized
+  * to a full point-in-interval join.
+  */
+object RangeJoin {
+
+  /** floor(x / w) in exact long arithmetic (`div` truncates toward
+    * zero, wrong for pre-epoch timestamps; pmod makes it a floor).
+    */
+  private def bucketOf(x: Column, w: Long): Column =
+    ((x - pmod(x, lit(w))).cast("long") / lit(w)).cast("long")
+
+  /** Inner point-in-interval join: every (point, interval) pair with
+    * `startCol <= ptTs <= endCol`. Column names of the two inputs
+    * must be disjoint; the output carries all columns of both sides.
+    *
+    * `bucketWidth` is in the units of the three columns (epoch ms
+    * here). Intervals spanning more than `spark.sql.maxConcatLength`-
+    * style limits are fine — `sequence()` caps at 10k elements, so a
+    * single interval may span at most 10k buckets; size W accordingly
+    * (a loud Spark error, never silent truncation).
+    */
+  def joinPointInInterval(points: DataFrame, ptTs: String,
+      intervals: DataFrame, startCol: String, endCol: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val clash = intervals.columns.toSet.intersect(points.columns.toSet)
+    require(clash.isEmpty,
+      s"point/interval column names collide: ${clash.mkString(", ")}")
+    val reserved = Seq("_bucket").filter(c =>
+      points.columns.contains(c) || intervals.columns.contains(c))
+    require(reserved.isEmpty,
+      s"inputs already carry reserved column(s): ${reserved.mkString(", ")}")
+    val pB = points.withColumn("_bucket", bucketOf(col(ptTs), bucketWidth))
+    val iB = intervals.withColumn("_bucket",
+      explode(sequence(bucketOf(col(startCol), bucketWidth),
+        bucketOf(col(endCol), bucketWidth))))
+    pB.join(iB, "_bucket")
+      .where(col(ptTs) >= col(startCol) && col(ptTs) <= col(endCol))
+      .drop("_bucket")
+  }
+
+  /** Query-level demo: for every purchase event, how many sessions
+    * (across ALL users) were active at that instant. Sessions come
+    * from the gap-based sessionizer (Analytics.sessionize); the
+    * bucket width is the session gap — a session's window can exceed
+    * it, but most spans stay within a few buckets.
+    */
+  def rangeActiveSessions(spark: SparkSession, dir: String): DataFrame = {
+    val purchases = Tables.events(spark, dir)
+      .where(col("event_type") === "purchase")
+      .select(col("event_id"), col("ts_ms"))
+    val sessions = Analytics.sessionize(spark, dir)
+      .select(col("start_ms"), col("end_ms"))
+    val counts = joinPointInInterval(purchases, "ts_ms",
+        sessions, "start_ms", "end_ms", Analytics.SessionGapMs)
+      .groupBy(col("event_id")).agg(count(lit(1)).as("n_active"))
+    purchases.join(counts, Seq("event_id"), "left")
+      .select(col("event_id"), col("ts_ms"),
+        coalesce(col("n_active"), lit(0L)).as("n_active"))
+      .orderBy(col("event_id"))
+  }
+}

@@ -243,6 +243,46 @@ object VectorSearch {
   def annRecall(spark: SparkSession, dir: String): DataFrame =
     recallOf(annIvf(spark, dir), spark, dir)
 
+  /** Int8 symmetric scalar quantization of an (vec_id, emb) frame:
+    * per-vector scale s = 127/max|x|, codes c = floor(x·s + 0.5) ∈
+    * [-127, 127]. The 100 TB memory story for the vector index —
+    * int8 codes + one double scale are ~4× smaller than the float
+    * source (32× vs the double compute form), so 4× more corpus fits
+    * a cluster's executor storage before search fans out to disk.
+    * (FAISS ships the same trade as IndexScalarQuantizer QT_8bit;
+    * reference embed_pdfs.py:227 uses flat float vectors.)
+    */
+  private[operators] def quantizeInt8(v: DataFrame): DataFrame =
+    v.withColumn("q_scale", lit(127.0) /
+        greatest(aggregate(transform(col("emb"), x => abs(x)),
+          lit(0.0), (a, x) => greatest(a, x)), lit(1e-12)))
+      .withColumn("codes",
+        transform(col("emb"), x => floor(x * col("q_scale") + lit(0.5)).cast("int")))
+
+  /** Brute-force top-k over the int8-quantized index: both sides are
+    * dequantized (c/s) at compare time, so the scoring plan is the
+    * exact knn_brute plan over a 4×-smaller stored column. Scores
+    * drift from exact cosine by the quantization error (≤ 0.5/s per
+    * element) — annQuantizedRecall tracks the retrieval impact.
+    */
+  def annQuantized(spark: SparkSession, dir: String): DataFrame = {
+    val dq = quantizeInt8(vectors(spark, dir))
+      .withColumn("demb", transform(col("codes"), c => c.cast("double") / col("q_scale")))
+      .select(col("vec_id"), col("demb"))
+    val q = dq.where(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("demb").as("q_emb"))
+    val corpus = dq.where(col("vec_id") >= NQueries)
+    topKExplode(corpus.crossJoin(broadcast(q))
+      .select(col("q_id"), col("vec_id"),
+        V.cosine4(col("q_emb"), col("demb")).as("cos")), K, "vec_id")
+  }
+
+  /** Recall@3 of quantized search against exact brute force — the
+    * accuracy cost of the 4× memory saving, as a queryable frame.
+    */
+  def annQuantizedRecall(spark: SparkSession, dir: String): DataFrame =
+    recallOf(annQuantized(spark, dir).where(col("rk") <= 3), spark, dir)
+
   /** End-to-end text search: literal query strings → hashed-BoW
     * embedding (Ingest.rawEmbed) → cosine against doc_embed vectors →
     * top-k docs. Mirror of search_similar_chunks (core/utils.py:194):

@@ -5,6 +5,19 @@ import graft.sources.Tables
 
 class AnalyticsSpec extends SparkSpec {
 
+  test("pivot_events: one row per user, counts tie out to the event total") {
+    val piv = Analytics.pivotEvents(spark, sfDir).collect()
+    val ev = Tables.events(spark, sfDir)
+    assert(piv.length == ev.select("user_id").distinct().count())
+    val typeCols = Analytics.EventTypes.map(t => s"n_$t")
+    val pivTotal = piv.map(r => typeCols.map(r.getAs[Long](_)).sum).sum
+    assert(pivTotal == ev.count())
+    // the plan is one conditional aggregate, not a scan per type
+    val plan = Analytics.pivotEvents(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Union"), plan)
+  }
+
   test("sessionize covers every event exactly once with 30-min gaps") {
     val sess = Analytics.sessionize(spark, sfDir).collect()
     val nEvents = Tables.events(spark, sfDir).count()

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.RangeJoin
+
+/** Bucketed point-in-interval join ≡ the naive cross-join filter, on
+  * hand-picked edges and on seeded random data across bucket widths
+  * (boundary inclusion, interval spanning many buckets, empty match).
+  */
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def naive(points: Seq[(Long, Long)], ivals: Seq[(Long, Long, Long)]) =
+    (for {
+      (pid, ts) <- points
+      (iid, s, e) <- ivals
+      if ts >= s && ts <= e
+    } yield (pid, iid)).sorted
+
+  private def bucketed(points: Seq[(Long, Long)], ivals: Seq[(Long, Long, Long)], w: Long) = {
+    val p = points.toDF("p_id", "ts")
+    val i = ivals.toDF("i_id", "s", "e")
+    RangeJoin.joinPointInInterval(p, "ts", i, "s", "e", w)
+      .select($"p_id", $"i_id").as[(Long, Long)].collect().toSeq.sorted
+  }
+
+  test("edges: boundary inclusion, multi-bucket span, no match") {
+    val points = Seq((1L, 0L), (2L, 5L), (3L, 10L), (4L, 15L), (5L, 100L))
+    val ivals = Seq((10L, 0L, 10L), (20L, 7L, 20L), (30L, 50L, 60L), (40L, 10L, 10L))
+    for (w <- Seq(1L, 3L, 4L, 100L))
+      assert(bucketed(points, ivals, w) == naive(points, ivals), s"w=$w")
+  }
+
+  test("seeded random agrees with the cross-join oracle") {
+    val rnd = new scala.util.Random(42)
+    val points = (1L to 300L).map(id => (id, rnd.nextLong(1000)))
+    val ivals = (1L to 120L).map { id =>
+      val s = rnd.nextLong(1000); (id, s, s + rnd.nextLong(80))
+    }
+    for (w <- Seq(7L, 64L, 500L))
+      assert(bucketed(points, ivals, w) == naive(points, ivals), s"w=$w")
+  }
+
+  test("column-name collision and bad width are loud") {
+    val p = Seq((1L, 2L)).toDF("id", "ts")
+    val i = Seq((1L, 2L, 3L)).toDF("id", "s", "e")
+    intercept[IllegalArgumentException] {
+      RangeJoin.joinPointInInterval(p, "ts", i, "s", "e", 10L)
+    }
+    intercept[IllegalArgumentException] {
+      RangeJoin.joinPointInInterval(p, "ts", i.withColumnRenamed("id", "i_id"), "s", "e", 0L)
+    }
+  }
+
+  test("range_active_sessions: every purchase sits in >=1 session (its own)") {
+    val out = RangeJoin.rangeActiveSessions(spark, sfDir)
+    assert(out.count() > 0)
+    assert(out.where($"n_active" < 1).isEmpty)
+  }
+
+  test("plan: equi-join on the bucket, no nested-loop join") {
+    val plan = RangeJoin.rangeActiveSessions(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+}

@@ -95,6 +95,28 @@ class VectorSearchSpec extends SparkSpec {
     assert(c8 <= 10 * c1, s"hot-bucket pair growth not linear: $c1 -> $c8")
   }
 
+  test("ann_quantized: int8 codes bounded, scores near exact, recall high") {
+    val qz = VectorSearch.annQuantized(spark, sfDir).collect()
+    assert(qz.length > 0)
+    qz.foreach { r =>
+      val c = r.getAs[Double]("cos")
+      assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9)
+    }
+    // quantized vs exact score drift on shared (q_id, vec_id) pairs
+    val exact = VectorSearch.knnBrute(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id")) -> r.getAs[Double]("cos")).toMap
+    val shared = qz.flatMap { r =>
+      exact.get((r.getAs[Long]("q_id"), r.getAs[Long]("vec_id")))
+        .map(e => math.abs(e - r.getAs[Double]("cos")))
+    }
+    assert(shared.nonEmpty && shared.max < 0.05,
+      s"int8 quantization drifted cosine by ${if (shared.nonEmpty) shared.max else -1}")
+    // recall@3 of the 4x-smaller index stays high on this corpus
+    val rec = VectorSearch.annQuantizedRecall(spark, sfDir).collect()
+    val mean = rec.map(_.getAs[Double]("recall")).sum / rec.length
+    assert(mean >= 0.8, s"quantized recall@3 fell to $mean")
+  }
+
   test("keyword_search scores follow the reference formula bounds") {
     val rows = KeywordSearch.keywordSearch(spark, sfDir).collect()
     assert(rows.nonEmpty)
