@@ -9,6 +9,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 case class Ev(user_id: Long, event_id: Long, ts_ms: Long, value: Double)
 
+/** Event row with its type — consumed by the streaming operators
+  * whose batch twins group or filter on event_type.
+  */
+case class EvT(user_id: Long, event_id: Long, event_type: String,
+    ts_ms: Long, value: Double)
+
 /** A closed session — same shape as the batch Analytics.sessionize
   * output (SURVEY.md §2.G).
   */
@@ -133,6 +139,55 @@ object Sessionize {
       .dropDuplicatesWithinWatermark("event_id")
       .drop("ts")
       .as[Ev]
+  }
+
+  /** Streaming twin of the batch Analytics.eventWindows: tumbling
+    * 1-hour windows per event_type, count + decimal-exact value sum.
+    * Watermarked append mode emits each window exactly once when the
+    * watermark passes it; the decimal partial sum is mergeable, so
+    * late rows inside the watermark fold in order-independently and
+    * the emitted row equals the batch row bit-for-bit. State is
+    * O(open windows × types) — constant per hour of event time.
+    */
+  def windowedEventCounts(spark: SparkSession, events: Dataset[EvT]) = {
+    import org.apache.spark.sql.types.DecimalType
+    events
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+      .withWatermark("ts", WatermarkSpec)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
+      .select(unix_millis(col("window.start")).as("window_ms"),
+        col("event_type"), col("n"), col("total_value"))
+  }
+
+  /** Stream-stream interval join: each purchase matched to the same
+    * user's views in the preceding [[GapMs]] — last-touch attribution
+    * as both sides flow in. The event-time range condition plus the
+    * two watermarks let Spark expire join state (a view older than
+    * watermark + gap can never match a future purchase), so state is
+    * bounded by the gap window instead of growing with the stream —
+    * the streaming twin of the batch as-of/range joins
+    * (operators/AsOf.scala, operators/RangeJoin.scala).
+    */
+  def attributeViews(spark: SparkSession, views: Dataset[Ev],
+      purchases: Dataset[Ev]) = {
+    val v = views
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+      .withWatermark("ts", WatermarkSpec)
+      .select(col("ts").as("v_ts"), col("user_id").as("v_user"),
+        col("event_id").as("view_id"))
+    val p = purchases
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+      .withWatermark("ts", WatermarkSpec)
+      .select(col("ts").as("p_ts"), col("user_id"),
+        col("event_id").as("purchase_id"))
+    p.join(v, col("user_id") === col("v_user") &&
+        col("v_ts") >= col("p_ts") - expr(s"INTERVAL ${GapMs / 60000} MINUTES") &&
+        col("v_ts") <= col("p_ts"))
+      .select(col("user_id"), col("purchase_id"), col("view_id"),
+        unix_millis(col("p_ts")).as("purchase_ms"),
+        unix_millis(col("v_ts")).as("view_ms"))
   }
 
   /** Streaming mirror of Analytics.liveUsers: per sliding 30-minute

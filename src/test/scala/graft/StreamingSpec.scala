@@ -4,7 +4,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 import graft.operators.Analytics
-import graft.streaming.{Ev, Sessionize}
+import graft.streaming.{Ev, EvT, Sessionize}
 
 /** Streaming sessionization must reproduce the batch operator's
   * sessions when fed the same events (SURVEY.md §2.G).
@@ -82,6 +82,76 @@ class StreamingSpec extends SparkSpec {
       assert(s.getAs[Long]("n_events") == 4L)
       assert(s.getAs[Long]("start_ms") == t0)
       assert(s.getAs[Long]("end_ms") == t0 + 38 * min)
+    } finally query.stop()
+  }
+
+  test("streaming windowed event counts match batch event_windows exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = graft.sources.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts_ms"), col("value"))
+      .as[EvT].collect().sortBy(e => (e.ts_ms, e.event_id))
+    val input = MemoryStream[EvT]
+    val query = Sessionize.windowedEventCounts(spark, input.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("win_counts").start()
+    try {
+      val (b1, b2) = events.splitAt(events.length / 2)
+      input.addData(b1.toIndexedSeq); query.processAllAvailable()
+      input.addData(b2.toIndexedSeq); query.processAllAvailable()
+      val sentinelTs = events.map(_.ts_ms).max + 10L * 24 * 3600 * 1000
+      input.addData(EvT(999999L, 999999L, "sentinel", sentinelTs, 0.0))
+      query.processAllAvailable()
+
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getAs[Long]("window_ms"), r.getAs[String]("event_type"),
+          r.getAs[Long]("n"), r.getAs[Double]("total_value"))
+      val streamed = spark.table("win_counts")
+        .where(col("event_type") =!= "sentinel").collect().map(key).sorted
+      val batch = Analytics.eventWindows(spark, sfDir).collect().map(key).sorted
+      assert(streamed.length == batch.length,
+        s"streamed ${streamed.length} windows vs batch ${batch.length}")
+      val diffs = streamed.zip(batch).filter { case (s, b) => s != b }
+      assert(diffs.isEmpty, s"first diffs: ${diffs.take(3).mkString("; ")}")
+    } finally query.stop()
+  }
+
+  test("stream-stream view attribution matches the batch interval join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts_ms"), col("value"))
+      .as[EvT].collect().sortBy(e => (e.ts_ms, e.event_id))
+    def toEv(e: EvT) = Ev(e.user_id, e.event_id, e.ts_ms, e.value)
+    val views = ev.filter(_.event_type == "view").map(toEv)
+    val purchases = ev.filter(_.event_type == "purchase").map(toEv)
+    val vIn = MemoryStream[Ev]
+    val pIn = MemoryStream[Ev]
+    val query = Sessionize.attributeViews(spark, vIn.toDS(), pIn.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("attrib").start()
+    try {
+      vIn.addData(views.toIndexedSeq); pIn.addData(purchases.toIndexedSeq)
+      query.processAllAvailable()
+      // both inputs need the sentinel: the join watermark is the min
+      val sentinelTs = ev.map(_.ts_ms).max + 10L * 24 * 3600 * 1000
+      vIn.addData(Ev(999999L, 999998L, sentinelTs, 0.0))
+      pIn.addData(Ev(999999L, 999999L, sentinelTs, 0.0))
+      query.processAllAvailable()
+
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getAs[Long]("user_id"), r.getAs[Long]("purchase_id"), r.getAs[Long]("view_id"))
+      val streamed = spark.table("attrib")
+        .where(col("user_id") =!= 999999L).collect().map(key).sorted
+      val batch = (for {
+        p <- purchases
+        v <- views
+        if v.user_id == p.user_id &&
+          v.ts_ms >= p.ts_ms - Sessionize.GapMs && v.ts_ms <= p.ts_ms
+      } yield (p.user_id, p.event_id, v.event_id)).sorted
+      assert(batch.nonEmpty, "test data produced no attributable views")
+      assert(streamed.length == batch.length,
+        s"streamed ${streamed.length} pairs vs batch ${batch.length}")
+      val diffs = streamed.zip(batch).filter { case (s, b) => s != b }
+      assert(diffs.isEmpty, s"first diffs: ${diffs.take(3).mkString("; ")}")
     } finally query.stop()
   }
 
