@@ -1,0 +1,124 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource V2 surface over the ChunkIndex manifest: the committed
+  * snapshot as a first-class Spark table.
+  *
+  * {{{
+  *   spark.read.format("graft-index")
+  *     .option("table", "embeddings").load(root)
+  * }}}
+  *
+  * Resolution happens at the MANIFEST layer — the table's file list
+  * is exactly the highest-sequence manifest's partition dirs, so a
+  * reader never sees a half-committed upsert (ChunkIndex.scala:20,
+  * commit protocol) — and scanning delegates to Spark's own parquet
+  * DSv2 ([[ParquetTable]]): vectorized reads, filter pushdown,
+  * column pruning, row-group skipping all come from the engine, not
+  * a re-implementation. This is the table-format pattern (Iceberg /
+  * Delta): the library owns snapshot resolution, Spark owns bytes.
+  *
+  * The snapshot is pinned when the table object is created; a
+  * concurrent upsert committing a new manifest is invisible to an
+  * already-planned query (read-your-snapshot, same as readChunks).
+  */
+class IndexSource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-index"
+
+  private def resolve(options: CaseInsensitiveStringMap): ParquetTable = {
+    val root = Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException(
+        "graft-index needs the index root: .load(<root>) or .option(\"path\", <root>)"))
+    val table = Option(options.get("table")).getOrElse(IndexSource.DefaultTable)
+    IndexSource.parquetTable(SparkSession.active, root, table, options)
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    resolve(options).schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    resolve(new CaseInsensitiveStringMap(properties))
+}
+
+object IndexSource {
+  val Tables: Set[String] = Set("chunks", "embeddings")
+  val DefaultTable = "chunks"
+
+  private[sources] def parquetTable(spark: SparkSession, root: String,
+      table: String, options: CaseInsensitiveStringMap): ParquetTable = {
+    require(Tables(table),
+      s"unknown index table '$table' (expected one of ${Tables.mkString(", ")})")
+    val dirs = ChunkIndex.partitionDirs(spark, root, table)
+    if (dirs.isEmpty)
+      throw new java.io.FileNotFoundException(s"no committed index at $root")
+    ParquetTable(s"graft-index($root).$table", spark, options,
+      dirs.values.toSeq.sorted, None, classOf[ParquetFileFormat])
+  }
+}
+
+/** Catalog plugin exposing a persisted index to plain SQL:
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.gidx", classOf[IndexCatalog].getName)
+  *   spark.conf.set("spark.sql.catalog.gidx.root", <index root>)
+  *   spark.sql("SELECT * FROM gidx.chunks WHERE shard = 3")
+  * }}}
+  *
+  * Read-only by design: mutation goes through ChunkIndex.upsert /
+  * streamingUpsert, whose copy-on-write MERGE + single-manifest
+  * commit is the index's whole consistency story — a SQL INSERT
+  * writing parquet behind the manifest's back would corrupt nothing
+  * but be invisible, so it's rejected loudly instead.
+  */
+class IndexCatalog extends TableCatalog {
+  private var catalogName: String = _
+  private var root: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    root = Option(options.get("root")).getOrElse(
+      throw new IllegalArgumentException(
+        s"spark.sql.catalog.$name.root must point at the index root"))
+  }
+
+  override def name(): String = catalogName
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    IndexSource.Tables.toArray.sorted.map(Identifier.of(namespace, _))
+
+  override def loadTable(ident: Identifier): Table =
+    IndexSource.parquetTable(SparkSession.active, root, ident.name(),
+      CaseInsensitiveStringMap.empty())
+
+  override def tableExists(ident: Identifier): Boolean =
+    IndexSource.Tables(ident.name())
+
+  override def invalidateTable(ident: Identifier): Unit = ()
+
+  private def readOnly = new UnsupportedOperationException(
+    s"$catalogName is read-only: mutate via ChunkIndex.upsert/streamingUpsert")
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table =
+    throw readOnly
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw readOnly
+
+  override def dropTable(ident: Identifier): Boolean = throw readOnly
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw readOnly
+}
