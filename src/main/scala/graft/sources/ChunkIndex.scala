@@ -97,12 +97,29 @@ object ChunkIndex {
     * is commit order — seq is zero-padded; the uuid breaks ties
     * between racing writers deterministically (last wins).
     */
-  private def currentManifest(spark: SparkSession, root: String): Option[Manifest] = {
+  private def currentManifest(spark: SparkSession, root: String): Option[Manifest] =
+    manifestAt(spark, root, None)
+
+  /** The committed state at a given sequence — time travel over the
+    * snapshot history ([[vacuum]] reclaims old snapshots, after which
+    * they are genuinely gone and this throws). `None` = latest.
+    */
+  private def manifestAt(spark: SparkSession, root: String,
+      wantSeq: Option[Long]): Option[Manifest] = {
     val fs = fsOf(spark, new Path(root))
     val dir = manifestDir(new Path(root))
     if (!fs.exists(dir)) return None
-    val names = fs.listStatus(dir).map(_.getPath.getName)
+    val all = fs.listStatus(dir).map(_.getPath.getName)
       .filter(n => n.startsWith("m-") && n.endsWith(".txt"))
+    val names = wantSeq match {
+      case None => all
+      case Some(s) =>
+        val want = all.filter(_.startsWith(f"m-$s%09d-"))
+        if (want.isEmpty && all.nonEmpty)
+          throw new java.io.FileNotFoundException(
+            s"no snapshot with seq=$s at $root (vacuumed, or never committed)")
+        want
+    }
     if (names.isEmpty) return None
     val latest = names.max
     val lines = readSmallFile(fs, new Path(dir, latest)).split("\n")
@@ -354,8 +371,8 @@ object ChunkIndex {
     * mapping of one table (empty if the root was never committed).
     */
   private[graft] def partitionDirs(spark: SparkSession, root: String,
-      table: String): Map[String, String] =
-    currentManifest(spark, root)
+      table: String, snapshot: Option[Long] = None): Map[String, String] =
+    manifestAt(spark, root, snapshot)
       .map(_.table(table).map { case (p, rel) => p -> s"$root/$rel" })
       .getOrElse(Map.empty)
 

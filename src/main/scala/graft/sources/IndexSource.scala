@@ -17,6 +17,9 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * {{{
   *   spark.read.format("graft-index")
   *     .option("table", "embeddings").load(root)
+  *   // time travel: any not-yet-vacuumed commit by sequence number
+  *   spark.read.format("graft-index")
+  *     .option("snapshot", "3").load(root)
   * }}}
   *
   * Resolution happens at the MANIFEST layer — the table's file list
@@ -41,7 +44,8 @@ class IndexSource extends TableProvider with DataSourceRegister {
       throw new IllegalArgumentException(
         "graft-index needs the index root: .load(<root>) or .option(\"path\", <root>)"))
     val table = Option(options.get("table")).getOrElse(IndexSource.DefaultTable)
-    IndexSource.parquetTable(SparkSession.active, root, table, options)
+    val snapshot = Option(options.get("snapshot")).map(_.toLong)
+    IndexSource.parquetTable(SparkSession.active, root, table, options, snapshot)
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -57,13 +61,15 @@ object IndexSource {
   val DefaultTable = "chunks"
 
   private[sources] def parquetTable(spark: SparkSession, root: String,
-      table: String, options: CaseInsensitiveStringMap): ParquetTable = {
+      table: String, options: CaseInsensitiveStringMap,
+      snapshot: Option[Long] = None): ParquetTable = {
     require(Tables(table),
       s"unknown index table '$table' (expected one of ${Tables.mkString(", ")})")
-    val dirs = ChunkIndex.partitionDirs(spark, root, table)
+    val dirs = ChunkIndex.partitionDirs(spark, root, table, snapshot)
     if (dirs.isEmpty)
       throw new java.io.FileNotFoundException(s"no committed index at $root")
-    ParquetTable(s"graft-index($root).$table", spark, options,
+    val at = snapshot.map(s => s"@$s").getOrElse("")
+    ParquetTable(s"graft-index($root$at).$table", spark, options,
       dirs.values.toSeq.sorted, None, classOf[ParquetFileFormat])
   }
 }

@@ -84,5 +84,18 @@ class IndexSourceSpec extends SparkSpec {
     // a fresh resolution sees the new commit
     val after = spark.read.format("graft-index").option("table", "chunks").load(tmpRoot)
     assert(after.select("doc_id").distinct().count() == 4)
+
+    // time travel: seq 1 still serves the pre-upsert state by option
+    val travel = spark.read.format("graft-index")
+      .option("table", "chunks").option("snapshot", "1").load(tmpRoot)
+    assert(travel.select("doc_id").distinct().count() == 2)
+    // vacuum reclaims history: the old snapshot is then loudly gone
+    ChunkIndex.vacuum(spark, tmpRoot)
+    intercept[java.io.FileNotFoundException] {
+      spark.read.format("graft-index")
+        .option("table", "chunks").option("snapshot", "1").load(tmpRoot).count()
+    }
+    assert(spark.read.format("graft-index").option("table", "chunks")
+      .load(tmpRoot).select("doc_id").distinct().count() == 4)
   }
 }
