@@ -18,12 +18,57 @@ object Graft {
   private[graft] val cosineBuilder: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
       CosineSimilarity = exprs => CosineSimilarity(exprs.head, exprs(1))
 
+  private type Expr = org.apache.spark.sql.catalyst.expressions.Expression
+
+  private def fn1(f: Column => Column): Seq[Expr] => Expr =
+    exprs => graftBridge.analyzedExpressionOf(f(graftBridge.columnOf(exprs.head)))
+
+  private def fn2(f: (Column, Column) => Column): Seq[Expr] => Expr =
+    exprs => graftBridge.analyzedExpressionOf(
+      f(graftBridge.columnOf(exprs.head), graftBridge.columnOf(exprs(1))))
+
+  /** A size/overlap-style argument must be a literal: the Column
+    * composition bakes it into the expression tree at build time.
+    */
+  private def intArg(e: Expr, fname: String): Int = {
+    require(e.foldable, s"$fname expects a literal integer argument, got $e")
+    e.eval(null) match {
+      case i: Int  => i
+      case l: Long => l.toInt
+      case s: Short => s.toInt
+      case b: Byte => b.toInt
+      case other => throw new IllegalArgumentException(
+        s"$fname expects an integer literal, got $other")
+    }
+  }
+
+  /** The SQL function catalog: every entry is a pure-Catalyst
+    * expression (native codegen or built-in composition — no UDF, no
+    * serialization boundary), so using them from `spark.sql` costs
+    * the same as the DataFrame API. Installed per-session by
+    * [[register]] or cluster-wide by `spark.sql.extensions=
+    * graft.GraftExtensions`.
+    */
+  private[graft] val sqlFunctions: Seq[(String, Seq[Expr] => Expr)] = Seq(
+    "cosine_similarity" -> (cosineBuilder: Seq[Expr] => Expr),
+    "graft_dot"    -> fn2(graft.functions.VectorFunctions.dot),
+    "graft_norm"   -> fn1(graft.functions.VectorFunctions.norm),
+    "graft_tokens" -> fn1(graft.functions.TextFunctions.tokens),
+    "graft_shingles" -> (exprs => graftBridge.analyzedExpressionOf(
+      graft.functions.TextFunctions.shingles(graftBridge.columnOf(exprs.head),
+        intArg(exprs(1), "graft_shingles")))),
+    "graft_chunks" -> (exprs => graftBridge.analyzedExpressionOf(
+      graft.functions.TextFunctions.chunks(graftBridge.columnOf(exprs.head),
+        intArg(exprs(1), "graft_chunks"), intArg(exprs(2), "graft_chunks")))))
+
   /** Register graft SQL functions on a session
     * (`SELECT cosine_similarity(a.embedding, b.embedding) ...`).
     */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_similarity", cosineBuilder, "built-in")
+    sqlFunctions.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
 
   /** Expose every operator as a temp view `graft_<name>` over the
     * given data directory, so the whole surface is reachable from

@@ -10,15 +10,19 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * spark.sql.extensions=graft.GraftExtensions
   * }}}
   *
-  * registers `cosine_similarity` on every session the cluster builds —
-  * no application code needed (the Spark-idiomatic install path for a
-  * library shipping Catalyst expressions; `Graft.register` remains
-  * the per-session runtime alternative).
+  * registers the whole [[Graft.sqlFunctions]] catalog
+  * (`cosine_similarity`, `graft_dot`, `graft_norm`, `graft_tokens`,
+  * `graft_shingles`, `graft_chunks`) on every session the cluster
+  * builds — no application code needed (the Spark-idiomatic install
+  * path for a library shipping Catalyst expressions;
+  * `Graft.register` remains the per-session runtime alternative).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(extensions: SparkSessionExtensions): Unit =
-    extensions.injectFunction((
-      FunctionIdentifier("cosine_similarity"),
-      new ExpressionInfo(classOf[graft.plans.CosineSimilarity].getName, "cosine_similarity"),
-      Graft.cosineBuilder))
+    Graft.sqlFunctions.foreach { case (name, builder) =>
+      extensions.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[graft.plans.CosineSimilarity].getName, name),
+        builder))
+    }
 }

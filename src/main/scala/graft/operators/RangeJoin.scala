@@ -42,10 +42,11 @@ object RangeJoin {
     * must be disjoint; the output carries all columns of both sides.
     *
     * `bucketWidth` is in the units of the three columns (epoch ms
-    * here). Intervals spanning more than `spark.sql.maxConcatLength`-
-    * style limits are fine — `sequence()` caps at 10k elements, so a
-    * single interval may span at most 10k buckets; size W accordingly
-    * (a loud Spark error, never silent truncation).
+    * here). An interval spanning many buckets replicates into each —
+    * size W near the median interval length so replication stays
+    * O(1) per interval. A pathological interval/W ratio surfaces as
+    * visible row growth (and a loud Spark array-size error past ~2³¹
+    * buckets for a single interval) — never silent truncation.
     */
   def joinPointInInterval(points: DataFrame, ptTs: String,
       intervals: DataFrame, startCol: String, endCol: String,
