@@ -20,6 +20,16 @@ object Graft {
 
   private type Expr = org.apache.spark.sql.catalyst.expressions.Expression
 
+  /** Wrong argument counts must be an analysis-time message naming
+    * the function, not an IndexOutOfBoundsException from the builder.
+    */
+  private def arity(name: String, n: Int)(b: Seq[Expr] => Expr): Seq[Expr] => Expr =
+    exprs => {
+      if (exprs.length != n) throw new IllegalArgumentException(
+        s"$name expects $n argument(s), got ${exprs.length}")
+      b(exprs)
+    }
+
   private def fn1(f: Column => Column): Seq[Expr] => Expr =
     exprs => graftBridge.analyzedExpressionOf(f(graftBridge.columnOf(exprs.head)))
 
@@ -50,16 +60,25 @@ object Graft {
     * graft.GraftExtensions`.
     */
   private[graft] val sqlFunctions: Seq[(String, Seq[Expr] => Expr)] = Seq(
-    "cosine_similarity" -> (cosineBuilder: Seq[Expr] => Expr),
-    "graft_dot"    -> fn2(graft.functions.VectorFunctions.dot),
-    "graft_norm"   -> fn1(graft.functions.VectorFunctions.norm),
-    "graft_tokens" -> fn1(graft.functions.TextFunctions.tokens),
-    "graft_shingles" -> (exprs => graftBridge.analyzedExpressionOf(
-      graft.functions.TextFunctions.shingles(graftBridge.columnOf(exprs.head),
-        intArg(exprs(1), "graft_shingles")))),
-    "graft_chunks" -> (exprs => graftBridge.analyzedExpressionOf(
-      graft.functions.TextFunctions.chunks(graftBridge.columnOf(exprs.head),
-        intArg(exprs(1), "graft_chunks"), intArg(exprs(2), "graft_chunks")))))
+    "cosine_similarity" -> arity("cosine_similarity", 2)(cosineBuilder),
+    "graft_dot"    -> arity("graft_dot", 2)(fn2(graft.functions.VectorFunctions.dot)),
+    "graft_norm"   -> arity("graft_norm", 1)(fn1(graft.functions.VectorFunctions.norm)),
+    "graft_tokens" -> arity("graft_tokens", 1)(fn1(graft.functions.TextFunctions.tokens)),
+    "graft_shingles" -> arity("graft_shingles", 2)(exprs =>
+      graftBridge.analyzedExpressionOf(
+        graft.functions.TextFunctions.shingles(graftBridge.columnOf(exprs.head),
+          intArg(exprs(1), "graft_shingles")))),
+    "graft_chunks" -> arity("graft_chunks", 3)(exprs =>
+      graftBridge.analyzedExpressionOf(
+        graft.functions.TextFunctions.chunks(graftBridge.columnOf(exprs.head),
+          intArg(exprs(1), "graft_chunks"), intArg(exprs(2), "graft_chunks")))))
+
+  /** The implementing class DESCRIBE FUNCTION should report: the
+    * native expression for cosine, this catalog object otherwise.
+    */
+  private[graft] def implClassOf(name: String): String =
+    if (name == "cosine_similarity") classOf[CosineSimilarity].getName
+    else Graft.getClass.getName
 
   /** Register graft SQL functions on a session
     * (`SELECT cosine_similarity(a.embedding, b.embedding) ...`).

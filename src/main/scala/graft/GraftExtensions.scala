@@ -22,7 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     Graft.sqlFunctions.foreach { case (name, builder) =>
       extensions.injectFunction((
         FunctionIdentifier(name),
-        new ExpressionInfo(classOf[graft.plans.CosineSimilarity].getName, name),
+        new ExpressionInfo(Graft.implClassOf(name), name),
         builder))
     }
 }

@@ -31,11 +31,18 @@ import graft.sources.Tables
   */
 object RangeJoin {
 
-  /** floor(x / w) in exact long arithmetic (`div` truncates toward
-    * zero, wrong for pre-epoch timestamps; pmod makes it a floor).
+  /** floor(x / w) in exact long arithmetic: `pmod` turns truncating
+    * division into a floor (pre-epoch timestamps), and the divide is
+    * Catalyst's integral `div` — Column `/` would go through double
+    * and mis-bucket |x| beyond 2^53.
     */
-  private def bucketOf(x: Column, w: Long): Column =
-    ((x - pmod(x, lit(w))).cast("long") / lit(w)).cast("long")
+  private def bucketOf(x: Column, w: Long): Column = {
+    import org.apache.spark.sql.graftBridge.{columnOf, expressionOf}
+    import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+    columnOf(IntegralDivide(
+      expressionOf((x - pmod(x, lit(w))).cast("long")),
+      expressionOf(lit(w))))
+  }
 
   /** Inner point-in-interval join: every (point, interval) pair with
     * `startCol <= ptTs <= endCol`. Column names of the two inputs

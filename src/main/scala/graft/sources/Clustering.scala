@@ -68,15 +68,17 @@ object Clustering {
     */
   def zorderWrite(df: DataFrame, zCols: Seq[String], outPath: String,
       numFiles: Int, bits: Int = 8): Unit = {
-    val boundsRow = df.agg(
-      zCols.flatMap(c => Seq(min(col(c)).cast("double").as(s"min_$c"),
-        max(col(c)).cast("double").as(s"max_$c"))).head,
-      zCols.flatMap(c => Seq(min(col(c)).cast("double").as(s"min_$c"),
-        max(col(c)).cast("double").as(s"max_$c"))).tail: _*).head()
-    val bounds = zCols.map { c =>
-      c -> (Option(boundsRow.getAs[Double](s"min_$c")).getOrElse(0.0),
-        Option(boundsRow.getAs[Double](s"max_$c")).getOrElse(0.0))
-    }.toMap
+    val aggCols = zCols.flatMap(c => Seq(min(col(c)).cast("double").as(s"min_$c"),
+      max(col(c)).cast("double").as(s"max_$c")))
+    val boundsRow = df.agg(aggCols.head, aggCols.tail: _*).head()
+    // all-null column (or empty frame): min/max are SQL NULL —
+    // Row.getAs[Double] would silently unbox that to 0.0, so null
+    // must be detected positionally
+    def at(name: String): Double = {
+      val i = boundsRow.fieldIndex(name)
+      if (boundsRow.isNullAt(i)) 0.0 else boundsRow.getDouble(i)
+    }
+    val bounds = zCols.map(c => c -> (at(s"min_$c"), at(s"max_$c"))).toMap
     df.withColumn("_z", zValue(zCols, bounds, bits))
       .repartitionByRange(numFiles, col("_z"))
       .sortWithinPartitions(col("_z"))

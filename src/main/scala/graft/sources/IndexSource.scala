@@ -31,29 +31,34 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * a re-implementation. This is the table-format pattern (Iceberg /
   * Delta): the library owns snapshot resolution, Spark owns bytes.
   *
-  * The snapshot is pinned when the table object is created; a
-  * concurrent upsert committing a new manifest is invisible to an
-  * already-planned query (read-your-snapshot, same as readChunks).
+  * The snapshot is pinned when the Table object is materialized
+  * (getTable); a concurrent upsert committing a new manifest is
+  * invisible to an already-planned query (read-your-snapshot, same
+  * as readChunks). Schema inference happens once — getTable reuses
+  * the schema inferSchema already derived instead of re-reading
+  * parquet footers.
   */
 class IndexSource extends TableProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-index"
 
-  private def resolve(options: CaseInsensitiveStringMap): ParquetTable = {
+  private def resolve(options: CaseInsensitiveStringMap,
+      knownSchema: Option[StructType]): ParquetTable = {
     val root = Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException(
         "graft-index needs the index root: .load(<root>) or .option(\"path\", <root>)"))
     val table = Option(options.get("table")).getOrElse(IndexSource.DefaultTable)
     val snapshot = Option(options.get("snapshot")).map(_.toLong)
-    IndexSource.parquetTable(SparkSession.active, root, table, options, snapshot)
+    IndexSource.parquetTable(SparkSession.active, root, table, options,
+      snapshot, knownSchema)
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    resolve(options).schema
+    resolve(options, None).schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    resolve(new CaseInsensitiveStringMap(properties))
+    resolve(new CaseInsensitiveStringMap(properties), Option(schema))
 }
 
 object IndexSource {
@@ -62,7 +67,8 @@ object IndexSource {
 
   private[sources] def parquetTable(spark: SparkSession, root: String,
       table: String, options: CaseInsensitiveStringMap,
-      snapshot: Option[Long] = None): ParquetTable = {
+      snapshot: Option[Long] = None,
+      knownSchema: Option[StructType] = None): ParquetTable = {
     require(Tables(table),
       s"unknown index table '$table' (expected one of ${Tables.mkString(", ")})")
     val dirs = ChunkIndex.partitionDirs(spark, root, table, snapshot)
@@ -70,7 +76,7 @@ object IndexSource {
       throw new java.io.FileNotFoundException(s"no committed index at $root")
     val at = snapshot.map(s => s"@$s").getOrElse("")
     ParquetTable(s"graft-index($root$at).$table", spark, options,
-      dirs.values.toSeq.sorted, None, classOf[ParquetFileFormat])
+      dirs.values.toSeq.sorted, knownSchema, classOf[ParquetFileFormat])
   }
 }
 
@@ -104,12 +110,21 @@ class IndexCatalog extends TableCatalog {
   override def listTables(namespace: Array[String]): Array[Identifier] =
     IndexSource.Tables.toArray.sorted.map(Identifier.of(namespace, _))
 
-  override def loadTable(ident: Identifier): Table =
+  /** The catalog is flat: both tables live at the catalog root. An
+    * unknown name or a namespaced identifier must surface as
+    * NoSuchTableException — Spark's resolution paths (temp-view
+    * fallback, DROP TABLE IF EXISTS) catch that and fall through; a
+    * raw IllegalArgumentException would abort analysis instead.
+    */
+  override def loadTable(ident: Identifier): Table = {
+    if (!tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
     IndexSource.parquetTable(SparkSession.active, root, ident.name(),
       CaseInsensitiveStringMap.empty())
+  }
 
   override def tableExists(ident: Identifier): Boolean =
-    IndexSource.Tables(ident.name())
+    ident.namespace().isEmpty && IndexSource.Tables(ident.name())
 
   override def invalidateTable(ident: Identifier): Unit = ()
 

@@ -55,7 +55,9 @@ object Sessionize {
     * the gap would silently merge sessions batch splits.
     */
   val GapMs: Long = graft.operators.Analytics.SessionGapMs
-  val WatermarkSpec: String = s"${GapMs / 60000} minutes"
+  // spelled in milliseconds so a gap that isn't a whole number of
+  // minutes never silently truncates the delay
+  val WatermarkSpec: String = s"$GapMs milliseconds"
 
   /** How long a flushed user's session COUNTER survives before its
     * state row is dropped — bounds state at O(users active within
@@ -183,7 +185,7 @@ object Sessionize {
       .select(col("ts").as("p_ts"), col("user_id"),
         col("event_id").as("purchase_id"))
     p.join(v, col("user_id") === col("v_user") &&
-        col("v_ts") >= col("p_ts") - expr(s"INTERVAL ${GapMs / 60000} MINUTES") &&
+        col("v_ts") >= col("p_ts") - expr(s"INTERVAL $GapMs MILLISECONDS") &&
         col("v_ts") <= col("p_ts"))
       .select(col("user_id"), col("purchase_id"), col("view_id"),
         unix_millis(col("p_ts")).as("purchase_ms"),

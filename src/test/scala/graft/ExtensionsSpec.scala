@@ -47,5 +47,10 @@ class ExtensionsSpec extends SparkSpec {
         "SELECT graft_shingles(t, size(graft_tokens(t))) FROM (SELECT 'a b' AS t)").head()
     }
     assert(e.getMessage.contains("literal"), e.getMessage)
+    // wrong arity is a named analysis error, not IndexOutOfBounds
+    val a = intercept[Exception] {
+      spark.sql("SELECT graft_chunks('abc', 5)").head()
+    }
+    assert(a.getMessage.contains("graft_chunks expects 3"), a.getMessage)
   }
 }

@@ -68,6 +68,12 @@ class IndexSourceSpec extends SparkSpec {
       spark.sql("DROP TABLE gidx.chunks")
     }
     assert(e.getMessage.toLowerCase.contains("read-only"), e.getMessage)
+    // an unknown table is TABLE_OR_VIEW_NOT_FOUND (catalog contract),
+    // not a raw IllegalArgumentException out of analysis
+    val nf = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT * FROM gidx.typo").collect()
+    }
+    assert(nf.getMessage.contains("typo"), nf.getMessage)
   }
 
   test("snapshot isolation: a table resolved before an upsert keeps its file list") {
