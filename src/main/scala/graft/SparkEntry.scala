@@ -47,6 +47,7 @@ object SparkEntry {
     // sketch ops: no oracle (implementations differ) → rows-only check
     "approx_live_users" -> (Analytics.approxLiveUsers _),
     "approx_value_percentiles" -> (Analytics.approxValuePercentiles _),
+    "approx_top_tokens" -> (TextAnalysis.approxTopTokens _),
     // §2.A ingestion / text processing
     "doc_chunk"       -> (Ingest.docChunk _),
     "doc_chunk_stats" -> (Ingest.docChunkStats _),

@@ -224,4 +224,29 @@ object TextAnalysis {
       .select(col("hit.id").as("doc_id"), col("source"),
         Par.round4(col("hit.score")).as("u"))
       .orderBy(col("doc_id"))
+
+  /** Sketch size for [[approxTopTokens]]: error ≤ N/(m+1) of the
+    * corpus token stream.
+    */
+  val HeavyHitterCounters = 256
+
+  /** Approximate corpus-frequent tokens via the mergeable
+    * Misra–Gries sketch (functions/FreqSketch) — the vocabulary /
+    * boilerplate heavy-hitter report a training-data pipeline runs
+    * where an exact token groupBy-count would shuffle the whole
+    * distinct vocabulary. Shuffle cost: ≤ m counters per map
+    * partition. No DuckDB oracle (merge order shifts the bounded
+    * error): rows-only check; TextOpsSpec asserts the sketch
+    * guarantee against exact counts.
+    */
+  def approxTopTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(tokens(lower(col("text")))).as("tok"))
+      .where(col("tok") =!= "")
+      .agg(graft.functions.FreqSketch.heavyHitters(HeavyHitterCounters)(col("tok")).as("hh"))
+      .select(explode(col("hh")).as("h"))
+      .select(col("h.item").as("token"), col("h.count").as("est_count"),
+        col("h.err").as("err"))
+      .orderBy(col("est_count").desc, col("token"))
+      .limit(20)
 }

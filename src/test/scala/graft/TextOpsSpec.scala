@@ -7,6 +7,52 @@ import graft.sources.Tables
 
 class TextOpsSpec extends SparkSpec {
 
+  test("approx_top_tokens honors the Misra-Gries sketch guarantee") {
+    import spark.implicits._
+    val m = TextAnalysis.HeavyHitterCounters
+    val exact = Tables.documents(spark, sfDir)
+      .select(explode(graft.functions.TextFunctions.tokens(lower(col("text")))).as("tok"))
+      .where(col("tok") =!= "")
+      .groupBy(col("tok")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    val hh = TextAnalysis.approxTopTokens(spark, sfDir).collect()
+    assert(hh.length > 0 && hh.length <= 20)
+    hh.foreach { r =>
+      val (tok, est, err) =
+        (r.getAs[String]("token"), r.getAs[Long]("est_count"), r.getAs[Long]("err"))
+      val truth = exact.getOrElse(tok, 0L)
+      assert(err <= n / (m + 1) + 1, s"err bound blown for $tok: $err vs N/(m+1)")
+      assert(est <= truth && truth <= est + err,
+        s"$tok: true $truth not in [est $est, est+err ${est + err}]")
+    }
+    // every very-heavy token (true > N/(m+1)) must be reported within top-20
+    // of the sketch IF it ranks that high exactly
+    val mustHave = exact.filter(_._2 > n / (m + 1)).toSeq.sortBy(-_._2).take(5).map(_._1)
+    val reported = hh.map(_.getAs[String]("token")).toSet
+    mustHave.foreach(t => assert(reported(t), s"heavy hitter $t missing"))
+  }
+
+  test("heavy-hitters sketch: skewed synthetic stream, partition-order robust") {
+    import spark.implicits._
+    val heavy = Seq.fill(500)("HEAVY") ++ Seq.fill(300)("WARM")
+    val noise = (1 to 900).map(i => s"n$i")
+    val data = new scala.util.Random(7).shuffle(heavy ++ noise)
+    for (parts <- Seq(1, 4, 13)) {
+      val hh = data.toDF("tok").repartition(parts)
+        .agg(graft.functions.FreqSketch.heavyHitters(16)(col("tok")).as("hh"))
+        .select(explode(col("hh")).as("h"))
+        .select(col("h.item"), col("h.count"), col("h.err"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      val top = hh.sortBy(-_._2).map(_._1)
+      assert(top.head == "HEAVY", s"parts=$parts: $top")
+      assert(top.take(2).toSet == Set("HEAVY", "WARM"), s"parts=$parts: $top")
+      hh.find(_._1 == "HEAVY").foreach { case (_, est, err) =>
+        assert(est <= 500 && 500 <= est + err, s"parts=$parts: est $est err $err")
+      }
+    }
+  }
+
   test("doc_chunk reconstructs reference chunk_text semantics") {
     val chunks = Ingest.docChunk(spark, sfDir).collect()
     assert(chunks.nonEmpty)
