@@ -86,6 +86,7 @@ object SparkEntry {
     "ann_recall"      -> (VectorSearch.annRecall _),
     "ann_quantized"   -> (VectorSearch.annQuantized _),
     "ann_quantized_recall" -> (VectorSearch.annQuantizedRecall _),
+    "ann_ivf_quantized" -> (VectorSearch.annIvfQuantized _),
     "knn_text"        -> (VectorSearch.knnText _),
     "image_search"    -> ((s, d) => Multimodal.imageSearch(s, d)),
     "dedup_embedding" -> (VectorSearch.dedupEmbedding _),
@@ -160,14 +161,14 @@ object SparkEntry {
     * before cosine. `rq` is the unfiltered quantized ranking.
     */
   private val quantCte =
-    """qz AS (SELECT vec_id, emb,
+    """qz AS (SELECT vec_id, label, emb,
       |    127.0/greatest(list_max(list_transform(emb, x -> abs(x))), 1e-12) AS s FROM n),
-      |cq AS (SELECT vec_id, s, list_transform(emb, x -> floor(x*s + 0.5)) AS codes FROM qz),
-      |dn AS (SELECT vec_id, demb,
+      |cq AS (SELECT vec_id, label, s, list_transform(emb, x -> floor(x*s + 0.5)) AS codes FROM qz),
+      |dn AS (SELECT vec_id, label, demb,
       |    sqrt(list_sum(list_transform(demb, x -> x*x))) AS dnrm
-      |  FROM (SELECT vec_id, list_transform(codes, c -> c/s) AS demb FROM cq)),
+      |  FROM (SELECT vec_id, label, list_transform(codes, c -> c/s) AS demb FROM cq)),
       |qq AS (SELECT vec_id AS q_id, demb AS q_emb, dnrm AS q_nrm FROM dn WHERE vec_id < 10),
-      |cc AS (SELECT vec_id, demb, dnrm FROM dn WHERE vec_id >= 10),
+      |cc AS (SELECT vec_id, label, demb, dnrm FROM dn WHERE vec_id >= 10),
       |sq AS (SELECT q_id, vec_id,
       |    floor((list_dot_product(q_emb, demb)/(q_nrm*dnrm)) * 10000.0 + 0.5)/10000.0 AS cos
       |  FROM qq, cc),
@@ -923,6 +924,28 @@ object SparkEntry {
         |  floor((CAST(coalesce(h.hits, 0) AS DOUBLE)/3.0) * 10000.0 + 0.5)/10000.0 AS recall
         |FROM (SELECT DISTINCT q_id FROM ex3) e LEFT JOIN h ON e.q_id = h.q_id
         |ORDER BY e.q_id""".stripMargin),
+    "ann_ivf_quantized" -> (vecCte + ",\n" + quantCte +
+      """,
+        |ex AS (SELECT label, g-1 AS dim, emb[g] AS x
+        |  FROM n, LATERAL (SELECT unnest(generate_series(1, len(emb))) g) gg),
+        |cd AS (SELECT label, dim,
+        |    CAST(SUM(CAST(x AS DECIMAL(18,9))) AS DOUBLE)/COUNT(*) AS cv
+        |  FROM ex GROUP BY label, dim),
+        |cent AS (SELECT label, list(cv ORDER BY dim) AS c_emb FROM cd GROUP BY label),
+        |cent2 AS (SELECT label, c_emb,
+        |  sqrt(list_sum(list_transform(c_emb, x -> x*x))) AS c_nrm FROM cent),
+        |pr AS (SELECT q_id, q_emb, q_nrm, cent2.label,
+        |    floor((list_dot_product(q_emb, c_emb)/(q_nrm*c_nrm)) * 10000.0 + 0.5)/10000.0 AS c_cos
+        |  FROM qq, cent2),
+        |probes AS (SELECT *, row_number() OVER (PARTITION BY q_id
+        |  ORDER BY c_cos DESC, label) AS prk FROM pr),
+        |p2 AS (SELECT q_id, q_emb, q_nrm, label FROM probes WHERE prk <= 2),
+        |sv AS (SELECT p2.q_id, cc.vec_id,
+        |    floor((list_dot_product(p2.q_emb, cc.demb)/(p2.q_nrm*cc.dnrm)) * 10000.0 + 0.5)/10000.0 AS cos
+        |  FROM cc JOIN p2 ON cc.label = p2.label),
+        |rv AS (SELECT q_id, vec_id, cos,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk FROM sv)
+        |SELECT q_id, vec_id, cos, rk FROM rv WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin),
     "ann_lsh" -> (vecCte + ",\n" + lshCodesCte + ",\n" + lshSearchCte +
       """
         |SELECT q_id, vec_id, cos, rk FROM lr WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin),

@@ -270,7 +270,7 @@ object VectorSearch {
       graft.DfCache.stagedFrame(spark, s"int8_codes:$dir",
         graft.DfCache.inputFingerprint(spark, s"$dir/embeddings.parquet"))(
         quantizeInt8(vectors(spark, dir))
-          .select(col("vec_id"), col("q_scale"), col("codes"))))
+          .select(col("vec_id"), col("label"), col("q_scale"), col("codes"))))
 
   /** Brute-force top-k over the int8-quantized index: both sides are
     * dequantized (c/s) at compare time, so the scoring plan is the
@@ -297,6 +297,31 @@ object VectorSearch {
     */
   def annQuantizedRecall(spark: SparkSession, dir: String): DataFrame =
     recallOf(annQuantized(spark, dir).where(col("rk") <= 3), spark, dir)
+
+  /** The production composition: IVF probe pruning over the int8
+    * index — full-precision centroids pick nProbe buckets per query,
+    * the fine search reads only those buckets' QUANTIZED codes and
+    * dequantizes at compare time. At 100 TB this is the real vector
+    * index: probing = partition pruning of a 4×-smaller table, so a
+    * cluster holds 4× more corpus per executor AND touches nProbe/K
+    * of it per query.
+    */
+  def annIvfQuantized(spark: SparkSession, dir: String): DataFrame = {
+    val dq = quantizedVectors(spark, dir)
+      .withColumn("demb", transform(col("codes"), c => c.cast("double") / col("q_scale")))
+      .select(col("vec_id"), col("label"), col("demb"))
+    val q = dq.where(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("demb").as("q_emb"))
+    val probes = q.crossJoin(broadcast(centroidsOf(spark, dir)))
+      .select(col("q_id"), col("q_emb"), col("label"),
+        V.cosine4(col("q_emb"), col("c_emb")).as("c_cos"))
+      .withColumn("prk", rank("c_cos", "label", "q_id"))
+      .where(col("prk") <= NProbe)
+    val corpus = dq.where(col("vec_id") >= NQueries)
+    topKExplode(corpus.join(broadcast(probes), Seq("label"))
+      .select(col("q_id"), col("vec_id"),
+        V.cosine4(col("q_emb"), col("demb")).as("cos")), 3, "vec_id")
+  }
 
   /** End-to-end text search: literal query strings → hashed-BoW
     * embedding (Ingest.rawEmbed) → cosine against doc_embed vectors →

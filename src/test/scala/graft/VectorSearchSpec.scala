@@ -117,6 +117,27 @@ class VectorSearchSpec extends SparkSpec {
     assert(mean >= 0.8, s"quantized recall@3 fell to $mean")
   }
 
+  test("ann_ivf_quantized: probe-pruned quantized search stays sound") {
+    val rows = VectorSearch.annIvfQuantized(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // per query: ranked 1..k, scores in range and non-increasing
+    rows.groupBy(_.getAs[Long]("q_id")).values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Long]("rk"))
+      assert(sorted.map(_.getAs[Long]("rk")).toSeq == (1L to sorted.length))
+      val scores = sorted.map(_.getAs[Double]("cos"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+      assert(scores.forall(c => c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9))
+    }
+    // pruning can only shrink the candidate pool: the probed quantized
+    // best never beats the unpruned quantized best
+    val full = VectorSearch.annQuantized(spark, sfDir).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .view.mapValues(_.map(_.getAs[Double]("cos")).max).toMap
+    rows.groupBy(_.getAs[Long]("q_id")).foreach { case (q, rs) =>
+      assert(rs.map(_.getAs[Double]("cos")).max <= full(q) + 1e-9, s"q=$q")
+    }
+  }
+
   test("keyword_search scores follow the reference formula bounds") {
     val rows = KeywordSearch.keywordSearch(spark, sfDir).collect()
     assert(rows.nonEmpty)
