@@ -175,6 +175,19 @@ object SparkEntry {
       |rq AS (SELECT q_id, vec_id, cos,
       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk FROM sq)""".stripMargin
 
+  /** DECIMAL-exact per-label centroids over `n` (vecCte) — oracle
+    * twin of VectorSearch.centroidsOf, shared by every IVF oracle.
+    */
+  private val centroidCte =
+    """ex AS (SELECT label, g-1 AS dim, emb[g] AS x
+      |  FROM n, LATERAL (SELECT unnest(generate_series(1, len(emb))) g) gg),
+      |cd AS (SELECT label, dim,
+      |    CAST(SUM(CAST(x AS DECIMAL(18,9))) AS DOUBLE)/COUNT(*) AS cv
+      |  FROM ex GROUP BY label, dim),
+      |cent AS (SELECT label, list(cv ORDER BY dim) AS c_emb FROM cd GROUP BY label),
+      |cent2 AS (SELECT label, c_emb,
+      |  sqrt(list_sum(list_transform(c_emb, x -> x*x))) AS c_nrm FROM cent)""".stripMargin
+
   private val knnCte = vecCte +
     """,
       |q AS (SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm FROM n WHERE vec_id < 10),
@@ -855,16 +868,8 @@ object SparkEntry {
         |r AS (SELECT q_id, vec_id, cos,
         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk FROM f)
         |SELECT q_id, vec_id, cos, rk FROM r WHERE rk <= 10 ORDER BY q_id, rk""".stripMargin),
-    "ann_ivf" -> (vecCte +
+    "ann_ivf" -> (vecCte + ",\n" + centroidCte +
       """,
-        |ex AS (SELECT label, g-1 AS dim, emb[g] AS x
-        |  FROM n, LATERAL (SELECT unnest(generate_series(1, len(emb))) g) gg),
-        |cd AS (SELECT label, dim,
-        |    CAST(SUM(CAST(x AS DECIMAL(18,9))) AS DOUBLE)/COUNT(*) AS cv
-        |  FROM ex GROUP BY label, dim),
-        |cent AS (SELECT label, list(cv ORDER BY dim) AS c_emb FROM cd GROUP BY label),
-        |cent2 AS (SELECT label, c_emb,
-        |  sqrt(list_sum(list_transform(c_emb, x -> x*x))) AS c_nrm FROM cent),
         |q AS (SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm FROM n WHERE vec_id < 10),
         |pr AS (SELECT q_id, q_emb, q_nrm, label,
         |    floor((list_dot_product(q_emb, c_emb)/(q_nrm*c_nrm)) * 10000.0 + 0.5)/10000.0 AS c_cos
@@ -879,16 +884,8 @@ object SparkEntry {
         |r AS (SELECT q_id, vec_id, cos,
         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk FROM s)
         |SELECT q_id, vec_id, cos, rk FROM r WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin),
-    "ann_recall" -> (knnCte +
+    "ann_recall" -> (knnCte + ",\n" + centroidCte +
       """,
-        |ex AS (SELECT label, g-1 AS dim, emb[g] AS x
-        |  FROM n, LATERAL (SELECT unnest(generate_series(1, len(emb))) g) gg),
-        |cd AS (SELECT label, dim,
-        |    CAST(SUM(CAST(x AS DECIMAL(18,9))) AS DOUBLE)/COUNT(*) AS cv
-        |  FROM ex GROUP BY label, dim),
-        |cent AS (SELECT label, list(cv ORDER BY dim) AS c_emb FROM cd GROUP BY label),
-        |cent2 AS (SELECT label, c_emb,
-        |  sqrt(list_sum(list_transform(c_emb, x -> x*x))) AS c_nrm FROM cent),
         |pr AS (SELECT q_id, q_emb, q_nrm, label,
         |    floor((list_dot_product(q_emb, c_emb)/(q_nrm*c_nrm)) * 10000.0 + 0.5)/10000.0 AS c_cos
         |  FROM q, cent2),
@@ -924,16 +921,8 @@ object SparkEntry {
         |  floor((CAST(coalesce(h.hits, 0) AS DOUBLE)/3.0) * 10000.0 + 0.5)/10000.0 AS recall
         |FROM (SELECT DISTINCT q_id FROM ex3) e LEFT JOIN h ON e.q_id = h.q_id
         |ORDER BY e.q_id""".stripMargin),
-    "ann_ivf_quantized" -> (vecCte + ",\n" + quantCte +
+    "ann_ivf_quantized" -> (vecCte + ",\n" + quantCte + ",\n" + centroidCte +
       """,
-        |ex AS (SELECT label, g-1 AS dim, emb[g] AS x
-        |  FROM n, LATERAL (SELECT unnest(generate_series(1, len(emb))) g) gg),
-        |cd AS (SELECT label, dim,
-        |    CAST(SUM(CAST(x AS DECIMAL(18,9))) AS DOUBLE)/COUNT(*) AS cv
-        |  FROM ex GROUP BY label, dim),
-        |cent AS (SELECT label, list(cv ORDER BY dim) AS c_emb FROM cd GROUP BY label),
-        |cent2 AS (SELECT label, c_emb,
-        |  sqrt(list_sum(list_transform(c_emb, x -> x*x))) AS c_nrm FROM cent),
         |pr AS (SELECT q_id, q_emb, q_nrm, cent2.label,
         |    floor((list_dot_product(q_emb, c_emb)/(q_nrm*c_nrm)) * 10000.0 + 0.5)/10000.0 AS c_cos
         |  FROM qq, cent2),

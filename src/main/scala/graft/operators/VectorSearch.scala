@@ -113,8 +113,16 @@ object VectorSearch {
   /** IVF fine search against an explicit (label, c_emb) centroid
     * frame — the prebuilt-index seam.
     */
-  def annIvfWith(spark: SparkSession, dir: String, cent: DataFrame): DataFrame = {
-    val v = vectors(spark, dir)
+  def annIvfWith(spark: SparkSession, dir: String, cent: DataFrame): DataFrame =
+    ivfFineSearch(vectors(spark, dir), cent)
+
+  /** The shared IVF pipeline over any (vec_id, label, emb) frame:
+    * split queries/corpus at NQueries, probe the NProbe nearest
+    * centroids per query (broadcast), fine-search only probed
+    * labels, bounded top-3 — serves both the full-precision and the
+    * dequantized-int8 index so probe/rank semantics cannot drift.
+    */
+  private def ivfFineSearch(v: DataFrame, cent: DataFrame): DataFrame = {
     val q = v.where(col("vec_id") < NQueries)
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
     val probes = q.crossJoin(broadcast(cent))
@@ -306,22 +314,12 @@ object VectorSearch {
     * cluster holds 4× more corpus per executor AND touches nProbe/K
     * of it per query.
     */
-  def annIvfQuantized(spark: SparkSession, dir: String): DataFrame = {
-    val dq = quantizedVectors(spark, dir)
-      .withColumn("demb", transform(col("codes"), c => c.cast("double") / col("q_scale")))
-      .select(col("vec_id"), col("label"), col("demb"))
-    val q = dq.where(col("vec_id") < NQueries)
-      .select(col("vec_id").as("q_id"), col("demb").as("q_emb"))
-    val probes = q.crossJoin(broadcast(centroidsOf(spark, dir)))
-      .select(col("q_id"), col("q_emb"), col("label"),
-        V.cosine4(col("q_emb"), col("c_emb")).as("c_cos"))
-      .withColumn("prk", rank("c_cos", "label", "q_id"))
-      .where(col("prk") <= NProbe)
-    val corpus = dq.where(col("vec_id") >= NQueries)
-    topKExplode(corpus.join(broadcast(probes), Seq("label"))
-      .select(col("q_id"), col("vec_id"),
-        V.cosine4(col("q_emb"), col("demb")).as("cos")), 3, "vec_id")
-  }
+  def annIvfQuantized(spark: SparkSession, dir: String): DataFrame =
+    ivfFineSearch(
+      quantizedVectors(spark, dir)
+        .withColumn("emb", transform(col("codes"), c => c.cast("double") / col("q_scale")))
+        .select(col("vec_id"), col("label"), col("emb")),
+      centroidsOf(spark, dir))
 
   /** End-to-end text search: literal query strings → hashed-BoW
     * embedding (Ingest.rawEmbed) → cosine against doc_embed vectors →

@@ -9,7 +9,8 @@ class AllQueriesSpec extends SparkSpec {
 
   // rows-only by design (sketches differ across engines); everything
   // else must carry an oracle
-  private val noOracleAllowed = Set("approx_live_users", "approx_value_percentiles")
+  private val noOracleAllowed =
+    Set("approx_live_users", "approx_value_percentiles", "approx_top_tokens")
 
   test("every query runs and returns rows at sf0.001") {
     val empties = Seq("dedup_simhash")   // hamming<=6 pairs may be sparse at tiny SF

@@ -26,11 +26,18 @@ class TextOpsSpec extends SparkSpec {
       assert(est <= truth && truth <= est + err,
         s"$tok: true $truth not in [est $est, est+err ${est + err}]")
     }
-    // every very-heavy token (true > N/(m+1)) must be reported within top-20
-    // of the sketch IF it ranks that high exactly
-    val mustHave = exact.filter(_._2 > n / (m + 1)).toSeq.sortBy(-_._2).take(5).map(_._1)
-    val reported = hh.map(_.getAs[String]("token")).toSet
-    mustHave.foreach(t => assert(reported(t), s"heavy hitter $t missing"))
+    // every very-heavy token (true > N/(m+1)) must SURVIVE IN THE
+    // SKETCH — that is the MG guarantee; a top-20 presentation cut
+    // could legitimately hide one behind deficit-depressed estimates,
+    // so assert against the un-truncated summary
+    val summary = Tables.documents(spark, sfDir)
+      .select(explode(graft.functions.TextFunctions.tokens(lower(col("text")))).as("tok"))
+      .where(col("tok") =!= "")
+      .agg(graft.functions.FreqSketch.heavyHitters(m)(col("tok")).as("hh"))
+      .select(explode(col("hh")).as("h")).select(col("h.item"))
+      .collect().map(_.getString(0)).toSet
+    val mustHave = exact.filter(_._2 > n / (m + 1)).keys
+    mustHave.foreach(t => assert(summary(t), s"heavy hitter $t missing from summary"))
   }
 
   test("heavy-hitters sketch: skewed synthetic stream, partition-order robust") {
