@@ -155,6 +155,63 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming funnel stage reaches match batch funnel counts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = graft.sources.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts_ms"), col("value"))
+      .as[EvT].collect().sortBy(e => (e.ts_ms, e.event_id))
+    val input = MemoryStream[EvT]
+    val query = graft.streaming.Funnel.streamFunnel(spark, input.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("funnel_s").start()
+    try {
+      // three batches so stage machines span micro-batch boundaries
+      val third = events.length / 3
+      events.grouped(third + 1).foreach { b =>
+        input.addData(b.toIndexedSeq); query.processAllAvailable()
+      }
+      val sentinelTs = events.map(_.ts_ms).max + 10L * 24 * 3600 * 1000
+      input.addData(EvT(999999L, 999999L, "noop", sentinelTs, 0.0))
+      query.processAllAvailable()
+
+      val reaches = spark.table("funnel_s").where(col("user_id") =!= 999999L).collect()
+      // exactly-once per (user, stage)
+      val dup = reaches.groupBy(r => (r.getAs[Long]("user_id"), r.getAs[String]("stage")))
+        .values.filter(_.length > 1)
+      assert(dup.isEmpty, s"duplicate stage emissions: ${dup.take(2)}")
+      def n(stage: String) = reaches.count(_.getAs[String]("stage") == stage).toLong
+      val batch = Analytics.funnel(spark, sfDir).head()
+      assert(n("view") == batch.getAs[Long]("users_view"))
+      assert(n("click") == batch.getAs[Long]("users_click_after_view"))
+      assert(n("purchase") == batch.getAs[Long]("users_purchase_after_click"))
+    } finally query.stop()
+  }
+
+  test("streaming funnel: a late view inside the watermark still qualifies the click") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val min = 60L * 1000
+    val t0 = 2000L * 24 * 3600 * 1000
+    val input = MemoryStream[EvT]
+    val query = graft.streaming.Funnel.streamFunnel(spark, input.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("funnel_late").start()
+    try {
+      // batch 1: the click arrives FIRST (event time t0+10min)
+      input.addData(EvT(5L, 2L, "click", t0 + 10 * min, 0.0))
+      query.processAllAvailable()
+      // batch 2: the view that precedes it arrives late (t0+5min,
+      // inside the 30-min watermark) — a naive state machine that
+      // processed the click on arrival would have dropped it
+      input.addData(EvT(5L, 1L, "view", t0 + 5 * min, 0.0))
+      query.processAllAvailable()
+      input.addData(EvT(999999L, 9L, "noop", t0 + 10L * 24 * 3600 * 1000, 0.0))
+      query.processAllAvailable()
+      val stages = spark.table("funnel_late").where(col("user_id") === 5L)
+        .collect().map(_.getAs[String]("stage")).sorted
+      assert(stages.sameElements(Array("click", "view")), stages.mkString(","))
+    } finally query.stop()
+  }
+
   test("streaming live-user window counts are emitted and bounded") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
