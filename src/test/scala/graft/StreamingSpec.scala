@@ -18,6 +18,13 @@ class StreamingSpec extends SparkSpec {
       .as[Ev].collect().sortBy(e => (e.ts_ms, e.event_id))
   }
 
+  private def loadEventsT() = {
+    import spark.implicits._
+    graft.sources.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts_ms"), col("value"))
+      .as[EvT].collect().sortBy(e => (e.ts_ms, e.event_id))
+  }
+
   test("streaming sessionize matches batch sessionize") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -88,9 +95,7 @@ class StreamingSpec extends SparkSpec {
   test("streaming windowed event counts match batch event_windows exactly") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val events = graft.sources.Tables.events(spark, sfDir)
-      .select(col("user_id"), col("event_id"), col("event_type"), col("ts_ms"), col("value"))
-      .as[EvT].collect().sortBy(e => (e.ts_ms, e.event_id))
+    val events = loadEventsT()
     val input = MemoryStream[EvT]
     val query = Sessionize.windowedEventCounts(spark, input.toDS())
       .writeStream.outputMode("append").format("memory").queryName("win_counts").start()
@@ -118,9 +123,7 @@ class StreamingSpec extends SparkSpec {
   test("stream-stream view attribution matches the batch interval join") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val ev = graft.sources.Tables.events(spark, sfDir)
-      .select(col("user_id"), col("event_id"), col("event_type"), col("ts_ms"), col("value"))
-      .as[EvT].collect().sortBy(e => (e.ts_ms, e.event_id))
+    val ev = loadEventsT()
     def toEv(e: EvT) = Ev(e.user_id, e.event_id, e.ts_ms, e.value)
     val views = ev.filter(_.event_type == "view").map(toEv)
     val purchases = ev.filter(_.event_type == "purchase").map(toEv)
@@ -158,9 +161,7 @@ class StreamingSpec extends SparkSpec {
   test("streaming funnel stage reaches match batch funnel counts") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val events = graft.sources.Tables.events(spark, sfDir)
-      .select(col("user_id"), col("event_id"), col("event_type"), col("ts_ms"), col("value"))
-      .as[EvT].collect().sortBy(e => (e.ts_ms, e.event_id))
+    val events = loadEventsT()
     val input = MemoryStream[EvT]
     val query = graft.streaming.Funnel.streamFunnel(spark, input.toDS())
       .writeStream.outputMode("append").format("memory").queryName("funnel_s").start()
