@@ -260,7 +260,7 @@ object VectorSearch {
     * (FAISS ships the same trade as IndexScalarQuantizer QT_8bit;
     * reference embed_pdfs.py:227 uses flat float vectors.)
     */
-  private[operators] def quantizeInt8(v: DataFrame): DataFrame =
+  private[graft] def quantizeInt8(v: DataFrame): DataFrame =
     v.withColumn("q_scale", lit(127.0) /
         greatest(aggregate(transform(col("emb"), x => abs(x)),
           lit(0.0), (a, x) => greatest(a, x)), lit(1e-12)))

@@ -73,6 +73,33 @@ class EdgeCaseSpec extends SparkSpec {
     } finally System.clearProperty("graft.staging")
   }
 
+  test("round-7 operators survive degenerate inputs") {
+    import spark.implicits._
+    // range join: empty interval side and empty point side
+    val pts = Seq((1L, 5L)).toDF("p_id", "ts")
+    val ivs = Seq.empty[(Long, Long, Long)].toDF("i_id", "s", "e")
+    assert(graft.operators.RangeJoin
+      .joinPointInInterval(pts, "ts", ivs, "s", "e", 10L).isEmpty)
+    assert(graft.operators.RangeJoin
+      .joinPointInInterval(pts.limit(0), "ts",
+        Seq((1L, 0L, 9L)).toDF("i_id", "s", "e"), "s", "e", 10L).isEmpty)
+    // heavy hitters: empty stream → empty summary, not a crash
+    val hh = Seq.empty[String].toDF("tok")
+      .agg(graft.functions.FreqSketch.heavyHitters(8)(col("tok")))
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    assert(hh.isEmpty)
+    // int8 quantization: a zero vector quantizes to zero codes (the
+    // 1e-12 floor guards the 127/max|x| scale), cosine stays non-NaN
+    // for the nonzero side
+    val z = Seq((1L, Seq(0.0, 0.0, 0.0)), (2L, Seq(1.0, 2.0, 2.0)))
+      .toDF("vec_id", "emb")
+    val qz = graft.operators.VectorSearch.quantizeInt8(z)
+      .select(col("vec_id"), col("codes")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(qz(1L).forall(_ == 0))
+    assert(qz(2L).max == 127)
+  }
+
   test("validate_docs accepts the whole synthetic corpus and flags synthetic bad rows") {
     val all = TextAnalysis.validateDocs(spark, sfDir).collect()
     assert(all.forall(_.getAs[Boolean]("valid")))   // corpus is clean
