@@ -159,12 +159,26 @@ object VectorSearch {
 
   /** Random-hyperplane LSH code: bit i is the sign of the dot product
     * with pseudo-random hyperplane i (constants above). 6 planes → 64
-    * buckets. Plane length follows the vector's own size via slice (a
-    * hardcoded length would silently zero every bit on shorter
-    * embeddings: Spark's null-padded zip_with returns null while the
-    * oracle's list_sum skips nulls).
+    * buckets. Computed by the native fused-loop expression
+    * (plans.LshSignCode — one codegen'd pass over the vector for all
+    * planes); oversized vectors fail loudly.
     */
   private[operators] def lshCode(emb: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftBridge
+    graftBridge.columnOf(graft.plans.LshSignCode(
+      graftBridge.expressionOf(emb), lshPlanes.map(_.toArray).toArray))
+  }
+
+  /** Test seam for the native code path (lshCode is operator-scoped). */
+  private[graft] def lshCodeTest(emb: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    lshCode(emb)
+
+  /** The original higher-order-function formulation, kept as the
+    * independent parity oracle for [[lshCode]] (CosineExprSpec): per
+    * plane, slice to the vector's own length, interpreted
+    * zip_with/aggregate dot, sign bit; loud beyond [[LshMaxDim]].
+    */
+  private[graft] def lshCodeHof(emb: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val code = (0 until LshPlanes).map { i =>
       val plane = slice(lit(lshPlanes(i).toArray), lit(1), size(emb))
       val s = aggregate(zip_with(emb, plane, (x, p) => x * p),

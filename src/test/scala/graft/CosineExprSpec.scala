@@ -39,6 +39,25 @@ class CosineExprSpec extends SparkSpec {
     rows.foreach(r => assert(math.abs(r.getAs[Double]("cos")) <= 1.0 + 1e-9))
   }
 
+  test("native lsh_sign_code is bit-identical to the HOF formulation") {
+    import graft.operators.VectorSearch
+    val nativeVsHof = vecs
+      .select(col("vec_id"),
+        VectorSearch.lshCodeTest(col("emb")).as("native"),
+        VectorSearch.lshCodeHof(col("emb")).as("hof"))
+      .where(col("native") =!= col("hof"))
+    assert(nativeVsHof.isEmpty,
+      s"codes diverged: ${nativeVsHof.collect().take(3).mkString("; ")}")
+    // loud beyond the plane table, like the HOF raise_error guard
+    import spark.implicits._
+    val big = Seq(Tuple1(Array.fill(VectorSearch.LshMaxDim + 1)(1.0).toSeq)).toDF("emb")
+    val e = intercept[Exception] {
+      big.select(VectorSearch.lshCodeTest(col("emb"))).collect()
+    }
+    assert(e.getMessage.contains("dims") ||
+      Option(e.getCause).exists(_.getMessage.contains("dims")), e.getMessage)
+  }
+
   test("expression participates in whole-stage codegen") {
     val a = vecs.limit(5).select(col("emb").as("a"))
     val df = a.crossJoin(vecs.limit(5).select(col("emb").as("b")))
