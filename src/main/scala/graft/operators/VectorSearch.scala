@@ -163,15 +163,11 @@ object VectorSearch {
     * (plans.LshSignCode — one codegen'd pass over the vector for all
     * planes); oversized vectors fail loudly.
     */
-  private[operators] def lshCode(emb: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+  private[graft] def lshCode(emb: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.graftBridge
     graftBridge.columnOf(graft.plans.LshSignCode(
-      graftBridge.expressionOf(emb), lshPlanes.map(_.toArray).toArray))
+      graftBridge.expressionOf(emb), lshPlanes))
   }
-
-  /** Test seam for the native code path (lshCode is operator-scoped). */
-  private[graft] def lshCodeTest(emb: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    lshCode(emb)
 
   /** The original higher-order-function formulation, kept as the
     * independent parity oracle for [[lshCode]] (CosineExprSpec): per

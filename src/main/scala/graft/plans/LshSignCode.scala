@@ -12,14 +12,21 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   * per plane — VectorSearch.lshCodeHof), which evaluates interpreted
   * lambdas per element per plane: 6 planes × dims closures per row
   * in the index-build path. Bit-parity with the HOF form is
-  * spec-proven (CosineExprSpec): same left-to-right double
-  * accumulation; a vector longer than the plane table fails loudly,
-  * matching the HOF form's raise_error guard.
+  * spec-proven (CosineExprSpec) and includes its edge semantics:
+  * same left-to-right double accumulation; a NaN dot sets the bit
+  * (Spark's `>` ranks NaN above every value); a null element zeroes
+  * the whole code (the HOF's null-propagated dots cleared every
+  * bit); a vector longer than the plane table fails loudly.
+  *
+  * `planes` is a Seq-of-Seq so the case class keeps content-based
+  * equality (an Array parameter would defeat semanticEquals /
+  * common-subexpression elimination and render as an identity hash
+  * in plan strings).
   *
   * (reference: embed_pdfs.py:227 builds a flat FAISS index; the sign
   * code is this library's bucketing scale path for it.)
   */
-case class LshSignCode(child: Expression, planes: Array[Array[Double]])
+case class LshSignCode(child: Expression, planes: Seq[Seq[Double]])
     extends UnaryExpression with ImplicitCastInputTypes {
 
   // Seq is covariant — Seq[ArrayType] satisfies the inputTypes
@@ -30,26 +37,35 @@ case class LshSignCode(child: Expression, planes: Array[Array[Double]])
 
   override def prettyName: String = "lsh_sign_code"
 
+  @transient private lazy val planeArr: Array[Array[Double]] =
+    planes.map(_.toArray).toArray
+
   override def nullSafeEval(input: Any): Any = {
     val x = input.asInstanceOf[ArrayData]
     val n = x.numElements()
-    if (n > planes(0).length) throw new IllegalArgumentException(
-      s"$prettyName supports at most ${planes(0).length} dims, got $n")
+    if (n > planeArr(0).length) throw new IllegalArgumentException(
+      s"$prettyName supports at most ${planeArr(0).length} dims, got $n")
+    var d = 0
+    while (d < n) {   // a null element nulls every HOF dot → code 0
+      if (x.isNullAt(d)) return 0L
+      d += 1
+    }
     var code = 0L
     var i = 0
-    while (i < planes.length) {
-      val p = planes(i)
+    while (i < planeArr.length) {
+      val p = planeArr(i)
       var dot = 0.0
-      var d = 0
+      d = 0
       while (d < n) { dot += x.getDouble(d) * p(d); d += 1 }
-      if (dot > 0) code |= (1L << i)
+      // NaN sets the bit: Spark's GreaterThan ranks NaN above all
+      if (dot > 0 || java.lang.Double.isNaN(dot)) code |= (1L << i)
       i += 1
     }
     code
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val planesRef = ctx.addReferenceObj("planes", planes, "double[][]")
+    val planesRef = ctx.addReferenceObj("planes", planeArr, "double[][]")
     nullSafeCodeGen(ctx, ev, x => {
       val n = ctx.freshName("n")
       val code = ctx.freshName("code")
@@ -57,18 +73,25 @@ case class LshSignCode(child: Expression, planes: Array[Array[Double]])
       val d = ctx.freshName("d")
       val dot = ctx.freshName("dot")
       val p = ctx.freshName("p")
+      val hasNull = ctx.freshName("hasNull")
       s"""
          |int $n = $x.numElements();
          |if ($n > $planesRef[0].length) {
          |  throw new IllegalArgumentException(
          |    "lsh_sign_code supports at most " + $planesRef[0].length + " dims, got " + $n);
          |}
+         |boolean $hasNull = false;
+         |for (int $d = 0; $d < $n; $d++) {
+         |  if ($x.isNullAt($d)) { $hasNull = true; break; }
+         |}
          |long $code = 0L;
-         |for (int $i = 0; $i < $planesRef.length; $i++) {
-         |  double[] $p = $planesRef[$i];
-         |  double $dot = 0.0;
-         |  for (int $d = 0; $d < $n; $d++) { $dot += $x.getDouble($d) * $p[$d]; }
-         |  if ($dot > 0) $code |= (1L << $i);
+         |if (!$hasNull) {
+         |  for (int $i = 0; $i < $planesRef.length; $i++) {
+         |    double[] $p = $planesRef[$i];
+         |    double $dot = 0.0;
+         |    for (int $d = 0; $d < $n; $d++) { $dot += $x.getDouble($d) * $p[$d]; }
+         |    if ($dot > 0 || java.lang.Double.isNaN($dot)) $code |= (1L << $i);
+         |  }
          |}
          |${ev.value} = $code;
        """.stripMargin

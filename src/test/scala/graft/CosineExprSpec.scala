@@ -41,18 +41,32 @@ class CosineExprSpec extends SparkSpec {
 
   test("native lsh_sign_code is bit-identical to the HOF formulation") {
     import graft.operators.VectorSearch
-    val nativeVsHof = vecs
+    val diverged = vecs
       .select(col("vec_id"),
-        VectorSearch.lshCodeTest(col("emb")).as("native"),
+        VectorSearch.lshCode(col("emb")).as("native"),
         VectorSearch.lshCodeHof(col("emb")).as("hof"))
       .where(col("native") =!= col("hof"))
-    assert(nativeVsHof.isEmpty,
-      s"codes diverged: ${nativeVsHof.collect().take(3).mkString("; ")}")
-    // loud beyond the plane table, like the HOF raise_error guard
+      .limit(3).collect()
+    assert(diverged.isEmpty, s"codes diverged: ${diverged.mkString("; ")}")
+    // edge parity: NaN dots set every bit (Spark's > ranks NaN above
+    // all); a null element zeroes the code (HOF null propagation)
     import spark.implicits._
+    val edge = Seq(
+      (1L, Seq[java.lang.Double](Double.NaN, 1.0, 2.0)),
+      (2L, Seq[java.lang.Double](null, 1.0, 2.0)),
+      (3L, Seq[java.lang.Double](1.0, -2.0, 0.5))).toDF("vec_id", "emb")
+      .select(col("vec_id"), col("emb").cast("array<double>").as("emb"))
+    val both = edge.select(col("vec_id"),
+        VectorSearch.lshCode(col("emb")).as("native"),
+        VectorSearch.lshCodeHof(col("emb")).as("hof"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    both.foreach { case (id, n, h) => assert(n == h, s"vec $id: native $n vs hof $h") }
+    assert(both.find(_._1 == 1L).get._2 == 63L)   // NaN → all 6 bits
+    assert(both.find(_._1 == 2L).get._2 == 0L)    // null element → 0
+    // loud beyond the plane table, like the HOF raise_error guard
     val big = Seq(Tuple1(Array.fill(VectorSearch.LshMaxDim + 1)(1.0).toSeq)).toDF("emb")
     val e = intercept[Exception] {
-      big.select(VectorSearch.lshCodeTest(col("emb"))).collect()
+      big.select(VectorSearch.lshCode(col("emb"))).collect()
     }
     assert(e.getMessage.contains("dims") ||
       Option(e.getCause).exists(_.getMessage.contains("dims")), e.getMessage)
