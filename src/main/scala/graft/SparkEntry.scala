@@ -38,6 +38,7 @@ object SparkEntry {
     "cohort_retention" -> (Analytics.cohortRetention _),
     "asof_prev_view"   -> (AsOf.asofPrevView _),
     "range_active_sessions" -> (RangeJoin.rangeActiveSessions _),
+    "session_overlap"       -> (RangeJoin.sessionOverlap _),
     "value_percentiles" -> (Analytics.valuePercentiles _),
     "event_windows"     -> (Analytics.eventWindows _),
     "value_outliers"    -> (Analytics.valueOutliers _),
@@ -558,6 +559,18 @@ object SparkEntry {
         |  GROUP BY p.event_id)
         |SELECT p.event_id, p.ts_ms, CAST(coalesce(j.n_active, 0) AS BIGINT) AS n_active
         |FROM p LEFT JOIN j ON p.event_id = j.event_id ORDER BY p.event_id""".stripMargin),
+    "session_overlap" -> (sessionizeSql +
+      """,
+        |j AS (SELECT a.user_id, a.session_id, COUNT(*) AS n_overlap
+        |  FROM per_session a JOIN per_session b
+        |    ON a.start_ms <= b.end_ms AND b.start_ms <= a.end_ms
+        |   AND a.user_id <> b.user_id
+        |  GROUP BY a.user_id, a.session_id)
+        |SELECT s.user_id, s.session_id,
+        |  CAST(coalesce(j.n_overlap, 0) AS BIGINT) AS n_overlap
+        |FROM per_session s LEFT JOIN j
+        |  ON s.user_id = j.user_id AND s.session_id = j.session_id
+        |ORDER BY s.user_id, s.session_id""".stripMargin),
     "cohort_retention" ->
       """WITH ev AS (SELECT DISTINCT user_id,
         |    epoch_ms(ts) - epoch_ms(ts) % 86400000 AS day_ms FROM events),

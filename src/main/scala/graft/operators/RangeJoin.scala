@@ -75,6 +75,38 @@ object RangeJoin {
       .drop("_bucket")
   }
 
+  /** Interval-overlap join: every (a, b) pair with
+    * `[aStart,aEnd] ∩ [bStart,bEnd] ≠ ∅`, each pair exactly once.
+    * Both sides explode to their overlapped buckets and equi-join on
+    * the bucket; a pair meets in every shared bucket, so it is
+    * emitted only in the FIRST one — the bucket of
+    * `max(aStart, bStart)`, which both intervals contain whenever
+    * they overlap. Same scale shape as [[joinPointInInterval]]: one
+    * shuffle on the bucket key, replication ∝ span/W per interval,
+    * no BroadcastNestedLoopJoin, no post-join dedup pass.
+    */
+  def joinIntervalOverlap(a: DataFrame, aStart: String, aEnd: String,
+      b: DataFrame, bStart: String, bEnd: String, bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val clash = a.columns.toSet.intersect(b.columns.toSet)
+    require(clash.isEmpty,
+      s"interval side column names collide: ${clash.mkString(", ")}")
+    val reserved = Seq("_bucket").filter(c =>
+      a.columns.contains(c) || b.columns.contains(c))
+    require(reserved.isEmpty,
+      s"inputs already carry reserved column(s): ${reserved.mkString(", ")}")
+    val aB = a.withColumn("_bucket",
+      explode(sequence(bucketOf(col(aStart), bucketWidth),
+        bucketOf(col(aEnd), bucketWidth))))
+    val bB = b.withColumn("_bucket",
+      explode(sequence(bucketOf(col(bStart), bucketWidth),
+        bucketOf(col(bEnd), bucketWidth))))
+    aB.join(bB, "_bucket")
+      .where(col(aStart) <= col(bEnd) && col(bStart) <= col(aEnd) &&
+        col("_bucket") === bucketOf(greatest(col(aStart), col(bStart)), bucketWidth))
+      .drop("_bucket")
+  }
+
   /** Query-level demo: for every purchase event, how many sessions
     * (across ALL users) were active at that instant. Sessions come
     * from the gap-based sessionizer (Analytics.sessionize); the
@@ -94,5 +126,28 @@ object RangeJoin {
       .select(col("event_id"), col("ts_ms"),
         coalesce(col("n_active"), lit(0L)).as("n_active"))
       .orderBy(col("event_id"))
+  }
+
+  /** Query-level demo of the overlap join: for every session, how
+    * many OTHER users' sessions overlap it in time — the concurrency
+    * profile of the workload (reference: the active-session counters
+    * in core/session_utils.py generalize from "overlaps now" to
+    * "overlaps each session").
+    */
+  def sessionOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val sess = Analytics.sessionize(spark, dir)
+      .select(col("user_id"), col("session_id"),
+        col("start_ms"), col("end_ms"))
+    val other = sess.select(col("user_id").as("o_user_id"),
+      col("start_ms").as("o_start_ms"), col("end_ms").as("o_end_ms"))
+    val overlaps = joinIntervalOverlap(sess, "start_ms", "end_ms",
+        other, "o_start_ms", "o_end_ms", Analytics.SessionGapMs)
+      .where(col("user_id") =!= col("o_user_id"))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+    sess.join(overlaps, Seq("user_id", "session_id"), "left")
+      .select(col("user_id"), col("session_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .orderBy(col("user_id"), col("session_id"))
   }
 }

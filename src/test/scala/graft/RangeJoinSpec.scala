@@ -42,6 +42,35 @@ class RangeJoinSpec extends SparkSpec {
       assert(bucketed(points, ivals, w) == naive(points, ivals), s"w=$w")
   }
 
+  test("interval overlap: bucketed == cross-join oracle, each pair exactly once") {
+    val rnd = new scala.util.Random(11)
+    val as = (1L to 150L).map { id => val s = rnd.nextLong(800); (id, s, s + rnd.nextLong(120)) }
+    val bs = (1L to 150L).map { id => val s = rnd.nextLong(800); (id, s, s + rnd.nextLong(120)) }
+    val naive = (for {
+      (ai, as1, ae) <- as
+      (bi, bs1, be) <- bs
+      if as1 <= be && bs1 <= ae
+    } yield (ai, bi)).sorted
+    for (w <- Seq(5L, 64L, 1000L)) {
+      val got = graft.operators.RangeJoin.joinIntervalOverlap(
+          as.toDF("a_id", "a_s", "a_e"), "a_s", "a_e",
+          bs.toDF("b_id", "b_s", "b_e"), "b_s", "b_e", w)
+        .select($"a_id", $"b_id").as[(Long, Long)].collect().toSeq.sorted
+      assert(got == naive, s"w=$w: got ${got.length} pairs vs ${naive.length}")
+    }
+  }
+
+  test("session_overlap: non-negative, symmetric total, plan stays equi-join") {
+    val out = graft.operators.RangeJoin.sessionOverlap(spark, sfDir)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("n_overlap") >= 0))
+    // overlap is symmetric: the total counts each unordered pair twice
+    assert(rows.map(_.getAs[Long]("n_overlap")).sum % 2 == 0)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+  }
+
   test("column-name collision and bad width are loud") {
     val p = Seq((1L, 2L)).toDF("id", "ts")
     val i = Seq((1L, 2L, 3L)).toDF("id", "s", "e")
