@@ -44,6 +44,21 @@ object RangeJoin {
       expressionOf(lit(w))))
   }
 
+  /** Shared input validation: positive width, disjoint column names,
+    * no reserved column on either side.
+    */
+  private def validateInputs(left: DataFrame, right: DataFrame,
+      bucketWidth: Long): Unit = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val clash = right.columns.toSet.intersect(left.columns.toSet)
+    require(clash.isEmpty,
+      s"join side column names collide: ${clash.mkString(", ")}")
+    val reserved = Seq("_bucket").filter(c =>
+      left.columns.contains(c) || right.columns.contains(c))
+    require(reserved.isEmpty,
+      s"inputs already carry reserved column(s): ${reserved.mkString(", ")}")
+  }
+
   /** Inner point-in-interval join: every (point, interval) pair with
     * `startCol <= ptTs <= endCol`. Column names of the two inputs
     * must be disjoint; the output carries all columns of both sides.
@@ -58,14 +73,7 @@ object RangeJoin {
   def joinPointInInterval(points: DataFrame, ptTs: String,
       intervals: DataFrame, startCol: String, endCol: String,
       bucketWidth: Long): DataFrame = {
-    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
-    val clash = intervals.columns.toSet.intersect(points.columns.toSet)
-    require(clash.isEmpty,
-      s"point/interval column names collide: ${clash.mkString(", ")}")
-    val reserved = Seq("_bucket").filter(c =>
-      points.columns.contains(c) || intervals.columns.contains(c))
-    require(reserved.isEmpty,
-      s"inputs already carry reserved column(s): ${reserved.mkString(", ")}")
+    validateInputs(points, intervals, bucketWidth)
     val pB = points.withColumn("_bucket", bucketOf(col(ptTs), bucketWidth))
     val iB = intervals.withColumn("_bucket",
       explode(sequence(bucketOf(col(startCol), bucketWidth),
@@ -76,7 +84,8 @@ object RangeJoin {
   }
 
   /** Interval-overlap join: every (a, b) pair with
-    * `[aStart,aEnd] ∩ [bStart,bEnd] ≠ ∅`, each pair exactly once.
+    * `[aStart,aEnd] ∩ [bStart,bEnd] ≠ ∅`, each pair exactly once; an
+    * inverted (start > end) interval is empty and matches nothing.
     * Both sides explode to their overlapped buckets and equi-join on
     * the bucket; a pair meets in every shared bucket, so it is
     * emitted only in the FIRST one — the bucket of
@@ -87,18 +96,15 @@ object RangeJoin {
     */
   def joinIntervalOverlap(a: DataFrame, aStart: String, aEnd: String,
       b: DataFrame, bStart: String, bEnd: String, bucketWidth: Long): DataFrame = {
-    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
-    val clash = a.columns.toSet.intersect(b.columns.toSet)
-    require(clash.isEmpty,
-      s"interval side column names collide: ${clash.mkString(", ")}")
-    val reserved = Seq("_bucket").filter(c =>
-      a.columns.contains(c) || b.columns.contains(c))
-    require(reserved.isEmpty,
-      s"inputs already carry reserved column(s): ${reserved.mkString(", ")}")
-    val aB = a.withColumn("_bucket",
+    validateInputs(a, b, bucketWidth)
+    // an inverted (start > end) interval is EMPTY — it matches
+    // nothing, same as joinPointInInterval's unsatisfiable predicate.
+    // Without the filter, sequence() counts DOWN for it and the
+    // overlap test can still pass, emitting pairs for ∅ ∩ [s,e].
+    val aB = a.where(col(aStart) <= col(aEnd)).withColumn("_bucket",
       explode(sequence(bucketOf(col(aStart), bucketWidth),
         bucketOf(col(aEnd), bucketWidth))))
-    val bB = b.withColumn("_bucket",
+    val bB = b.where(col(bStart) <= col(bEnd)).withColumn("_bucket",
       explode(sequence(bucketOf(col(bStart), bucketWidth),
         bucketOf(col(bEnd), bucketWidth))))
     aB.join(bB, "_bucket")
@@ -135,9 +141,13 @@ object RangeJoin {
     * "overlaps each session").
     */
   def sessionOverlap(spark: SparkSession, dir: String): DataFrame = {
+    // the sessionize subtree feeds three plan branches (both overlap
+    // sides + the zero-restoring left join); localCheckpoint
+    // materializes it once instead of re-aggregating per branch
     val sess = Analytics.sessionize(spark, dir)
       .select(col("user_id"), col("session_id"),
         col("start_ms"), col("end_ms"))
+      .localCheckpoint()
     val other = sess.select(col("user_id").as("o_user_id"),
       col("start_ms").as("o_start_ms"), col("end_ms").as("o_end_ms"))
     val overlaps = joinIntervalOverlap(sess, "start_ms", "end_ms",

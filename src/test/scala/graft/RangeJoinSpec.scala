@@ -60,6 +60,38 @@ class RangeJoinSpec extends SparkSpec {
     }
   }
 
+  test("interval overlap: inverted intervals are empty; guards are loud") {
+    val a = Seq((1L, 10L, 2L), (2L, 1L, 5L)).toDF("a_id", "a_s", "a_e")  // 1 = inverted
+    val b = Seq((1L, 1L, 20L)).toDF("b_id", "b_s", "b_e")
+    val got = graft.operators.RangeJoin.joinIntervalOverlap(
+        a, "a_s", "a_e", b, "b_s", "b_e", 4L)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((2L, 1L)), s"inverted interval matched: $got")
+    intercept[IllegalArgumentException] {   // column clash
+      graft.operators.RangeJoin.joinIntervalOverlap(
+        a, "a_s", "a_e", b.withColumnRenamed("b_id", "a_id"), "b_s", "b_e", 4L)
+    }
+    intercept[IllegalArgumentException] {   // bad width
+      graft.operators.RangeJoin.joinIntervalOverlap(a, "a_s", "a_e", b, "b_s", "b_e", 0L)
+    }
+  }
+
+  test("overlap counting on a hand-built fixture (catches double-count/self-pair bugs)") {
+    // user 1: s1=[0,10], s2=[100,110]; user 2: s3=[5,8], s4=[9,12]
+    // cross-user overlaps: (s1,s3), (s1,s4) — each counted once per side
+    val sess = Seq(
+      (1L, 1L, 0L, 10L), (1L, 2L, 100L, 110L),
+      (2L, 1L, 5L, 8L), (2L, 2L, 9L, 12L)).toDF("user_id", "session_id", "start_ms", "end_ms")
+    val other = sess.select($"user_id".as("o_user_id"),
+      $"start_ms".as("o_s"), $"end_ms".as("o_e"))
+    val counts = graft.operators.RangeJoin.joinIntervalOverlap(
+        sess, "start_ms", "end_ms", other, "o_s", "o_e", 4L)
+      .where($"user_id" =!= $"o_user_id")
+      .groupBy($"user_id", $"session_id").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(counts == Map((1L, 1L) -> 2L, (2L, 1L) -> 1L, (2L, 2L) -> 1L), counts.toString)
+  }
+
   test("session_overlap: non-negative, symmetric total, plan stays equi-join") {
     val out = graft.operators.RangeJoin.sessionOverlap(spark, sfDir)
     val rows = out.collect()
