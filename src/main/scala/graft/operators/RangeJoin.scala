@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -113,6 +114,94 @@ object RangeJoin {
       .drop("_bucket")
   }
 
+  /** Distributed order-statistics lookup: for each row of `points`,
+    * the number of `values` rows whose `valCol` is ≤ `ptCol` (or
+    * strictly <, with `strict = true`) — the rank of the point in the
+    * sorted value multiset. Output = `points` plus `outCol: long`.
+    *
+    * This is the scale-safe primitive behind COUNTING range-join
+    * semantics: "how many intervals overlap X" is a difference of two
+    * rank lookups (|starts ≤ X.end| − |ends < X.start|), computed
+    * with ZERO pair materialization — where a pair-enumerating join's
+    * intermediate is inherently quadratic in concurrency (k live
+    * intervals ⇒ k²/2 join rows before the aggregate, however well
+    * bucketed), this is O(n log n) total.
+    *
+    * Shape: both sides union into one (time, Δ) stream (values carry
+    * Δ=1, points Δ=0; a tie column makes equal-time ordering encode
+    * ≤ vs <), then a two-level cumulative sum — per-time-bucket
+    * totals, a prefix sum over the (small, ≈ time-span/bucketWidth-
+    * row) bucket-total table, broadcast back, and a window cumsum
+    * WITHIN each bucket. Every per-row pass partitions on the bucket
+    * key; the only unpartitioned window is over bucket totals, whose
+    * cardinality is independent of row count. A hot instant with k
+    * concurrent rows costs one k-row sorted partition, not k² pairs.
+    *
+    * With `keys` non-empty the count is per key group (values must
+    * carry the key columns too) and the window partitions on the keys
+    * directly — no bucketing; use for per-entity corrections where
+    * group sizes are bounded (e.g. one user's sessions).
+    *
+    * Values with NULL `valCol` are ignored; a NULL `ptCol` counts 0.
+    */
+  def countUnder(points: DataFrame, ptCol: String,
+      values: DataFrame, valCol: String, strict: Boolean,
+      bucketWidth: Long, outCol: String, keys: Seq[String] = Nil): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    require(!points.columns.contains(outCol),
+      s"points already carries output column `$outCol`")
+    val reserved = Seq("_t", "_delta", "_tie", "_bucket", "_cnt", "_prefix")
+    val clash = reserved.filter(points.columns.contains)
+    require(clash.isEmpty,
+      s"points carries reserved column(s): ${clash.mkString(", ")}")
+    require(keys.forall(values.columns.contains),
+      s"values must carry key columns ${keys.mkString(", ")}")
+    require(keys.forall(points.columns.contains),
+      s"points must carry key columns ${keys.mkString(", ")}")
+    // equal-time ordering encodes the comparison: non-strict (≤) puts
+    // values BEFORE points at the same t (equal values count); strict
+    // (<) puts points first (equal values don't)
+    val (vTie, pTie) = if (strict) (1, 0) else (0, 1)
+    val ptCols = points.columns.toSeq
+    val vSide = values.where(col(valCol).isNotNull).select(
+      col(valCol).cast("long").as("_t") +: lit(1L).as("_delta") +:
+        lit(vTie).as("_tie") +:
+        (ptCols.filterNot(keys.contains).map(c =>
+          lit(null).cast(points.schema(c).dataType).as(c)) ++ keys.map(col)): _*)
+    val pSide = points.select(
+      col(ptCol).cast("long").as("_t") +: lit(0L).as("_delta") +:
+        lit(pTie).as("_tie") +: ptCols.map(col): _*)
+    val u = vSide.unionByName(pSide)
+    // the cumsum at a point row is invariant to ordering among rows
+    // with equal (_t, _tie) — they are all Δ=1 (before it) or Δ=0 —
+    // so no further tie-break column is needed for determinism
+    val counted =
+      if (keys.nonEmpty) {
+        val w = Window.partitionBy(keys.map(col): _*)
+          .orderBy(col("_t"), col("_tie"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        u.withColumn(outCol, sum(col("_delta")).over(w))
+      } else {
+        val ub = u.withColumn("_bucket", bucketOf(col("_t"), bucketWidth))
+        val totals = ub.groupBy(col("_bucket")).agg(sum(col("_delta")).as("_cnt"))
+        // #buckets rows ≈ time-span / bucketWidth — independent of n;
+        // the single-partition window here is over that small table
+        val wPre = Window.orderBy(col("_bucket"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val prefix = totals
+          .withColumn("_prefix", sum(col("_cnt")).over(wPre) - col("_cnt"))
+          .select(col("_bucket"), col("_prefix"))
+        val wIn = Window.partitionBy(col("_bucket"))
+          .orderBy(col("_t"), col("_tie"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ub.join(broadcast(prefix), Seq("_bucket"))
+          .withColumn(outCol, col("_prefix") + sum(col("_delta")).over(wIn))
+          .drop("_bucket", "_prefix")
+      }
+    counted.where(col("_delta") === 0L)
+      .select(ptCols.map(col) :+ col(outCol).cast("long").as(outCol): _*)
+  }
+
   /** Query-level demo: for every purchase event, how many sessions
     * (across ALL users) were active at that instant. Sessions come
     * from the gap-based sessionizer (Analytics.sessionize); the
@@ -120,17 +209,25 @@ object RangeJoin {
     * it, but most spans stay within a few buckets.
     */
   def rangeActiveSessions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Analytics.SessionGapMs
     val purchases = Tables.events(spark, dir)
       .where(col("event_type") === "purchase")
       .select(col("event_id"), col("ts_ms"))
-    val sessions = Analytics.sessionize(spark, dir)
+    // "sessions active at t" is a rank difference — |starts ≤ t| −
+    // |ends < t| — so it runs as two countUnder passes with no
+    // (purchase × concurrent-session) pair materialization at all;
+    // joinPointInInterval stays the operator for pair-OUTPUT joins
+    val sess = Analytics.sessionize(spark, dir)
       .select(col("start_ms"), col("end_ms"))
-    val counts = joinPointInInterval(purchases, "ts_ms",
-        sessions, "start_ms", "end_ms", Analytics.SessionGapMs)
-      .groupBy(col("event_id")).agg(count(lit(1)).as("n_active"))
-    purchases.join(counts, Seq("event_id"), "left")
-      .select(col("event_id"), col("ts_ms"),
-        coalesce(col("n_active"), lit(0L)).as("n_active"))
+      .localCheckpoint()   // feeds both value sides
+    val withLe = countUnder(purchases, "ts_ms",
+      sess.select(col("start_ms").as("_v")), "_v",
+      strict = false, w, "_starts_le")
+    val withLt = countUnder(withLe, "ts_ms",
+      sess.select(col("end_ms").as("_v")), "_v",
+      strict = true, w, "_ends_lt")
+    withLt.select(col("event_id"), col("ts_ms"),
+        (col("_starts_le") - col("_ends_lt")).as("n_active"))
       .orderBy(col("event_id"))
   }
 
@@ -141,23 +238,39 @@ object RangeJoin {
     * "overlaps each session").
     */
   def sessionOverlap(spark: SparkSession, dir: String): DataFrame = {
-    // the sessionize subtree feeds three plan branches (both overlap
-    // sides + the zero-restoring left join); localCheckpoint
-    // materializes it once instead of re-aggregating per branch
+    // Counting semantics ⇒ rank-based, NOT pair enumeration: a hot
+    // window with k concurrent sessions costs the overlap JOIN k²/2
+    // intermediate rows however well-bucketed, while the count is a
+    // difference of order statistics —
+    //   overlaps(i) = |{j : start_j ≤ end_i}| − |{j : end_j < start_i}| − 1
+    // (self), minus the same formula restricted to i's own user
+    // (other-user semantics). Four countUnder passes, O(n log n)
+    // total, zero pair materialization; joinIntervalOverlap remains
+    // for genuine pair-output joins (spec-proven ≡ cross-join).
+    val w = Analytics.SessionGapMs
+    // the sessionize subtree feeds the point chain + four value
+    // sides; localCheckpoint materializes it once
     val sess = Analytics.sessionize(spark, dir)
       .select(col("user_id"), col("session_id"),
         col("start_ms"), col("end_ms"))
       .localCheckpoint()
-    val other = sess.select(col("user_id").as("o_user_id"),
-      col("start_ms").as("o_start_ms"), col("end_ms").as("o_end_ms"))
-    val overlaps = joinIntervalOverlap(sess, "start_ms", "end_ms",
-        other, "o_start_ms", "o_end_ms", Analytics.SessionGapMs)
-      .where(col("user_id") =!= col("o_user_id"))
-      .groupBy(col("user_id"), col("session_id"))
-      .agg(count(lit(1)).as("n_overlap"))
-    sess.join(overlaps, Seq("user_id", "session_id"), "left")
-      .select(col("user_id"), col("session_id"),
-        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+    val withAllLe = countUnder(sess, "end_ms",
+      sess.select(col("start_ms").as("_v")), "_v",
+      strict = false, w, "_all_le")
+    val withAllLt = countUnder(withAllLe, "start_ms",
+      sess.select(col("end_ms").as("_v")), "_v",
+      strict = true, w, "_all_lt")
+    val withUsrLe = countUnder(withAllLt, "end_ms",
+      sess.select(col("user_id"), col("start_ms").as("_v")), "_v",
+      strict = false, w, "_usr_le", keys = Seq("user_id"))
+    val withUsrLt = countUnder(withUsrLe, "start_ms",
+      sess.select(col("user_id"), col("end_ms").as("_v")), "_v",
+      strict = true, w, "_usr_lt", keys = Seq("user_id"))
+    // (all − self) − (same-user − self) = all − same-user, so the
+    // two −1 self terms cancel
+    withUsrLt.select(col("user_id"), col("session_id"),
+        (col("_all_le") - col("_all_lt") - col("_usr_le") + col("_usr_lt"))
+          .as("n_overlap"))
       .orderBy(col("user_id"), col("session_id"))
   }
 }

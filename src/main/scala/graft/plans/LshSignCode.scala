@@ -29,6 +29,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 case class LshSignCode(child: Expression, planes: Seq[Seq[Double]])
     extends UnaryExpression with ImplicitCastInputTypes {
 
+  // construction-time validation: an empty or ragged plane table
+  // would otherwise surface as an IndexOutOfBounds mid-loop at eval
+  // time (or inside generated code)
+  require(planes.nonEmpty, "lsh_sign_code needs at least one plane")
+  require(planes.forall(_.length == planes.head.length),
+    "lsh_sign_code planes must all have the same length")
+
   // Seq is covariant — Seq[ArrayType] satisfies the inputTypes
   // contract without naming the private[sql] AbstractDataType
   override def inputTypes: Seq[ArrayType] = Seq(ArrayType(DoubleType))

@@ -68,6 +68,11 @@ object Clustering {
     */
   def zorderWrite(df: DataFrame, zCols: Seq[String], outPath: String,
       numFiles: Int, bits: Int = 8): Unit = {
+    // the scratch column would silently shadow (and then drop) a
+    // caller column of the same name — same guard as RangeJoin's
+    // reserved `_bucket`
+    require(!df.columns.contains("_z"),
+      "zorderWrite reserves column name `_z`; rename the input column")
     val aggCols = zCols.flatMap(c => Seq(min(col(c)).cast("double").as(s"min_$c"),
       max(col(c)).cast("double").as(s"max_$c")))
     val boundsRow = df.agg(aggCols.head, aggCols.tail: _*).head()

@@ -107,8 +107,11 @@ class IndexCatalog extends TableCatalog {
 
   override def name(): String = catalogName
 
+  // the catalog is flat: a non-empty namespace holds no tables, and
+  // listing any would advertise identifiers loadTable rejects
   override def listTables(namespace: Array[String]): Array[Identifier] =
-    IndexSource.Tables.toArray.sorted.map(Identifier.of(namespace, _))
+    if (namespace.nonEmpty) Array.empty
+    else IndexSource.Tables.toArray.sorted.map(Identifier.of(namespace, _))
 
   /** The catalog is flat: both tables live at the catalog root. An
     * unknown name or a namespaced identifier must surface as

@@ -4,9 +4,13 @@ import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-/** A user reaching a funnel stage, emitted exactly once per (user,
-  * stage): stage ∈ view | click | purchase, ts = the event time the
-  * stage was reached (== the batch operator's min qualifying ts).
+/** A user reaching a funnel stage, emitted once per (user, stage)
+  * within a retention window: stage ∈ view | click | purchase, ts =
+  * the event time the stage was reached (== the batch operator's min
+  * qualifying ts). After [[Funnel.StageRetentionMs]] of inactivity
+  * the user's stage record is evicted (bounded state), so a user
+  * returning later restarts the funnel and may re-emit stages —
+  * exactly-once holds per retention window, not globally.
   */
 case class StageReach(user_id: Long, stage: String, ts_ms: Long)
 

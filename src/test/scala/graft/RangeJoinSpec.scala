@@ -92,6 +92,111 @@ class RangeJoinSpec extends SparkSpec {
     assert(counts == Map((1L, 1L) -> 2L, (2L, 1L) -> 1L, (2L, 2L) -> 1L), counts.toString)
   }
 
+  test("countUnder agrees with the naive rank on seeded random data") {
+    val rnd = new scala.util.Random(7)
+    val pts = (1L to 200L).map(id => (id, rnd.nextLong(500)))
+    val vals = (1 to 300).map(_ => rnd.nextLong(500))
+    val p = pts.toDF("p_id", "t")
+    val v = vals.toDF("_v")
+    for (w <- Seq(3L, 50L, 1000L); strict <- Seq(false, true)) {
+      val got = RangeJoin.countUnder(p, "t", v, "_v", strict, w, "n")
+        .select($"p_id", $"n").as[(Long, Long)].collect().toMap
+      pts.foreach { case (id, t) =>
+        val want = vals.count(x => if (strict) x < t else x <= t).toLong
+        assert(got(id) == want, s"w=$w strict=$strict p=$id t=$t")
+      }
+    }
+  }
+
+  test("countUnder keyed mode counts within the key group only") {
+    val pts = Seq((1L, 10L), (1L, 3L), (2L, 10L)).toDF("k", "t")
+    val vals = Seq((1L, 3L), (1L, 5L), (2L, 1L)).toDF("k", "_v")
+    val got = RangeJoin.countUnder(pts, "t", vals, "_v",
+        strict = false, 4L, "n", keys = Seq("k"))
+      .select($"k", $"t", $"n").as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L, 2L), (1L, 3L, 1L), (2L, 10L, 1L)), got.toString)
+    val strictGot = RangeJoin.countUnder(pts, "t", vals, "_v",
+        strict = true, 4L, "n", keys = Seq("k"))
+      .select($"k", $"t", $"n").as[(Long, Long, Long)].collect().toSet
+    assert(strictGot == Set((1L, 10L, 2L), (1L, 3L, 0L), (2L, 10L, 1L)), strictGot.toString)
+  }
+
+  test("countUnder guards: reserved/output column clash is loud; null values ignored") {
+    val p = Seq((1L, 2L)).toDF("p_id", "t")
+    val v = Seq(1L).toDF("_v")
+    intercept[IllegalArgumentException] {
+      RangeJoin.countUnder(p.withColumn("_tie", lit(1)), "t", v, "_v", false, 4L, "n")
+    }
+    intercept[IllegalArgumentException] {
+      RangeJoin.countUnder(p, "t", v, "_v", false, 4L, "t")   // outCol collides
+    }
+    intercept[IllegalArgumentException] {
+      RangeJoin.countUnder(p, "t", v, "_v", false, 0L, "n")   // bad width
+    }
+    val withNulls = Seq(Some(1L), None, Some(3L)).toDF("_v")
+    val got = RangeJoin.countUnder(p, "t", withNulls, "_v", false, 4L, "n")
+      .select($"n").as[Long].head()
+    assert(got == 1L)
+  }
+
+  test("rank-based session_overlap == pair-enumeration overlap join on the fixture") {
+    // same fixture as the overlap-counting test: the rank formula
+    // must reproduce the pair join's counts exactly, zeros included
+    val sess = Seq(
+      (1L, 1L, 0L, 10L), (1L, 2L, 100L, 110L),
+      (2L, 1L, 5L, 8L), (2L, 2L, 9L, 12L)).toDF("user_id", "session_id", "start_ms", "end_ms")
+    val withAllLe = RangeJoin.countUnder(sess, "end_ms",
+      sess.select($"start_ms".as("_v")), "_v", strict = false, 4L, "_all_le")
+    val withAllLt = RangeJoin.countUnder(withAllLe, "start_ms",
+      sess.select($"end_ms".as("_v")), "_v", strict = true, 4L, "_all_lt")
+    val withUsrLe = RangeJoin.countUnder(withAllLt, "end_ms",
+      sess.select($"user_id", $"start_ms".as("_v")), "_v",
+      strict = false, 4L, "_usr_le", keys = Seq("user_id"))
+    val withUsrLt = RangeJoin.countUnder(withUsrLe, "start_ms",
+      sess.select($"user_id", $"end_ms".as("_v")), "_v",
+      strict = true, 4L, "_usr_lt", keys = Seq("user_id"))
+    val got = withUsrLt
+      .select($"user_id", $"session_id",
+        ($"_all_le" - $"_all_lt" - $"_usr_le" + $"_usr_lt").as("n"))
+      .as[(Long, Long, Long)].collect().map { case (u, s, n) => (u, s) -> n }.toMap
+    assert(got == Map((1L, 1L) -> 2L, (1L, 2L) -> 0L, (2L, 1L) -> 1L, (2L, 2L) -> 1L),
+      got.toString)
+  }
+
+  test("rank-based queries == pair-enumeration formulation at sf (cross-impl parity)") {
+    // independent pair-join spelling of both queries, built from the
+    // operators the rank versions replaced
+    val sess = operators.Analytics.sessionize(spark, sfDir)
+      .select($"user_id", $"session_id", $"start_ms", $"end_ms")
+      .localCheckpoint()
+    val other = sess.select($"user_id".as("o_user_id"),
+      $"start_ms".as("o_start_ms"), $"end_ms".as("o_end_ms"))
+    val pairCounts = RangeJoin.joinIntervalOverlap(sess, "start_ms", "end_ms",
+        other, "o_start_ms", "o_end_ms", operators.Analytics.SessionGapMs)
+      .where($"user_id" =!= $"o_user_id")
+      .groupBy($"user_id", $"session_id").agg(count(lit(1)).as("n_overlap"))
+    val wantOverlap = sess.join(pairCounts, Seq("user_id", "session_id"), "left")
+      .select($"user_id", $"session_id",
+        coalesce($"n_overlap", lit(0L)).as("n_overlap"))
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    val gotOverlap = RangeJoin.sessionOverlap(spark, sfDir)
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(gotOverlap == wantOverlap)
+
+    val purchases = sources.Tables.events(spark, sfDir)
+      .where($"event_type" === "purchase").select($"event_id", $"ts_ms")
+    val activeCounts = RangeJoin.joinPointInInterval(purchases, "ts_ms",
+        sess.select($"start_ms", $"end_ms"), "start_ms", "end_ms",
+        operators.Analytics.SessionGapMs)
+      .groupBy($"event_id").agg(count(lit(1)).as("n_active"))
+    val wantActive = purchases.join(activeCounts, Seq("event_id"), "left")
+      .select($"event_id", $"ts_ms", coalesce($"n_active", lit(0L)).as("n_active"))
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    val gotActive = RangeJoin.rangeActiveSessions(spark, sfDir)
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(gotActive == wantActive)
+  }
+
   test("session_overlap: non-negative, symmetric total, plan stays equi-join") {
     val out = graft.operators.RangeJoin.sessionOverlap(spark, sfDir)
     val rows = out.collect()

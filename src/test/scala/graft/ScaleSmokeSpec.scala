@@ -101,6 +101,60 @@ class ScaleSmokeSpec extends SparkSpec {
     assert(Dedup.ngramVerifyBudget(1000000) == 40000)
   }
 
+  test("rank-based overlap count survives a hot window with no quadratic intermediate") {
+    import spark.implicits._
+    // 10^4 mutually-overlapping sessions (one per user): the pair-
+    // enumerating overlap join would materialize ~n²/2 = 5·10⁷ rows
+    // in this single hot window regardless of bucketing; the rank
+    // formulation must keep every shuffle O(n). Shuffle records
+    // written across the whole action is the direct witness.
+    val n = 10000
+    val sess = (1L to n.toLong).map(i => (i, 1L, 1000L + i % 97, 100000L + i % 89))
+      .toDF("user_id", "session_id", "start_ms", "end_ms")
+      .repartition(8).localCheckpoint()
+    val shuffleRecords = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) shuffleRecords.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val w = graft.operators.Analytics.SessionGapMs
+      val withAllLe = graft.operators.RangeJoin.countUnder(sess, "end_ms",
+        sess.select($"start_ms".as("_v")), "_v", strict = false, w, "_all_le")
+      val withAllLt = graft.operators.RangeJoin.countUnder(withAllLe, "start_ms",
+        sess.select($"end_ms".as("_v")), "_v", strict = true, w, "_all_lt")
+      val withUsrLe = graft.operators.RangeJoin.countUnder(withAllLt, "end_ms",
+        sess.select($"user_id", $"start_ms".as("_v")), "_v",
+        strict = false, w, "_usr_le", keys = Seq("user_id"))
+      val withUsrLt = graft.operators.RangeJoin.countUnder(withUsrLe, "start_ms",
+        sess.select($"user_id", $"end_ms".as("_v")), "_v",
+        strict = true, w, "_usr_lt", keys = Seq("user_id"))
+      val rows = withUsrLt.select($"user_id",
+          ($"_all_le" - $"_all_lt" - $"_usr_le" + $"_usr_lt").as("n_overlap"))
+        .collect()
+      // every session overlaps all n-1 others (distinct users)
+      assert(rows.length == n)
+      assert(rows.forall(_.getAs[Long]("n_overlap") == n - 1L),
+        rows.take(3).mkString(", "))
+      // listener bus is async: wait until the record count is stable
+      var last = -1L
+      var spins = 0
+      while (shuffleRecords.get() != last && spins < 30) {
+        last = shuffleRecords.get(); Thread.sleep(100); spins += 1
+      }
+      // 4 passes × (union shuffle + window sort + bucket totals) over
+      // ~2n rows each stays well under 50n; the pair join would need
+      // ≥ n²/2 ≈ 5·10⁷ records just to exist
+      assert(shuffleRecords.get() < 50L * n,
+        s"shuffle records ${shuffleRecords.get()} suggests a quadratic intermediate")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+    }
+  }
+
   test("components runs exactly one Spark job per propagation round") {
     import spark.implicits._
     val pairs = (0L until 63L).map(i => (i, i + 1)).toDF("a_id", "b_id")
