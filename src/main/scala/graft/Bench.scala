@@ -49,15 +49,17 @@ object Bench {
       }.toMap
     }
     val med = names.map(n => n -> median(passes.map(_(n))))
+    // ms precision is plenty and halves the line the driver may
+    // tail-truncate (r7 lost 23 medians + the totals to truncation)
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = med.map { case (k, v) =>
-        val t = if (errors.contains(k)) -1.0 else v   // failed => sentinel
+        val t = if (errors.contains(k)) "-1.0" else f3(v)   // failed => sentinel
         s"\"" + k + "\":" + t
       }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, m) => s"\"$k\":\"$m\"" }.mkString("{", ",", "}")
     val passTotals = passes.map(_.values.sum)
     val total = med.map(_._2).sum
-    val pt = passTotals.mkString("[", ",", "]")
     // mean, not median: with 2 warm passes a median degenerates to the
     // slower one, re-introducing the noise the multi-pass run damps
     val warm =
@@ -74,14 +76,16 @@ object Bench {
     // failure sentinel as the medians — a fast exception must not read
     // as a cold-time improvement.
     val coldQs = names.map { n =>
-        val t = if (errors.contains(n)) -1.0 else passes.head(n)
+        val t = if (errors.contains(n)) "-1.0" else f3(passes.head(n))
         s"\"" + n + "\":" + t
       }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""passes":$Passes,"pass_totals":$pt,"cold_total":${passTotals.head},""" +
-      s""""warm_total":$warm,"cold_queries":$coldQs,""" +
-      s""""errors":$errJson,"cap_audit":$audit,"sf":"$sfDir"}""")
+    // summary fields FIRST: a consumer that cap-sizes the line loses
+    // per-query detail, never the round's totals (r7 verdict #5)
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir",""" +
+      s""""passes":$Passes,"pass_totals":${passTotals.map(f3).mkString("[", ",", "]")},""" +
+      s""""cold_total":${f3(passTotals.head)},"warm_total":${f3(warm)},""" +
+      s""""errors":$errJson,"queries":$qs,"cold_queries":$coldQs,"cap_audit":$audit}""")
     spark.stop()
   }
 }

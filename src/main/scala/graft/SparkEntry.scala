@@ -43,6 +43,7 @@ object SparkEntry {
     "event_windows"     -> (Analytics.eventWindows _),
     "value_outliers"    -> (Analytics.valueOutliers _),
     "status_transition" -> (Analytics.statusTransition _),
+    "session_cleanup"   -> (Analytics.sessionCleanup _),
     "q_rollup"          -> (Analytics.qRollup _),
     "pivot_events"      -> (Analytics.pivotEvents _),
     // sketch ops: no oracle (implementations differ) → rows-only check
@@ -97,6 +98,7 @@ object SparkEntry {
     "hybrid_quality"    -> (KeywordSearch.hybridQuality _),
     "hybrid_rank"       -> (KeywordSearch.hybridRank _),
     "hybrid_context"    -> (KeywordSearch.hybridContext _),
+    "hybrid_context_prioritized" -> (KeywordSearch.hybridContextPrioritized _),
     "ask_batch"         -> (KeywordSearch.askBatch _),
   )
 
@@ -107,22 +109,72 @@ object SparkEntry {
       |n AS (SELECT vec_id, label, emb,
       |    sqrt(list_sum(list_transform(emb, x -> x*x))) AS nrm FROM e)""".stripMargin
 
-  /** Contribution context blocks (shared by hybrid_context and
-    * ask_batch): kr → ranked hits → rendered blocks → per-query
-    * combined context.
+  /** Two-section combined context (shared by hybrid_context, its
+    * prioritized variant, and ask_batch) — oracle twin of
+    * KeywordSearch.contextOf: contribution blocks from kr, DOCUMENT
+    * blocks from tr (so the query must also splice in textEmbBody),
+    * each side's section dropped when it has no hits; in prioritized
+    * mode the headers emphasize contributions and the document header
+    * reverts to the combined form when contributions are absent
+    * (enhanced_search.py:229's fallback).
     */
-  private val contextCte =
-    """kw AS (SELECT q_id, doc_id, score, rating, rk FROM kr WHERE rk <= 5),
-      |hits AS (SELECT kw.*, d.text FROM kw JOIN documents d USING (doc_id)),
-      |blocks AS (SELECT q_id, rk,
-      |  concat('USER CONTRIBUTION #', CAST(rk AS VARCHAR), ':', chr(10),
-      |    'Answer: ', substr(text, 1, 40), chr(10),
-      |    'Rating: ', CAST(rating AS VARCHAR), '/5.0 (Similarity: ',
-      |    CAST(CAST(floor(score*10000 + 0.5) AS BIGINT) AS VARCHAR), 'bp)') AS block
-      |  FROM hits),
-      |ctx AS (SELECT q_id, concat('USER CONTRIBUTIONS AND ENHANCEMENTS:', chr(10),
-      |  array_to_string(list(block ORDER BY rk), concat(chr(10), chr(10)))) AS combined_context
-      |  FROM blocks GROUP BY q_id)""".stripMargin
+  private def contextCte(prioritized: Boolean): String = {
+    val cPfx = if (prioritized) "🎯 HIGHLY RELEVANT USER CONTRIBUTION #"
+               else "USER CONTRIBUTION #"
+    val cHdr = if (prioritized) "USER CONTRIBUTIONS (PRIORITIZED):"
+               else "USER CONTRIBUTIONS AND ENHANCEMENTS:"
+    val fHdr = if (prioritized)
+      "CASE WHEN c.c_sec IS NOT NULL THEN 'SUPPLEMENTARY DOCUMENTATION:' ELSE 'ORIGINAL KNOWLEDGE BASE:' END"
+    else "'ORIGINAL KNOWLEDGE BASE:'"
+    s"""kw AS (SELECT q_id, doc_id, score, rating, rk FROM kr WHERE rk <= 5),
+       |hits AS (SELECT kw.*, d.text FROM kw JOIN documents d USING (doc_id)),
+       |blocks AS (SELECT q_id, rk,
+       |  concat('$cPfx', CAST(rk AS VARCHAR), ':', chr(10),
+       |    'Answer: ', substr(text, 1, 40), chr(10),
+       |    'Rating: ', CAST(rating AS VARCHAR), '/5.0 (Similarity: ',
+       |    CAST(CAST(floor(score*10000 + 0.5) AS BIGINT) AS VARCHAR), 'bp)') AS block
+       |  FROM hits),
+       |csec AS (SELECT q_id, concat('$cHdr', chr(10),
+       |  array_to_string(list(block ORDER BY rk), concat(chr(10), chr(10)))) AS c_sec
+       |  FROM blocks GROUP BY q_id),
+       |fhits AS (SELECT tr.q_id, tr.doc_id, tr.cos, tr.rk, d.text, d.source
+       |  FROM tr JOIN documents d USING (doc_id) WHERE tr.rk <= 5),
+       |fblocks AS (SELECT q_id, rk,
+       |  concat('DOCUMENT #', CAST(rk AS VARCHAR), ' (from ', source, '):', chr(10),
+       |    substr(text, 1, 40), chr(10), '(Similarity: ',
+       |    CAST(CAST(floor(cos*10000 + 0.5) AS BIGINT) AS VARCHAR), 'bp)') AS block
+       |  FROM fhits),
+       |fsec AS (SELECT q_id,
+       |  array_to_string(list(block ORDER BY rk), concat(chr(10), chr(10))) AS f_blocks
+       |  FROM fblocks GROUP BY q_id),
+       |ctx AS (SELECT coalesce(c.q_id, f.q_id) AS q_id,
+       |  concat_ws(concat(chr(10), chr(10)), c.c_sec,
+       |    CASE WHEN f.f_blocks IS NOT NULL
+       |      THEN concat($fHdr, chr(10), f.f_blocks) END) AS combined_context
+       |  FROM csec c FULL OUTER JOIN fsec f ON c.q_id = f.q_id)""".stripMargin
+  }
+
+  /** Merged sources listing + 4-way recommendation — oracle twin of
+    * KeywordSearch.sourcesOf and the askBatch recommendation column.
+    */
+  private val sourcesCte =
+    """fsrc AS (SELECT tr.q_id, 0 AS grp, tr.rk,
+      |  concat('filename=', d.source, '; page=Unknown; similarity=',
+      |    CAST(CAST(floor(tr.cos*10000 + 0.5) AS BIGINT) AS VARCHAR),
+      |    'bp; source_type=original_document; text_preview=',
+      |    substr(d.text, 1, 40)) AS line
+      |  FROM tr JOIN documents d USING (doc_id) WHERE tr.rk <= 5),
+      |csrc AS (SELECT kr.q_id, 1 AS grp, kr.rk,
+      |  concat('filename=User Contribution; page=N/A; similarity=',
+      |    CAST(CAST(floor(kr.score*10000 + 0.5) AS BIGINT) AS VARCHAR),
+      |    'bp; source_type=user_contribution; contribution_id=',
+      |    CAST(kr.doc_id AS VARCHAR),
+      |    '; rating=', CAST(kr.rating AS VARCHAR),
+      |    '; usage_count=', CAST(d.n_chars AS VARCHAR),
+      |    '; text_preview=', substr(d.text, 1, 40)) AS line
+      |  FROM kr JOIN documents d USING (doc_id) WHERE kr.rk <= 5),
+      |srcs AS (SELECT q_id, array_to_string(list(line ORDER BY grp, rk), chr(10)) AS sources
+      |  FROM (SELECT * FROM fsrc UNION ALL SELECT * FROM csrc) GROUP BY q_id)""".stripMargin
 
   /** 6-bit random-hyperplane LSH codes over `n` (vecCte) — oracle
     * twin of VectorSearch.lshCode: plane length follows len(emb).
@@ -455,6 +507,17 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN end_ms >= now_ms - 1800000 THEN 1 ELSE 0 END) AS BIGINT) AS active_sessions,
         |  CAST(SUM(CASE WHEN start_ms >= today_ms THEN 1 ELSE 0 END) AS BIGINT) AS today_sessions
         |FROM per_session, now_t""".stripMargin),
+    "session_cleanup" -> (sessionizeSql +
+      """,
+        |now_t AS (SELECT MAX(epoch_ms(ts)) AS now_ms FROM events),
+        |doomed AS (SELECT user_id, session_id FROM per_session, now_t
+        |  WHERE end_ms < now_ms - 1800000 AND end_ms < now_ms - 86400000),
+        |kept AS (SELECT p.user_id, p.session_id FROM per_session p
+        |  WHERE NOT EXISTS (SELECT 1 FROM doomed d
+        |    WHERE d.user_id = p.user_id AND d.session_id = p.session_id))
+        |SELECT (SELECT COUNT(*) FROM per_session) AS total_before,
+        |  (SELECT COUNT(*) FROM doomed) AS deleted,
+        |  (SELECT COUNT(*) FROM kept) AS total_after""".stripMargin),
     "live_users" ->
       """SELECT COUNT(DISTINCT user_id) AS live_users
         |FROM events, (SELECT MAX(epoch_ms(ts)) AS now_ms FROM events) n
@@ -583,11 +646,16 @@ object SparkEntry {
         |SELECT r.cohort_ms, CAST(r.offset_days AS BIGINT) AS offset_days, r.retained, cs.cohort_size
         |FROM r JOIN cs ON r.cohort_ms = cs.cohort_ms
         |ORDER BY r.cohort_ms, offset_days""".stripMargin,
-    "hybrid_context" -> ("WITH " + queriesCte + ",\n" + keywordBody + ",\n" + contextCte +
+    "hybrid_context" -> ("WITH " + queriesCte + ",\n" + keywordBody + ",\n" +
+      textEmbBody + ",\n" + contextCte(prioritized = false) +
+      """
+        |SELECT q_id, combined_context FROM ctx ORDER BY q_id""".stripMargin),
+    "hybrid_context_prioritized" -> ("WITH " + queriesCte + ",\n" + keywordBody + ",\n" +
+      textEmbBody + ",\n" + contextCte(prioritized = true) +
       """
         |SELECT q_id, combined_context FROM ctx ORDER BY q_id""".stripMargin),
     "ask_batch" -> ("WITH " + queriesCte + ",\n" + keywordBody + ",\n" +
-      textEmbBody + ",\n" + contextCte +
+      textEmbBody + ",\n" + contextCte(prioritized = false) + ",\n" + sourcesCte +
       """,
         |fc AS (SELECT q_id, COUNT(*) AS faiss_count FROM tr WHERE rk <= 5 GROUP BY q_id),
         |cc AS (SELECT q_id, COUNT(*) AS contribution_count FROM kr WHERE rk <= 5 GROUP BY q_id),
@@ -600,8 +668,17 @@ object SparkEntry {
         |  CASE WHEN j.faiss_count + j.contribution_count >= 3 THEN 'high'
         |       WHEN j.faiss_count + j.contribution_count >= 1 THEN 'medium'
         |       ELSE 'low' END AS search_effectiveness,
-        |  ctx.combined_context
-        |FROM j LEFT JOIN ctx ON j.q_id = ctx.q_id ORDER BY j.q_id""".stripMargin),
+        |  ctx.combined_context, srcs.sources,
+        |  CASE WHEN j.faiss_count = 0 AND j.contribution_count = 0
+        |    THEN 'No relevant information found. Consider rephrasing your question or adding more specific keywords.'
+        |  WHEN j.faiss_count > 0 AND j.contribution_count > 0
+        |    THEN 'Great! Found both original documentation and user contributions for comprehensive answers.'
+        |  WHEN j.faiss_count > 0
+        |    THEN 'Found relevant information in the original documentation.'
+        |  ELSE 'Found user contributions that may help answer your question.'
+        |  END AS recommendation
+        |FROM j LEFT JOIN ctx ON j.q_id = ctx.q_id
+        |LEFT JOIN srcs ON j.q_id = srcs.q_id ORDER BY j.q_id""".stripMargin),
     "props_extract" ->
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

@@ -109,6 +109,34 @@ object Analytics {
           .as("today_sessions"))
   }
 
+  /** Retention sweep — cleanup_old_sessions
+    * (core/session_utils.py:248): delete INACTIVE sessions (outside
+    * the 30-min gap at end-of-data) that ended more than 24 hours
+    * before end-of-data — the reference's `is_active='inactive' AND
+    * logout_time < cutoff` — via the anti-join retention pattern
+    * (same shape as dedup_apply), reporting before / deleted / after
+    * counts the way statusTransition reports its flip. At scale the
+    * kept frame feeds a partition-overwrite write-back
+    * (cf. ChunkIndex.upsert); the counts are the audit trail.
+    */
+  def sessionCleanup(spark: SparkSession, dir: String): DataFrame = {
+    val sess = sessionize(spark, dir)
+      .select(col("user_id"), col("session_id"), col("end_ms"))
+      .localCheckpoint()   // feeds before-count, doomed, and anti-join
+    val nowMs = Tables.events(spark, dir).agg(max(col("ts_ms")).as("now_ms"))
+    val doomed = sess.crossJoin(broadcast(nowMs))
+      .where(col("end_ms") < col("now_ms") - SessionGapMs &&
+        col("end_ms") < col("now_ms") - CleanupRetentionMs)
+      .select(col("user_id"), col("session_id"))
+    val kept = sess.join(doomed, Seq("user_id", "session_id"), "left_anti")
+    sess.agg(count(lit(1)).as("total_before"))
+      .crossJoin(doomed.agg(count(lit(1)).as("deleted")))
+      .crossJoin(kept.agg(count(lit(1)).as("total_after")))
+  }
+
+  /** cleanup_old_sessions' 24-hour retention cutoff. */
+  val CleanupRetentionMs: Long = 24L * 3600 * 1000
+
   /** Distinct users active in the trailing 30-min window —
     * get_live_user_count (core/session_utils.py:200).
     */

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -84,40 +84,94 @@ object KeywordSearch {
           + least(col("n").cast("double") / 5.0, lit(0.2)), lit(1.0))).as("quality"))
       .orderBy(col("q_id"))
 
+  /** knnText's top-5 frame cached per (session, dir) — the FAISS side
+    * of every composed flow (context document section, ask counts,
+    * sources listing), scored once like [[keywordTopCached]].
+    */
+  private def knnTextCached(spark: SparkSession, dir: String): DataFrame =
+    graft.DfCache.getOrCompute(spark, s"knn_text_top:$dir")(
+      VectorSearch.knnText(spark, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   /** Combined-context assembly — _create_combined_context
-    * (enhanced_search.py:117): contributions first, each rendered as
-    * a "USER CONTRIBUTION #i" block with rating and similarity, in
-    * rank order. Ordered string aggregation via sort-then-join of
-    * collected (rank, block) pairs; similarity is embedded as integer
-    * basis points (cross-engine float formatting is not stable).
+    * (enhanced_search.py:117): contribution blocks first ("USER
+    * CONTRIBUTIONS AND ENHANCEMENTS:"), then the vector hits as
+    * "DOCUMENT #i (from <filename>)" blocks under "ORIGINAL KNOWLEDGE
+    * BASE:" (enhanced_search.py:151-:163), each side in rank order; a
+    * side with no hits drops its whole section, exactly like the
+    * reference's `if contributions:` / `if faiss_chunks:` guards.
+    * Ordered string aggregation via sort-then-join of collected
+    * (rank, block) pairs; similarity is embedded as integer basis
+    * points and text as a bounded 40-char preview (cross-engine float
+    * formatting is not stable, and the oracle-compared artifact stays
+    * small — a production context would carry the full chunk text).
     */
   def hybridContext(spark: SparkSession, dir: String): DataFrame =
-    contextOf(keywordTopCached(spark, dir), spark, dir)
+    contextOf(keywordTopCached(spark, dir), knnTextCached(spark, dir),
+      spark, dir, prioritized = false)
 
-  /** Context assembly over an already-computed keyword-hit frame (so
-    * composed flows like askBatch score the corpus once).
+  /** The contribution-emphasized variant — _create_prioritized_context
+    * (enhanced_search.py:229): "🎯 HIGHLY RELEVANT USER CONTRIBUTION"
+    * blocks under "USER CONTRIBUTIONS (PRIORITIZED):", vector hits
+    * demoted to "SUPPLEMENTARY DOCUMENTATION:"; with no contributions
+    * the reference falls back to _create_combined_context, so the
+    * document header reverts to "ORIGINAL KNOWLEDGE BASE:".
     */
-  private def contextOf(kw: DataFrame, spark: SparkSession, dir: String): DataFrame = {
-    val hits = kw
-      .join(Tables.documents(spark, dir).select(col("doc_id"), col("text")), Seq("doc_id"))
-    val block = concat(
-      lit("USER CONTRIBUTION #"), col("rk").cast("string"),
+  def hybridContextPrioritized(spark: SparkSession, dir: String): DataFrame =
+    contextOf(keywordTopCached(spark, dir), knnTextCached(spark, dir),
+      spark, dir, prioritized = true)
+
+  /** basis-point render: floor(x+0.5), not a bare cast — cast
+    * truncates, and 573 of the 10001 possible round4 scores sit just
+    * UNDER their bp integer in binary (0.0003*10000 = 2.9999...),
+    * where DuckDB's rounding cast would disagree bitwise
+    */
+  private def bp(x: Column): Column =
+    floor(x * 10000 + 0.5).cast("long").cast("string")
+
+  /** Context assembly over already-computed keyword-hit and vector-hit
+    * frames (so composed flows like askBatch score the corpus once).
+    */
+  private def contextOf(kw: DataFrame, faiss: DataFrame,
+      spark: SparkSession, dir: String, prioritized: Boolean): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("source"))
+    val contribBlock = concat(
+      lit(if (prioritized) "🎯 HIGHLY RELEVANT USER CONTRIBUTION #"
+          else "USER CONTRIBUTION #"), col("rk").cast("string"),
       lit(":\nAnswer: "), substring(col("text"), 1, 40),
       lit("\nRating: "), col("rating").cast("string"),
-      // floor(x+0.5), not a bare cast: cast truncates, and 573 of the
-      // 10001 possible round4 scores sit just UNDER their bp integer
-      // in binary (0.0003*10000 = 2.9999...), where DuckDB's rounding
-      // cast would disagree bitwise
-      lit("/5.0 (Similarity: "), floor(col("score") * 10000 + 0.5).cast("long").cast("string"),
+      lit("/5.0 (Similarity: "), bp(col("score")),
       lit("bp)"))
-    hits
+    val contribSec = kw.join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
       .groupBy(col("q_id"))
       .agg(array_join(
-        transform(array_sort(collect_list(struct(col("rk"), block.as("block")))),
-          s => s.getField("block")), "\n\n").as("combined_context"))
+        transform(array_sort(collect_list(struct(col("rk"), contribBlock.as("block")))),
+          s => s.getField("block")), "\n\n").as("c_blocks"))
       .select(col("q_id"),
-        concat(lit("USER CONTRIBUTIONS AND ENHANCEMENTS:\n"), col("combined_context"))
-          .as("combined_context"))
+        concat(lit(if (prioritized) "USER CONTRIBUTIONS (PRIORITIZED):\n"
+                   else "USER CONTRIBUTIONS AND ENHANCEMENTS:\n"),
+          col("c_blocks")).as("c_sec"))
+    val docBlock = concat(
+      lit("DOCUMENT #"), col("rk").cast("string"),
+      lit(" (from "), col("source"), lit("):\n"),
+      substring(col("text"), 1, 40),
+      lit("\n(Similarity: "), bp(col("cos")), lit("bp)"))
+    val faissSec = faiss.join(docs, Seq("doc_id"))
+      .groupBy(col("q_id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("rk"), docBlock.as("block")))),
+          s => s.getField("block")), "\n\n").as("f_blocks"))
+    contribSec.join(faissSec, Seq("q_id"), "full_outer")
+      .select(col("q_id"),
+        // concat_ws skips NULL sections in both engines — an absent
+        // side vanishes along with its separator
+        concat_ws("\n\n", col("c_sec"),
+          when(col("f_blocks").isNotNull, concat(
+            when(lit(prioritized) && col("c_sec").isNotNull,
+                lit("SUPPLEMENTARY DOCUMENTATION:\n"))
+              .otherwise(lit("ORIGINAL KNOWLEDGE BASE:\n")),
+            col("f_blocks")))).as("combined_context"))
       .orderBy(col("q_id"))
   }
 
@@ -131,13 +185,15 @@ object KeywordSearch {
     * this row (the LLM call) is an external service.
     */
   def askBatch(spark: SparkSession, dir: String): DataFrame = {
-    // score each side once; counts and context derive from the same frame
+    // score each side once; counts, context, and sources derive from
+    // the same two cached frames
     val kw = keywordTopCached(spark, dir)
-    val faiss = VectorSearch.knnText(spark, dir)
-      .groupBy(col("q_id")).agg(count(lit(1)).as("faiss_count"))
+    val fa = knnTextCached(spark, dir)
+    val faiss = fa.groupBy(col("q_id")).agg(count(lit(1)).as("faiss_count"))
     val contrib = kw
       .groupBy(col("q_id")).agg(count(lit(1)).as("contribution_count"))
-    val ctx = contextOf(kw, spark, dir)
+    val ctx = contextOf(kw, fa, spark, dir, prioritized = false)
+    val srcs = sourcesOf(kw, fa, spark, dir)
     faiss.join(contrib, Seq("q_id"), "full_outer")
       .na.fill(0L, Seq("faiss_count", "contribution_count"))
       .withColumn("total_sources", col("faiss_count") + col("contribution_count"))
@@ -145,10 +201,60 @@ object KeywordSearch {
         when(col("total_sources") >= 3, "high")
           .when(col("total_sources") >= 1, "medium")
           .otherwise("low"))
+      // the 4-way message of _get_search_recommendation
+      // (enhanced_search.py:401), branch order preserved
+      .withColumn("recommendation",
+        when(col("faiss_count") === 0 && col("contribution_count") === 0,
+          "No relevant information found. Consider rephrasing your question or adding more specific keywords.")
+        .when(col("faiss_count") > 0 && col("contribution_count") > 0,
+          "Great! Found both original documentation and user contributions for comprehensive answers.")
+        .when(col("faiss_count") > 0,
+          "Found relevant information in the original documentation.")
+        .otherwise(
+          "Found user contributions that may help answer your question."))
       .join(ctx, Seq("q_id"), "left")
+      .join(srcs, Seq("q_id"), "left")
       .select(col("q_id"), col("faiss_count"), col("contribution_count"),
-        col("total_sources"), col("search_effectiveness"), col("combined_context"))
+        col("total_sources"), col("search_effectiveness"),
+        col("combined_context"), col("sources"), col("recommendation"))
       .orderBy(col("q_id"))
+  }
+
+  /** The merged per-source listing of get_enhanced_sources
+    * (enhanced_search.py:283), rendered as one deterministic line per
+    * source — vector hits first (filename/page/similarity/preview),
+    * then contributions (id/rating/usage_count/preview) — joined in
+    * (side, rank) order. `page` has no column in the synthetic corpus
+    * so it renders the reference's own missing-key defaults
+    * ('Unknown' for documents, 'N/A' for contributions);
+    * `usage_count` is n_chars, as in [[hybridRank]]; previews are
+    * bounded at 40 chars like the context blocks.
+    */
+  private def sourcesOf(kw: DataFrame, faiss: DataFrame,
+      spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
+    val fLines = faiss.join(docs, Seq("doc_id"))
+      .select(col("q_id"), lit(0).as("grp"), col("rk"),
+        concat(lit("filename="), col("source"),
+          lit("; page=Unknown; similarity="), bp(col("cos")),
+          lit("bp; source_type=original_document; text_preview="),
+          substring(col("text"), 1, 40)).as("line"))
+    val cLines = kw.join(docs, Seq("doc_id"))
+      .select(col("q_id"), lit(1).as("grp"), col("rk"),
+        concat(lit("filename=User Contribution; page=N/A; similarity="),
+          bp(col("score")),
+          lit("bp; source_type=user_contribution; contribution_id="),
+          col("doc_id").cast("string"),
+          lit("; rating="), col("rating").cast("string"),
+          lit("; usage_count="), col("n_chars").cast("string"),
+          lit("; text_preview="), substring(col("text"), 1, 40)).as("line"))
+    fLines.unionByName(cLines)
+      .groupBy(col("q_id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(
+            struct(col("grp"), col("rk"), col("line")))),
+          s => s.getField("line")), "\n").as("sources"))
   }
 
   /** Prioritized merged ranking — prioritize_enhanced_results
