@@ -89,6 +89,7 @@ object SparkEntry {
     "ann_quantized"   -> (VectorSearch.annQuantized _),
     "ann_quantized_recall" -> (VectorSearch.annQuantizedRecall _),
     "ann_ivf_quantized" -> (VectorSearch.annIvfQuantized _),
+    "ann_ivf_kmeans"  -> (VectorSearch.annIvfKmeans _),
     "knn_text"        -> (VectorSearch.knnText _),
     "image_search"    -> ((s, d) => Multimodal.imageSearch(s, d)),
     "dedup_embedding" -> (VectorSearch.dedupEmbedding _),
@@ -240,6 +241,41 @@ object SparkEntry {
       |cent AS (SELECT label, list(cv ORDER BY dim) AS c_emb FROM cd GROUP BY label),
       |cent2 AS (SELECT label, c_emb,
       |  sqrt(list_sum(list_transform(c_emb, x -> x*x))) AS c_nrm FROM cent)""".stripMargin
+
+  /** Deterministic Lloyd's k-means over the corpus — oracle twin of
+    * VectorSearch.kmeansCentroids (KmClusters=8, KmIters=3 unrolled):
+    * init = 8 smallest corpus vec_ids, assignment by parity-rounded
+    * cosine with smaller-cluster tie-break, DECIMAL-exact per-dim
+    * means, emptied clusters keep the previous centroid. `kasF` is
+    * the final assignment, `kcent3` the final centroid table.
+    */
+  private val kmeansCte: String = {
+    def assignCte(name: String, centPrev: String) =
+      s"""$name AS (SELECT vec_id, emb, nrm, label FROM (
+         |    SELECT c.vec_id, c.emb, c.nrm, k.label,
+         |      row_number() OVER (PARTITION BY c.vec_id ORDER BY
+         |        floor((list_dot_product(c.emb, k.c_emb)
+         |          /(c.nrm * sqrt(list_sum(list_transform(k.c_emb, x -> x*x))))) * 10000.0 + 0.5)/10000.0 DESC,
+         |        k.label) AS ark
+         |    FROM kc c, $centPrev k) WHERE ark = 1)""".stripMargin
+    val init =
+      """kc AS (SELECT vec_id, emb, nrm FROM n WHERE vec_id >= 10),
+        |kcent0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS label,
+        |    emb AS c_emb
+        |  FROM (SELECT vec_id, emb FROM kc ORDER BY vec_id LIMIT 8))""".stripMargin
+    val iters = (1 to 3).map { i =>
+      assignCte(s"kas$i", s"kcent${i - 1}") +
+      s""",
+         |kmd$i AS (SELECT label, g-1 AS dim,
+         |    CAST(SUM(CAST(emb[g] AS DECIMAL(18,9))) AS DOUBLE)/COUNT(*) AS cv
+         |  FROM kas$i, LATERAL (SELECT unnest(generate_series(1, len(emb))) g) gg
+         |  GROUP BY label, g),
+         |kcm$i AS (SELECT label, list(cv ORDER BY dim) AS new_emb FROM kmd$i GROUP BY label),
+         |kcent$i AS (SELECT k.label, coalesce(m.new_emb, k.c_emb) AS c_emb
+         |  FROM kcent${i - 1} k LEFT JOIN kcm$i m USING (label))""".stripMargin
+    }.mkString(",\n")
+    init + ",\n" + iters + ",\n" + assignCte("kasF", "kcent3")
+  }
 
   private val knnCte = vecCte +
     """,
@@ -974,6 +1010,23 @@ object SparkEntry {
         |r AS (SELECT q_id, vec_id, cos,
         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk FROM s)
         |SELECT q_id, vec_id, cos, rk FROM r WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin),
+    "ann_ivf_kmeans" -> (vecCte + ",\n" + kmeansCte +
+      """,
+        |kcn AS (SELECT label, c_emb,
+        |    sqrt(list_sum(list_transform(c_emb, x -> x*x))) AS c_nrm FROM kcent3),
+        |kq AS (SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm FROM n WHERE vec_id < 10),
+        |kpr AS (SELECT q_id, q_emb, q_nrm, label,
+        |    floor((list_dot_product(q_emb, c_emb)/(q_nrm*c_nrm)) * 10000.0 + 0.5)/10000.0 AS c_cos
+        |  FROM kq, kcn),
+        |kprobes AS (SELECT *, row_number() OVER (PARTITION BY q_id
+        |  ORDER BY c_cos DESC, label) AS prk FROM kpr),
+        |kp2 AS (SELECT q_id, q_emb, q_nrm, label FROM kprobes WHERE prk <= 2),
+        |ks AS (SELECT kp2.q_id, a.vec_id,
+        |    floor((list_dot_product(kp2.q_emb, a.emb)/(kp2.q_nrm*a.nrm)) * 10000.0 + 0.5)/10000.0 AS cos
+        |  FROM kasF a JOIN kp2 ON a.label = kp2.label),
+        |kr2 AS (SELECT q_id, vec_id, cos,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk FROM ks)
+        |SELECT q_id, vec_id, cos, rk FROM kr2 WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin),
     "ann_recall" -> (knnCte + ",\n" + centroidCte +
       """,
         |pr AS (SELECT q_id, q_emb, q_nrm, label,

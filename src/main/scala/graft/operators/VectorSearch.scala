@@ -116,6 +116,81 @@ object VectorSearch {
   def annIvfWith(spark: SparkSession, dir: String, cent: DataFrame): DataFrame =
     ivfFineSearch(vectors(spark, dir), cent)
 
+  val KmClusters = 8
+  val KmIters    = 3
+
+  /** Deterministic Lloyd's k-means coarse quantizer over the corpus —
+    * the data-adaptive centroid build of MLIndex.kmeansIvf
+    * re-expressed so it is ORACLE-CHECKABLE: MLlib's KMeans folds
+    * float partial sums in partition order (bit-nondeterministic, so
+    * no cross-engine oracle can replay it), while this build is the
+    * same algorithm from order-independent pieces — init = the
+    * [[KmClusters]] smallest corpus vec_ids, assignment by
+    * parity-rounded cosine (tie → smaller cluster id), DECIMAL-exact
+    * per-dim means, an emptied cluster keeps its previous centroid —
+    * and DuckDB replays the identical [[KmIters]] unrolled
+    * iterations. Each iteration is one corpus pass against the
+    * broadcast ≤ k-row centroid table (the standard distributed
+    * Lloyd's cost); the result is staged like [[centroidsOf]].
+    */
+  private[graft] def kmeansCentroids(spark: SparkSession, dir: String): DataFrame =
+    graft.DfCache.getOrCompute(spark, s"kmeans_centroids:$dir")(
+      graft.DfCache.stagedFrame(spark, s"kmeans_centroids:$dir",
+        graft.DfCache.inputFingerprint(spark, s"$dir/embeddings.parquet")) {
+        val corpus = vectors(spark, dir).where(col("vec_id") >= NQueries)
+          .select(col("vec_id"), col("emb"))
+        var cent = corpus.orderBy(col("vec_id")).limit(KmClusters)
+          .withColumn("label",
+            (row_number().over(Window.orderBy(col("vec_id"))) - 1).cast("long"))
+          .select(col("label"), col("emb").as("c_emb"))
+        for (_ <- 1 to KmIters) {
+          val assign = corpus.crossJoin(broadcast(cent))
+            .select(col("vec_id"), col("emb"), col("label"),
+              V.cosine4(col("emb"), col("c_emb")).as("cos"))
+            .withColumn("ark", rank("cos", "label", "vec_id"))
+            .where(col("ark") === 1)
+          val means = assign
+            .select(col("label"), posexplode(col("emb")).as(Seq("dim", "x")))
+            .groupBy(col("label"), col("dim"))
+            .agg((sum(col("x").cast(DecimalType(18, 9))).cast("double")
+              / count(lit(1))).as("cv"))
+            .groupBy(col("label"))
+            .agg(transform(array_sort(collect_list(struct(col("dim"), col("cv")))),
+              s => s.getField("cv")).as("new_emb"))
+          cent = cent.join(means, Seq("label"), "left")
+            .select(col("label"), coalesce(col("new_emb"), col("c_emb")).as("c_emb"))
+        }
+        cent
+      })
+
+  /** IVF search over the k-means index: corpus relabeled by its final
+    * cluster assignment, probes and fine search shared with every
+    * other IVF variant via [[ivfFineSearch]] — the production
+    * composition of a data-adaptive coarse quantizer with the probe-
+    * pruned search path, under the full DuckDB oracle. At scale the
+    * assignment is the partition key of the stored index (exactly the
+    * staged-codes shape ann_ivf_quantized reads); here it is
+    * recomputed per execution to keep the staged artifact at k rows.
+    */
+  def annIvfKmeans(spark: SparkSession, dir: String): DataFrame = {
+    val v = vectors(spark, dir)
+    val cent = kmeansCentroids(spark, dir)
+    val relabeled = v.where(col("vec_id") >= NQueries)
+      .select(col("vec_id"), col("emb"))   // drop the data label: the
+      // cluster assignment below is the index label here
+      .crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("emb"), col("label"),
+        V.cosine4(col("emb"), col("c_emb")).as("cos"))
+      .withColumn("ark", rank("cos", "label", "vec_id"))
+      .where(col("ark") === 1)
+      .select(col("vec_id"), col("label"), col("emb"))
+    ivfFineSearch(
+      v.where(col("vec_id") < NQueries)
+        .select(col("vec_id"), col("label"), col("emb"))
+        .unionByName(relabeled),
+      cent)
+  }
+
   /** The shared IVF pipeline over any (vec_id, label, emb) frame:
     * split queries/corpus at NQueries, probe the NProbe nearest
     * centroids per query (broadcast), fine-search only probed

@@ -138,6 +138,36 @@ class VectorSearchSpec extends SparkSpec {
     }
   }
 
+  test("kmeans centroids: k clusters, and the assignment is argmax cosine") {
+    import spark.implicits._
+    val cent = VectorSearch.kmeansCentroids(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("label") -> r.getAs[Seq[Double]]("c_emb").toArray)
+    assert(cent.length == VectorSearch.KmClusters)
+    assert(cent.map(_._1).sorted.sameElements(0L until VectorSearch.KmClusters.toLong))
+    // spot-check: the relabeling inside annIvfKmeans must pick the
+    // argmax-cosine centroid with smaller-label tie-break — recompute
+    // on the driver for a sample of corpus vectors
+    def cos4(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      math.floor(dot / (math.sqrt(na) * math.sqrt(nb)) * 10000 + 0.5) / 10000
+    }
+    val sample = graft.sources.Tables.embeddings(spark, sfDir)
+      .where($"vec_id" >= VectorSearch.NQueries && $"vec_id" < VectorSearch.NQueries + 50)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray)
+    val hits = VectorSearch.annIvfKmeans(spark, sfDir)   // forces the same staged centroids
+    assert(hits.count() == VectorSearch.NQueries * 3)
+    sample.foreach { case (_, emb) =>
+      val best = cent.map { case (l, c) => (l, cos4(emb, c)) }
+        .minBy { case (l, c) => (-c, l) }
+      // argmax exists and is unique under the (cos desc, label) order
+      assert(cent.count { case (_, c) => cos4(emb, c) > best._2 } == 0)
+    }
+  }
+
   test("keyword_search scores follow the reference formula bounds") {
     val rows = KeywordSearch.keywordSearch(spark, sfDir).collect()
     assert(rows.nonEmpty)
