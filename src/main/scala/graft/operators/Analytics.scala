@@ -124,10 +124,18 @@ object Analytics {
       .select(col("user_id"), col("session_id"), col("end_ms"))
       .localCheckpoint()   // feeds before-count, doomed, and anti-join
     val nowMs = Tables.events(spark, dir).agg(max(col("ts_ms")).as("now_ms"))
+    // both reference filters spelled out (is_active='inactive' AND
+    // logout_time < cutoff) even though the 24h cutoff subsumes the
+    // 30-min inactivity test — if either constant changed they would
+    // no longer nest, and the oracle mirrors the pair
     val doomed = sess.crossJoin(broadcast(nowMs))
       .where(col("end_ms") < col("now_ms") - SessionGapMs &&
         col("end_ms") < col("now_ms") - CleanupRetentionMs)
       .select(col("user_id"), col("session_id"))
+    // the anti-join IS the delete (the kept frame is what a MERGE
+    // write-back would persist); total_after is counted from it
+    // rather than derived as before-deleted so the reported audit
+    // numbers come from the actual retained rows
     val kept = sess.join(doomed, Seq("user_id", "session_id"), "left_anti")
     sess.agg(count(lit(1)).as("total_before"))
       .crossJoin(doomed.agg(count(lit(1)).as("deleted")))

@@ -142,7 +142,10 @@ object RangeJoin {
     * directly — no bucketing; use for per-entity corrections where
     * group sizes are bounded (e.g. one user's sessions).
     *
-    * Values with NULL `valCol` are ignored; a NULL `ptCol` counts 0.
+    * Both columns must be integral (the stream sorts on the exact
+    * long value — a silent fractional cast would corrupt the ≤/<
+    * boundary). Values with NULL `valCol` are ignored; a NULL `ptCol`
+    * counts 0.
     */
   def countUnder(points: DataFrame, ptCol: String,
       values: DataFrame, valCol: String, strict: Boolean,
@@ -151,6 +154,8 @@ object RangeJoin {
     require(!points.columns.contains(outCol),
       s"points already carries output column `$outCol`")
     val reserved = Seq("_t", "_delta", "_tie", "_bucket", "_cnt", "_prefix")
+    require(!reserved.contains(outCol),
+      s"output column `$outCol` is a reserved scratch name")
     val clash = reserved.filter(points.columns.contains)
     require(clash.isEmpty,
       s"points carries reserved column(s): ${clash.mkString(", ")}")
@@ -158,6 +163,14 @@ object RangeJoin {
       s"values must carry key columns ${keys.mkString(", ")}")
     require(keys.forall(points.columns.contains),
       s"points must carry key columns ${keys.mkString(", ")}")
+    def integral(df: DataFrame, c: String): Boolean = df.schema(c).dataType match {
+      case _: org.apache.spark.sql.types.LongType | _: org.apache.spark.sql.types.IntegerType |
+           _: org.apache.spark.sql.types.ShortType | _: org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    }
+    require(integral(points, ptCol) && integral(values, valCol),
+      s"countUnder needs integral columns; got ${points.schema(ptCol).dataType} / " +
+        s"${values.schema(valCol).dataType}")
     // equal-time ordering encodes the comparison: non-strict (≤) puts
     // values BEFORE points at the same t (equal values count); strict
     // (<) puts points first (equal values don't)
@@ -184,8 +197,10 @@ object RangeJoin {
       } else {
         val ub = u.withColumn("_bucket", bucketOf(col("_t"), bucketWidth))
         val totals = ub.groupBy(col("_bucket")).agg(sum(col("_delta")).as("_cnt"))
-        // #buckets rows ≈ time-span / bucketWidth — independent of n;
-        // the single-partition window here is over that small table
+        // the bucket-total table has min(n, time-span/bucketWidth)
+        // rows — size bucketWidth so span/width stays modest (the
+        // table passes through one single-partition prefix window and
+        // joins back on _bucket; AQE broadcasts it when small)
         val wPre = Window.orderBy(col("_bucket"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val prefix = totals
@@ -194,8 +209,13 @@ object RangeJoin {
         val wIn = Window.partitionBy(col("_bucket"))
           .orderBy(col("_t"), col("_tie"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ub.join(broadcast(prefix), Seq("_bucket"))
-          .withColumn(outCol, col("_prefix") + sum(col("_delta")).over(wIn))
+        // LEFT join: a NULL-_t point row has a NULL bucket, which an
+        // inner join would silently drop — it must survive with
+        // count 0 (the NULL-bucket window partition holds only Δ=0
+        // point rows, so the cumsum is 0 there)
+        ub.join(prefix, Seq("_bucket"), "left")
+          .withColumn(outCol,
+            coalesce(col("_prefix"), lit(0L)) + sum(col("_delta")).over(wIn))
           .drop("_bucket", "_prefix")
       }
     counted.where(col("_delta") === 0L)

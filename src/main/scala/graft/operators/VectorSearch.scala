@@ -139,17 +139,17 @@ object VectorSearch {
         graft.DfCache.inputFingerprint(spark, s"$dir/embeddings.parquet")) {
         val corpus = vectors(spark, dir).where(col("vec_id") >= NQueries)
           .select(col("vec_id"), col("emb"))
+        // each round references cent twice (assignment broadcast +
+        // empty-cluster carry join): localCheckpoint the ≤ k-row
+        // table so every iteration is exactly one corpus pass by
+        // construction, not by exchange-reuse luck
         var cent = corpus.orderBy(col("vec_id")).limit(KmClusters)
           .withColumn("label",
             (row_number().over(Window.orderBy(col("vec_id"))) - 1).cast("long"))
           .select(col("label"), col("emb").as("c_emb"))
+          .localCheckpoint()
         for (_ <- 1 to KmIters) {
-          val assign = corpus.crossJoin(broadcast(cent))
-            .select(col("vec_id"), col("emb"), col("label"),
-              V.cosine4(col("emb"), col("c_emb")).as("cos"))
-            .withColumn("ark", rank("cos", "label", "vec_id"))
-            .where(col("ark") === 1)
-          val means = assign
+          val means = assignClusters(corpus, cent)
             .select(col("label"), posexplode(col("emb")).as(Seq("dim", "x")))
             .groupBy(col("label"), col("dim"))
             .agg((sum(col("x").cast(DecimalType(18, 9))).cast("double")
@@ -159,9 +159,24 @@ object VectorSearch {
               s => s.getField("cv")).as("new_emb"))
           cent = cent.join(means, Seq("label"), "left")
             .select(col("label"), coalesce(col("new_emb"), col("c_emb")).as("c_emb"))
+            .localCheckpoint()
         }
         cent
       })
+
+  /** Nearest-centroid assignment (parity-rounded cosine, tie →
+    * smaller cluster id) of a (vec_id, emb) frame against a (label,
+    * c_emb) centroid table — the shared step of the Lloyd's loop and
+    * the index relabeling, and the unit VectorSearchSpec checks
+    * against a driver-side argmax.
+    */
+  private[graft] def assignClusters(corpus: DataFrame, cent: DataFrame): DataFrame =
+    corpus.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("emb"), col("label"),
+        V.cosine4(col("emb"), col("c_emb")).as("cos"))
+      .withColumn("ark", rank("cos", "label", "vec_id"))
+      .where(col("ark") === 1)
+      .select(col("vec_id"), col("label"), col("emb"))
 
   /** IVF search over the k-means index: corpus relabeled by its final
     * cluster assignment, probes and fine search shared with every
@@ -175,14 +190,9 @@ object VectorSearch {
   def annIvfKmeans(spark: SparkSession, dir: String): DataFrame = {
     val v = vectors(spark, dir)
     val cent = kmeansCentroids(spark, dir)
-    val relabeled = v.where(col("vec_id") >= NQueries)
-      .select(col("vec_id"), col("emb"))   // drop the data label: the
-      // cluster assignment below is the index label here
-      .crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("emb"), col("label"),
-        V.cosine4(col("emb"), col("c_emb")).as("cos"))
-      .withColumn("ark", rank("cos", "label", "vec_id"))
-      .where(col("ark") === 1)
+    // drop the data label: the cluster assignment is the index label
+    val relabeled = assignClusters(
+      v.where(col("vec_id") >= NQueries).select(col("vec_id"), col("emb")), cent)
       .select(col("vec_id"), col("label"), col("emb"))
     ivfFineSearch(
       v.where(col("vec_id") < NQueries)

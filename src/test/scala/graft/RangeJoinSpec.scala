@@ -137,6 +137,18 @@ class RangeJoinSpec extends SparkSpec {
     val got = RangeJoin.countUnder(p, "t", withNulls, "_v", false, 4L, "n")
       .select($"n").as[Long].head()
     assert(got == 1L)
+    intercept[IllegalArgumentException] {   // reserved output name
+      RangeJoin.countUnder(p, "t", v, "_v", false, 4L, "_delta")
+    }
+    intercept[IllegalArgumentException] {   // fractional column type
+      RangeJoin.countUnder(p, "t", Seq(1.5).toDF("_v"), "_v", false, 4L, "n")
+    }
+    // a NULL point survives with count 0 in BOTH modes (the bucketed
+    // path must not inner-join it away on its NULL bucket)
+    val nullPt = Seq((1L, Some(2L)), (2L, None)).toDF("p_id", "t")
+    val gotNull = RangeJoin.countUnder(nullPt, "t", v, "_v", false, 4L, "n")
+      .select($"p_id", $"n").as[(Long, Long)].collect().toMap
+    assert(gotNull == Map(1L -> 1L, 2L -> 0L), gotNull.toString)
   }
 
   test("rank-based session_overlap == pair-enumeration overlap join on the fixture") {

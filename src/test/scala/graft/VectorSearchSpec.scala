@@ -140,13 +140,14 @@ class VectorSearchSpec extends SparkSpec {
 
   test("kmeans centroids: k clusters, and the assignment is argmax cosine") {
     import spark.implicits._
-    val cent = VectorSearch.kmeansCentroids(spark, sfDir).collect()
+    val cent = VectorSearch.kmeansCentroids(spark, sfDir)
+    val centRows = cent.collect()
       .map(r => r.getAs[Long]("label") -> r.getAs[Seq[Double]]("c_emb").toArray)
-    assert(cent.length == VectorSearch.KmClusters)
-    assert(cent.map(_._1).sorted.sameElements(0L until VectorSearch.KmClusters.toLong))
-    // spot-check: the relabeling inside annIvfKmeans must pick the
-    // argmax-cosine centroid with smaller-label tie-break — recompute
-    // on the driver for a sample of corpus vectors
+    assert(centRows.length == VectorSearch.KmClusters)
+    assert(centRows.map(_._1).sorted.sameElements(0L until VectorSearch.KmClusters.toLong))
+    // the Spark-side assignment (the exact frame annIvfKmeans uses to
+    // relabel the index) must equal a driver-side argmax with the
+    // (cos desc, label) tie-break, recomputed independently here
     def cos4(a: Array[Double], b: Array[Double]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0
       var i = 0
@@ -155,17 +156,18 @@ class VectorSearchSpec extends SparkSpec {
     }
     val sample = graft.sources.Tables.embeddings(spark, sfDir)
       .where($"vec_id" >= VectorSearch.NQueries && $"vec_id" < VectorSearch.NQueries + 50)
-      .select($"vec_id", $"embedding").collect()
-      .map(r => r.getAs[Long]("vec_id") ->
-        r.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray)
-    val hits = VectorSearch.annIvfKmeans(spark, sfDir)   // forces the same staged centroids
-    assert(hits.count() == VectorSearch.NQueries * 3)
-    sample.foreach { case (_, emb) =>
-      val best = cent.map { case (l, c) => (l, cos4(emb, c)) }
-        .minBy { case (l, c) => (-c, l) }
-      // argmax exists and is unique under the (cos desc, label) order
-      assert(cent.count { case (_, c) => cos4(emb, c) > best._2 } == 0)
+      .select($"vec_id", functions.VectorFunctions.toDouble($"embedding").as("emb"))
+    val got = VectorSearch.assignClusters(sample, cent).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("label")).toMap
+    val embs = sample.collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Seq[Double]]("emb").toArray)
+    assert(got.size == embs.length)
+    embs.foreach { case (id, emb) =>
+      val want = centRows.map { case (l, c) => (l, cos4(emb, c)) }
+        .minBy { case (l, c) => (-c, l) }._1
+      assert(got(id) == want, s"vec $id: spark=${got(id)} driver=$want")
     }
+    assert(VectorSearch.annIvfKmeans(spark, sfDir).count() == VectorSearch.NQueries * 3)
   }
 
   test("keyword_search scores follow the reference formula bounds") {
@@ -192,5 +194,45 @@ class VectorSearchSpec extends SparkSpec {
     val ords = rows.map(_.getAs[Long]("ord"))
     assert(ords.sameElements(ords.sorted))
     assert(rows.count(_.getAs[String]("priority") == "high") <= 2)
+  }
+
+  test("combined context renders both sections in reference order") {
+    KeywordSearch.hybridContext(spark, sfDir).collect().foreach { r =>
+      val c = r.getAs[String]("combined_context")
+      val ci = c.indexOf("USER CONTRIBUTIONS AND ENHANCEMENTS:")
+      val fi = c.indexOf("ORIGINAL KNOWLEDGE BASE:")
+      assert(ci == 0 && fi > ci, c.take(80))
+      assert(c.contains("DOCUMENT #1 (from "))
+      assert(!c.contains("SUPPLEMENTARY"))
+    }
+    KeywordSearch.hybridContextPrioritized(spark, sfDir).collect().foreach { r =>
+      val c = r.getAs[String]("combined_context")
+      assert(c.startsWith("USER CONTRIBUTIONS (PRIORITIZED):"), c.take(60))
+      assert(c.contains("🎯 HIGHLY RELEVANT USER CONTRIBUTION #1"))
+      assert(c.contains("SUPPLEMENTARY DOCUMENTATION:"))
+      assert(!c.contains("ORIGINAL KNOWLEDGE BASE:"))
+    }
+  }
+
+  test("ask_batch sources listing and recommendation match the counts") {
+    KeywordSearch.askBatch(spark, sfDir).collect().foreach { r =>
+      val fc = r.getAs[Long]("faiss_count")
+      val cc = r.getAs[Long]("contribution_count")
+      val srcs = r.getAs[String]("sources").split("\n")
+      assert(srcs.length == fc + cc)
+      assert(srcs.count(_.contains("source_type=original_document")) == fc)
+      assert(srcs.count(_.contains("source_type=user_contribution")) == cc)
+      // documents listed before contributions, as in get_enhanced_sources
+      val firstContrib = srcs.indexWhere(_.contains("user_contribution"))
+      if (firstContrib >= 0)
+        assert(srcs.take(firstContrib).forall(_.contains("original_document")))
+      val rec = r.getAs[String]("recommendation")
+      val want =
+        if (fc == 0 && cc == 0) "No relevant information found"
+        else if (fc > 0 && cc > 0) "Great! Found both"
+        else if (fc > 0) "Found relevant information"
+        else "Found user contributions"
+      assert(rec.startsWith(want), rec)
+    }
   }
 }
