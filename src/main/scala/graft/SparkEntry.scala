@@ -95,6 +95,7 @@ object SparkEntry {
     "dedup_embedding" -> (VectorSearch.dedupEmbedding _),
     // §2.C keyword + hybrid search
     "keyword_search"    -> (KeywordSearch.keywordSearch _),
+    "keyword_bm25"      -> (KeywordSearch.keywordBm25 _),
     "keyword_substring" -> (KeywordSearch.keywordSubstring _),
     "hybrid_quality"    -> (KeywordSearch.hybridQuality _),
     "hybrid_rank"       -> (KeywordSearch.hybridRank _),
@@ -1114,6 +1115,42 @@ object SparkEntry {
     "keyword_search" -> ("WITH " + queriesCte + ",\n" + keywordBody +
       """
         |SELECT q_id, doc_id, score, rating, rk FROM kr WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin),
+    // BM25 twin: same IEEE expression tree as KeywordSearch.bm25 —
+    // constants spelled as the same additions ((1.2 + 1.0),
+    // (1.0 - 0.75)), per-document term sum folded in token order via
+    // list_reduce so the double accumulation order matches Spark's
+    // array_sort → aggregate fold exactly
+    "keyword_bm25" -> ("WITH " + queriesCte + """,
+      |qt AS (SELECT q_id, unnest(list_distinct(string_split(q_text, ' '))) AS tok
+      |  FROM queries),
+      |voc AS (SELECT DISTINCT tok FROM qt),
+      |d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |  WHERE text IS NOT NULL),
+      |dlt AS (SELECT doc_id, len(toks) AS dl FROM d),
+      |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dlt),
+      |p0 AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+      |p1 AS (SELECT p0.doc_id, dlt.dl, p0.tok, CAST(COUNT(*) AS BIGINT) AS tf
+      |  FROM p0 JOIN voc USING (tok) JOIN dlt USING (doc_id)
+      |  GROUP BY p0.doc_id, dlt.dl, p0.tok),
+      |fr AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM p1 GROUP BY tok),
+      |tm AS (SELECT qt.q_id, p1.doc_id, p1.tok,
+      |    ((CAST(st.n_docs - fr.df AS DOUBLE) + 0.5) / (CAST(fr.df AS DOUBLE) + 0.5))
+      |      * ((CAST(p1.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+      |         / (CAST(p1.tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+      |            * ((CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE))
+      |               + (CAST(0.75 AS DOUBLE) * CAST(p1.dl AS DOUBLE))
+      |                 / (CAST(st.sum_dl AS DOUBLE) / CAST(st.n_docs AS DOUBLE))))) AS term
+      |  FROM p1 JOIN fr USING (tok) JOIN qt USING (tok) CROSS JOIN st),
+      |sc AS (SELECT q_id, doc_id,
+      |    floor(list_reduce(list(term ORDER BY tok), (a, x) -> a + x)
+      |      * 10000.0 + 0.5) / 10000.0 AS score
+      |  FROM tm GROUP BY q_id, doc_id),
+      |kr AS (SELECT q_id, doc_id, score,
+      |  row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rk
+      |  FROM sc)
+      |SELECT q_id, doc_id, score, CAST(rk AS BIGINT) AS rk
+      |FROM kr WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin),
     "keyword_substring" ->
       """SELECT doc_id, source, n_chars FROM documents
         |WHERE contains(text, 'hash join') ORDER BY doc_id""".stripMargin,

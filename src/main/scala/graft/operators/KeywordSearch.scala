@@ -49,6 +49,107 @@ object KeywordSearch {
       .orderBy(col("q_id"), col("rk"))
   }
 
+  /** BM25-ranked lexical retrieval — the scale path of keyword
+    * search. [[keywordSearch]] reproduces the reference's formula
+    * (supabase_utils.py:299) as a query×corpus containment scan —
+    * faithful, but every document is scored against every query. BM25
+    * retrieves through a token posting join instead: explode the
+    * corpus to (doc, token) postings, prune to the query vocabulary
+    * BEFORE any shuffle, and score from tf/df/dl statistics — the
+    * candidate volume is O(postings matching the query vocabulary),
+    * the inverted-index shape, never O(docs × queries).
+    *
+    * Scoring is BM25 (tf saturation `k1`, length normalization `b`)
+    * with a log-free rational idf, (N − df + 0.5)/(df + 0.5) — the
+    * ARGUMENT of the standard formula's ln. The repo's float
+    * discipline (SURVEY.md §6) allows only correctly-rounded IEEE ops
+    * (+,−,×,÷,sqrt) in oracle-checked results; ln is
+    * implementation-defined (JVM Math.log and DuckDB's libm differ by
+    * ULPs) and one ULP can flip a round4 boundary or a rank. The
+    * surrogate keeps the same df-rarity direction (strictly
+    * decreasing in df) with idf weighting, saturation and length
+    * normalization mechanics unchanged.
+    *
+    * Determinism: every per-term value derives from integer tf/df/dl/N
+    * through a fixed double expression tree (the oracle spells the
+    * SAME tree, constant subexpressions included), and the
+    * per-document score folds its terms in token order (array_sort →
+    * aggregate) — a plain SUM(double) would be partition-order
+    * dependent and the fold is bitwise reproducible in both engines.
+    *
+    * Plan shape: corpus scanned twice (corpus stats; postings), both
+    * narrow until the (doc, token) tf aggregation; df table and query
+    * vocabulary broadcast; final per-query top-k via the map-side
+    * combining TopKAgg. The pruned posting table feeds both the df
+    * count and the scoring join, so it is materialized once.
+    *
+    * `idCol` must be long-castable; output is
+    * (`qIdCol`, `idCol`, score, rk), k rows per query.
+    */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qIdCol: String, qTextCol: String,
+      k: Int = 5, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(k1 >= 0, s"k1 must be non-negative, got $k1")
+    require(b >= 0 && b <= 1, s"b must be in [0,1], got $b")
+    require(qIdCol != idCol && idCol != "score" && idCol != "rk" &&
+      qIdCol != "score" && qIdCol != "rk",
+      s"output columns ($qIdCol, $idCol, score, rk) must be distinct")
+    // fold the derived constants HERE, once — the oracle must spell
+    // the same additions (`k1 + 1.0`, `1.0 - b`) so both engines run
+    // the identical IEEE expression tree
+    val k1p1 = k1 + 1.0
+    val oneMinusB = 1.0 - b
+    val qtok = queries.select(col(qIdCol).as("_qid"),
+      explode(array_distinct(tokens(col(qTextCol)))).as("_tok"))
+    val voc = qtok.select(col("_tok")).distinct()
+    // NULL text is excluded from the corpus (and from N/avgdl) on
+    // BOTH sides — Spark's size(NULL) = -1 would silently poison
+    // sum_dl where DuckDB's len(NULL) = NULL skips it
+    val d = docs.where(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("_did"),
+        tokens(col(textCol)).as("_toks"))
+      .select(col("_did"), size(col("_toks")).as("_dl"), col("_toks"))
+    val stats = d.agg(count(lit(1)).as("_n_docs"), sum(col("_dl")).as("_sum_dl"))
+    val p1 = d.select(col("_did"), col("_dl"), explode(col("_toks")).as("_tok"))
+      .join(broadcast(voc), "_tok")
+      .groupBy(col("_did"), col("_dl"), col("_tok"))
+      .agg(count(lit(1)).as("_tf"))
+      .localCheckpoint()   // feeds the df count AND the scoring join
+    val dfreq = p1.groupBy(col("_tok")).agg(count(lit(1)).as("_df"))
+    val avgdl = col("_sum_dl").cast("double") / col("_n_docs")
+    val idf = (col("_n_docs") - col("_df") + lit(0.5)) / (col("_df") + lit(0.5))
+    val tfNorm = (col("_tf") * lit(k1p1)) /
+      (col("_tf") + lit(k1) * (lit(oneMinusB) + (lit(b) * col("_dl")) / avgdl))
+    p1.join(broadcast(dfreq), "_tok")
+      .join(broadcast(qtok), "_tok")
+      .crossJoin(broadcast(stats))
+      .select(col("_qid"), col("_did"), col("_tok"), (idf * tfNorm).as("_term"))
+      .groupBy(col("_qid"), col("_did"))
+      .agg(collect_list(struct(col("_tok"), col("_term"))).as("_ts"))
+      .select(col("_qid"), col("_did"),
+        Par.round4(aggregate(
+          transform(array_sort(col("_ts")), s => s.getField("_term")),
+          lit(0.0), (a, x) => a + x)).as("_score"))
+      .groupBy(col("_qid"))
+      .agg(TopK.topK(k)(col("_score"), col("_did")).as("_top"))
+      .select(col("_qid"), posexplode(col("_top")).as(Seq("_i", "_hit")))
+      .select(col("_qid").as(qIdCol), col("_hit.id").as(idCol),
+        col("_hit.score").as("score"), (col("_i") + 1).cast("long").as("rk"))
+  }
+
+  /** Query-level demo: the standard query set BM25-ranked over the
+    * documents corpus, top-5 per query.
+    */
+  def keywordBm25(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val queries = Seq((1L, Query), (2L, "stream window agg"))
+      .toDF("q_id", "q_text")
+    bm25(Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      "doc_id", "text", queries, "q_id", "q_text")
+      .orderBy(col("q_id"), col("rk"))
+  }
+
   /** Case-insensitive substring listing — search_qa_by_keyword
     * (supabase_utils.py:362) / the admin ilike filter
     * (supabase_utils.py:389).

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.KeywordSearch
+
+/** BM25 posting-join retrieval (KeywordSearch.bm25): scoring wiring
+  * against an independent driver-side computation, idf/rarity
+  * semantics, and input validation. Cross-engine bitwise parity is
+  * the correctness gate's job (keyword_bm25 oracle row).
+  */
+class KeywordSearchSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "apple banana apple"),
+    (2L, "apple cherry"),
+    (3L, "banana banana banana banana"),
+    (4L, "date fig")
+  ).toDF("doc_id", "text")
+
+  private val queries = Seq((1L, "apple banana")).toDF("q_id", "q_text")
+
+  /** The same formula computed independently on the driver. */
+  private def bm25Ref(tf: Long, df: Long, dl: Long,
+      nDocs: Long, sumDl: Long, k1: Double = 1.2, b: Double = 0.75): Double = {
+    val avgdl = sumDl.toDouble / nDocs
+    val idf = (nDocs - df + 0.5) / (df + 0.5)
+    idf * ((tf * (k1 + 1.0)) / (tf + k1 * ((1.0 - b) + (b * dl) / avgdl)))
+  }
+
+  test("bm25 matches a driver-side computation on a fixture corpus") {
+    // N=4, sum_dl=11; df(apple)=2, df(banana)=2
+    val got = KeywordSearch.bm25(docs, "doc_id", "text", queries, "q_id", "q_text")
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toMap
+    def r4(x: Double): Double = math.floor(x * 10000.0 + 0.5) / 10000.0
+    val exp = Map(
+      1L -> r4(bm25Ref(2, 2, 3, 4, 11) + bm25Ref(1, 2, 3, 4, 11)), // apple×2, banana×1
+      2L -> r4(bm25Ref(1, 2, 2, 4, 11)),                           // apple×1
+      3L -> r4(bm25Ref(4, 2, 4, 4, 11)))                           // banana×4
+    assert(got === exp)
+  }
+
+  test("bm25 ranks: repeated-term doc saturates below the two-term doc") {
+    val rk = KeywordSearch.bm25(docs, "doc_id", "text", queries, "q_id", "q_text")
+      .orderBy(col("rk")).collect().map(_.getLong(1)).toSeq
+    // doc 1 matches both terms; doc 3's four bananas saturate (k1)
+    assert(rk.head === 1L)
+    assert(rk.toSet === Set(1L, 2L, 3L))   // doc 4 matches nothing
+  }
+
+  test("bm25 weights rare terms above common ones") {
+    val d = Seq((1L, "x common"), (2L, "y common"), (3L, "z common"),
+      (4L, "w rare")).toDF("doc_id", "text")
+    val q = Seq((1L, "common rare")).toDF("q_id", "q_text")
+    val top = KeywordSearch.bm25(d, "doc_id", "text", q, "q_id", "q_text")
+      .where(col("rk") === 1).collect().head.getLong(1)
+    assert(top === 4L, "df=1 term must outweigh df=3 term at equal tf/dl")
+  }
+
+  test("bm25 honors k and the per-query grouping") {
+    val out = KeywordSearch.bm25(docs, "doc_id", "text",
+      Seq((1L, "apple banana"), (2L, "cherry")).toDF("q_id", "q_text"),
+      "q_id", "q_text", k = 2)
+    val byQ = out.collect().groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    assert(byQ === Map(1L -> 2, 2L -> 1))
+  }
+
+  test("bm25 rejects colliding output columns") {
+    intercept[IllegalArgumentException] {
+      KeywordSearch.bm25(docs, "score", "text", queries, "q_id", "q_text")
+    }
+    intercept[IllegalArgumentException] {
+      KeywordSearch.bm25(docs, "doc_id", "text", queries, "doc_id", "q_text")
+    }
+  }
+
+  test("bm25 excludes NULL-text docs from the corpus statistics") {
+    val withNull = docs.unionByName(
+      Seq((9L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val a = KeywordSearch.bm25(docs, "doc_id", "text", queries, "q_id", "q_text")
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSet
+    val b = KeywordSearch.bm25(withNull, "doc_id", "text", queries, "q_id", "q_text")
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSet
+    assert(a === b, "a NULL-text doc must not shift N/avgdl")
+  }
+}

@@ -62,6 +62,18 @@ class PlanAuditSpec extends SparkSpec {
       "query set should be broadcast against the corpus scan")
   }
 
+  test("keyword_bm25: posting join pruned by broadcast vocab; top-k partial; no cartesian") {
+    val plan = finalPlan(KeywordSearch.keywordBm25(spark, sfDir))
+    assert(!plan.contains("CartesianProduct"),
+      s"bm25 must never cross-join the corpus:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"vocab/df/query joins should broadcast the small side:\n$plan")
+    assert(plan.toLowerCase.contains("partial_topk"),
+      s"no partial aggregation for bm25 top-k:\n$plan")
+    assert(!plan.contains("Window"),
+      s"bm25 top-k still uses a window exchange:\n$plan")
+  }
+
   test("stratified_balance: cap sampling is a partial aggregate, not a window") {
     val plan = finalPlan(TextAnalysis.stratifiedBalance(spark, sfDir, cap = 50))
     assert(!plan.contains("Window"), s"cap sampling uses a window exchange:\n$plan")
