@@ -103,26 +103,54 @@ object KeywordSearch {
     val qtok = queries.select(col(qIdCol).as("_qid"),
       explode(array_distinct(tokens(col(qTextCol)))).as("_tok"))
     val voc = qtok.select(col("_tok")).distinct()
-    // NULL text is excluded from the corpus (and from N/avgdl) on
-    // BOTH sides — Spark's size(NULL) = -1 would silently poison
-    // sum_dl where DuckDB's len(NULL) = NULL skips it
-    val d = docs.where(col(textCol).isNotNull)
+    val d = bm25Docs(docs, idCol, textCol)
+    val stats = d.agg(count(lit(1)).as("_n_docs"), sum(col("_dl")).as("_sum_dl"))
+    val p1 = bm25PostingsOf(d)
+      .join(broadcast(voc), "_tok")
+      .localCheckpoint()   // feeds the df count AND the scoring join
+    val dfreq = p1.groupBy(col("_tok")).agg(count(lit(1)).as("_df"))
+    bm25Score(p1, dfreq, stats, qtok, qIdCol, idCol, k, k1p1, k1, b, oneMinusB)
+  }
+
+  /** (_did, _dl, _toks) corpus frame. NULL text is excluded from the
+    * corpus (and from N/avgdl) on BOTH sides — Spark's size(NULL) =
+    * -1 would silently poison sum_dl where DuckDB's len(NULL) = NULL
+    * skips it.
+    */
+  private def bm25Docs(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.where(col(textCol).isNotNull)
       .select(col(idCol).cast("long").as("_did"),
         tokens(col(textCol)).as("_toks"))
       .select(col("_did"), size(col("_toks")).as("_dl"), col("_toks"))
-    val stats = d.agg(count(lit(1)).as("_n_docs"), sum(col("_dl")).as("_sum_dl"))
-    val p1 = d.select(col("_did"), col("_dl"), explode(col("_toks")).as("_tok"))
-      .join(broadcast(voc), "_tok")
+
+  /** (_did, _dl, _tok, _tf) posting rows — one per distinct (doc,
+    * token), the inverted-index unit.
+    */
+  private def bm25PostingsOf(d: DataFrame): DataFrame =
+    d.select(col("_did"), col("_dl"), explode(col("_toks")).as("_tok"))
       .groupBy(col("_did"), col("_dl"), col("_tok"))
       .agg(count(lit(1)).as("_tf"))
-      .localCheckpoint()   // feeds the df count AND the scoring join
-    val dfreq = p1.groupBy(col("_tok")).agg(count(lit(1)).as("_df"))
+
+  /** BM25 scoring over posting-index-shaped inputs: postings
+    * (_did,_dl,_tok,_tf — may be vocab-pruned or full-corpus), df
+    * table (_tok,_df), corpus stats (1 row: _n_docs,_sum_dl), and
+    * query tokens (_qid,_tok). The df/stats/query sides broadcast;
+    * the only fact-side shuffle after the posting build is the
+    * (query, doc) term fold.
+    */
+  private def bm25Score(post: DataFrame, dfreq: DataFrame, stats: DataFrame,
+      qtok: DataFrame, qIdCol: String, idCol: String,
+      k: Int, k1p1: Double, k1: Double, b: Double, oneMinusB: Double): DataFrame = {
     val avgdl = col("_sum_dl").cast("double") / col("_n_docs")
     val idf = (col("_n_docs") - col("_df") + lit(0.5)) / (col("_df") + lit(0.5))
     val tfNorm = (col("_tf") * lit(k1p1)) /
       (col("_tf") + lit(k1) * (lit(oneMinusB) + (lit(b) * col("_dl")) / avgdl))
-    p1.join(broadcast(dfreq), "_tok")
-      .join(broadcast(qtok), "_tok")
+    // restrict the df table to the query vocabulary BEFORE broadcast:
+    // the full-corpus df table is one row per distinct token — fine
+    // to scan, wrong to broadcast
+    val dfVoc = dfreq.join(broadcast(qtok.select(col("_tok")).distinct()), "_tok")
+    post.join(broadcast(qtok), "_tok")
+      .join(broadcast(dfVoc), "_tok")
       .crossJoin(broadcast(stats))
       .select(col("_qid"), col("_did"), col("_tok"), (idf * tfNorm).as("_term"))
       .groupBy(col("_qid"), col("_did"))
@@ -138,15 +166,59 @@ object KeywordSearch {
         col("_hit.score").as("score"), (col("_i") + 1).cast("long").as("rk"))
   }
 
+  /** Full-corpus BM25 posting index over the documents table — the
+    * staged inverted-index artifact (DfCache.stagedFrame: parquet
+    * keyed by logic version + corpus fingerprint, session-cached).
+    * Build once, query many: a fresh JVM re-reads the staged table
+    * instead of re-tokenizing the corpus, exactly the reference's
+    * build-the-index-once shape (FAISS persistence, utils.py). At
+    * cluster scale this table would additionally be written bucketed
+    * by a token hash so a query's vocabulary prunes the scan;
+    * locally the broadcast vocab join filters the cached scan.
+    */
+  private[graft] def bm25Index(spark: SparkSession, dir: String): DataFrame =
+    graft.DfCache.getOrCompute(spark, s"bm25_post:$dir")(
+      graft.DfCache.stagedFrame(spark, s"bm25_post:$dir",
+        graft.DfCache.inputFingerprint(spark, s"$dir/documents.parquet"))(
+        bm25PostingsOf(bm25Docs(
+          Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+          "doc_id", "text"))))
+
+  /** Per-token document frequency derived from the staged index,
+    * memoized per (session, dir) — tiny (one row per distinct
+    * token), broadcast at query time.
+    */
+  private def bm25IndexDf(spark: SparkSession, dir: String): DataFrame =
+    graft.DfCache.getOrCompute(spark, s"bm25_df:$dir")(
+      bm25Index(spark, dir).groupBy(col("_tok")).agg(count(lit(1)).as("_df"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** 1-row corpus stats (N, Σdl) derived from the staged index —
+    * every doc has ≥ 1 token (split of "" is [""]), so the index
+    * covers exactly the non-NULL-text corpus.
+    */
+  private def bm25IndexStats(spark: SparkSession, dir: String): DataFrame =
+    graft.DfCache.getOrCompute(spark, s"bm25_stats:$dir")(
+      bm25Index(spark, dir)
+        .groupBy(col("_did")).agg(first(col("_dl")).as("_dl"))
+        .agg(count(lit(1)).as("_n_docs"), sum(col("_dl")).as("_sum_dl"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   /** Query-level demo: the standard query set BM25-ranked over the
-    * documents corpus, top-5 per query.
+    * documents corpus through the staged posting index, top-5 per
+    * query. Full-corpus df restricted to the query vocabulary equals
+    * the ad-hoc [[bm25]] form's vocab-pruned df, so both paths score
+    * identically (spec-asserted).
     */
   def keywordBm25(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val queries = Seq((1L, Query), (2L, "stream window agg"))
       .toDF("q_id", "q_text")
-    bm25(Tables.documents(spark, dir).select(col("doc_id"), col("text")),
-      "doc_id", "text", queries, "q_id", "q_text")
+    val qtok = queries.select(col("q_id").as("_qid"),
+      explode(array_distinct(tokens(col("q_text")))).as("_tok"))
+    bm25Score(bm25Index(spark, dir), bm25IndexDf(spark, dir),
+      bm25IndexStats(spark, dir), qtok, "q_id", "doc_id",
+      k = 5, k1p1 = 1.2 + 1.0, k1 = 1.2, b = 0.75, oneMinusB = 1.0 - 0.75)
       .orderBy(col("q_id"), col("rk"))
   }
 

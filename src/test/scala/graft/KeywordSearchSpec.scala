@@ -76,6 +76,18 @@ class KeywordSearchSpec extends SparkSpec {
     }
   }
 
+  test("staged-index keyword_bm25 scores identically to the ad-hoc bm25 form") {
+    val adhoc = KeywordSearch.bm25(
+      graft.sources.Tables.documents(spark, sfDir).select(col("doc_id"), col("text")),
+      "doc_id", "text",
+      Seq((1L, KeywordSearch.Query), (2L, "stream window agg")).toDF("q_id", "q_text"),
+      "q_id", "q_text")
+      .orderBy(col("q_id"), col("rk")).collect().toSeq
+    val staged = KeywordSearch.keywordBm25(spark, sfDir).collect().toSeq
+    assert(staged === adhoc,
+      "full-corpus df restricted to the vocabulary must equal vocab-pruned df")
+  }
+
   test("bm25 excludes NULL-text docs from the corpus statistics") {
     val withNull = docs.unionByName(
       Seq((9L, null.asInstanceOf[String])).toDF("doc_id", "text"))
