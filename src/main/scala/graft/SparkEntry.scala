@@ -90,6 +90,8 @@ object SparkEntry {
     "ann_quantized_recall" -> (VectorSearch.annQuantizedRecall _),
     "ann_ivf_quantized" -> (VectorSearch.annIvfQuantized _),
     "ann_ivf_kmeans"  -> (VectorSearch.annIvfKmeans _),
+    "ann_pq"          -> (VectorSearch.annPq _),
+    "ann_pq_recall"   -> (VectorSearch.annPqRecall _),
     "knn_text"        -> (VectorSearch.knnText _),
     "image_search"    -> ((s, d) => Multimodal.imageSearch(s, d)),
     "dedup_embedding" -> (VectorSearch.dedupEmbedding _),
@@ -276,6 +278,62 @@ object SparkEntry {
          |  FROM kcent${i - 1} k LEFT JOIN kcm$i m USING (label))""".stripMargin
     }.mkString(",\n")
     init + ",\n" + iters + ",\n" + assignCte("kasF", "kcent3")
+  }
+
+  /** Product-quantization codebooks + codes — oracle twin of
+    * VectorSearch.pqCodebooks / pqCodes / annPq (PqM=8, PqKsub=16,
+    * PqIters=3 unrolled): subspace m = dims [m·D/8, (m+1)·D/8), init
+    * = the 8 smallest corpus vec_ids' subvectors per subspace,
+    * assignment by parity-rounded squared L2 spelled as the SAME
+    * IEEE tree (dot(x,x)+dot(c,c)−2·dot(x,c) over the sequential-
+    * fold dot, tie → smaller label), DECIMAL-exact means, emptied
+    * clusters carried. `pasF` encodes every vector against the final
+    * codebook `pcb3`; `prk` ranks the asymmetric search (full-
+    * precision query vs codebook reconstruction).
+    */
+  private val pqCte: String = {
+    def d2(s: String, c: String) =
+      s"floor(((list_dot_product($s, $s) + list_dot_product($c, $c)) - " +
+        s"(2.0 * list_dot_product($s, $c))) * 10000.0 + 0.5)/10000.0"
+    def assignCte(name: String, src: String, cbPrev: String) =
+      s"""$name AS (SELECT vec_id, m, sub, label FROM (
+         |    SELECT c.vec_id, c.m, c.sub, k.label,
+         |      row_number() OVER (PARTITION BY c.vec_id, c.m ORDER BY
+         |        ${d2("c.sub", "k.c_sub")} ASC, k.label) AS ark
+         |    FROM $src c JOIN $cbPrev k USING (m)) WHERE ark = 1)""".stripMargin
+    val init =
+      """psub AS (SELECT vec_id, mm.m AS m,
+        |    emb[mm.m*(len(emb)//8)+1 : (mm.m+1)*(len(emb)//8)] AS sub
+        |  FROM n, (SELECT unnest(generate_series(0, 7)) AS m) mm),
+        |pqc AS (SELECT vec_id, m, sub FROM psub WHERE vec_id >= 10),
+        |pcb0 AS (SELECT m, CAST(r - 1 AS BIGINT) AS label, sub AS c_sub FROM (
+        |    SELECT m, sub, row_number() OVER (PARTITION BY m ORDER BY vec_id) AS r
+        |    FROM pqc) WHERE r <= 16)""".stripMargin
+    val iters = (1 to 3).map { i =>
+      assignCte(s"pas$i", "pqc", s"pcb${i - 1}") +
+      s""",
+         |pmd$i AS (SELECT m, label, g-1 AS dim,
+         |    CAST(SUM(CAST(sub[g] AS DECIMAL(18,9))) AS DOUBLE)/COUNT(*) AS cv
+         |  FROM pas$i, LATERAL (SELECT unnest(generate_series(1, len(sub))) g) gg
+         |  GROUP BY m, label, g),
+         |pcm$i AS (SELECT m, label, list(cv ORDER BY dim) AS new_sub
+         |  FROM pmd$i GROUP BY m, label),
+         |pcb$i AS (SELECT k.m, k.label, coalesce(mm2.new_sub, k.c_sub) AS c_sub
+         |  FROM pcb${i - 1} k LEFT JOIN pcm$i mm2 USING (m, label))""".stripMargin
+    }.mkString(",\n")
+    val tail =
+      assignCte("pasF", "psub", "pcb3") +
+      """,
+        |prec AS (SELECT a.vec_id, flatten(list(k.c_sub ORDER BY a.m)) AS recon
+        |  FROM pasF a JOIN pcb3 k USING (m, label) WHERE a.vec_id >= 10
+        |  GROUP BY a.vec_id),
+        |psc AS (SELECT q.vec_id AS q_id, r2.vec_id,
+        |    floor((list_dot_product(q.emb, r2.recon)
+        |      /(q.nrm * sqrt(list_sum(list_transform(r2.recon, x -> x*x))))) * 10000.0 + 0.5)/10000.0 AS cos
+        |  FROM prec r2, (SELECT vec_id, emb, nrm FROM n WHERE vec_id < 10) q),
+        |prk AS (SELECT q_id, vec_id, cos,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk FROM psc)""".stripMargin
+    init + ",\n" + iters + ",\n" + tail
   }
 
   private val knnCte = vecCte +
@@ -1054,6 +1112,20 @@ object SparkEntry {
     "ann_quantized" -> (vecCte + ",\n" + quantCte +
       """
         |SELECT q_id, vec_id, cos, rk FROM rq WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin),
+    "ann_pq" -> (vecCte + ",\n" + pqCte +
+      """
+        |SELECT q_id, vec_id, cos, rk FROM prk WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin),
+    "ann_pq_recall" -> (knnCte + ",\n" + pqCte +
+      """,
+        |ex3 AS (SELECT q_id, vec_id FROM r WHERE rk <= 3),
+        |ap AS (SELECT q_id, vec_id FROM prk WHERE rk <= 3),
+        |h AS (SELECT ap.q_id, COUNT(*) AS hits
+        |  FROM ap JOIN ex3 ON ap.q_id = ex3.q_id AND ap.vec_id = ex3.vec_id
+        |  GROUP BY ap.q_id)
+        |SELECT e.q_id, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+        |  floor((CAST(coalesce(h.hits, 0) AS DOUBLE)/3.0) * 10000.0 + 0.5)/10000.0 AS recall
+        |FROM (SELECT DISTINCT q_id FROM ex3) e LEFT JOIN h ON e.q_id = h.q_id
+        |ORDER BY e.q_id""".stripMargin),
     "ann_quantized_recall" -> (knnCte + ",\n" + quantCte +
       """,
         |ex3 AS (SELECT q_id, vec_id FROM r WHERE rk <= 3),

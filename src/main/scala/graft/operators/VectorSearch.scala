@@ -416,6 +416,130 @@ object VectorSearch {
         .select(col("vec_id"), col("label"), col("emb")),
       centroidsOf(spark, dir))
 
+  val PqM     = 8   // subspaces
+  val PqKsub  = 16  // centroids per subspace codebook
+  val PqIters = 3   // Lloyd's iterations (unrolled in the oracle)
+
+  /** (vec_id, m, sub) subvector long form: subspace m carries dims
+    * [m·D/M, (m+1)·D/M). A dimension count not divisible by [[PqM]]
+    * fails loudly — a silent slice would drop tail dims.
+    */
+  private def pqSubvectors(v: DataFrame): DataFrame = {
+    val emb = when(pmod(size(col("emb")), lit(PqM)) =!= 0,
+      raise_error(concat(lit(s"ann_pq needs dim divisible by $PqM, got "),
+        size(col("emb")).cast("string"))).cast("array<double>"))
+      .otherwise(col("emb"))
+    val subDim = (size(col("emb")) / lit(PqM)).cast("int")
+    v.select(col("vec_id"), emb.as("emb"))
+      .select(col("vec_id"), explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("emb"))
+      .select(col("vec_id"), col("m"),
+        slice(col("emb"), col("m") * subDim + lit(1), subDim).as("sub"))
+  }
+
+  /** Nearest-codebook-entry assignment per (vector, subspace):
+    * parity-rounded squared L2 expanded as
+    * dot(x,x) + dot(c,c) − 2·dot(x,c) (the oracle spells the same
+    * tree over the proven-deterministic sequential-fold dot), tie →
+    * smaller label. The shared step of the per-subspace Lloyd's loop
+    * and the encoding pass.
+    */
+  private[graft] def pqAssign(subs: DataFrame, cb: DataFrame): DataFrame = {
+    val d2 = Par.round4(
+      (V.dot(col("sub"), col("sub")) + V.dot(col("c_sub"), col("c_sub")))
+        - (lit(2.0) * V.dot(col("sub"), col("c_sub"))))
+    subs.join(broadcast(cb), Seq("m"))
+      .select(col("vec_id"), col("m"), col("sub"), col("label"), d2.as("d2"))
+      .withColumn("ark", row_number().over(
+        Window.partitionBy(col("vec_id"), col("m"))
+          .orderBy(col("d2"), col("label"))).cast("long"))
+      .where(col("ark") === 1)
+      .select(col("vec_id"), col("m"), col("label"), col("sub"))
+  }
+
+  /** Per-subspace PQ codebooks (m, label, c_sub) — FAISS IndexPQ's
+    * train() as the deterministic Lloyd's recipe of
+    * [[kmeansCentroids]], keyed by (subspace, label) so all
+    * [[PqM]] subspaces train in the SAME corpus pass per iteration:
+    * init = the [[PqKsub]] smallest corpus vec_ids' subvectors,
+    * assignment by parity-rounded squared L2 (tie → smaller label),
+    * DECIMAL-exact per-dim means, an emptied cluster keeps its
+    * previous centroid; [[PqIters]] iterations replayed by the
+    * oracle as unrolled SQL. Staged like every index artifact.
+    */
+  private[graft] def pqCodebooks(spark: SparkSession, dir: String): DataFrame =
+    graft.DfCache.getOrCompute(spark, s"pq_codebooks:$PqM:$PqKsub:$PqIters:$dir")(
+      graft.DfCache.stagedFrame(spark, s"pq_codebooks:$PqM:$PqKsub:$PqIters:$dir",
+        graft.DfCache.inputFingerprint(spark, s"$dir/embeddings.parquet")) {
+        val corpusSub = pqSubvectors(
+          vectors(spark, dir).where(col("vec_id") >= NQueries)
+            .select(col("vec_id"), col("emb")))
+        var cb = corpusSub
+          .withColumn("r", row_number().over(
+            Window.partitionBy(col("m")).orderBy(col("vec_id"))))
+          .where(col("r") <= PqKsub)
+          .select(col("m"), (col("r") - 1).cast("long").as("label"),
+            col("sub").as("c_sub"))
+          .localCheckpoint()   // ≤ M·Ksub rows; referenced twice per round
+        for (_ <- 1 to PqIters) {
+          val means = pqAssign(corpusSub, cb)
+            .select(col("m"), col("label"), posexplode(col("sub")).as(Seq("dim", "x")))
+            .groupBy(col("m"), col("label"), col("dim"))
+            .agg((sum(col("x").cast(DecimalType(18, 9))).cast("double")
+              / count(lit(1))).as("cv"))
+            .groupBy(col("m"), col("label"))
+            .agg(transform(array_sort(collect_list(struct(col("dim"), col("cv")))),
+              s => s.getField("cv")).as("new_sub"))
+          cb = cb.join(means, Seq("m", "label"), "left")
+            .select(col("m"), col("label"),
+              coalesce(col("new_sub"), col("c_sub")).as("c_sub"))
+            .localCheckpoint()
+        }
+        cb
+      })
+
+  /** PQ codes — the stored index: [[PqM]] 4-bit codes per vector
+    * (plus the M×[[PqKsub]]-row codebook), conceptually M·log₂Ksub =
+    * 32 bits vs D·64 = 4096 bits of double source (~128×). Staged
+    * cross-process like the int8 codes table; at 100 TB this IS the
+    * vector index on disk.
+    */
+  private[graft] def pqCodes(spark: SparkSession, dir: String): DataFrame =
+    graft.DfCache.getOrCompute(spark, s"pq_codes:$PqM:$PqKsub:$PqIters:$dir")(
+      graft.DfCache.stagedFrame(spark, s"pq_codes:$PqM:$PqKsub:$PqIters:$dir",
+        graft.DfCache.inputFingerprint(spark, s"$dir/embeddings.parquet"))(
+        pqAssign(pqSubvectors(vectors(spark, dir).select(col("vec_id"), col("emb"))),
+          pqCodebooks(spark, dir))
+          .select(col("vec_id"), col("m"), col("label"))))
+
+  /** Product-quantization search — FAISS IndexPQ.search, asymmetric:
+    * the full-precision query scores against the codebook
+    * RECONSTRUCTION of each corpus vector (per-subspace centroids
+    * concatenated in subspace order), so compression error applies
+    * to the corpus side only. Reconstruction is a broadcast codebook
+    * join over the tiny staged codes table — the corpus float
+    * vectors are never read at search time. annPqRecall tracks the
+    * retrieval cost of the ~64× compression.
+    */
+  def annPq(spark: SparkSession, dir: String): DataFrame = {
+    val cb = pqCodebooks(spark, dir)
+    val recon = pqCodes(spark, dir).where(col("vec_id") >= NQueries)
+      .join(broadcast(cb), Seq("m", "label"))
+      .groupBy(col("vec_id"))
+      .agg(flatten(transform(array_sort(collect_list(struct(col("m"), col("c_sub")))),
+        s => s.getField("c_sub"))).as("recon"))
+    val q = vectors(spark, dir).where(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    topKExplode(recon.crossJoin(broadcast(q))
+      .select(col("q_id"), col("vec_id"),
+        V.cosine4(col("q_emb"), col("recon")).as("cos")), K, "vec_id")
+  }
+
+  /** Recall@3 of PQ search against exact brute force — the accuracy
+    * cost of the ~64× memory saving, as a queryable frame.
+    */
+  def annPqRecall(spark: SparkSession, dir: String): DataFrame =
+    recallOf(annPq(spark, dir).where(col("rk") <= 3), spark, dir)
+
   /** End-to-end text search: literal query strings → hashed-BoW
     * embedding (Ingest.rawEmbed) → cosine against doc_embed vectors →
     * top-k docs. Mirror of search_similar_chunks (core/utils.py:194):

@@ -170,6 +170,77 @@ class VectorSearchSpec extends SparkSpec {
     assert(VectorSearch.annIvfKmeans(spark, sfDir).count() == VectorSearch.NQueries * 3)
   }
 
+  test("ann_pq: codebook shape, code domain, and assignment is argmin L2") {
+    import spark.implicits._
+    val cb = VectorSearch.pqCodebooks(spark, sfDir)
+    val cbRows = cb.collect()
+      .map(r => (r.getAs[Int]("m"), r.getAs[Long]("label")) -> r.getAs[Seq[Double]]("c_sub").toArray)
+      .toMap
+    assert(cbRows.size == VectorSearch.PqM * VectorSearch.PqKsub)
+    cbRows.keys.foreach { case (m, l) =>
+      assert(m >= 0 && m < VectorSearch.PqM && l >= 0 && l < VectorSearch.PqKsub)
+    }
+    val dims = cbRows.values.map(_.length).toSet
+    assert(dims.size == 1, s"ragged subspace dims: $dims")
+    // codes: every vector carries exactly M codes, all in [0, Ksub)
+    val codes = VectorSearch.pqCodes(spark, sfDir).collect()
+    val perVec = codes.groupBy(_.getAs[Long]("vec_id"))
+    perVec.values.foreach { rs =>
+      assert(rs.map(_.getAs[Int]("m")).sorted.toSeq == (0 until VectorSearch.PqM))
+      assert(rs.forall(r => r.getAs[Long]("label") >= 0 &&
+        r.getAs[Long]("label") < VectorSearch.PqKsub))
+    }
+    // the stored assignment must equal a driver-side argmin of the
+    // parity-rounded expanded squared L2 with the label tie-break
+    def d2r4(x: Array[Double], c: Array[Double]): Double = {
+      def dot(a: Array[Double], b: Array[Double]): Double = {
+        var s = 0.0; var i = 0
+        while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+      }
+      math.floor(((dot(x, x) + dot(c, c)) - 2.0 * dot(x, c)) * 10000 + 0.5) / 10000
+    }
+    val subDim = dims.head
+    val sample = graft.sources.Tables.embeddings(spark, sfDir)
+      .where($"vec_id" < 50)
+      .select($"vec_id", functions.VectorFunctions.toDouble($"embedding").as("emb"))
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Seq[Double]]("emb").toArray)
+    sample.foreach { case (id, emb) =>
+      (0 until VectorSearch.PqM).foreach { m =>
+        val sub = emb.slice(m * subDim, (m + 1) * subDim)
+        val want = (0L until VectorSearch.PqKsub.toLong)
+          .map(l => (l, d2r4(sub, cbRows((m, l)))))
+          .minBy { case (l, d) => (d, l) }._1
+        val got = perVec(id).find(_.getAs[Int]("m") == m).get.getAs[Long]("label")
+        assert(got == want, s"vec $id sub $m: spark=$got driver=$want")
+      }
+    }
+  }
+
+  test("ann_pq search is sound and recall is meaningful") {
+    val rows = VectorSearch.annPq(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("q_id")).values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Long]("rk"))
+      assert(sorted.map(_.getAs[Long]("rk")).toSeq == (1L to sorted.length))
+      val scores = sorted.map(_.getAs[Double]("cos"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+      assert(scores.forall(c => c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9))
+    }
+    // the synthetic embeddings are noise-like (top-1 cosine ~0.35 vs
+    // top-20 ~0.21) — PQ's adversarial case, since there is no
+    // low-dimensional structure for the codebooks to capture. The
+    // honest contract is the MEASURED recall (ann_pq_recall is
+    // itself an oracle row); assert it beats chance (3/|corpus| ≈
+    // 0.006 here) by an order of magnitude, not a structured-data
+    // recall it cannot have
+    val rec = VectorSearch.annPqRecall(spark, sfDir).collect()
+    val mean = rec.map(_.getAs[Double]("recall")).sum / rec.length
+    val corpusN = graft.sources.Tables.embeddings(spark, sfDir)
+      .where(s"vec_id >= ${VectorSearch.NQueries}").count()
+    val chance = 3.0 / corpusN
+    assert(mean >= 10 * chance, s"pq recall@3 $mean vs chance $chance")
+  }
+
   test("keyword_search scores follow the reference formula bounds") {
     val rows = KeywordSearch.keywordSearch(spark, sfDir).collect()
     assert(rows.nonEmpty)
