@@ -283,7 +283,7 @@ object SparkEntry {
   /** Product-quantization codebooks + codes — oracle twin of
     * VectorSearch.pqCodebooks / pqCodes / annPq (PqM=8, PqKsub=16,
     * PqIters=3 unrolled): subspace m = dims [m·D/8, (m+1)·D/8), init
-    * = the 8 smallest corpus vec_ids' subvectors per subspace,
+    * = the 16 smallest corpus vec_ids' subvectors per subspace,
     * assignment by parity-rounded squared L2 spelled as the SAME
     * IEEE tree (dot(x,x)+dot(c,c)−2·dot(x,c) over the sequential-
     * fold dot, tie → smaller label), DECIMAL-exact means, emptied

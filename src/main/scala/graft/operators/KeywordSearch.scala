@@ -16,7 +16,26 @@ import graft.sources.Tables
   */
 object KeywordSearch {
 
-  val Query = "join hash table"
+  val Query  = "join hash table"
+  val Query2 = "stream window agg"
+
+  /** The standard 2-query demo set shared by keyword_search,
+    * keyword_bm25 and knn_text — one definition, because the oracle's
+    * queriesCte (SparkEntry) spells the same literals and every copy
+    * must stay in lockstep.
+    */
+  private[operators] def standardQueries(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq((1L, Query), (2L, Query2)).toDF("q_id", "q_text")
+  }
+
+  /** BM25 defaults — referenced by [[bm25]]'s signature and the
+    * staged-index query path so the ad-hoc and staged spellings can
+    * never drift (the oracle SQL folds the same constants).
+    */
+  val Bm25K  = 5
+  val Bm25K1 = 1.2
+  val Bm25B  = 0.75
 
   /** Synthetic contribution rating — documented stand-in. */
   private val rating = (col("doc_id") % 50).cast("double") / 10.0
@@ -30,9 +49,7 @@ object KeywordSearch {
     * funnel every scored (doc × query) row into #queries partitions.
     */
   def keywordSearch(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val queries = Seq((1L, Query), (2L, "stream window agg"))
-      .toDF("q_id", "q_text")
+    val queries = standardQueries(spark)
     val qTok = array_distinct(split(col("q_text"), " "))
     val dTok = array_distinct(tokens(col("text")))
     val score = when(col("text").contains(col("q_text")), lit(1.0))
@@ -88,7 +105,7 @@ object KeywordSearch {
     */
   def bm25(docs: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, qIdCol: String, qTextCol: String,
-      k: Int = 5, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k: Int = Bm25K, k1: Double = Bm25K1, b: Double = Bm25B): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     require(k1 >= 0, s"k1 must be non-negative, got $k1")
     require(b >= 0 && b <= 1, s"b must be in [0,1], got $b")
@@ -211,14 +228,12 @@ object KeywordSearch {
     * identically (spec-asserted).
     */
   def keywordBm25(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val queries = Seq((1L, Query), (2L, "stream window agg"))
-      .toDF("q_id", "q_text")
-    val qtok = queries.select(col("q_id").as("_qid"),
+    val qtok = standardQueries(spark).select(col("q_id").as("_qid"),
       explode(array_distinct(tokens(col("q_text")))).as("_tok"))
     bm25Score(bm25Index(spark, dir), bm25IndexDf(spark, dir),
       bm25IndexStats(spark, dir), qtok, "q_id", "doc_id",
-      k = 5, k1p1 = 1.2 + 1.0, k1 = 1.2, b = 0.75, oneMinusB = 1.0 - 0.75)
+      k = Bm25K, k1p1 = Bm25K1 + 1.0, k1 = Bm25K1, b = Bm25B,
+      oneMinusB = 1.0 - Bm25B)
       .orderBy(col("q_id"), col("rk"))
   }
 
@@ -447,7 +462,7 @@ object KeywordSearch {
     val low = contrib.where(col("crk") > 2)
       .select(col("doc_id"), lit("user_contribution").as("source_type"),
         lit("low").as("priority"), (col("crk") + 5).as("ord"))
-    val medium = VectorSearch.knnText(spark, dir).where(col("q_id") === 1)
+    val medium = knnTextCached(spark, dir).where(col("q_id") === 1)
       .select(col("doc_id"), lit("original_document").as("source_type"),
         lit("medium").as("priority"), (col("rk") + 2).as("ord"))
     high.unionAll(medium).unionAll(low).orderBy(col("ord"), col("doc_id"))

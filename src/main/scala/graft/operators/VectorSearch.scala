@@ -134,35 +134,50 @@ object VectorSearch {
     * Lloyd's cost); the result is staged like [[centroidsOf]].
     */
   private[graft] def kmeansCentroids(spark: SparkSession, dir: String): DataFrame =
-    graft.DfCache.getOrCompute(spark, s"kmeans_centroids:$dir")(
-      graft.DfCache.stagedFrame(spark, s"kmeans_centroids:$dir",
+    graft.DfCache.getOrCompute(spark, s"kmeans_centroids:$KmClusters:$KmIters:$dir")(
+      graft.DfCache.stagedFrame(spark, s"kmeans_centroids:$KmClusters:$KmIters:$dir",
         graft.DfCache.inputFingerprint(spark, s"$dir/embeddings.parquet")) {
         val corpus = vectors(spark, dir).where(col("vec_id") >= NQueries)
           .select(col("vec_id"), col("emb"))
-        // each round references cent twice (assignment broadcast +
-        // empty-cluster carry join): localCheckpoint the ≤ k-row
-        // table so every iteration is exactly one corpus pass by
-        // construction, not by exchange-reuse luck
-        var cent = corpus.orderBy(col("vec_id")).limit(KmClusters)
+        val init = corpus.orderBy(col("vec_id")).limit(KmClusters)
           .withColumn("label",
             (row_number().over(Window.orderBy(col("vec_id"))) - 1).cast("long"))
           .select(col("label"), col("emb").as("c_emb"))
-          .localCheckpoint()
-        for (_ <- 1 to KmIters) {
-          val means = assignClusters(corpus, cent)
-            .select(col("label"), posexplode(col("emb")).as(Seq("dim", "x")))
-            .groupBy(col("label"), col("dim"))
-            .agg((sum(col("x").cast(DecimalType(18, 9))).cast("double")
-              / count(lit(1))).as("cv"))
-            .groupBy(col("label"))
-            .agg(transform(array_sort(collect_list(struct(col("dim"), col("cv")))),
-              s => s.getField("cv")).as("new_emb"))
-          cent = cent.join(means, Seq("label"), "left")
-            .select(col("label"), coalesce(col("new_emb"), col("c_emb")).as("c_emb"))
-            .localCheckpoint()
-        }
-        cent
+        lloydsRefine(corpus, init, Seq("label"), "emb", "c_emb", KmIters,
+          assignClusters)
       })
+
+  /** The deterministic-Lloyd's refinement loop shared by
+    * [[kmeansCentroids]] (keys = label) and [[pqCodebooks]] (keys =
+    * m, label): `iters` rounds of assign → DECIMAL-exact per-dim
+    * means → empty-cluster carry. `assign(corpus, cent)` must return
+    * `keyCols` plus `vecCol`; the ≤ k-row centroid table is
+    * localCheckpointed each round (it is referenced twice — the
+    * assignment broadcast and the carry join) so every iteration is
+    * exactly one corpus pass by construction. Keeping ONE copy of
+    * this loop is load-bearing: the oracle twins replay the identical
+    * unrolled recipe, so a fix applied to only one Spark spelling
+    * would silently break the other family's parity.
+    */
+  private def lloydsRefine(corpus: DataFrame, init: DataFrame,
+      keyCols: Seq[String], vecCol: String, centCol: String, iters: Int,
+      assign: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    var cent = init.localCheckpoint()
+    for (_ <- 1 to iters) {
+      val means = assign(corpus, cent)
+        .select(keyCols.map(col) :+ posexplode(col(vecCol)).as(Seq("dim", "x")): _*)
+        .groupBy((keyCols :+ "dim").map(col): _*)
+        .agg((sum(col("x").cast(DecimalType(18, 9))).cast("double")
+          / count(lit(1))).as("cv"))
+        .groupBy(keyCols.map(col): _*)
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("cv")))),
+          s => s.getField("cv")).as("_new"))
+      cent = cent.join(means, keyCols, "left")
+        .select(keyCols.map(col) :+ coalesce(col("_new"), col(centCol)).as(centCol): _*)
+        .localCheckpoint()
+    }
+    cent
+  }
 
   /** Nearest-centroid assignment (parity-rounded cosine, tie →
     * smaller cluster id) of a (vec_id, emb) frame against a (label,
@@ -473,28 +488,14 @@ object VectorSearch {
         val corpusSub = pqSubvectors(
           vectors(spark, dir).where(col("vec_id") >= NQueries)
             .select(col("vec_id"), col("emb")))
-        var cb = corpusSub
+        val init = corpusSub
           .withColumn("r", row_number().over(
             Window.partitionBy(col("m")).orderBy(col("vec_id"))))
           .where(col("r") <= PqKsub)
           .select(col("m"), (col("r") - 1).cast("long").as("label"),
             col("sub").as("c_sub"))
-          .localCheckpoint()   // ≤ M·Ksub rows; referenced twice per round
-        for (_ <- 1 to PqIters) {
-          val means = pqAssign(corpusSub, cb)
-            .select(col("m"), col("label"), posexplode(col("sub")).as(Seq("dim", "x")))
-            .groupBy(col("m"), col("label"), col("dim"))
-            .agg((sum(col("x").cast(DecimalType(18, 9))).cast("double")
-              / count(lit(1))).as("cv"))
-            .groupBy(col("m"), col("label"))
-            .agg(transform(array_sort(collect_list(struct(col("dim"), col("cv")))),
-              s => s.getField("cv")).as("new_sub"))
-          cb = cb.join(means, Seq("m", "label"), "left")
-            .select(col("m"), col("label"),
-              coalesce(col("new_sub"), col("c_sub")).as("c_sub"))
-            .localCheckpoint()
-        }
-        cb
+        lloydsRefine(corpusSub, init, Seq("m", "label"), "sub", "c_sub",
+          PqIters, pqAssign)
       })
 
   /** PQ codes — the stored index: [[PqM]] 4-bit codes per vector
@@ -547,11 +548,8 @@ object VectorSearch {
     * Both sides are unit vectors so cosine == dot over the matching
     * dims (long-form sparse dot via a join on dim).
     */
-  def knnText(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    searchByText(spark, dir,
-      Seq((1L, "join hash table"), (2L, "stream window agg")).toDF("q_id", "q_text"), K)
-  }
+  def knnText(spark: SparkSession, dir: String): DataFrame =
+    searchByText(spark, dir, KeywordSearch.standardQueries(spark), K)
 
   /** Text search against the cached doc index for any (q_id, q_text)
     * frame — the shared tail of knn_text and image_search: hashed-BoW
