@@ -92,6 +92,8 @@ object SparkEntry {
     "ann_ivf_kmeans"  -> (VectorSearch.annIvfKmeans _),
     "ann_pq"          -> (VectorSearch.annPq _),
     "ann_pq_recall"   -> (VectorSearch.annPqRecall _),
+    "ann_ivfpq"        -> (VectorSearch.annIvfPq _),
+    "ann_ivfpq_recall" -> (VectorSearch.annIvfPqRecall _),
     "knn_text"        -> (VectorSearch.knnText _),
     "image_search"    -> ((s, d) => Multimodal.imageSearch(s, d)),
     "dedup_embedding" -> (VectorSearch.dedupEmbedding _),
@@ -335,6 +337,29 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk FROM psc)""".stripMargin
     init + ",\n" + iters + ",\n" + tail
   }
+
+  /** IVF+PQ search tail — oracle twin of VectorSearch.annIvfPq over
+    * the k-means coarse quantizer (`kcent3`/`kasF` from kmeansCte)
+    * and the PQ reconstruction (`prec` from pqCte): probe the 2
+    * nearest centroids per query, score the full-precision query
+    * against the reconstruction of only the probed clusters' corpus
+    * vectors, rank top-3.
+    */
+  private val ivfpqCte =
+    """ipcn AS (SELECT label, c_emb,
+      |    sqrt(list_sum(list_transform(c_emb, x -> x*x))) AS c_nrm FROM kcent3),
+      |ipq AS (SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm FROM n WHERE vec_id < 10),
+      |ippr AS (SELECT q_id, q_emb, q_nrm, label,
+      |    floor((list_dot_product(q_emb, c_emb)/(q_nrm*c_nrm)) * 10000.0 + 0.5)/10000.0 AS c_cos
+      |  FROM ipq, ipcn),
+      |ipp2 AS (SELECT q_id, q_emb, q_nrm, label FROM (SELECT *, row_number() OVER (
+      |    PARTITION BY q_id ORDER BY c_cos DESC, label) AS cprk FROM ippr) WHERE cprk <= 2),
+      |ips AS (SELECT p.q_id, a.vec_id,
+      |    floor((list_dot_product(p.q_emb, r2.recon)
+      |      /(p.q_nrm * sqrt(list_sum(list_transform(r2.recon, x -> x*x))))) * 10000.0 + 0.5)/10000.0 AS cos
+      |  FROM ipp2 p JOIN kasF a ON a.label = p.label JOIN prec r2 ON r2.vec_id = a.vec_id),
+      |ipr AS (SELECT q_id, vec_id, cos,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk FROM ips)""".stripMargin
 
   private val knnCte = vecCte +
     """,
@@ -1119,6 +1144,20 @@ object SparkEntry {
       """,
         |ex3 AS (SELECT q_id, vec_id FROM r WHERE rk <= 3),
         |ap AS (SELECT q_id, vec_id FROM prk WHERE rk <= 3),
+        |h AS (SELECT ap.q_id, COUNT(*) AS hits
+        |  FROM ap JOIN ex3 ON ap.q_id = ex3.q_id AND ap.vec_id = ex3.vec_id
+        |  GROUP BY ap.q_id)
+        |SELECT e.q_id, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+        |  floor((CAST(coalesce(h.hits, 0) AS DOUBLE)/3.0) * 10000.0 + 0.5)/10000.0 AS recall
+        |FROM (SELECT DISTINCT q_id FROM ex3) e LEFT JOIN h ON e.q_id = h.q_id
+        |ORDER BY e.q_id""".stripMargin),
+    "ann_ivfpq" -> (vecCte + ",\n" + kmeansCte + ",\n" + pqCte + ",\n" + ivfpqCte +
+      """
+        |SELECT q_id, vec_id, cos, rk FROM ipr WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin),
+    "ann_ivfpq_recall" -> (knnCte + ",\n" + kmeansCte + ",\n" + pqCte + ",\n" + ivfpqCte +
+      """,
+        |ex3 AS (SELECT q_id, vec_id FROM r WHERE rk <= 3),
+        |ap AS (SELECT q_id, vec_id FROM ipr WHERE rk <= 3),
         |h AS (SELECT ap.q_id, COUNT(*) AS hits
         |  FROM ap JOIN ex3 ON ap.q_id = ex3.q_id AND ap.vec_id = ex3.vec_id
         |  GROUP BY ap.q_id)

@@ -521,16 +521,29 @@ object VectorSearch {
     * vectors are never read at search time. annPqRecall tracks the
     * retrieval cost of the ~64× compression.
     */
-  def annPq(spark: SparkSession, dir: String): DataFrame = {
-    val cb = pqCodebooks(spark, dir)
-    val recon = pqCodes(spark, dir).where(col("vec_id") >= NQueries)
-      .join(broadcast(cb), Seq("m", "label"))
+  /** (vec_id, recon) codebook reconstruction of every CORPUS vector —
+    * per-subspace centroids concatenated in subspace order, a
+    * broadcast codebook join over the tiny staged codes table. The
+    * shared decode step of [[annPq]] and [[annIvfPq]]; the corpus
+    * float vectors are never read at search time.
+    */
+  private def pqReconstruction(spark: SparkSession, dir: String): DataFrame =
+    pqCodes(spark, dir).where(col("vec_id") >= NQueries)
+      .join(broadcast(pqCodebooks(spark, dir)), Seq("m", "label"))
       .groupBy(col("vec_id"))
       .agg(flatten(transform(array_sort(collect_list(struct(col("m"), col("c_sub")))),
         s => s.getField("c_sub"))).as("recon"))
+
+  /** Product-quantization search — FAISS IndexPQ.search, asymmetric:
+    * the full-precision query scores against the codebook
+    * RECONSTRUCTION of each corpus vector, so compression error
+    * applies to the corpus side only. annPqRecall tracks the
+    * retrieval cost of the ~64× compression.
+    */
+  def annPq(spark: SparkSession, dir: String): DataFrame = {
     val q = vectors(spark, dir).where(col("vec_id") < NQueries)
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
-    topKExplode(recon.crossJoin(broadcast(q))
+    topKExplode(pqReconstruction(spark, dir).crossJoin(broadcast(q))
       .select(col("q_id"), col("vec_id"),
         V.cosine4(col("q_emb"), col("recon")).as("cos")), K, "vec_id")
   }
@@ -540,6 +553,43 @@ object VectorSearch {
     */
   def annPqRecall(spark: SparkSession, dir: String): DataFrame =
     recallOf(annPq(spark, dir).where(col("rk") <= 3), spark, dir)
+
+  /** IVF+PQ — FAISS IndexIVFPQ (non-residual variant): the k-means
+    * coarse quantizer of [[annIvfKmeans]] prunes the search to the
+    * [[NProbe]] nearest clusters per query, and fine search scores
+    * the full-precision query against the PQ reconstruction of only
+    * the probed clusters' vectors. This is the production ANN
+    * composition at 100 TB: the stored index is the 32-bit codes
+    * table PARTITIONED BY coarse label, so probing = partition
+    * pruning of a ~128×-compressed table and the float corpus is
+    * read by neither the probe nor the fine stage.
+    */
+  def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val cent = kmeansCentroids(spark, dir)
+    val v = vectors(spark, dir)
+    val assigned = assignClusters(
+      v.where(col("vec_id") >= NQueries).select(col("vec_id"), col("emb")), cent)
+      .select(col("vec_id"), col("label"))
+    val q = v.where(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val probes = q.crossJoin(broadcast(cent))
+      .select(col("q_id"), col("q_emb"), col("label"),
+        V.cosine4(col("q_emb"), col("c_emb")).as("c_cos"))
+      .withColumn("prk", rank("c_cos", "label", "q_id"))
+      .where(col("prk") <= NProbe)
+      .select(col("q_id"), col("q_emb"), col("label"))
+    topKExplode(assigned.join(pqReconstruction(spark, dir), Seq("vec_id"))
+      .join(broadcast(probes), Seq("label"))
+      .select(col("q_id"), col("vec_id"),
+        V.cosine4(col("q_emb"), col("recon")).as("cos")), 3, "vec_id")
+  }
+
+  /** Recall@3 of IVF+PQ against exact brute force — compounds the
+    * probe loss measured by ann_recall with the quantization loss
+    * measured by ann_pq_recall.
+    */
+  def annIvfPqRecall(spark: SparkSession, dir: String): DataFrame =
+    recallOf(annIvfPq(spark, dir), spark, dir)
 
   /** End-to-end text search: literal query strings → hashed-BoW
     * embedding (Ingest.rawEmbed) → cosine against doc_embed vectors →

@@ -170,6 +170,34 @@ class VectorSearchSpec extends SparkSpec {
     assert(VectorSearch.annIvfKmeans(spark, sfDir).count() == VectorSearch.NQueries * 3)
   }
 
+  test("ann_ivfpq: probe-pruned PQ search is sound and probe-disciplined") {
+    val rows = VectorSearch.annIvfPq(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("q_id")).values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Long]("rk"))
+      assert(sorted.map(_.getAs[Long]("rk")).toSeq == (1L to sorted.length))
+      val scores = sorted.map(_.getAs[Double]("cos"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+      assert(scores.forall(c => c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9))
+    }
+    // probe pruning can only shrink the PQ candidate pool: the probed
+    // best never beats the unpruned PQ best, and every hit scores
+    // exactly what the full PQ search gives the same (q, vec) pair —
+    // the fine stage reads the SAME reconstruction
+    val full = VectorSearch.annPq(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id")) -> r.getAs[Double]("cos"))
+      .toMap
+    val fullBest = full.groupBy(_._1._1).view.mapValues(_.values.max).toMap
+    rows.groupBy(_.getAs[Long]("q_id")).foreach { case (q, rs) =>
+      assert(rs.map(_.getAs[Double]("cos")).max <= fullBest(q) + 1e-9, s"q=$q")
+      rs.foreach { r =>
+        full.get((q, r.getAs[Long]("vec_id"))).foreach { c =>
+          assert(c == r.getAs[Double]("cos"), s"q=$q vec=${r.getAs[Long]("vec_id")}")
+        }
+      }
+    }
+  }
+
   test("ann_pq: codebook shape, code domain, and assignment is argmin L2") {
     import spark.implicits._
     val cb = VectorSearch.pqCodebooks(spark, sfDir)
