@@ -4,7 +4,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 import graft.operators.Analytics
-import graft.streaming.{Ev, EvT, Sessionize}
+import graft.streaming.{DedupStream, DocIn, Ev, EvT, Sessionize}
 
 /** Streaming sessionization must reproduce the batch operator's
   * sessions when fed the same events (SURVEY.md §2.G).
@@ -232,6 +232,51 @@ class StreamingSpec extends SparkSpec {
         // approx_count_distinct error is far under 2× on this cardinality
         assert(r.getAs[Long]("live_users") <= 2L * nUsers + 1)
       }
+    } finally query.stop()
+  }
+
+  test("streaming exact dedup keeps the batch survivor set, re-emits past retention") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the batch corpusWithDups shape: documents ∪ copies of every-7th
+    // doc at doc_id + 100000 (Dedup.scala:34), originals arriving
+    // before their copies so first-wins == the batch min-id canonical
+    val base = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+      .sortBy(_._1)
+    val copies = base.filter(_._1 % 7 == 0)
+      .map { case (id, t) => (id + 100000L, t) }
+    val t0 = 1700000000000L
+    val originals = base.zipWithIndex
+      .map { case ((id, t), i) => DocIn(id, t0 + i * 1000L, t) }
+    val dupBatch = copies.zipWithIndex
+      .map { case ((id, t), i) => DocIn(id, t0 + (base.length + i) * 1000L, t) }
+
+    val input = MemoryStream[DocIn]
+    val query = DedupStream.dedupExact(spark, input.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("dedup").start()
+    try {
+      input.addData(originals.toIndexedSeq); query.processAllAvailable()
+      input.addData(dupBatch.toIndexedSeq); query.processAllAvailable()
+      val streamed = spark.table("dedup").collect()
+        .map(_.getAs[Long]("doc_id")).sorted
+      val batch = graft.operators.Dedup.dedupApply(spark, sfDir).collect()
+        .map(_.getAs[Long]("doc_id")).sorted
+      assert(streamed.sameElements(batch),
+        s"streamed ${streamed.length} survivors vs batch ${batch.length}")
+
+      // retention caveat is REAL: advance the watermark past the
+      // horizon, then replay a duplicate — its state row is gone, so
+      // it re-emits (the documented funnel-style tradeoff)
+      val farTs = t0 + 10L * 24 * 3600 * 1000
+      input.addData(DocIn(999999L, farTs, "watermark sentinel"))
+      query.processAllAvailable()
+      val replay = DocIn(888888L, farTs + 1000L, base.head._2)
+      input.addData(replay); query.processAllAvailable()
+      val after = spark.table("dedup").collect().map(_.getAs[Long]("doc_id"))
+      assert(after.contains(888888L),
+        "a duplicate past the retention horizon must re-emit")
     } finally query.stop()
   }
 }
