@@ -269,12 +269,24 @@ object DfCache {
     * `persist = false` skips the MEMORY_AND_DISK persist of the
     * read-back: a single-consumer staged read shouldn't pay cache
     * population for blocks nothing re-reads.
+    *
+    * `partitionCols` writes the table Hive-partitioned by those
+    * columns — the layout that turns a filter on them into parquet
+    * PARTITION PRUNING at read time (the 100 TB index shape).
+    * Read-back caveat the caller must normalize: partition columns
+    * come back type-INFERRED from the directory names (a bigint
+    * writes dirs like `cl=3` that read back as int) and move to the
+    * end of the schema — re-cast and re-order at the call site (the
+    * fallback path needs the same select to stay schema-identical).
     */
   def stagedFrame(spark: SparkSession, key: String, fingerprint: String,
-      persist: Boolean = true)(df: => DataFrame): DataFrame = {
+      persist: Boolean = true, partitionCols: Seq[String] = Nil)(
+      df: => DataFrame): DataFrame = {
     try {
       val dir = publishStaged(spark, key, fingerprint, "_SUCCESS") { tmp =>
-        df.write.mode(SaveMode.Overwrite).parquet(tmp)
+        val w = df.write.mode(SaveMode.Overwrite)
+        (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+          .parquet(tmp)
       }
       val back = spark.read.parquet(dir)
       if (persist) back.persist(StorageLevel.MEMORY_AND_DISK) else back

@@ -554,32 +554,62 @@ object VectorSearch {
   def annPqRecall(spark: SparkSession, dir: String): DataFrame =
     recallOf(annPq(spark, dir).where(col("rk") <= 3), spark, dir)
 
+  /** The stored IVF+PQ index: one (vec_id, m, label) code row per
+    * vector-subspace, written Hive-PARTITIONED BY the coarse k-means
+    * cluster `cl`. At 100 TB this directory layout IS the index — a
+    * probe reads only its clusters' partitions (parquet partition
+    * pruning), i.e. NProbe/KmClusters of a ~128×-compressed table,
+    * and the float corpus is read by neither the probe nor the fine
+    * stage. The read-back select normalizes the partition column
+    * (type-inferred from dir names) per the stagedFrame contract.
+    */
+  private[graft] def ivfpqIndex(spark: SparkSession, dir: String): DataFrame = {
+    val key = s"ivfpq_index:$KmClusters:$KmIters:$PqM:$PqKsub:$PqIters:$dir"
+    graft.DfCache.getOrCompute(spark, key)(
+      graft.DfCache.stagedFrame(spark, key,
+        graft.DfCache.inputFingerprint(spark, s"$dir/embeddings.parquet"),
+        partitionCols = Seq("cl")) {
+        val corpus = vectors(spark, dir).where(col("vec_id") >= NQueries)
+          .select(col("vec_id"), col("emb"))
+        assignClusters(corpus, kmeansCentroids(spark, dir))
+          .select(col("vec_id"), col("label").as("cl"))
+          .join(pqCodes(spark, dir), Seq("vec_id"))
+          .select(col("cl"), col("vec_id"), col("m"), col("label"))
+      }.select(col("cl").cast("long").as("cl"),
+        col("vec_id"), col("m"), col("label")))
+  }
+
   /** IVF+PQ — FAISS IndexIVFPQ (non-residual variant): the k-means
     * coarse quantizer of [[annIvfKmeans]] prunes the search to the
     * [[NProbe]] nearest clusters per query, and fine search scores
-    * the full-precision query against the PQ reconstruction of only
-    * the probed clusters' vectors. This is the production ANN
-    * composition at 100 TB: the stored index is the 32-bit codes
-    * table PARTITIONED BY coarse label, so probing = partition
-    * pruning of a ~128×-compressed table and the float corpus is
-    * read by neither the probe nor the fine stage.
+    * the full-precision query against the PQ reconstruction of ONLY
+    * the probed clusters' code rows read from the partitioned
+    * [[ivfpqIndex]]. The probed-cluster set is collected first — a
+    * bounded metadata-plane read (≤ NQueries·NProbe longs, the
+    * ChunkIndex partition-probe pattern) — so the pruning filter is
+    * STATIC: it reaches the parquet scan as a partition filter
+    * rather than relying on runtime DPP.
     */
   def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
     val cent = kmeansCentroids(spark, dir)
-    val v = vectors(spark, dir)
-    val assigned = assignClusters(
-      v.where(col("vec_id") >= NQueries).select(col("vec_id"), col("emb")), cent)
-      .select(col("vec_id"), col("label"))
-    val q = v.where(col("vec_id") < NQueries)
+    val q = vectors(spark, dir).where(col("vec_id") < NQueries)
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
     val probes = q.crossJoin(broadcast(cent))
-      .select(col("q_id"), col("q_emb"), col("label"),
+      .select(col("q_id"), col("q_emb"), col("label").as("cl"),
         V.cosine4(col("q_emb"), col("c_emb")).as("c_cos"))
-      .withColumn("prk", rank("c_cos", "label", "q_id"))
+      .withColumn("prk", rank("c_cos", "cl", "q_id"))
       .where(col("prk") <= NProbe)
-      .select(col("q_id"), col("q_emb"), col("label"))
-    topKExplode(assigned.join(pqReconstruction(spark, dir), Seq("vec_id"))
-      .join(broadcast(probes), Seq("label"))
+      .select(col("q_id"), col("q_emb"), col("cl"))
+      .localCheckpoint()   // referenced twice: label collect + scoring join
+    val probedCl = probes.select(col("cl")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val recon = ivfpqIndex(spark, dir)
+      .where(col("cl").isin(probedCl: _*))
+      .join(broadcast(pqCodebooks(spark, dir)), Seq("m", "label"))
+      .groupBy(col("cl"), col("vec_id"))
+      .agg(flatten(transform(array_sort(collect_list(struct(col("m"), col("c_sub")))),
+        s => s.getField("c_sub"))).as("recon"))
+    topKExplode(recon.join(broadcast(probes), Seq("cl"))
       .select(col("q_id"), col("vec_id"),
         V.cosine4(col("q_emb"), col("recon")).as("cos")), 3, "vec_id")
   }
