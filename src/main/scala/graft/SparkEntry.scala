@@ -100,6 +100,7 @@ object SparkEntry {
     // §2.C keyword + hybrid search
     "keyword_search"    -> (KeywordSearch.keywordSearch _),
     "keyword_bm25"      -> (KeywordSearch.keywordBm25 _),
+    "hybrid_rrf"        -> (KeywordSearch.hybridRrf _),
     "keyword_substring" -> (KeywordSearch.keywordSubstring _),
     "hybrid_quality"    -> (KeywordSearch.hybridQuality _),
     "hybrid_rank"       -> (KeywordSearch.hybridRank _),
@@ -398,6 +399,44 @@ object SparkEntry {
       |  FROM de JOIN qe USING (dim) GROUP BY q_id, doc_id),
       |tr AS (SELECT q_id, doc_id, cos,
       |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, doc_id) AS rk FROM ts)""".stripMargin
+
+  /** BM25 scored + ranked rows (`bkr` unfiltered ranking) — oracle
+    * twin of KeywordSearch.keywordBm25: vocabulary-pruned postings,
+    * the log-free rational idf, and the token-ordered term fold;
+    * every operand cast to DOUBLE so DuckDB runs the SAME IEEE
+    * expression tree as the Spark side (decimal literal folding
+    * otherwise diverges by one ULP). Splices after queriesCte;
+    * shared by keyword_bm25 and hybrid_rrf.
+    */
+  private val bm25Body =
+    """qt AS (SELECT q_id, unnest(list_distinct(string_split(q_text, ' '))) AS tok
+      |  FROM queries),
+      |voc AS (SELECT DISTINCT tok FROM qt),
+      |d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |  WHERE text IS NOT NULL),
+      |dlt AS (SELECT doc_id, len(toks) AS dl FROM d),
+      |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dlt),
+      |p0 AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+      |p1 AS (SELECT p0.doc_id, dlt.dl, p0.tok, CAST(COUNT(*) AS BIGINT) AS tf
+      |  FROM p0 JOIN voc USING (tok) JOIN dlt USING (doc_id)
+      |  GROUP BY p0.doc_id, dlt.dl, p0.tok),
+      |fr AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM p1 GROUP BY tok),
+      |tm AS (SELECT qt.q_id, p1.doc_id, p1.tok,
+      |    ((CAST(st.n_docs - fr.df AS DOUBLE) + 0.5) / (CAST(fr.df AS DOUBLE) + 0.5))
+      |      * ((CAST(p1.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+      |         / (CAST(p1.tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+      |            * ((CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE))
+      |               + (CAST(0.75 AS DOUBLE) * CAST(p1.dl AS DOUBLE))
+      |                 / (CAST(st.sum_dl AS DOUBLE) / CAST(st.n_docs AS DOUBLE))))) AS term
+      |  FROM p1 JOIN fr USING (tok) JOIN qt USING (tok) CROSS JOIN st),
+      |bsc AS (SELECT q_id, doc_id,
+      |    floor(list_reduce(list(term ORDER BY tok), (a, x) -> a + x)
+      |      * 10000.0 + 0.5) / 10000.0 AS score
+      |  FROM tm GROUP BY q_id, doc_id),
+      |bkr AS (SELECT q_id, doc_id, score,
+      |  row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rk
+      |  FROM bsc)""".stripMargin
 
   /** keyword_search scored + ranked rows (kr unfiltered ranking). */
   private val keywordBody =
@@ -1231,37 +1270,25 @@ object SparkEntry {
     // (1.0 - 0.75)), per-document term sum folded in token order via
     // list_reduce so the double accumulation order matches Spark's
     // array_sort → aggregate fold exactly
-    "keyword_bm25" -> ("WITH " + queriesCte + """,
-      |qt AS (SELECT q_id, unnest(list_distinct(string_split(q_text, ' '))) AS tok
-      |  FROM queries),
-      |voc AS (SELECT DISTINCT tok FROM qt),
-      |d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-      |  WHERE text IS NOT NULL),
-      |dlt AS (SELECT doc_id, len(toks) AS dl FROM d),
-      |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-      |  CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dlt),
-      |p0 AS (SELECT doc_id, unnest(toks) AS tok FROM d),
-      |p1 AS (SELECT p0.doc_id, dlt.dl, p0.tok, CAST(COUNT(*) AS BIGINT) AS tf
-      |  FROM p0 JOIN voc USING (tok) JOIN dlt USING (doc_id)
-      |  GROUP BY p0.doc_id, dlt.dl, p0.tok),
-      |fr AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM p1 GROUP BY tok),
-      |tm AS (SELECT qt.q_id, p1.doc_id, p1.tok,
-      |    ((CAST(st.n_docs - fr.df AS DOUBLE) + 0.5) / (CAST(fr.df AS DOUBLE) + 0.5))
-      |      * ((CAST(p1.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
-      |         / (CAST(p1.tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
-      |            * ((CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE))
-      |               + (CAST(0.75 AS DOUBLE) * CAST(p1.dl AS DOUBLE))
-      |                 / (CAST(st.sum_dl AS DOUBLE) / CAST(st.n_docs AS DOUBLE))))) AS term
-      |  FROM p1 JOIN fr USING (tok) JOIN qt USING (tok) CROSS JOIN st),
-      |sc AS (SELECT q_id, doc_id,
-      |    floor(list_reduce(list(term ORDER BY tok), (a, x) -> a + x)
-      |      * 10000.0 + 0.5) / 10000.0 AS score
-      |  FROM tm GROUP BY q_id, doc_id),
-      |kr AS (SELECT q_id, doc_id, score,
-      |  row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rk
-      |  FROM sc)
-      |SELECT q_id, doc_id, score, CAST(rk AS BIGINT) AS rk
-      |FROM kr WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin),
+    "keyword_bm25" -> ("WITH " + queriesCte + ",\n" + bm25Body +
+      """
+        |SELECT q_id, doc_id, score, CAST(rk AS BIGINT) AS rk
+        |FROM bkr WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin),
+    // RRF fusion of the BM25 top-5 (bkr) and the dense knn_text
+    // top-5 (tr): 1/(60+rk) is a log-free rational term, and the
+    // per-doc sum has <= 2 terms (one per system) so double addition
+    // is order-independent — no ordered fold needed
+    "hybrid_rrf" -> ("WITH " + queriesCte + ",\n" + bm25Body + ",\n" + textEmbBody +
+      """,
+        |runi AS (SELECT q_id, doc_id, CAST(rk AS BIGINT) AS rk FROM bkr WHERE rk <= 5
+        |  UNION ALL SELECT q_id, doc_id, CAST(rk AS BIGINT) AS rk FROM tr WHERE rk <= 5),
+        |rfs AS (SELECT q_id, doc_id,
+        |    floor(SUM(1.0/(60.0 + CAST(rk AS DOUBLE))) * 10000.0 + 0.5)/10000.0 AS rrf
+        |  FROM runi GROUP BY q_id, doc_id),
+        |rfr AS (SELECT q_id, doc_id, rrf,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, doc_id) AS rk FROM rfs)
+        |SELECT q_id, doc_id, rrf, CAST(rk AS BIGINT) AS rk
+        |FROM rfr WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin),
     "keyword_substring" ->
       """SELECT doc_id, source, n_chars FROM documents
         |WHERE contains(text, 'hash join') ORDER BY doc_id""".stripMargin,

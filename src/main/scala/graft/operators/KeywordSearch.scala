@@ -237,6 +237,32 @@ object KeywordSearch {
       .orderBy(col("q_id"), col("rk"))
   }
 
+  /** Reciprocal-rank fusion of the BM25 lexical top-5 with the dense
+    * knn_text top-5 — the standard hybrid-retrieval merge (RRF,
+    * Cormack & Clarke '09): score(d) = Σ_systems 1/(60 + rank_s(d)).
+    * The reference fuses its two retrieval systems by score blending
+    * (enhanced_search.py:325 prioritize_enhanced_results); RRF is
+    * the scale-robust alternative — rank-only, so no cross-system
+    * score calibration, and log-free rational arithmetic keeps it
+    * oracle-exact. The per-doc sum has ≤ 2 terms (one per system)
+    * and two-term double addition is order-independent, so no
+    * ordered fold is needed. Each system's frame is already a
+    * bounded top-k: fusion touches ≤ 2k rows per query regardless
+    * of corpus size.
+    */
+  def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    val fused = keywordBm25(spark, dir).select(col("q_id"), col("doc_id"), col("rk"))
+      .unionByName(
+        knnTextCached(spark, dir).select(col("q_id"), col("doc_id"), col("rk")))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(Par.round4(sum(lit(1.0) / (lit(60.0) + col("rk").cast("double")))).as("rrf"))
+    fused
+      .withColumn("rk", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("rrf").desc, col("doc_id"))).cast("long"))
+      .where(col("rk") <= 5)
+      .orderBy(col("q_id"), col("rk"))
+  }
+
   /** Case-insensitive substring listing — search_qa_by_keyword
     * (supabase_utils.py:362) / the admin ilike filter
     * (supabase_utils.py:389).

@@ -97,4 +97,30 @@ class KeywordSearchSpec extends SparkSpec {
       .collect().map(r => (r.getLong(1), r.getDouble(2))).toSet
     assert(a === b, "a NULL-text doc must not shift N/avgdl")
   }
+
+  test("hybrid_rrf equals a driver-side fusion of the two systems' ranks") {
+    def ranksOf(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("doc_id")) -> r.getAs[Long]("rk")).toMap
+    val bm = ranksOf(KeywordSearch.keywordBm25(spark, sfDir).collect())
+    val kn = ranksOf(graft.operators.VectorSearch.knnText(spark, sfDir).collect())
+    val want = (bm.keySet ++ kn.keySet).map { k =>
+      val s = bm.get(k).map(r => 1.0 / (60.0 + r)).getOrElse(0.0) +
+        kn.get(k).map(r => 1.0 / (60.0 + r)).getOrElse(0.0)
+      k -> math.floor(s * 10000 + 0.5) / 10000
+    }.toMap
+    val got = KeywordSearch.hybridRrf(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val k = (r.getAs[Long]("q_id"), r.getAs[Long]("doc_id"))
+      assert(r.getAs[Double]("rrf") == want(k), s"$k")
+    }
+    // the fused top-5 is the score-order head of the union
+    got.groupBy(_.getAs[Long]("q_id")).foreach { case (q, rs) =>
+      // .toSeq BEFORE collect: collecting a Map into (score, doc)
+      // pairs would re-key by score and silently drop ties
+      val top = want.toSeq.collect { case ((qq, d), s) if qq == q => (s, d) }
+        .sortBy { case (s, d) => (-s, d) }.take(rs.length).map(_._2)
+      assert(rs.sortBy(_.getAs[Long]("rk")).map(_.getAs[Long]("doc_id")).toSeq == top, s"q=$q")
+    }
+  }
 }
