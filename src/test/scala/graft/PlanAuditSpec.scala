@@ -74,6 +74,24 @@ class PlanAuditSpec extends SparkSpec {
       s"bm25 top-k still uses a window exchange:\n$plan")
   }
 
+  test("ann_ivfpq: fine stage reads only probed clusters; no corpus-sized sort-merge join") {
+    val plan = finalPlan(VectorSearch.annIvfPq(spark, sfDir))
+    assert(!plan.contains("SortMergeJoin"),
+      s"ivfpq must not rejoin assignment to codes at search time — the staged index stores both:\n$plan")
+    assert(plan.contains("cl#") && plan.contains(" IN "),
+      s"the static probed-cluster IN filter must reach the index scan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"codebook and probe joins should broadcast the small side:\n$plan")
+  }
+
+  test("hybrid_rrf: fusion joins bounded frames, never the corpus against itself") {
+    val plan = finalPlan(KeywordSearch.hybridRrf(spark, sfDir))
+    assert(!plan.contains("CartesianProduct"),
+      s"rrf must fuse two bounded top-k frames:\n$plan")
+    // the only window is the final per-query rank over <= 10 fused rows
+    assert(plan.contains("Window"), s"expected the bounded final rank:\n$plan")
+  }
+
   test("stratified_balance: cap sampling is a partial aggregate, not a window") {
     val plan = finalPlan(TextAnalysis.stratifiedBalance(spark, sfDir, cap = 50))
     assert(!plan.contains("Window"), s"cap sampling uses a window exchange:\n$plan")
