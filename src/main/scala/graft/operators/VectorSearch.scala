@@ -512,27 +512,25 @@ object VectorSearch {
           pqCodebooks(spark, dir))
           .select(col("vec_id"), col("m"), col("label"))))
 
-  /** Product-quantization search — FAISS IndexPQ.search, asymmetric:
-    * the full-precision query scores against the codebook
-    * RECONSTRUCTION of each corpus vector (per-subspace centroids
-    * concatenated in subspace order), so compression error applies
-    * to the corpus side only. Reconstruction is a broadcast codebook
-    * join over the tiny staged codes table — the corpus float
-    * vectors are never read at search time. annPqRecall tracks the
-    * retrieval cost of the ~64× compression.
+  /** Codebook decode of a (…, m, label) codes frame: broadcast-join
+    * the tiny codebook and concatenate per-subspace centroids in
+    * subspace order into a `recon` vector, grouped by `keyCols`. ONE
+    * copy of the decode expression — [[annPq]] and [[annIvfPq]] must
+    * reconstruct identically (spec-asserted on shared pairs).
     */
-  /** (vec_id, recon) codebook reconstruction of every CORPUS vector —
-    * per-subspace centroids concatenated in subspace order, a
-    * broadcast codebook join over the tiny staged codes table. The
-    * shared decode step of [[annPq]] and [[annIvfPq]]; the corpus
-    * float vectors are never read at search time.
-    */
-  private def pqReconstruction(spark: SparkSession, dir: String): DataFrame =
-    pqCodes(spark, dir).where(col("vec_id") >= NQueries)
-      .join(broadcast(pqCodebooks(spark, dir)), Seq("m", "label"))
-      .groupBy(col("vec_id"))
+  private def pqDecode(spark: SparkSession, dir: String, codes: DataFrame,
+      keyCols: Seq[String]): DataFrame =
+    codes.join(broadcast(pqCodebooks(spark, dir)), Seq("m", "label"))
+      .groupBy(keyCols.map(col): _*)
       .agg(flatten(transform(array_sort(collect_list(struct(col("m"), col("c_sub")))),
         s => s.getField("c_sub"))).as("recon"))
+
+  /** (vec_id, recon) codebook reconstruction of every CORPUS vector —
+    * the corpus float vectors are never read at search time.
+    */
+  private def pqReconstruction(spark: SparkSession, dir: String): DataFrame =
+    pqDecode(spark, dir,
+      pqCodes(spark, dir).where(col("vec_id") >= NQueries), Seq("vec_id"))
 
   /** Product-quantization search — FAISS IndexPQ.search, asymmetric:
     * the full-precision query scores against the codebook
@@ -562,13 +560,20 @@ object VectorSearch {
     * and the float corpus is read by neither the probe nor the fine
     * stage. The read-back select normalizes the partition column
     * (type-inferred from dir names) per the stagedFrame contract.
+    * `persist = false` is LOAD-BEARING: a MEMORY_AND_DISK persist
+    * would interpose an InMemoryRelation that caches every
+    * partition on first touch and swallows the probe filter before
+    * it reaches the file scan — unpersisted, the `cl IN (…)`
+    * predicate lands on the parquet scan as a PartitionFilter
+    * (Catalyst unwraps the read-back int→long cast), which is the
+    * entire point of the layout.
     */
   private[graft] def ivfpqIndex(spark: SparkSession, dir: String): DataFrame = {
     val key = s"ivfpq_index:$KmClusters:$KmIters:$PqM:$PqKsub:$PqIters:$dir"
     graft.DfCache.getOrCompute(spark, key)(
       graft.DfCache.stagedFrame(spark, key,
         graft.DfCache.inputFingerprint(spark, s"$dir/embeddings.parquet"),
-        partitionCols = Seq("cl")) {
+        persist = false, partitionCols = Seq("cl")) {
         val corpus = vectors(spark, dir).where(col("vec_id") >= NQueries)
           .select(col("vec_id"), col("emb"))
         assignClusters(corpus, kmeansCentroids(spark, dir))
@@ -603,12 +608,9 @@ object VectorSearch {
       .localCheckpoint()   // referenced twice: label collect + scoring join
     val probedCl = probes.select(col("cl")).distinct()
       .collect().map(_.getLong(0)).sorted
-    val recon = ivfpqIndex(spark, dir)
-      .where(col("cl").isin(probedCl: _*))
-      .join(broadcast(pqCodebooks(spark, dir)), Seq("m", "label"))
-      .groupBy(col("cl"), col("vec_id"))
-      .agg(flatten(transform(array_sort(collect_list(struct(col("m"), col("c_sub")))),
-        s => s.getField("c_sub"))).as("recon"))
+    val recon = pqDecode(spark, dir,
+      ivfpqIndex(spark, dir).where(col("cl").isin(probedCl: _*)),
+      Seq("cl", "vec_id"))
     topKExplode(recon.join(broadcast(probes), Seq("cl"))
       .select(col("q_id"), col("vec_id"),
         V.cosine4(col("q_emb"), col("recon")).as("cos")), 3, "vec_id")

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Document row as consumed by the streaming dedup: `ts_ms` is the
@@ -38,7 +38,7 @@ object DedupStream {
   /** (doc_id, text_md5, ts_ms) of every surviving (first-seen)
     * document — the streaming cleaned corpus, append-mode safe.
     */
-  def dedupExact(spark: SparkSession, docs: Dataset[DocIn]): DataFrame =
+  def dedupExact(docs: Dataset[DocIn]): DataFrame =
     docs
       .withColumn("ts", timestamp_millis(col("ts_ms")))
       .withWatermark("ts", WatermarkSpec)

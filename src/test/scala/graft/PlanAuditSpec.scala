@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, countDistinct}
 
 import graft.operators.{Dedup, KeywordSearch, Relational, TextAnalysis, VectorSearch}
 
@@ -78,10 +79,29 @@ class PlanAuditSpec extends SparkSpec {
     val plan = finalPlan(VectorSearch.annIvfPq(spark, sfDir))
     assert(!plan.contains("SortMergeJoin"),
       s"ivfpq must not rejoin assignment to codes at search time — the staged index stores both:\n$plan")
-    assert(plan.contains("cl#") && plan.contains(" IN "),
-      s"the static probed-cluster IN filter must reach the index scan:\n$plan")
     assert(plan.contains("BroadcastHashJoin"),
       s"codebook and probe joins should broadcast the small side:\n$plan")
+    // the probe filter must reach the PARQUET scan as a partition
+    // filter — an InMemoryRelation interposed by a persist, or a
+    // filter left above the scan, both satisfy a naive contains(IN)
+    // check while reading every partition
+    val scanFilters = plan.linesIterator
+      .filter(_.contains("PartitionFilters:")).mkString("\n")
+    assert(scanFilters.contains("cl#") && scanFilters.contains(" IN "),
+      s"probed-cluster IN must be a PartitionFilter on the index scan:\n$plan")
+  }
+
+  test("ivfpq index: a cluster filter prunes partitions at the file level") {
+    // direct evidence the Hive layout prunes: one cluster selected →
+    // the scan's PartitionFilters carries the predicate (the probe
+    // path above always selects all clusters at this tiny scale)
+    val one = VectorSearch.ivfpqIndex(spark, sfDir).where(col("cl") === 3L)
+    val plan = finalPlan(one)
+    val scanFilters = plan.linesIterator
+      .filter(_.contains("PartitionFilters:")).mkString("\n")
+    assert(scanFilters.contains("cl#"),
+      s"cluster predicate must prune at the partitioned scan:\n$plan")
+    assert(one.select(countDistinct(col("cl"))).collect()(0).getLong(0) == 1L)
   }
 
   test("hybrid_rrf: fusion joins bounded frames, never the corpus against itself") {

@@ -254,7 +254,7 @@ class StreamingSpec extends SparkSpec {
       .map { case ((id, t), i) => DocIn(id, t0 + (base.length + i) * 1000L, t) }
 
     val input = MemoryStream[DocIn]
-    val query = DedupStream.dedupExact(spark, input.toDS())
+    val query = DedupStream.dedupExact(input.toDS())
       .writeStream.outputMode("append").format("memory").queryName("dedup").start()
     try {
       input.addData(originals.toIndexedSeq); query.processAllAvailable()
