@@ -250,8 +250,17 @@ object KeywordSearch {
     * bounded top-k: fusion touches ≤ 2k rows per query regardless
     * of corpus size.
     */
+  /** keywordBm25's top-5 frame cached per (session, dir) — the
+    * lexical side of the fusion, scored once like
+    * [[keywordTopCached]]/[[knnTextCached]].
+    */
+  private def bm25TopCached(spark: SparkSession, dir: String): DataFrame =
+    graft.DfCache.getOrCompute(spark, s"bm25_top:$dir")(
+      keywordBm25(spark, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
-    val fused = keywordBm25(spark, dir).select(col("q_id"), col("doc_id"), col("rk"))
+    val fused = bm25TopCached(spark, dir).select(col("q_id"), col("doc_id"), col("rk"))
       .unionByName(
         knnTextCached(spark, dir).select(col("q_id"), col("doc_id"), col("rk")))
       .groupBy(col("q_id"), col("doc_id"))
