@@ -79,6 +79,7 @@ object SparkEntry {
     "repetition_score" -> (TextAnalysis.repetitionScore _),
     "stratified_balance" -> ((s, d) => TextAnalysis.stratifiedBalance(s, d)),
     "contamination_check" -> (Dedup.contaminationCheck _),
+    "corpus_curate"   -> (Curate.corpusCurate _),
     // §2.B vector search
     "knn_brute"       -> (VectorSearch.knnBrute _),
     "knn_threshold"   -> (VectorSearch.knnThreshold _),
@@ -581,6 +582,79 @@ object SparkEntry {
         |  FROM grp g LEFT JOIN repc rc ON rc.r = g.r
         |  WHERE rc.r IS NOT NULL OR (g.gn >= 2 AND g.hasp))
         |""".stripMargin
+
+  /** corpus_curate's oracle: the 7-stage funnel replayed over the
+    * 3-way injected corpus. The heavy cross-referenced CTEs are
+    * marked MATERIALIZED — DuckDB otherwise re-inlines the whole
+    * minhash chain once per downstream reference and the report's
+    * seven count references turn a 2 s query into minutes. The
+    * quality/lang expressions are the quality_score / lang_id oracle
+    * spellings verbatim; pairs and contam splice the shared
+    * posting/minhash/jaccard CTE bodies.
+    */
+  private val curateSql: String =
+    """WITH cc AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id % 7 = 0
+      |  UNION ALL SELECT doc_id + 200000, substr(text, strpos(text, ' ') + 1)
+      |    FROM documents WHERE doc_id % 13 = 0),
+      |flagged AS MATERIALIZED (SELECT doc_id, text,
+      |  (trim(text) <> '' AND length(text) <= 1000
+      |    AND len(string_split(text, ' ')) >= 15) AS valid,
+      |  (floor((0.4 * least(CAST(len(string_split(text, ' ')) AS DOUBLE)/100.0, 1.0)
+      |   + 0.3 * (1.0 - CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+      |       ['a','the','data','table','row','value'])) AS DOUBLE)
+      |     / len(list_distinct(string_split(text, ' '))))
+      |   + 0.3 * least((CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+      |     / len(string_split(text, ' ')))/10.0, 1.0)) * 10000.0 + 0.5) / 10000.0 >= 0.5) AS quality_ok,
+      |  (greatest(
+      |    floor((CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+      |      ['spark','batch','stream','window','join','agg','merge','fast','slow'])) AS DOUBLE)
+      |      / len(list_distinct(string_split(text, ' ')))) * 10000.0 + 0.5)/10000.0,
+      |    floor((CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+      |      ['query','scan','filter','sort','group','order'])) AS DOUBLE)
+      |      / len(list_distinct(string_split(text, ' ')))) * 10000.0 + 0.5)/10000.0,
+      |    floor((CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+      |      ['table','row','column','part','key','value','hash'])) AS DOUBLE)
+      |      / len(list_distinct(string_split(text, ' ')))) * 10000.0 + 0.5)/10000.0) >= 0.25) AS lang_ok
+      | FROM cc),
+      |s4 AS (SELECT doc_id, text FROM flagged WHERE valid AND quality_ok AND lang_ok),
+      |s5 AS MATERIALIZED (SELECT doc_id, text FROM s4
+      |  WHERE doc_id IN (SELECT MIN(doc_id) FROM s4 GROUP BY md5(text))),
+      |pairs AS (WITH """.stripMargin + postingCte("s5") + ",\n" +
+      minhashStagesSql + ",\n" + jaccardTail +
+      """),
+        |drop6 AS (SELECT DISTINCT b_id FROM pairs WHERE jaccard >= 0.8),
+        |s6 AS MATERIALIZED (SELECT doc_id, text FROM s5
+        |  WHERE doc_id NOT IN (SELECT b_id FROM drop6)),
+        |contam AS MATERIALIZED (WITH """.stripMargin + postingCte("s6") +
+      """,
+        |  cnt AS (SELECT doc_id, COUNT(*) AS n FROM posting WHERE doc_id % 101 <> 0 GROUP BY doc_id),
+        |  ov AS (SELECT p.doc_id, b.doc_id AS bench_id, COUNT(*) AS hits
+        |    FROM posting p JOIN posting b ON p.s = b.s
+        |      AND b.doc_id % 101 = 0 AND p.doc_id % 101 <> 0
+        |    GROUP BY p.doc_id, b.doc_id),
+        |  mx AS (SELECT doc_id, MAX(hits) AS mh FROM ov GROUP BY doc_id)
+        |  SELECT c.doc_id FROM cnt c JOIN mx USING (doc_id)
+        |  WHERE floor((CAST(mh AS DOUBLE)/n) * 10000.0 + 0.5)/10000.0 >= 0.5),
+        |nn AS MATERIALIZED (SELECT * FROM
+        |  (SELECT COUNT(*) AS n_raw,
+        |    COUNT(CASE WHEN valid THEN 1 END) AS n_valid,
+        |    COUNT(CASE WHEN valid AND quality_ok THEN 1 END) AS n_q,
+        |    COUNT(CASE WHEN valid AND quality_ok AND lang_ok THEN 1 END) AS n_l FROM flagged),
+        |  (SELECT COUNT(*) AS n5 FROM s5),
+        |  (SELECT COUNT(*) AS n6 FROM s6),
+        |  (SELECT COUNT(*) AS n7 FROM s6
+        |    WHERE doc_id % 101 <> 0 AND doc_id NOT IN (SELECT doc_id FROM contam)))
+        |SELECT stage_id, stage, docs_in, docs_out, docs_in - docs_out AS dropped FROM (
+        |  SELECT CAST(0 AS BIGINT) AS stage_id, 'raw' AS stage, n_raw AS docs_in, n_raw AS docs_out FROM nn
+        |  UNION ALL SELECT 1, 'validate', n_raw, n_valid FROM nn
+        |  UNION ALL SELECT 2, 'quality', n_valid, n_q FROM nn
+        |  UNION ALL SELECT 3, 'lang', n_q, n_l FROM nn
+        |  UNION ALL SELECT 4, 'dedup_exact', n_l, n5 FROM nn
+        |  UNION ALL SELECT 5, 'dedup_near', n5, n6 FROM nn
+        |  UNION ALL SELECT 6, 'decontaminate', n6, n7 FROM nn)
+        |ORDER BY stage_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     // the quarantine reader's row accounting, arithmetically: good
@@ -1089,6 +1163,7 @@ object SparkEntry {
         |    ELSE floor((1.0 - CAST(coalesce(dc.n_distinct, 0) AS DOUBLE)/t.n_shingles)
         |      * 10000.0 + 0.5)/10000.0 END AS rep_ratio
         |FROM t LEFT JOIN dc ON t.doc_id = dc.doc_id ORDER BY t.doc_id""".stripMargin),
+    "corpus_curate" -> curateSql,
     "contamination_check" -> ("WITH " + postingCte("documents") +
       """,
         |cnt AS (SELECT doc_id, COUNT(*) AS n FROM posting

@@ -1,0 +1,200 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.DfCache
+import graft.functions.Par
+import graft.functions.TextFunctions._
+import graft.sources.Tables
+
+/** The end-to-end training-data curation pipeline as ONE declarative
+  * query: the composition a pretraining data team runs over a raw
+  * crawl before a single training token is cut. Seven stages, each
+  * consuming the previous stage's survivors, reported as a funnel of
+  * per-stage attrition counts:
+  *
+  *   raw → validate → quality → lang → dedup_exact → dedup_near →
+  *   decontaminate
+  *
+  * Each stage reuses the semantics of its standalone operator
+  * (validate_docs / quality_score / lang_id thresholds, dedup_exact's
+  * md5 keep-min rule, dedup_minhash's verified pairs,
+  * contamination_check's per-benchmark overlap) — the point of the
+  * query is the COMPOSITION: cheap narrow per-row filters run first
+  * so the expensive shuffling stages (minhash, posting joins) see the
+  * smallest possible corpus, which is exactly the stage order that
+  * matters at 100 TB where the validate/quality/lang stages are free
+  * map-side work and every surviving byte costs a shuffle.
+  *
+  * Scale notes: the flag frame is computed once and persisted (at
+  * cluster scale it would be a staging table, like the pair set —
+  * which IS staged, via the detect→apply pattern shared with
+  * [[Dedup.minhashPairs]]); every stage is either a narrow filter, a
+  * hash-aggregate + semi/anti join, or a bounded blocking join —
+  * never an all-pairs comparison. The near-dup policy here is
+  * PER-PAIR (drop the greater id of every verified pair ≥ the
+  * jaccard floor), the simple keep-first rule of pairwise corpus
+  * dedup; the cluster-canonical variant is [[Dedup.neardupApply]].
+  */
+object Curate {
+
+  /** Minimum whitespace tokens for the validity gate — the curation
+    * config's stricter version of validate_docs' ≥ 3 floor.
+    */
+  val MinWords = 15
+  /** Keep documents with composite quality (quality_score's formula)
+    * at or above this.
+    */
+  val QualityFloor = 0.5
+  /** Keep documents whose best lang_id profile overlap is at or
+    * above this — "identifiable language" for the synthetic corpus's
+    * three vocabulary profiles.
+    */
+  val LangFloor = 0.25
+  /** Verified-pair jaccard floor for the near-dup drop stage (same
+    * threshold as dedup_clusters' strong pairs).
+    */
+  val NearDupJaccard = 0.8
+
+  /** The curation input: documents ∪ an exact copy of every 7th doc
+    * (ids +100000) ∪ a first-word-dropped near-copy of every 13th
+    * (ids +200000) — the synthetic corpus has no natural duplicates,
+    * so the dedup stages are exercised by deterministic injections,
+    * like [[Dedup.corpusWithDups]] (which injects one kind at a
+    * time; curation needs both in one corpus).
+    */
+  private[operators] def curateCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    base
+      .unionAll(base.where(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+      .unionAll(base.where(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 200000L).as("doc_id"),
+          expr("substring(text, instr(text, ' ') + 1)").as("text")))
+  }
+
+  /** One narrow pass computing every per-row stage flag: validity,
+    * quality (quality_score's exact expression tree ≥ the floor) and
+    * language identifiability (lang_id's round4 profile scores).
+    * Everything downstream filters on these three booleans.
+    */
+  private def flaggedOf(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val dtoks = array_distinct(toks)
+    val words = size(toks)
+    val chars = length(col("text"))
+    val stopRatio = size(array_intersect(dtoks,
+      array(TextAnalysis.Stopwords.map(lit): _*))).cast("double") / size(dtoks)
+    val avgWordLen = (chars - (words - 1)).cast("double") / words
+    val quality = Par.round4(lit(0.4) * least(words.cast("double") / 100.0, lit(1.0))
+      + lit(0.3) * (lit(1.0) - stopRatio)
+      + lit(0.3) * least(avgWordLen / 10.0, lit(1.0)))
+    val langBest = greatest(TextAnalysis.Profiles.map { case (_, ws) =>
+      Par.round4(size(array_intersect(dtoks, array(ws.map(lit): _*))).cast("double")
+        / size(dtoks))
+    }: _*)
+    curateCorpus(spark, dir).select(col("doc_id"), col("text"),
+      (trim(col("text")) =!= "" && chars <= 1000 && words >= MinWords).as("valid"),
+      (quality >= QualityFloor).as("quality_ok"),
+      (langBest >= LangFloor).as("lang_ok"))
+  }
+
+  private def flaggedCached(spark: SparkSession, dir: String): DataFrame =
+    DfCache.getOrCompute(spark, s"curate_flagged:$dir")(
+      flaggedOf(spark, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Survivors of the three per-row gates. */
+  private def filteredOf(flagged: DataFrame): DataFrame =
+    flagged.where(col("valid") && col("quality_ok") && col("lang_ok"))
+      .select(col("doc_id"), col("text"))
+
+  /** Exact-dedup survivors: keep the min doc_id per content hash. */
+  private def exactKeptOf(s4: DataFrame): DataFrame =
+    s4.join(
+      s4.groupBy(md5(col("text")).as("k")).agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+
+  /** Verified minhash pairs over the exact-dedup survivors — the
+    * detect-stage artifact, staged cross-process like
+    * [[Dedup.minhashPairs]] (same build, different corpus).
+    */
+  private def curatePairs(spark: SparkSession, dir: String): DataFrame =
+    DfCache.getOrCompute(spark, s"curate_pairs:$dir") {
+      Dedup.minhashPairsOf(s5Cached(spark, dir))(
+        DfCache.stagedFrame(spark, s"curate_pairs:$dir",
+          DfCache.inputFingerprint(spark, s"$dir/documents.parquet"))(_))
+    }
+
+  /** Exact-dedup survivors cached per (session, dir): the frame is
+    * read by the pair build, the near-dup anti-join AND the n5 count
+    * — Spark does not dedup identical aggregate subplans across
+    * branches, so without the persist each reference re-runs the
+    * content-hash groupBy over the corpus.
+    */
+  private def s5Cached(spark: SparkSession, dir: String): DataFrame =
+    DfCache.getOrCompute(spark, s"curate_s5:$dir")(
+      exactKeptOf(filteredOf(flaggedCached(spark, dir)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** The 7-row funnel report: (stage_id, stage, docs_in, docs_out,
+    * dropped), each stage's input being the previous stage's output.
+    */
+  def corpusCurate(spark: SparkSession, dir: String): DataFrame = {
+    val flagged = flaggedCached(spark, dir)
+    val s5 = s5Cached(spark, dir)
+    val dropNear = curatePairs(spark, dir)
+      .where(col("jaccard") >= NearDupJaccard)
+      .select(col("b_id").as("doc_id")).distinct()
+    val s6 = DfCache.getOrCompute(spark, s"curate_s6:$dir")(
+      s5.join(dropNear, Seq("doc_id"), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // decontamination over the deduped survivors: benchmark = every
+    // 101st doc (held out entirely), drop any training doc whose
+    // shingle overlap with ANY single benchmark doc reaches 0.5 —
+    // contamination_check's rule applied as a filter. The benchmark
+    // posting list is broadcast (eval suites are tiny by nature).
+    val posting = shinglePosting(s6, col("doc_id"), col("text"), 3)
+    val bench = posting.where(col("doc_id") % 101 === 0)
+      .select(col("doc_id").as("bench_id"), col("s"))
+    val train = posting.where(col("doc_id") % 101 =!= 0)
+    val counts = train.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val maxHits = train.join(broadcast(bench), Seq("s"))
+      .groupBy(col("doc_id"), col("bench_id")).agg(count(lit(1)).as("hits"))
+      .groupBy(col("doc_id")).agg(max(col("hits")).as("mh"))
+    val contaminated = counts.join(maxHits, Seq("doc_id"))
+      .where(Par.round4(col("mh").cast("double") / col("n")) >= 0.5)
+      .select(col("doc_id"))
+    val s7 = s6.where(col("doc_id") % 101 =!= 0)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+    // stage counts: the four per-row gates fold into ONE aggregate
+    // over the persisted flag frame; the three join-stage counts are
+    // one aggregate each; the crossJoin of 1-row frames is free
+    val nn = flagged.agg(
+        count(lit(1)).as("n_raw"),
+        count(when(col("valid"), 1)).as("n_valid"),
+        count(when(col("valid") && col("quality_ok"), 1)).as("n_q"),
+        count(when(col("valid") && col("quality_ok") && col("lang_ok"), 1)).as("n_l"))
+      .crossJoin(s5.agg(count(lit(1)).as("n5")))
+      .crossJoin(s6.agg(count(lit(1)).as("n6")))
+      .crossJoin(s7.agg(count(lit(1)).as("n7")))
+    def stageRow(id: Int, name: String, in: Column, out: Column): Column =
+      struct(lit(id.toLong).as("stage_id"), lit(name).as("stage"),
+        in.as("docs_in"), out.as("docs_out"), (in - out).as("dropped"))
+    // all 7 rows from ONE evaluation of the single-row count frame
+    nn.select(explode(array(
+        stageRow(0, "raw", col("n_raw"), col("n_raw")),
+        stageRow(1, "validate", col("n_raw"), col("n_valid")),
+        stageRow(2, "quality", col("n_valid"), col("n_q")),
+        stageRow(3, "lang", col("n_q"), col("n_l")),
+        stageRow(4, "dedup_exact", col("n_l"), col("n5")),
+        stageRow(5, "dedup_near", col("n5"), col("n6")),
+        stageRow(6, "decontaminate", col("n6"), col("n7")))).as("r"))
+      .select(col("r.stage_id").as("stage_id"), col("r.stage").as("stage"),
+        col("r.docs_in").as("docs_in"), col("r.docs_out").as("docs_out"),
+        col("r.dropped").as("dropped"))
+      .orderBy(col("stage_id"))
+  }
+}

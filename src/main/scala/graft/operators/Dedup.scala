@@ -107,35 +107,46 @@ object Dedup {
     */
   private[graft] def minhashPairs(spark: SparkSession, dir: String): DataFrame =
     DfCache.getOrCompute(spark, s"minhash_pairs:$dir") {
-      val posting = cachedPosting(shinglePosting(
-        corpusWithDups(spark, dir, perturb = true), col("doc_id"), col("text"), 3))
-      // one md5 per distinct shingle; the 16 permutation minima are 16
-      // agg columns → map-side partial min, one shuffle of #docs rows
-      val rows = MinhashPerms / Bands
-      val permMins = (0 until MinhashPerms).map { p =>
-        min(minhashPerm(col("h"), lit(p.toLong))).as(s"m$p")
-      }
-      val sigs = posting
-        .select(col("doc_id"), hexLong(col("s"), 1, 8).as("h"))   // s is a md5 prefix already
-        .groupBy(col("doc_id"))
-        .agg(permMins.head, permMins.tail: _*)
-      // band key = the band's minima joined in permutation order
-      val banded = sigs.select(col("doc_id"),
-        posexplode(array((0 until Bands).map { b =>
-          concat_ws("|", (0 until rows).map(r => col(s"m${b * rows + r}").cast("string")): _*)
-        }: _*)).as(Seq("bd", "band_key")))
-      val cand = banded.select(col("bd"), col("band_key"), col("doc_id").as("a_id"))
-        .join(banded.select(col("bd"), col("band_key"), col("doc_id").as("b_id")),
-          Seq("bd", "band_key"))
-        .where(col("a_id") < col("b_id"))
-        .select(col("a_id"), col("b_id"))
-        .distinct()   // a pair may collide in several bands
-      val pairs = DfCache.stagedFrame(spark, s"minhash_pairs:$dir",
-        DfCache.inputFingerprint(spark, s"$dir/documents.parquet"))(
-        jaccardOf(cand, posting))   // materializes via the staging write
-      posting.unpersist()
-      pairs
+      minhashPairsOf(corpusWithDups(spark, dir, perturb = true))(
+        DfCache.stagedFrame(spark, s"minhash_pairs:$dir",
+          DfCache.inputFingerprint(spark, s"$dir/documents.parquet"))(_))
     }
+
+  /** The MinHash+LSH verified-pair build over ANY (doc_id, text)
+    * corpus — the body of [[minhashPairs]], reused by the curation
+    * pipeline on its filtered survivor set. `materialize` must force
+    * the returned frame (a staging write or an action): the shingle
+    * posting list is persisted for the build's internal reuse and
+    * unpersisted as soon as `materialize` returns.
+    */
+  private[operators] def minhashPairsOf(corpus: DataFrame)(
+      materialize: DataFrame => DataFrame): DataFrame = {
+    val posting = cachedPosting(shinglePosting(corpus, col("doc_id"), col("text"), 3))
+    // one md5 per distinct shingle; the 16 permutation minima are 16
+    // agg columns → map-side partial min, one shuffle of #docs rows
+    val rows = MinhashPerms / Bands
+    val permMins = (0 until MinhashPerms).map { p =>
+      min(minhashPerm(col("h"), lit(p.toLong))).as(s"m$p")
+    }
+    val sigs = posting
+      .select(col("doc_id"), hexLong(col("s"), 1, 8).as("h"))   // s is a md5 prefix already
+      .groupBy(col("doc_id"))
+      .agg(permMins.head, permMins.tail: _*)
+    // band key = the band's minima joined in permutation order
+    val banded = sigs.select(col("doc_id"),
+      posexplode(array((0 until Bands).map { b =>
+        concat_ws("|", (0 until rows).map(r => col(s"m${b * rows + r}").cast("string")): _*)
+      }: _*)).as(Seq("bd", "band_key")))
+    val cand = banded.select(col("bd"), col("band_key"), col("doc_id").as("a_id"))
+      .join(banded.select(col("bd"), col("band_key"), col("doc_id").as("b_id")),
+        Seq("bd", "band_key"))
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+      .distinct()   // a pair may collide in several bands
+    val pairs = materialize(jaccardOf(cand, posting))
+    posting.unpersist()
+    pairs
+  }
 
   /** Top-50 near-dup report over the full verified pair set — the
     * human-facing detection listing; the clustering/apply path
