@@ -11,9 +11,11 @@ import org.apache.spark.sql.functions.udaf
 case class HeavyHitter(item: String, count: Long, err: Long)
 
 /** `deficit` = total mass subtracted from every surviving counter so
-  * far — the uniform underestimate bound for this buffer.
+  * far — the uniform underestimate bound for this buffer. Visible to
+  * graft.streaming: the streaming token sketch holds one MgBuf per
+  * shard as its mapGroupsWithState state.
   */
-private[functions] case class MgBuf(counters: Map[String, Long], deficit: Long)
+private[graft] case class MgBuf(counters: Map[String, Long], deficit: Long)
 
 /** Mergeable heavy-hitters sketch (Misra–Gries 1982; merge rule per
   * Agarwal et al., "Mergeable Summaries", PODS 2012): at most `m`

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.{ShardSketch, TokenSketch}
+
+/** The streaming token sketch must (a) keep total state bounded by
+  * shards · m counters, (b) honor the Misra–Gries guarantee against
+  * exact corpus counts after the stream drains, and (c) accumulate
+  * correctly ACROSS micro-batches (the state handoff, which the batch
+  * UDAF never exercises).
+  */
+class TokenSketchSpec extends SparkSpec {
+
+  private val M = 64
+
+  private def corpusTokens(): Array[String] = {
+    import spark.implicits._
+    graft.sources.Tables.documents(spark, sfDir)
+      .select(explode(graft.functions.TextFunctions.tokens(lower(col("text")))).as("tok"))
+      .where(col("tok") =!= "")
+      .as[String].collect()
+  }
+
+  test("streamed shard sketches merge to a guarantee-honoring global summary") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val toks = corpusTokens()
+    val exact = toks.groupBy(identity).map { case (t, g) => t -> g.length.toLong }
+    val n = toks.length.toLong
+    val input = MemoryStream[String]
+    val query = TokenSketch.run(spark, input.toDS(), M, "tok_sketch")
+    try {
+      // three micro-batches so every shard's state crosses batch
+      // boundaries (the thing the batch aggregator can't get wrong)
+      val third = toks.length / 3
+      input.addData(toks.take(third).toIndexedSeq); query.processAllAvailable()
+      input.addData(toks.slice(third, 2 * third).toIndexedSeq); query.processAllAvailable()
+      input.addData(toks.drop(2 * third).toIndexedSeq); query.processAllAvailable()
+
+      val rows = spark.table("tok_sketch").as[ShardSketch].collect()
+      // update mode re-emits a shard's row each batch it is touched —
+      // the per-shard latest snapshot is the one with the max clock
+      val latest = rows.groupBy(_.shard).map { case (_, snaps) =>
+        snaps.maxBy(_.n)
+      }.toSeq
+      // (a) bounded state: every snapshot carries at most m counters
+      latest.foreach(s => assert(s.items.length <= M,
+        s"shard ${s.shard} holds ${s.items.length} counters > m=$M"))
+      // every folded token is accounted for across the latest snapshots
+      assert(latest.map(_.n).sum === n)
+
+      val merged = TokenSketch.mergeShards(latest, M)
+      assert(merged.nonEmpty && merged.forall(_.count > 0))
+      // (b) the MG guarantee, per reported item
+      merged.foreach { h =>
+        val truth = exact.getOrElse(h.item, 0L)
+        assert(h.count <= truth && truth <= h.count + h.err,
+          s"${h.item}: true $truth outside [${h.count}, ${h.count + h.err}]")
+      }
+      // every very-heavy token must survive the merged sketch: the
+      // merged summary is (shard MG) ∘ (merge MG), each stage with
+      // error ≤ its share of N/(m+1) — total err ≤ 2·N/(m+1)
+      val floor = 2 * n / (M + 1)
+      val surviving = merged.map(_.item).toSet
+      exact.filter(_._2 > floor).foreach { case (t, c) =>
+        assert(surviving.contains(t), s"heavy token $t (true $c > $floor) missing")
+      }
+    } finally query.stop()
+  }
+
+  test("cross-batch accumulation equals the single-batch fold per shard") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val toks = corpusTokens().take(3000)
+    def runIn(batches: Seq[Seq[String]], name: String): Seq[ShardSketch] = {
+      val input = MemoryStream[String]
+      val query = TokenSketch.run(spark, input.toDS(), M, name)
+      try {
+        batches.foreach { b => input.addData(b.toIndexedSeq); query.processAllAvailable() }
+        spark.table(name).as[ShardSketch].collect()
+          .groupBy(_.shard).map { case (_, s) => s.maxBy(_.n) }.toSeq
+      } finally query.stop()
+    }
+    // MG folding is deterministic for a fixed arrival order, and the
+    // shard exchange preserves per-shard order for a sorted single
+    // partition source; batching must not change the result
+    val one = runIn(Seq(toks.toSeq), "tok_one")
+      .map(s => s.shard -> ((s.items, s.counts, s.deficit, s.n))).toMap
+    val three = runIn(toks.grouped(1000).map(_.toSeq).toSeq, "tok_three")
+      .map(s => s.shard -> ((s.items, s.counts, s.deficit, s.n))).toMap
+    assert(one.keySet === three.keySet)
+    one.keySet.foreach { sh =>
+      assert(one(sh) === three(sh), s"shard $sh diverged between batchings")
+    }
+  }
+}
