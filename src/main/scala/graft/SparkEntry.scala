@@ -80,6 +80,7 @@ object SparkEntry {
     "stratified_balance" -> ((s, d) => TextAnalysis.stratifiedBalance(s, d)),
     "contamination_check" -> (Dedup.contaminationCheck _),
     "corpus_curate"   -> (Curate.corpusCurate _),
+    "curate_apply"    -> (Curate.curateApply _),
     // §2.B vector search
     "knn_brute"       -> (VectorSearch.knnBrute _),
     "knn_threshold"   -> (VectorSearch.knnThreshold _),
@@ -592,7 +593,7 @@ object SparkEntry {
     * spellings verbatim; pairs and contam splice the shared
     * posting/minhash/jaccard CTE bodies.
     */
-  private val curateSql: String =
+  private val curateChainSql: String =
     """WITH cc AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id % 7 = 0
@@ -636,7 +637,10 @@ object SparkEntry {
         |    GROUP BY p.doc_id, b.doc_id),
         |  mx AS (SELECT doc_id, MAX(hits) AS mh FROM ov GROUP BY doc_id)
         |  SELECT c.doc_id FROM cnt c JOIN mx USING (doc_id)
-        |  WHERE floor((CAST(mh AS DOUBLE)/n) * 10000.0 + 0.5)/10000.0 >= 0.5),
+        |  WHERE floor((CAST(mh AS DOUBLE)/n) * 10000.0 + 0.5)/10000.0 >= 0.5)""".stripMargin
+
+  private val curateSql: String = curateChainSql +
+    """,
         |nn AS MATERIALIZED (SELECT * FROM
         |  (SELECT COUNT(*) AS n_raw,
         |    COUNT(CASE WHEN valid THEN 1 END) AS n_valid,
@@ -1164,6 +1168,11 @@ object SparkEntry {
         |      * 10000.0 + 0.5)/10000.0 END AS rep_ratio
         |FROM t LEFT JOIN dc ON t.doc_id = dc.doc_id ORDER BY t.doc_id""".stripMargin),
     "corpus_curate" -> curateSql,
+    "curate_apply" -> (curateChainSql +
+      """
+        |SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars FROM s6
+        |WHERE doc_id % 101 <> 0 AND doc_id NOT IN (SELECT doc_id FROM contam)
+        |ORDER BY doc_id""".stripMargin),
     "contamination_check" -> ("WITH " + postingCte("documents") +
       """,
         |cnt AS (SELECT doc_id, COUNT(*) AS n FROM posting

@@ -139,23 +139,28 @@ object Curate {
       exactKeptOf(filteredOf(flaggedCached(spark, dir)))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
-  /** The 7-row funnel report: (stage_id, stage, docs_in, docs_out,
-    * dropped), each stage's input being the previous stage's output.
+  /** Deduped survivors: the near-dup drop applied to the exact-dedup
+    * output, cached per (session, dir) — shared by the funnel counts
+    * and [[curateApply]].
     */
-  def corpusCurate(spark: SparkSession, dir: String): DataFrame = {
-    val flagged = flaggedCached(spark, dir)
-    val s5 = s5Cached(spark, dir)
-    val dropNear = curatePairs(spark, dir)
-      .where(col("jaccard") >= NearDupJaccard)
-      .select(col("b_id").as("doc_id")).distinct()
-    val s6 = DfCache.getOrCompute(spark, s"curate_s6:$dir")(
-      s5.join(dropNear, Seq("doc_id"), "left_anti")
+  private def s6Cached(spark: SparkSession, dir: String): DataFrame =
+    DfCache.getOrCompute(spark, s"curate_s6:$dir")(
+      s5Cached(spark, dir).join(
+          curatePairs(spark, dir)
+            .where(col("jaccard") >= NearDupJaccard)
+            .select(col("b_id").as("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    // decontamination over the deduped survivors: benchmark = every
-    // 101st doc (held out entirely), drop any training doc whose
-    // shingle overlap with ANY single benchmark doc reaches 0.5 —
-    // contamination_check's rule applied as a filter. The benchmark
-    // posting list is broadcast (eval suites are tiny by nature).
+
+  /** Final training corpus: decontamination applied to the deduped
+    * survivors. Benchmark = every 101st doc (held out entirely); any
+    * training doc whose shingle overlap with ANY single benchmark doc
+    * reaches 0.5 is dropped — contamination_check's rule applied as a
+    * filter. The benchmark posting list is broadcast (eval suites are
+    * tiny by nature).
+    */
+  private def s7Of(spark: SparkSession, dir: String): DataFrame = {
+    val s6 = s6Cached(spark, dir)
     val posting = shinglePosting(s6, col("doc_id"), col("text"), 3)
     val bench = posting.where(col("doc_id") % 101 === 0)
       .select(col("doc_id").as("bench_id"), col("s"))
@@ -167,8 +172,27 @@ object Curate {
     val contaminated = counts.join(maxHits, Seq("doc_id"))
       .where(Par.round4(col("mh").cast("double") / col("n")) >= 0.5)
       .select(col("doc_id"))
-    val s7 = s6.where(col("doc_id") % 101 =!= 0)
+    s6.where(col("doc_id") % 101 =!= 0)
       .join(contaminated, Seq("doc_id"), "left_anti")
+  }
+
+  /** Materialize the cleaned corpus — the apply-stage twin of the
+    * funnel report, same output shape as dedup_apply: the documents
+    * that survived all seven gates, with their sizes.
+    */
+  def curateApply(spark: SparkSession, dir: String): DataFrame =
+    s7Of(spark, dir)
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+      .orderBy(col("doc_id"))
+
+  /** The 7-row funnel report: (stage_id, stage, docs_in, docs_out,
+    * dropped), each stage's input being the previous stage's output.
+    */
+  def corpusCurate(spark: SparkSession, dir: String): DataFrame = {
+    val flagged = flaggedCached(spark, dir)
+    val s5 = s5Cached(spark, dir)
+    val s6 = s6Cached(spark, dir)
+    val s7 = s7Of(spark, dir)
     // stage counts: the four per-row gates fold into ONE aggregate
     // over the persisted flag frame; the three join-stage counts are
     // one aggregate each; the crossJoin of 1-row frames is free

@@ -47,6 +47,15 @@ class CurateSpec extends SparkSpec {
     assert(dropped("decontaminate") > 0)
   }
 
+  test("curate_apply materializes exactly the funnel's final survivor count") {
+    val finalOut = report.last.getAs[Long]("docs_out")
+    val applied = Curate.curateApply(spark, sfDir)
+    assert(applied.count() === finalOut)
+    // survivors carry no benchmark doc (held out) and ids are unique
+    assert(applied.where(col("doc_id") % 101 === 0).count() === 0)
+    assert(applied.select(col("doc_id")).distinct().count() === finalOut)
+  }
+
   test("exact-dedup stage drops every injected exact copy that survives the gates") {
     // an injected exact copy (id = base + 100000) can only survive
     // dedup_exact if its base was itself filtered out earlier — and
