@@ -4,7 +4,6 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.DfCache
-import graft.functions.Par
 import graft.functions.TextFunctions._
 import graft.sources.Tables
 
@@ -80,23 +79,17 @@ object Curate {
     * Everything downstream filters on these three booleans.
     */
   private def flaggedOf(spark: SparkSession, dir: String): DataFrame = {
-    val toks = tokens(col("text"))
-    val dtoks = array_distinct(toks)
-    val words = size(toks)
+    val words = size(tokens(col("text")))
     val chars = length(col("text"))
-    val stopRatio = size(array_intersect(dtoks,
-      array(TextAnalysis.Stopwords.map(lit): _*))).cast("double") / size(dtoks)
-    val avgWordLen = (chars - (words - 1)).cast("double") / words
-    val quality = Par.round4(lit(0.4) * least(words.cast("double") / 100.0, lit(1.0))
-      + lit(0.3) * (lit(1.0) - stopRatio)
-      + lit(0.3) * least(avgWordLen / 10.0, lit(1.0)))
+    // the gates ARE the standalone operators' expressions —
+    // TextAnalysis.compositeQuality / profileScore are the single
+    // spellings shared with quality_score and lang_id
     val langBest = greatest(TextAnalysis.Profiles.map { case (_, ws) =>
-      Par.round4(size(array_intersect(dtoks, array(ws.map(lit): _*))).cast("double")
-        / size(dtoks))
+      TextAnalysis.profileScore(col("text"), ws)
     }: _*)
     curateCorpus(spark, dir).select(col("doc_id"), col("text"),
       (trim(col("text")) =!= "" && chars <= 1000 && words >= MinWords).as("valid"),
-      (quality >= QualityFloor).as("quality_ok"),
+      (TextAnalysis.compositeQuality(col("text")) >= QualityFloor).as("quality_ok"),
       (langBest >= LangFloor).as("lang_ok"))
   }
 
@@ -110,12 +103,8 @@ object Curate {
     flagged.where(col("valid") && col("quality_ok") && col("lang_ok"))
       .select(col("doc_id"), col("text"))
 
-  /** Exact-dedup survivors: keep the min doc_id per content hash. */
-  private def exactKeptOf(s4: DataFrame): DataFrame =
-    s4.join(
-      s4.groupBy(md5(col("text")).as("k")).agg(min(col("doc_id")).as("doc_id"))
-        .select(col("doc_id")),
-      Seq("doc_id"), "left_semi")
+  /** Exact-dedup survivors: Dedup.exactKeep's keep-min rule. */
+  private def exactKeptOf(s4: DataFrame): DataFrame = Dedup.exactKeep(s4)
 
   /** Verified minhash pairs over the exact-dedup survivors — the
     * detect-stage artifact, staged cross-process like
@@ -161,27 +150,34 @@ object Curate {
     */
   private def s7Of(spark: SparkSession, dir: String): DataFrame = {
     val s6 = s6Cached(spark, dir)
-    val posting = shinglePosting(s6, col("doc_id"), col("text"), 3)
-    val bench = posting.where(col("doc_id") % 101 === 0)
-      .select(col("doc_id").as("bench_id"), col("s"))
-    val train = posting.where(col("doc_id") % 101 =!= 0)
-    val counts = train.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val maxHits = train.join(broadcast(bench), Seq("s"))
-      .groupBy(col("doc_id"), col("bench_id")).agg(count(lit(1)).as("hits"))
-      .groupBy(col("doc_id")).agg(max(col("hits")).as("mh"))
-    val contaminated = counts.join(maxHits, Seq("doc_id"))
-      .where(Par.round4(col("mh").cast("double") / col("n")) >= 0.5)
+    // the survivor posting list feeds the bench split and both
+    // overlap joins — session-cached like the other detect artifacts
+    val posting = DfCache.getOrCompute(spark, s"curate_post:$dir")(
+      shinglePosting(s6, col("doc_id"), col("text"), 3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // Dedup.benchMaxOverlap is the single spelling of the %101 split
+    // + per-benchmark max-overlap rule shared with contamination_check
+    val contaminated = Dedup.benchMaxOverlap(posting)
+      .where(col("max_overlap") >= 0.5)
       .select(col("doc_id"))
     s6.where(col("doc_id") % 101 =!= 0)
       .join(contaminated, Seq("doc_id"), "left_anti")
   }
+
+  /** s7 cached per (session, dir): read by both the funnel's n7 count
+    * and curate_apply's materialization.
+    */
+  private def s7Cached(spark: SparkSession, dir: String): DataFrame =
+    DfCache.getOrCompute(spark, s"curate_s7:$dir")(
+      s7Of(spark, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** Materialize the cleaned corpus — the apply-stage twin of the
     * funnel report, same output shape as dedup_apply: the documents
     * that survived all seven gates, with their sizes.
     */
   def curateApply(spark: SparkSession, dir: String): DataFrame =
-    s7Of(spark, dir)
+    s7Cached(spark, dir)
       .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
       .orderBy(col("doc_id"))
 
@@ -192,7 +188,7 @@ object Curate {
     val flagged = flaggedCached(spark, dir)
     val s5 = s5Cached(spark, dir)
     val s6 = s6Cached(spark, dir)
-    val s7 = s7Of(spark, dir)
+    val s7 = s7Cached(spark, dir)
     // stage counts: the four per-row gates fold into ONE aggregate
     // over the persisted flag frame; the three join-stage counts are
     // one aggregate each; the crossJoin of 1-row frames is free

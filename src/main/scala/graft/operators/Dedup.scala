@@ -57,15 +57,22 @@ object Dedup {
     * the linear-scale "materialize the cleaned corpus" step that
     * follows detection.
     */
-  def dedupApply(spark: SparkSession, dir: String): DataFrame = {
-    val corpus = corpusWithDups(spark, dir, perturb = false)
-    val keep = corpus.groupBy(md5(col("text")).as("text_md5"))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .select(col("doc_id"))
-    corpus.join(keep, Seq("doc_id"), "left_semi")
+  def dedupApply(spark: SparkSession, dir: String): DataFrame =
+    exactKeep(corpusWithDups(spark, dir, perturb = false))
       .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
       .orderBy(col("doc_id"))
-  }
+
+  /** THE exact-dedup canonicalization rule — keep the min doc_id per
+    * content hash — as a reusable hash-aggregate + semi-join over any
+    * (doc_id, text) corpus; shared by [[dedupApply]] and the curation
+    * funnel's exact-dedup stage so the rule has one spelling.
+    */
+  private[operators] def exactKeep(corpus: DataFrame): DataFrame =
+    corpus.join(
+      corpus.groupBy(md5(col("text")).as("text_md5"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
 
   /** Deterministic content-hash sampling: a row is kept iff the md5
     * of its id falls under the per-stratum rate. Unlike rand()-based
@@ -573,8 +580,21 @@ object Dedup {
     * side streams through map-side without a shuffle of corpus
     * shingles.
     */
-  def contaminationCheck(spark: SparkSession, dir: String): DataFrame = {
-    val posting = natPosting(spark, dir)
+  def contaminationCheck(spark: SparkSession, dir: String): DataFrame =
+    benchMaxOverlap(natPosting(spark, dir))
+      .select(col("doc_id"), col("max_overlap"),
+        (col("max_overlap") >= 0.5).as("contaminated"))
+      .orderBy(col("doc_id"))
+
+  /** THE benchmark-overlap rule — per training doc (id % 101 ≠ 0),
+    * the round4 max fraction of its distinct shingles found in any
+    * single benchmark doc (id % 101 = 0) — over any posting list;
+    * shared by [[contaminationCheck]] and the curation funnel's
+    * decontamination stage so the split and the threshold rule have
+    * one spelling. Output: (doc_id, max_overlap), one row per
+    * training doc with ≥ 1 posting.
+    */
+  private[operators] def benchMaxOverlap(posting: DataFrame): DataFrame = {
     val bench = posting.where(col("doc_id") % 101 === 0)
       .select(col("doc_id").as("bench_id"), col("s"))
     val corpus = posting.where(col("doc_id") % 101 =!= 0)
@@ -582,11 +602,10 @@ object Dedup {
     val maxHits = corpus.join(broadcast(bench), Seq("s"))
       .groupBy(col("doc_id"), col("bench_id")).agg(count(lit(1)).as("hits"))
       .groupBy(col("doc_id")).agg(max(col("hits")).as("mh"))
-    val frac = Par.round4(coalesce(col("mh"), lit(0L)).cast("double") / col("n"))
     counts.join(maxHits, Seq("doc_id"), "left")
-      .select(col("doc_id"), frac.as("max_overlap"),
-        (frac >= 0.5).as("contaminated"))
-      .orderBy(col("doc_id"))
+      .select(col("doc_id"),
+        Par.round4(coalesce(col("mh"), lit(0L)).cast("double") / col("n"))
+          .as("max_overlap"))
   }
 
   /** "No silent caps": per-cap (candidates, emitted) counts for every

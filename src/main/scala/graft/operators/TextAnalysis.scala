@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Par
@@ -30,15 +30,39 @@ object TextAnalysis {
     */
   val Stopwords: Seq[String] = Seq("a", "the", "data", "table", "row", "value")
 
+  /** One profile's round4 overlap score for a text column — THE
+    * lang_id scoring expression, shared with the curation funnel's
+    * language gate so the two can never drift (both oracles spell
+    * this same tree).
+    */
+  private[operators] def profileScore(text: Column, words: Seq[String]): Column = {
+    val toks = array_distinct(tokens(text))
+    Par.round4(size(array_intersect(toks, array(words.map(lit): _*))).cast("double")
+      / size(toks))
+  }
+
+  /** Composite quality — THE quality_score formula (0.4·length +
+    * 0.3·(1−stop) + 0.3·word-len terms, round4), shared with the
+    * curation funnel's quality gate.
+    */
+  private[operators] def compositeQuality(text: Column): Column = {
+    val toks = tokens(text)
+    val words = size(toks)
+    val stopRatio = size(array_intersect(array_distinct(toks),
+      array(Stopwords.map(lit): _*))).cast("double") / size(array_distinct(toks))
+    val avgWordLen = (length(text) - (words - 1)).cast("double") / words
+    Par.round4(lit(0.4) * least(words.cast("double") / 100.0, lit(1.0))
+      + lit(0.3) * (lit(1.0) - stopRatio)
+      + lit(0.3) * least(avgWordLen / 10.0, lit(1.0)))
+  }
+
   /** Profile overlap scores + argmax label — the structure of an
     * n-gram language identifier, deterministic for the oracle.
     */
   def langId(spark: SparkSession, dir: String): DataFrame = {
-    val toks = array_distinct(tokens(col("text")))
     val scored = Tables.documents(spark, dir)
       .select(col("doc_id") +: Profiles.map { case (name, words) =>
-        Par.round4(size(array_intersect(toks, array(words.map(lit): _*))).cast("double")
-          / size(toks)).as(s"s_$name")
+        profileScore(col("text"), words).as(s"s_$name")
       }: _*)
     // argmax with fixed-order tie-break (CASE chain — portable to the oracle)
     val predicted =
@@ -73,9 +97,7 @@ object TextAnalysis {
           .otherwise(punct.cast("double") / chars)).as("punct_ratio"),
         Par.round4(stopRatio).as("stop_ratio"),
         Par.round4(avgWordLen).as("avg_word_len"),
-        Par.round4(lit(0.4) * least(words.cast("double") / 100.0, lit(1.0))
-          + lit(0.3) * (lit(1.0) - stopRatio)
-          + lit(0.3) * least(avgWordLen / 10.0, lit(1.0))).as("quality"))
+        compositeQuality(col("text")).as("quality"))
       .orderBy(col("doc_id"))
   }
 

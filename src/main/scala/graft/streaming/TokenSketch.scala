@@ -90,9 +90,12 @@ object TokenSketch {
     agg.finish(merged)
   }
 
-  /** writeStream wiring for the snapshot stream: update mode (each
-    * batch re-emits only the shards it touched), named in-memory sink
-    * for tests / dashboards.
+  /** writeStream wiring for BOUNDED-replay tests: update mode into a
+    * named in-memory sink. The memory sink appends every emitted
+    * snapshot row and never truncates, so on a long-running stream
+    * the DRIVER-side sink (not the sketch state) would grow without
+    * bound — deployments should use [[runLatest]], which keeps only
+    * the newest snapshot per shard.
     */
   def run(spark: SparkSession, tokens: Dataset[String], m: Int,
       queryName: String): org.apache.spark.sql.streaming.StreamingQuery =
@@ -101,4 +104,26 @@ object TokenSketch {
       .format("memory")
       .queryName(queryName)
       .start()
+
+  /** Long-running wiring: each micro-batch upserts its touched
+    * shards' snapshots into a driver-side latest-per-shard map and
+    * hands the consumer the current global roll-up — total driver
+    * footprint stays ≤ NumShards · m counters, matching the sketch's
+    * own bound (the thing [[run]]'s accumulating memory sink loses).
+    */
+  def runLatest(spark: SparkSession, tokens: Dataset[String], m: Int)(
+      onUpdate: Seq[HeavyHitter] => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val latest = new java.util.concurrent.ConcurrentHashMap[Int, ShardSketch]()
+    shardSketches(spark, tokens, m).writeStream
+      .outputMode(OutputMode.Update)
+      .foreachBatch { (batch: Dataset[ShardSketch], _: Long) =>
+        batch.collect().foreach { s =>
+          latest.merge(s.shard, s,
+            (a: ShardSketch, b: ShardSketch) => if (b.n >= a.n) b else a)
+        }
+        onUpdate(mergeShards(
+          scala.jdk.CollectionConverters.CollectionHasAsScala(latest.values).asScala.toSeq, m))
+      }
+      .start()
+  }
 }

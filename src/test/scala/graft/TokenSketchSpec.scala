@@ -70,10 +70,11 @@ class TokenSketchSpec extends SparkSpec {
     } finally query.stop()
   }
 
-  test("cross-batch accumulation equals the single-batch fold per shard") {
+  test("cross-batch accumulation matches the single-batch fold's invariants") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val toks = corpusTokens().take(3000)
+    val exact = toks.groupBy(identity).map { case (t, g) => t -> g.length.toLong }
     def runIn(batches: Seq[Seq[String]], name: String): Seq[ShardSketch] = {
       val input = MemoryStream[String]
       val query = TokenSketch.run(spark, input.toDS(), M, name)
@@ -83,16 +84,42 @@ class TokenSketchSpec extends SparkSpec {
           .groupBy(_.shard).map { case (_, s) => s.maxBy(_.n) }.toSeq
       } finally query.stop()
     }
-    // MG folding is deterministic for a fixed arrival order, and the
-    // shard exchange preserves per-shard order for a sorted single
-    // partition source; batching must not change the result
     val one = runIn(Seq(toks.toSeq), "tok_one")
-      .map(s => s.shard -> ((s.items, s.counts, s.deficit, s.n))).toMap
     val three = runIn(toks.grouped(1000).map(_.toSeq).toSeq, "tok_three")
-      .map(s => s.shard -> ((s.items, s.counts, s.deficit, s.n))).toMap
-    assert(one.keySet === three.keySet)
-    one.keySet.foreach { sh =>
-      assert(one(sh) === three(sh), s"shard $sh diverged between batchings")
+    // MG folding is order-sensitive and the shuffle's per-shard
+    // arrival order is not a documented guarantee, so the comparison
+    // is on order-INSENSITIVE invariants: every shard folded the same
+    // token count under both batchings, and both results are valid
+    // sketches of the same stream (per-item containment vs exact)
+    assert(one.map(s => s.shard -> s.n).toMap === three.map(s => s.shard -> s.n).toMap)
+    for (snaps <- Seq(one, three); h <- TokenSketch.mergeShards(snaps, M)) {
+      val truth = exact.getOrElse(h.item, 0L)
+      assert(h.count <= truth && truth <= h.count + h.err,
+        s"${h.item}: true $truth outside [${h.count}, ${h.count + h.err}]")
     }
+  }
+
+  test("runLatest keeps a bounded latest-per-shard roll-up") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val toks = corpusTokens().take(3000)
+    val exact = toks.groupBy(identity).map { case (t, g) => t -> g.length.toLong }
+    @volatile var last: Seq[graft.functions.HeavyHitter] = Nil
+    var updates = 0
+    val input = MemoryStream[String]
+    val query = TokenSketch.runLatest(spark, input.toDS(), M) { hh =>
+      last = hh; updates += 1
+    }
+    try {
+      toks.grouped(1000).foreach { b =>
+        input.addData(b.toIndexedSeq); query.processAllAvailable()
+      }
+      assert(updates >= 3)
+      assert(last.nonEmpty && last.length <= M)
+      last.foreach { h =>
+        val truth = exact.getOrElse(h.item, 0L)
+        assert(h.count <= truth && truth <= h.count + h.err)
+      }
+    } finally query.stop()
   }
 }
