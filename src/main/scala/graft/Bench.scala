@@ -31,7 +31,20 @@ object Bench {
     // exist on this machine)
     try SparkEntry.queries("dashboard_stats")(spark, sfDir).count()
     catch { case _: Throwable => }
+    // optional filter (comma-separated names) — time a targeted subset
+    // at ladder scales where the full surface won't fit one machine;
+    // the driver's no-env contract (full surface) is unchanged
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { f =>
+      val unknown = f -- SparkEntry.queries.keySet
+      if (unknown.nonEmpty) {
+        System.err.println(s"[bench] unknown query name(s): ${unknown.toSeq.sorted.mkString(",")}")
+        sys.exit(2)
+      }
+    }
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val passes: Seq[Map[String, Double]] = (1 to Passes).map { _ =>
       names.map { name =>
