@@ -26,6 +26,20 @@ object Dedup {
     * the linear-output bound (mirror of VectorSearch.PairCap).
     */
   val SimhashPartnerCap = 8
+  /** Max JOIN PARTNERS drawn from any one (half_idx, half) bucket in
+    * dedup_simhash's candidate generation — the linear-CPU bound that
+    * complements [[SimhashPartnerCap]]'s linear-OUTPUT bound. The
+    * partner cap alone left the half-bucket self-join's INTERMEDIATE
+    * at Σ bucket² rows (the one superlinear stage on the scale
+    * ladder: template families survive exact dedup with near-identical
+    * signatures and flood one half). Capping the build side at the
+    * first `SimhashBucketCap` occupants (deterministic: smallest
+    * doc_ids) bounds the intermediate at 2·cap·n rows — every doc
+    * still probes both its buckets, but compares against ≤ cap
+    * representatives per bucket. Audited in [[capAudit]] like
+    * [[NgramBucketCap]]; mirrored exactly by the DuckDB oracle.
+    */
+  val SimhashBucketCap = 256
 
   /** documents ∪ copies of every-7th doc (doc_id + 100000).
     * `perturb` drops the copy's first word to make near- rather than
@@ -330,19 +344,24 @@ object Dedup {
     * ~4.5 bits, whose 16-value keys would make candidate generation
     * quadratic).
     *
-    * Two bounds keep the output LINEAR in corpus size no matter how
-    * hot a half-bucket gets (boilerplate-heavy pretraining corpora
-    * make near-identical signatures in bulk):
-    *  - a pair that collides in BOTH halves (hamming 0 in the upper
-    *    half) is generated only from half 0 — a map-side filter on
-    *    the join output replaces the former full-pair `distinct()`
-    *    shuffle;
+    * Two bounds keep BOTH the compare CPU and the output LINEAR in
+    * corpus size no matter how hot a half-bucket gets
+    * (boilerplate-heavy pretraining corpora make near-identical
+    * signatures in bulk):
+    *  - [[SimhashBucketCap]] bounds the JOIN INTERMEDIATE: each
+    *    bucket's build side is its first `cap` occupants (smallest
+    *    doc_ids), so candidate volume is ≤ 2·cap·n rows — every doc
+    *    still probes both its buckets but compares against ≤ cap
+    *    representatives per bucket (the former uncapped self-join
+    *    streamed Σ bucket² compares: 12× time for 2× data on the
+    *    64× ladder rung);
     *  - each vector reports at most [[SimhashPartnerCap]] verified
     *    partners, nearest hamming first, via the map-side-combining
     *    TopKAgg (mirror of [[VectorSearch.embeddingDupCandidates]]) —
-    *    the shuffle after the bucket join carries ≤ cap rows per
-    *    vector per map partition, so one hot half is streamed compute,
-    *    never O(bucket²) shuffled rows.
+    *    the final output is ≤ cap·n rows.
+    * Both caps are audited in [[capAudit]] and mirrored exactly by
+    * the DuckDB oracle, so a cap that starts biting shows up as data,
+    * never as a silent recall cliff.
     */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
     simhashPartnersOfSigs(simhashSigsCached(spark, dir))
@@ -384,29 +403,55 @@ object Dedup {
         }.reduce(_ + _).as("simhash"))
   }
 
-  /** Pre-cap qualifying pair stream (hamming ≤ 6, each pair exactly
-    * once) — split from the capped tail so the cap audit can count
-    * what [[SimhashPartnerCap]] drops.
-    */
-  private[operators] def simhashQualifying(sim: DataFrame): DataFrame = {
-    val halves = sim.select(col("doc_id"), col("simhash"),
+  /** The two 16-bit half-key blocking rows per signature. */
+  private[operators] def simhashHalves(sim: DataFrame): DataFrame =
+    sim.select(col("doc_id"), col("simhash"),
         lit(0).as("half_idx"), shiftright(col("simhash"), 16).as("half"))
       .unionAll(sim.select(col("doc_id"), col("simhash"),
         lit(1).as("half_idx"), col("simhash").bitwiseAND(0xFFFFL).as("half")))
-    val a = halves.select(col("half_idx"), col("half"),
-      col("doc_id").as("a_id"), col("simhash").as("a_sim"))
-    val b = halves.select(col("half_idx"), col("half"),
-      col("doc_id").as("b_id"), col("simhash").as("b_sim"))
-    a.join(b, Seq("half_idx", "half"))
-      .where(col("a_id") < col("b_id"))
-      // both-halves collisions would surface twice: keep the half-0
-      // copy only (upper halves equal ⇒ already generated there)
-      .where(col("half_idx") === 0 ||
-        shiftright(col("a_sim"), 16) =!= shiftright(col("b_sim"), 16))
-      .select(col("a_id"), col("b_id"),
+
+  /** Raw candidate stream — the half-bucket join's INTERMEDIATE, the
+    * stage [[SimhashBucketCap]] bounds: probe side is every half row,
+    * build side only each bucket's first `bucketCap` occupants, so the
+    * output is ≤ Σ_buckets bucket·min(bucket, cap) ≤ 2·cap·n rows
+    * (ScaleSmokeSpec floods one bucket with the whole corpus and
+    * counts this frame). Pairs surface in both (a,b) orders and again
+    * from the other half when both halves collide; the qualifying
+    * stage canonicalizes with least/greatest + distinct over the
+    * already-hamming-filtered (hence bounded) stream.
+    */
+  private[graft] def simhashCandidates(sim: DataFrame, bucketCap: Int): DataFrame = {
+    val halves = simhashHalves(sim)
+    val bw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("half_idx"), col("half")).orderBy(col("doc_id"))
+    val bcap = halves
+      .withColumn("brk", row_number().over(bw))
+      .where(col("brk") <= bucketCap)
+      .select(col("half_idx"), col("half"),
+        col("doc_id").as("b_id"), col("simhash").as("b_sim"))
+    halves.select(col("half_idx"), col("half"),
+        col("doc_id").as("a_id"), col("simhash").as("a_sim"))
+      .join(bcap, Seq("half_idx", "half"))
+      .where(col("a_id") =!= col("b_id"))
+  }
+
+  /** Pre-partner-cap qualifying pair stream (hamming ≤ 6, each pair
+    * exactly once) — split from the capped tail so the cap audit can
+    * count what [[SimhashPartnerCap]] drops.
+    */
+  private[operators] def simhashQualifying(sim: DataFrame): DataFrame =
+    simhashQualifying(sim, SimhashBucketCap)
+
+  private[graft] def simhashQualifying(sim: DataFrame, bucketCap: Int): DataFrame =
+    simhashCandidates(sim, bucketCap)
+      .select(least(col("a_id"), col("b_id")).as("a_id"),
+        greatest(col("a_id"), col("b_id")).as("b_id"),
         bit_count(col("a_sim").bitwiseXOR(col("b_sim"))).cast("long").as("hamming"))
       .where(col("hamming") <= 6)
-  }
+      // both join orders + both-halves collisions collapse here; the
+      // distinct shuffles only the hamming-qualified capped stream
+      // (≤ 2·cap·n rows), never the full bucket² pair set
+      .distinct()
 
   private def simhashPartnersOfSigs(sim: DataFrame): DataFrame =
     simhashQualifying(sim)
@@ -623,10 +668,15 @@ object Dedup {
           coalesce(sum(least(col("c"), lit(cap))), lit(0L)).as("emitted"))
         .select(lit(stage).as("stage"), lit(cap).as("cap"),
           lit(unit).as("unit"), col("candidates"), col("emitted"))
+    val sigs = simhashSigsCached(spark, dir)
     val sim = summarize(
-      simhashQualifying(simhashSigsCached(spark, dir))
+      simhashQualifying(sigs)
         .groupBy(col("a_id")).agg(count(lit(1)).as("c")),
       "dedup_simhash.partner_cap", SimhashPartnerCap.toLong, "verified_pairs")
+    val simBucket = summarize(
+      simhashHalves(sigs).groupBy(col("half_idx"), col("half"))
+        .agg(count(lit(1)).as("c")),
+      "dedup_simhash.bucket_cap", SimhashBucketCap.toLong, "bucket_occupants")
     val posting = natPosting(spark, dir)
     val docIds = Tables.documents(spark, dir).select(col("doc_id"))
     val bucket = summarize(
@@ -636,6 +686,6 @@ object Dedup {
       ngramRankedPairs(posting, docIds).agg(count(lit(1)).as("c")),
       "ngram_jaccard.verify_budget", ngramVerifyBudget(docIds.count()),
       "candidate_pairs")
-    sim.unionByName(bucket).unionByName(verify)
+    sim.unionByName(simBucket).unionByName(bucket).unionByName(verify)
   }
 }

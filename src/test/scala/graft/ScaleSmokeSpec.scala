@@ -74,6 +74,29 @@ class ScaleSmokeSpec extends SparkSpec {
     assert(perVec.max <= graft.operators.Dedup.SimhashPartnerCap)
   }
 
+  test("simhash JOIN INTERMEDIATE stays <= 2*cap*n when one bucket holds the whole corpus") {
+    import spark.implicits._
+    // n identical texts: every signature is identical, so BOTH halves
+    // put all n docs in one bucket — the uncapped join's intermediate
+    // was 2*n^2 rows here; the bucket cap must hold it to 2*cap*n
+    val n = 5000
+    val cap = 16
+    val docs = (0L until n.toLong).map(i => (i, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val sigs = graft.operators.Dedup.simhashSigs(docs)
+    val intermediate = graft.operators.Dedup.simhashCandidates(sigs, cap).count()
+    assert(intermediate <= 2L * cap * n,
+      s"join intermediate $intermediate exceeds 2*cap*n = ${2L * cap * n}")
+    assert(intermediate > 0, "capped join produced no candidates at all")
+    // the qualifying stream is still found and pair-canonical
+    val pairs = graft.operators.Dedup.simhashQualifying(sigs, cap).collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(r => r.getAs[Long]("a_id") < r.getAs[Long]("b_id")))
+    assert(pairs.length == pairs.map(r =>
+      (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).distinct.length,
+      "duplicate pairs survived the canonicalizing distinct")
+  }
+
   test("ngram_jaccard relative window still finds candidates under 8x replication") {
     import spark.implicits._
     import graft.functions.TextFunctions.shinglePosting
