@@ -185,40 +185,99 @@ object RangeJoin {
       col(ptCol).cast("long").as("_t") +: lit(0L).as("_delta") +:
         lit(pTie).as("_tie") +: ptCols.map(col): _*)
     val u = vSide.unionByName(pSide)
-    // the cumsum at a point row is invariant to ordering among rows
-    // with equal (_t, _tie) — they are all Δ=1 (before it) or Δ=0 —
-    // so no further tie-break column is needed for determinism
-    val counted =
-      if (keys.nonEmpty) {
-        val w = Window.partitionBy(keys.map(col): _*)
-          .orderBy(col("_t"), col("_tie"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        u.withColumn(outCol, sum(col("_delta")).over(w))
-      } else {
-        val ub = u.withColumn("_bucket", bucketOf(col("_t"), bucketWidth))
-        val totals = ub.groupBy(col("_bucket")).agg(sum(col("_delta")).as("_cnt"))
-        // the bucket-total table has min(n, time-span/bucketWidth)
-        // rows — size bucketWidth so span/width stays modest (the
-        // table passes through one single-partition prefix window and
-        // joins back on _bucket; AQE broadcasts it when small)
-        val wPre = Window.orderBy(col("_bucket"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val prefix = totals
-          .withColumn("_prefix", sum(col("_cnt")).over(wPre) - col("_cnt"))
-          .select(col("_bucket"), col("_prefix"))
-        val wIn = Window.partitionBy(col("_bucket"))
-          .orderBy(col("_t"), col("_tie"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        // LEFT join: a NULL-_t point row has a NULL bucket, which an
-        // inner join would silently drop — it must survive with
-        // count 0 (the NULL-bucket window partition holds only Δ=0
-        // point rows, so the cumsum is 0 there)
-        ub.join(prefix, Seq("_bucket"), "left")
-          .withColumn(outCol,
-            coalesce(col("_prefix"), lit(0L)) + sum(col("_delta")).over(wIn))
-          .drop("_bucket", "_prefix")
-      }
-    counted.where(col("_delta") === 0L)
+    bucketedCumsum(u, keys, bucketWidth, outCol)
+      .where(col("_delta") === 0L)
+      .select(ptCols.map(col) :+ col(outCol).cast("long").as(outCol): _*)
+  }
+
+  /** The cumulative-sum engine shared by [[countUnder]] and
+    * [[countActive]]: running Σ `_delta` over the union stream sorted
+    * by (`_t`, `_tie`). The cumsum at a point row is invariant to
+    * ordering among rows with equal (_t, _tie) — each tie class
+    * carries one Δ value and point rows carry Δ=0 — so no further
+    * tie-break column is needed for determinism.
+    */
+  private def bucketedCumsum(u: DataFrame, keys: Seq[String],
+      bucketWidth: Long, outCol: String): DataFrame =
+    if (keys.nonEmpty) {
+      val w = Window.partitionBy(keys.map(col): _*)
+        .orderBy(col("_t"), col("_tie"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      u.withColumn(outCol, sum(col("_delta")).over(w))
+    } else {
+      val ub = u.withColumn("_bucket", bucketOf(col("_t"), bucketWidth))
+      val totals = ub.groupBy(col("_bucket")).agg(sum(col("_delta")).as("_cnt"))
+      // the bucket-total table has min(n, time-span/bucketWidth)
+      // rows — size bucketWidth so span/width stays modest (the
+      // table passes through one single-partition prefix window and
+      // joins back on _bucket; AQE broadcasts it when small)
+      val wPre = Window.orderBy(col("_bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val prefix = totals
+        .withColumn("_prefix", sum(col("_cnt")).over(wPre) - col("_cnt"))
+        .select(col("_bucket"), col("_prefix"))
+      val wIn = Window.partitionBy(col("_bucket"))
+        .orderBy(col("_t"), col("_tie"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // LEFT join: a NULL-_t point row has a NULL bucket, which an
+      // inner join would silently drop — it must survive with
+      // count 0 (the NULL-bucket window partition holds only Δ=0
+      // point rows, so the cumsum is 0 there)
+      ub.join(prefix, Seq("_bucket"), "left")
+        .withColumn(outCol,
+          coalesce(col("_prefix"), lit(0L)) + sum(col("_delta")).over(wIn))
+        .drop("_bucket", "_prefix")
+    }
+
+  /** "How many intervals are active at each point" in ONE pass:
+    * |starts ≤ t| − |ends < t| collapses to a single sweep where a
+    * start contributes Δ=+1, an end Δ=−1, and the tie order at equal
+    * time is starts (0) → points (1) → ends (2) — a same-instant
+    * start counts (≤), a same-instant end doesn't yet subtract (<),
+    * so the running sum AT the point row IS the active count. Same
+    * two-level bucketed cumsum as [[countUnder]], but one union and
+    * one shuffle instead of two chained passes over the same stream
+    * (the r8 plan's measured constant overhead).
+    *
+    * Same column discipline as [[countUnder]]: integral columns,
+    * NULL interval bounds ignored, NULL points count 0; inverted
+    * (start > end) intervals must be pre-filtered by the caller if
+    * they can occur (a start with no matching end would leak +1 into
+    * every later count).
+    */
+  def countActive(points: DataFrame, ptCol: String,
+      intervals: DataFrame, startCol: String, endCol: String,
+      bucketWidth: Long, outCol: String): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    require(!points.columns.contains(outCol),
+      s"points already carries output column `$outCol`")
+    val reserved = Seq("_t", "_delta", "_tie", "_bucket", "_cnt", "_prefix")
+    require(!reserved.contains(outCol),
+      s"output column `$outCol` is a reserved scratch name")
+    val clash = reserved.filter(points.columns.contains)
+    require(clash.isEmpty,
+      s"points carries reserved column(s): ${clash.mkString(", ")}")
+    def integral(df: DataFrame, c: String): Boolean = df.schema(c).dataType match {
+      case _: org.apache.spark.sql.types.LongType | _: org.apache.spark.sql.types.IntegerType |
+           _: org.apache.spark.sql.types.ShortType | _: org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    }
+    require(integral(points, ptCol) && integral(intervals, startCol) &&
+      integral(intervals, endCol),
+      s"countActive needs integral columns; got ${points.schema(ptCol).dataType} / " +
+        s"${intervals.schema(startCol).dataType} / ${intervals.schema(endCol).dataType}")
+    val ptCols = points.columns.toSeq
+    def side(c: String, delta: Long, tie: Int): DataFrame =
+      intervals.where(col(startCol).isNotNull && col(endCol).isNotNull).select(
+        col(c).cast("long").as("_t") +: lit(delta).as("_delta") +:
+          lit(tie).as("_tie") +:
+          ptCols.map(pc => lit(null).cast(points.schema(pc).dataType).as(pc)): _*)
+    val pSide = points.select(
+      col(ptCol).cast("long").as("_t") +: lit(0L).as("_delta") +:
+        lit(1).as("_tie") +: ptCols.map(col): _*)
+    val u = side(startCol, 1L, 0).unionByName(side(endCol, -1L, 2)).unionByName(pSide)
+    bucketedCumsum(u, Nil, bucketWidth, outCol)
+      .where(col("_tie") === 1)
       .select(ptCols.map(col) :+ col(outCol).cast("long").as(outCol): _*)
   }
 
@@ -234,20 +293,15 @@ object RangeJoin {
       .where(col("event_type") === "purchase")
       .select(col("event_id"), col("ts_ms"))
     // "sessions active at t" is a rank difference — |starts ≤ t| −
-    // |ends < t| — so it runs as two countUnder passes with no
+    // |ends < t| — collapsed into ONE sweep by countActive (+1 at
+    // each start, −1 after each end): one union, one shuffle, no
     // (purchase × concurrent-session) pair materialization at all;
     // joinPointInInterval stays the operator for pair-OUTPUT joins
     val sess = Analytics.sessionize(spark, dir)
       .select(col("start_ms"), col("end_ms"))
-      .localCheckpoint()   // feeds both value sides
-    val withLe = countUnder(purchases, "ts_ms",
-      sess.select(col("start_ms").as("_v")), "_v",
-      strict = false, w, "_starts_le")
-    val withLt = countUnder(withLe, "ts_ms",
-      sess.select(col("end_ms").as("_v")), "_v",
-      strict = true, w, "_ends_lt")
-    withLt.select(col("event_id"), col("ts_ms"),
-        (col("_starts_le") - col("_ends_lt")).as("n_active"))
+      .localCheckpoint()   // feeds the start and end value sides
+    countActive(purchases, "ts_ms", sess, "start_ms", "end_ms", w, "n_active")
+      .select(col("event_id"), col("ts_ms"), col("n_active"))
       .orderBy(col("event_id"))
   }
 

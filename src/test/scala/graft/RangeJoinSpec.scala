@@ -108,6 +108,34 @@ class RangeJoinSpec extends SparkSpec {
     }
   }
 
+  test("countActive agrees with naive interval containment on seeded random data") {
+    val rnd = new scala.util.Random(11)
+    val pts = (1L to 200L).map(id => (id, rnd.nextLong(500)))
+    val ivs = (1 to 300).map { _ =>
+      val s = rnd.nextLong(500); (s, s + rnd.nextLong(30))
+    }
+    val p = pts.toDF("p_id", "t")
+    val i = ivs.toDF("s", "e")
+    for (w <- Seq(3L, 50L, 1000L)) {
+      val got = RangeJoin.countActive(p, "t", i, "s", "e", w, "n")
+        .select($"p_id", $"n").as[(Long, Long)].collect().toMap
+      pts.foreach { case (id, t) =>
+        val want = ivs.count { case (s, e) => s <= t && t <= e }.toLong
+        assert(got(id) == want, s"w=$w p=$id t=$t")
+      }
+    }
+    // guards mirror countUnder's
+    intercept[IllegalArgumentException] {
+      RangeJoin.countActive(p, "t", i, "s", "e", 0L, "n")
+    }
+    intercept[IllegalArgumentException] {
+      RangeJoin.countActive(p, "t", i, "s", "e", 4L, "t")
+    }
+    intercept[IllegalArgumentException] {
+      RangeJoin.countActive(p, "t", i, "s", "e", 4L, "_tie")
+    }
+  }
+
   test("countUnder keyed mode counts within the key group only") {
     val pts = Seq((1L, 10L), (1L, 3L), (2L, 10L)).toDF("k", "t")
     val vals = Seq((1L, 3L), (1L, 5L), (2L, 1L)).toDF("k", "_v")
