@@ -36,6 +36,16 @@ object KeywordSearch {
   val Bm25K  = 5
   val Bm25K1 = 1.2
   val Bm25B  = 0.75
+  /** Token-hash shard count of the staged BM25 posting index. The
+    * staged table is Hive-partitioned by `_shard = md5(token) mod
+    * this`, so a query's vocabulary resolves to a static shard set
+    * and the posting scan is PARTITION-PRUNED to those directories —
+    * the inverted-index segment layout at 100 TB, where "look up the
+    * query's tokens" must not mean "scan every posting". Sharding is
+    * a pure function of the token, so pruning can never drop a
+    * matching posting.
+    */
+  val Bm25Shards = 64
 
   /** Synthetic contribution rating — documented stand-in. */
   private val rating = (col("doc_id") % 50).cast("double") / 10.0
@@ -188,18 +198,36 @@ object KeywordSearch {
     * keyed by logic version + corpus fingerprint, session-cached).
     * Build once, query many: a fresh JVM re-reads the staged table
     * instead of re-tokenizing the corpus, exactly the reference's
-    * build-the-index-once shape (FAISS persistence, utils.py). At
-    * cluster scale this table would additionally be written bucketed
-    * by a token hash so a query's vocabulary prunes the scan;
-    * locally the broadcast vocab join filters the cached scan.
+    * build-the-index-once shape (FAISS persistence, utils.py).
+    *
+    * The table is written Hive-partitioned by the [[Bm25Shards]]
+    * token-hash shard, so [[keywordBm25]]'s static shard filter
+    * reaches the parquet scan as PARTITION PRUNING — the ivfpqIndex
+    * pattern. `persist = false` is LOAD-BEARING there too: an
+    * InMemoryRelation would swallow the partition filter before it
+    * reaches the file scan. The read-back select normalizes the
+    * partition column (type-inferred int from directory names) back
+    * to the written long, per the stagedFrame contract.
     */
-  private[graft] def bm25Index(spark: SparkSession, dir: String): DataFrame =
-    graft.DfCache.getOrCompute(spark, s"bm25_post:$dir")(
-      graft.DfCache.stagedFrame(spark, s"bm25_post:$dir",
-        graft.DfCache.inputFingerprint(spark, s"$dir/documents.parquet"))(
+  private[graft] def bm25Index(spark: SparkSession, dir: String): DataFrame = {
+    val key = s"bm25_post:$Bm25Shards:$dir"
+    graft.DfCache.getOrCompute(spark, key)(
+      graft.DfCache.stagedFrame(spark, key,
+        graft.DfCache.inputFingerprint(spark, s"$dir/documents.parquet"),
+        persist = false, partitionCols = Seq("_shard"))(
         bm25PostingsOf(bm25Docs(
           Tables.documents(spark, dir).select(col("doc_id"), col("text")),
-          "doc_id", "text"))))
+          "doc_id", "text"))
+          .withColumn("_shard", bm25Shard(col("_tok"))))
+        .select(col("_did"), col("_dl"), col("_tok"), col("_tf"),
+          col("_shard").cast("long").as("_shard")))
+  }
+
+  /** The token→shard rule — one spelling for the index write and the
+    * query-time shard derivation.
+    */
+  private def bm25Shard(tok: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(md5Long(tok, 1, 8), lit(Bm25Shards.toLong))
 
   /** Per-token document frequency derived from the staged index,
     * memoized per (session, dir) — tiny (one row per distinct
@@ -230,7 +258,17 @@ object KeywordSearch {
   def keywordBm25(spark: SparkSession, dir: String): DataFrame = {
     val qtok = standardQueries(spark).select(col("q_id").as("_qid"),
       explode(array_distinct(tokens(col("q_text")))).as("_tok"))
-    bm25Score(bm25Index(spark, dir), bm25IndexDf(spark, dir),
+    // the query vocabulary's shard set is a bounded metadata-plane
+    // collect (≤ #distinct query tokens — the ann_ivfpq probe
+    // pattern); the STATIC `_shard IN (…)` filter reaches the staged
+    // index's parquet scan as a PartitionFilter, so only the
+    // directories holding the query's tokens are read at all
+    val shards = qtok
+      .select(bm25Shard(col("_tok")).as("_shard")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val post = bm25Index(spark, dir)
+      .where(col("_shard").isin(shards: _*))
+    bm25Score(post, bm25IndexDf(spark, dir),
       bm25IndexStats(spark, dir), qtok, "q_id", "doc_id",
       k = Bm25K, k1p1 = Bm25K1 + 1.0, k1 = Bm25K1, b = Bm25B,
       oneMinusB = 1.0 - Bm25B)
@@ -343,6 +381,39 @@ object KeywordSearch {
   def hybridContextPrioritized(spark: SparkSession, dir: String): DataFrame =
     contextOf(keywordTopCached(spark, dir), knnTextCached(spark, dir),
       spark, dir, prioritized = true)
+
+  /** The contribution-ONLY fallback context —
+    * _create_contribution_only_context (views.py:133), used by the
+    * supabase-path ask flow when vector search returns nothing: 🎯
+    * blocks (rank, 40-char answer preview, rating, similarity) under
+    * "USER CONTRIBUTIONS (FALLBACK SEARCH):"; a query with NO
+    * contribution hits renders the reference's empty string (its
+    * `if not contributions: return ""`), so the q_id universe comes
+    * from the query set, not the hit stream. The reference's optional
+    * `Question:` line has no column in the synthetic data model
+    * (SURVEY.md §3) and is absent, as in the other context variants.
+    */
+  def hybridContextFallback(spark: SparkSession, dir: String): DataFrame = {
+    val kw = keywordTopCached(spark, dir)
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val block = concat(
+      lit("🎯 USER CONTRIBUTION #"), col("rk").cast("string"),
+      lit(":\nAnswer: "), substring(col("text"), 1, 40),
+      lit("\nRating: "), col("rating").cast("string"),
+      lit("/5.0 (Similarity: "), bp(col("score")), lit("bp)"))
+    val sec = kw.join(docs, Seq("doc_id"))
+      .groupBy(col("q_id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("rk"), block.as("block")))),
+          s => s.getField("block")), "\n\n").as("blocks"))
+    standardQueries(spark).select(col("q_id"))
+      .join(sec, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(
+          concat(lit("USER CONTRIBUTIONS (FALLBACK SEARCH):\n"), col("blocks")),
+          lit("")).as("fallback_context"))
+      .orderBy(col("q_id"))
+  }
 
   /** basis-point render: floor(x+0.5), not a bare cast — cast
     * truncates, and 573 of the 10001 possible round4 scores sit just

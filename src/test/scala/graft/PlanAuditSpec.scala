@@ -73,6 +73,14 @@ class PlanAuditSpec extends SparkSpec {
       s"no partial aggregation for bm25 top-k:\n$plan")
     assert(!plan.contains("Window"),
       s"bm25 top-k still uses a window exchange:\n$plan")
+    // the query vocabulary's static shard set must reach the staged
+    // posting index's parquet scan as a PARTITION filter (same
+    // discipline as the ivfpq check below: a filter above the scan or
+    // an interposed InMemoryRelation would read every shard directory)
+    val scanFilters = plan.linesIterator
+      .filter(_.contains("PartitionFilters:")).mkString("\n")
+    assert(scanFilters.contains("_shard#") && scanFilters.contains(" IN "),
+      s"vocab shard set is not a partition filter on the posting scan:\n$plan")
   }
 
   test("ann_ivfpq: fine stage reads only probed clusters; no corpus-sized sort-merge join") {
