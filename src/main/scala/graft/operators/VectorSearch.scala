@@ -520,7 +520,15 @@ object VectorSearch {
     */
   private def pqDecode(spark: SparkSession, dir: String, codes: DataFrame,
       keyCols: Seq[String]): DataFrame =
-    codes.join(broadcast(pqCodebooks(spark, dir)), Seq("m", "label"))
+    pqDecodeWith(pqCodebooks(spark, dir), codes, keyCols)
+
+  /** The decode body against an EXPLICIT codebook frame — the
+    * residual variant decodes against its residual-trained codebooks
+    * through this same single spelling.
+    */
+  private def pqDecodeWith(cb: DataFrame, codes: DataFrame,
+      keyCols: Seq[String]): DataFrame =
+    codes.join(broadcast(cb), Seq("m", "label"))
       .groupBy(keyCols.map(col): _*)
       .agg(flatten(transform(array_sort(collect_list(struct(col("m"), col("c_sub")))),
         s => s.getField("c_sub"))).as("recon"))
@@ -596,25 +604,39 @@ object VectorSearch {
     * rather than relying on runtime DPP.
     */
   def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
-    val cent = kmeansCentroids(spark, dir)
-    val q = vectors(spark, dir).where(col("vec_id") < NQueries)
-      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
-    val probes = q.crossJoin(broadcast(cent))
-      .select(col("q_id"), col("q_emb"), col("label").as("cl"),
-        V.cosine4(col("q_emb"), col("c_emb")).as("c_cos"))
-      .withColumn("prk", rank("c_cos", "cl", "q_id"))
-      .where(col("prk") <= NProbe)
-      .select(col("q_id"), col("q_emb"), col("cl"))
-      .localCheckpoint()   // referenced twice: label collect + scoring join
-    val probedCl = probes.select(col("cl")).distinct()
-      .collect().map(_.getLong(0)).sorted
+    val probes = kmeansProbes(spark, dir)
     val recon = pqDecode(spark, dir,
-      ivfpqIndex(spark, dir).where(col("cl").isin(probedCl: _*)),
+      ivfpqIndex(spark, dir).where(col("cl").isin(probedClOf(probes): _*)),
       Seq("cl", "vec_id"))
     topKExplode(recon.join(broadcast(probes), Seq("cl"))
       .select(col("q_id"), col("vec_id"),
         V.cosine4(col("q_emb"), col("recon")).as("cos")), 3, "vec_id")
   }
+
+  /** The probe stage shared by [[annIvfPq]] and
+    * [[annIvfPqResidual]]: (q_id, q_emb, cl) — each query's NProbe
+    * nearest coarse clusters; localCheckpointed because it is
+    * referenced twice (the probed-label collect and the scoring
+    * join).
+    */
+  private def kmeansProbes(spark: SparkSession, dir: String): DataFrame = {
+    val cent = kmeansCentroids(spark, dir)
+    vectors(spark, dir).where(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+      .crossJoin(broadcast(cent))
+      .select(col("q_id"), col("q_emb"), col("label").as("cl"),
+        V.cosine4(col("q_emb"), col("c_emb")).as("c_cos"))
+      .withColumn("prk", rank("c_cos", "cl", "q_id"))
+      .where(col("prk") <= NProbe)
+      .select(col("q_id"), col("q_emb"), col("cl"))
+      .localCheckpoint()
+  }
+
+  /** Bounded metadata-plane collect of the probed cluster set (≤
+    * NQueries·NProbe longs) — the static partition-pruning predicate.
+    */
+  private def probedClOf(probes: DataFrame): Array[Long] =
+    probes.select(col("cl")).distinct().collect().map(_.getLong(0)).sorted
 
   /** Recall@3 of IVF+PQ against exact brute force — compounds the
     * probe loss measured by ann_recall with the quantization loss
@@ -622,6 +644,97 @@ object VectorSearch {
     */
   def annIvfPqRecall(spark: SparkSession, dir: String): DataFrame =
     recallOf(annIvfPq(spark, dir), spark, dir)
+
+  /** (vec_id, cl, emb=residual) corpus residuals against the k-means
+    * coarse quantizer: r = x − c(x). Elementwise double subtraction
+    * of two oracle-replayed values is itself oracle-replayable (one
+    * correctly-rounded IEEE op per dim, no fold), so the whole
+    * residual chain stays under the DuckDB gate.
+    */
+  private def residualCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val cent = kmeansCentroids(spark, dir)
+    assignClusters(
+      vectors(spark, dir).where(col("vec_id") >= NQueries)
+        .select(col("vec_id"), col("emb")), cent)
+      .join(broadcast(cent), Seq("label"))
+      .select(col("vec_id"), col("label").as("cl"),
+        zip_with(col("emb"), col("c_emb"), (x, c) => x - c).as("emb"))
+  }
+
+  /** Residual-trained PQ codebooks — FAISS IndexIVFPQ's DEFAULT
+    * encoding (by_residual): codebooks quantize x − c(x) instead of
+    * x. Residuals are centered near zero with much less of the
+    * corpus-wide structure the coarse quantizer already captured, so
+    * a 16-entry codebook spends its capacity on local detail — the
+    * property that keeps PQ recall usable at high compression on
+    * real corpora. Same deterministic Lloyd's recipe and staging as
+    * [[pqCodebooks]].
+    */
+  private[graft] def pqResCodebooks(spark: SparkSession, dir: String): DataFrame =
+    graft.DfCache.getOrCompute(spark, s"pqres_codebooks:$KmClusters:$PqM:$PqKsub:$PqIters:$dir")(
+      graft.DfCache.stagedFrame(spark, s"pqres_codebooks:$KmClusters:$PqM:$PqKsub:$PqIters:$dir",
+        graft.DfCache.inputFingerprint(spark, s"$dir/embeddings.parquet")) {
+        val corpusSub = pqSubvectors(
+          residualCorpus(spark, dir).select(col("vec_id"), col("emb")))
+        val init = corpusSub
+          .withColumn("r", row_number().over(
+            Window.partitionBy(col("m")).orderBy(col("vec_id"))))
+          .where(col("r") <= PqKsub)
+          .select(col("m"), (col("r") - 1).cast("long").as("label"),
+            col("sub").as("c_sub"))
+        lloydsRefine(corpusSub, init, Seq("m", "label"), "sub", "c_sub",
+          PqIters, pqAssign)
+      })
+
+  /** The stored residual IVF+PQ index — same Hive-partitioned-by-`cl`
+    * layout and probe-pruning contract as [[ivfpqIndex]], but the
+    * codes quantize residuals against [[pqResCodebooks]].
+    */
+  private[graft] def ivfpqResIndex(spark: SparkSession, dir: String): DataFrame = {
+    val key = s"ivfpq_res_index:$KmClusters:$KmIters:$PqM:$PqKsub:$PqIters:$dir"
+    graft.DfCache.getOrCompute(spark, key)(
+      graft.DfCache.stagedFrame(spark, key,
+        graft.DfCache.inputFingerprint(spark, s"$dir/embeddings.parquet"),
+        persist = false, partitionCols = Seq("cl")) {
+        val res = residualCorpus(spark, dir).localCheckpoint()
+        pqAssign(pqSubvectors(res.select(col("vec_id"), col("emb"))),
+          pqResCodebooks(spark, dir))
+          .select(col("vec_id"), col("m"), col("label"))
+          .join(res.select(col("vec_id"), col("cl")), Seq("vec_id"))
+          .select(col("cl"), col("vec_id"), col("m"), col("label"))
+      }.select(col("cl").cast("long").as("cl"),
+        col("vec_id"), col("m"), col("label")))
+  }
+
+  /** Residual IVF+PQ — FAISS IndexIVFPQ's default by_residual
+    * variant: probe as [[annIvfPq]], but reconstruction is
+    * c(x) + decode(code) — the coarse centroid plus the
+    * residual-codebook reconstruction — so the stored code only has
+    * to capture the within-cluster offset. Same partitioned index
+    * layout, same bounded probe collect, same single decode
+    * spelling ([[pqDecodeWith]]).
+    */
+  def annIvfPqResidual(spark: SparkSession, dir: String): DataFrame = {
+    val probes = kmeansProbes(spark, dir)
+    val resRecon = pqDecodeWith(pqResCodebooks(spark, dir),
+      ivfpqResIndex(spark, dir).where(col("cl").isin(probedClOf(probes): _*)),
+      Seq("cl", "vec_id"))
+    val cent = kmeansCentroids(spark, dir)
+    val recon = resRecon
+      .join(broadcast(cent.select(col("label").as("cl"), col("c_emb"))), Seq("cl"))
+      .select(col("cl"), col("vec_id"),
+        zip_with(col("c_emb"), col("recon"), (c, r) => c + r).as("recon"))
+    topKExplode(recon.join(broadcast(probes), Seq("cl"))
+      .select(col("q_id"), col("vec_id"),
+        V.cosine4(col("q_emb"), col("recon")).as("cos")), 3, "vec_id")
+  }
+
+  /** Recall@3 of residual IVF+PQ vs exact — the measured gain of
+    * residual encoding over [[annIvfPqRecall]]'s non-residual
+    * variant on the same corpus.
+    */
+  def annIvfPqResidualRecall(spark: SparkSession, dir: String): DataFrame =
+    recallOf(annIvfPqResidual(spark, dir), spark, dir)
 
   /** End-to-end text search: literal query strings → hashed-BoW
     * embedding (Ingest.rawEmbed) → cosine against doc_embed vectors →
