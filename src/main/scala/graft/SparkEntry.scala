@@ -96,6 +96,8 @@ object SparkEntry {
     "ann_pq_recall"   -> (VectorSearch.annPqRecall _),
     "ann_ivfpq"        -> (VectorSearch.annIvfPq _),
     "ann_ivfpq_recall" -> (VectorSearch.annIvfPqRecall _),
+    "ann_ivfpq_residual"        -> (VectorSearch.annIvfPqResidual _),
+    "ann_ivfpq_residual_recall" -> (VectorSearch.annIvfPqResidualRecall _),
     "knn_text"        -> (VectorSearch.knnText _),
     "image_search"    -> ((s, d) => Multimodal.imageSearch(s, d)),
     "dedup_embedding" -> (VectorSearch.dedupEmbedding _),
@@ -108,6 +110,7 @@ object SparkEntry {
     "hybrid_rank"       -> (KeywordSearch.hybridRank _),
     "hybrid_context"    -> (KeywordSearch.hybridContext _),
     "hybrid_context_prioritized" -> (KeywordSearch.hybridContextPrioritized _),
+    "hybrid_context_fallback" -> (KeywordSearch.hybridContextFallback _),
     "ask_batch"         -> (KeywordSearch.askBatch _),
   )
 
@@ -296,38 +299,51 @@ object SparkEntry {
     * codebook `pcb3`; `prk` ranks the asymmetric search (full-
     * precision query vs codebook reconstruction).
     */
+  private def pqD2Sql(s: String, c: String) =
+    s"floor(((list_dot_product($s, $s) + list_dot_product($c, $c)) - " +
+      s"(2.0 * list_dot_product($s, $c))) * 10000.0 + 0.5)/10000.0"
+
+  private def pqAssignSql(name: String, src: String, cbPrev: String) =
+    s"""$name AS (SELECT vec_id, m, sub, label FROM (
+       |    SELECT c.vec_id, c.m, c.sub, k.label,
+       |      row_number() OVER (PARTITION BY c.vec_id, c.m ORDER BY
+       |        ${pqD2Sql("c.sub", "k.c_sub")} ASC, k.label) AS ark
+       |    FROM $src c JOIN $cbPrev k USING (m)) WHERE ark = 1)""".stripMargin
+
+  /** The per-subspace Lloyd's training chain (init + 3 unrolled
+    * iterations) over a (vec_id, m, sub) corpus CTE — ONE generator
+    * for the plain ([[pqCte]], prefix `p`) and residual
+    * ([[pqResCte]], prefix `r`) codebooks, so the two trainings
+    * cannot drift. Emits `${pfx}cb0..3` and `${pfx}as1..3`.
+    */
+  private def pqTrainSql(pfx: String, corpus: String): String = {
+    val init =
+      s"""${pfx}cb0 AS (SELECT m, CAST(r - 1 AS BIGINT) AS label, sub AS c_sub FROM (
+         |    SELECT m, sub, row_number() OVER (PARTITION BY m ORDER BY vec_id) AS r
+         |    FROM $corpus) WHERE r <= 16)""".stripMargin
+    val iters = (1 to 3).map { i =>
+      pqAssignSql(s"${pfx}as$i", corpus, s"${pfx}cb${i - 1}") +
+      s""",
+         |${pfx}md$i AS (SELECT m, label, g-1 AS dim,
+         |    CAST(SUM(CAST(sub[g] AS DECIMAL(18,9))) AS DOUBLE)/COUNT(*) AS cv
+         |  FROM ${pfx}as$i, LATERAL (SELECT unnest(generate_series(1, len(sub))) g) gg
+         |  GROUP BY m, label, g),
+         |${pfx}cm$i AS (SELECT m, label, list(cv ORDER BY dim) AS new_sub
+         |  FROM ${pfx}md$i GROUP BY m, label),
+         |${pfx}cb$i AS (SELECT k.m, k.label, coalesce(mm2.new_sub, k.c_sub) AS c_sub
+         |  FROM ${pfx}cb${i - 1} k LEFT JOIN ${pfx}cm$i mm2 USING (m, label))""".stripMargin
+    }.mkString(",\n")
+    init + ",\n" + iters
+  }
+
   private val pqCte: String = {
-    def d2(s: String, c: String) =
-      s"floor(((list_dot_product($s, $s) + list_dot_product($c, $c)) - " +
-        s"(2.0 * list_dot_product($s, $c))) * 10000.0 + 0.5)/10000.0"
-    def assignCte(name: String, src: String, cbPrev: String) =
-      s"""$name AS (SELECT vec_id, m, sub, label FROM (
-         |    SELECT c.vec_id, c.m, c.sub, k.label,
-         |      row_number() OVER (PARTITION BY c.vec_id, c.m ORDER BY
-         |        ${d2("c.sub", "k.c_sub")} ASC, k.label) AS ark
-         |    FROM $src c JOIN $cbPrev k USING (m)) WHERE ark = 1)""".stripMargin
     val init =
       """psub AS (SELECT vec_id, mm.m AS m,
         |    emb[mm.m*(len(emb)//8)+1 : (mm.m+1)*(len(emb)//8)] AS sub
         |  FROM n, (SELECT unnest(generate_series(0, 7)) AS m) mm),
-        |pqc AS (SELECT vec_id, m, sub FROM psub WHERE vec_id >= 10),
-        |pcb0 AS (SELECT m, CAST(r - 1 AS BIGINT) AS label, sub AS c_sub FROM (
-        |    SELECT m, sub, row_number() OVER (PARTITION BY m ORDER BY vec_id) AS r
-        |    FROM pqc) WHERE r <= 16)""".stripMargin
-    val iters = (1 to 3).map { i =>
-      assignCte(s"pas$i", "pqc", s"pcb${i - 1}") +
-      s""",
-         |pmd$i AS (SELECT m, label, g-1 AS dim,
-         |    CAST(SUM(CAST(sub[g] AS DECIMAL(18,9))) AS DOUBLE)/COUNT(*) AS cv
-         |  FROM pas$i, LATERAL (SELECT unnest(generate_series(1, len(sub))) g) gg
-         |  GROUP BY m, label, g),
-         |pcm$i AS (SELECT m, label, list(cv ORDER BY dim) AS new_sub
-         |  FROM pmd$i GROUP BY m, label),
-         |pcb$i AS (SELECT k.m, k.label, coalesce(mm2.new_sub, k.c_sub) AS c_sub
-         |  FROM pcb${i - 1} k LEFT JOIN pcm$i mm2 USING (m, label))""".stripMargin
-    }.mkString(",\n")
+        |pqc AS (SELECT vec_id, m, sub FROM psub WHERE vec_id >= 10)""".stripMargin
     val tail =
-      assignCte("pasF", "psub", "pcb3") +
+      pqAssignSql("pasF", "psub", "pcb3") +
       """,
         |prec AS (SELECT a.vec_id, flatten(list(k.c_sub ORDER BY a.m)) AS recon
         |  FROM pasF a JOIN pcb3 k USING (m, label) WHERE a.vec_id >= 10
@@ -338,7 +354,39 @@ object SparkEntry {
         |  FROM prec r2, (SELECT vec_id, emb, nrm FROM n WHERE vec_id < 10) q),
         |prk AS (SELECT q_id, vec_id, cos,
         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk FROM psc)""".stripMargin
-    init + ",\n" + iters + ",\n" + tail
+    init + ",\n" + pqTrainSql("p", "pqc") + ",\n" + tail
+  }
+
+  /** Residual PQ chain — oracle twin of VectorSearch.pqResCodebooks /
+    * ivfpqResIndex / annIvfPqResidual: residuals against the final
+    * k-means assignment (`kasF`/`kcent3`), the SAME unrolled training
+    * recipe via [[pqTrainSql]] (prefix `r`), encoding, and full
+    * reconstruction = centroid + residual decode. Scoring joins the
+    * probe CTE `ipp2` from [[ivfpqProbeCte]].
+    */
+  private val pqResCte: String = {
+    val init =
+      """rres AS (SELECT a.vec_id, a.label AS cl,
+        |    list_transform(generate_series(1, len(a.emb)), g -> a.emb[g] - k.c_emb[g]) AS remb
+        |  FROM kasF a JOIN kcent3 k USING (label)),
+        |rsub AS (SELECT vec_id, mm.m AS m,
+        |    remb[mm.m*(len(remb)//8)+1 : (mm.m+1)*(len(remb)//8)] AS sub
+        |  FROM rres, (SELECT unnest(generate_series(0, 7)) AS m) mm)""".stripMargin
+    val tail =
+      pqAssignSql("rasF", "rsub", "rcb3") +
+      """,
+        |rrec0 AS (SELECT a.vec_id, flatten(list(k.c_sub ORDER BY a.m)) AS rr
+        |  FROM rasF a JOIN rcb3 k USING (m, label) GROUP BY a.vec_id),
+        |rrec AS (SELECT r0.vec_id, rs.cl,
+        |    list_transform(generate_series(1, len(r0.rr)), g -> k.c_emb[g] + r0.rr[g]) AS recon
+        |  FROM rrec0 r0 JOIN rres rs USING (vec_id) JOIN kcent3 k ON k.label = rs.cl),
+        |rips AS (SELECT p.q_id, r2.vec_id,
+        |    floor((list_dot_product(p.q_emb, r2.recon)
+        |      /(p.q_nrm * sqrt(list_sum(list_transform(r2.recon, x -> x*x))))) * 10000.0 + 0.5)/10000.0 AS cos
+        |  FROM ipp2 p JOIN rrec r2 ON r2.cl = p.label),
+        |ripr AS (SELECT q_id, vec_id, cos,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk FROM rips)""".stripMargin
+    init + ",\n" + pqTrainSql("r", "rsub") + ",\n" + tail
   }
 
   /** IVF+PQ search tail — oracle twin of VectorSearch.annIvfPq over
@@ -348,7 +396,7 @@ object SparkEntry {
     * against the reconstruction of only the probed clusters' corpus
     * vectors, rank top-3.
     */
-  private val ivfpqCte =
+  private val ivfpqProbeCte =
     """ipcn AS (SELECT label, c_emb,
       |    sqrt(list_sum(list_transform(c_emb, x -> x*x))) AS c_nrm FROM kcent3),
       |ipq AS (SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm FROM n WHERE vec_id < 10),
@@ -356,7 +404,10 @@ object SparkEntry {
       |    floor((list_dot_product(q_emb, c_emb)/(q_nrm*c_nrm)) * 10000.0 + 0.5)/10000.0 AS c_cos
       |  FROM ipq, ipcn),
       |ipp2 AS (SELECT q_id, q_emb, q_nrm, label FROM (SELECT *, row_number() OVER (
-      |    PARTITION BY q_id ORDER BY c_cos DESC, label) AS cprk FROM ippr) WHERE cprk <= 2),
+      |    PARTITION BY q_id ORDER BY c_cos DESC, label) AS cprk FROM ippr) WHERE cprk <= 2)""".stripMargin
+
+  private val ivfpqCte = ivfpqProbeCte +
+    """,
       |ips AS (SELECT p.q_id, a.vec_id,
       |    floor((list_dot_product(p.q_emb, r2.recon)
       |      /(p.q_nrm * sqrt(list_sum(list_transform(r2.recon, x -> x*x))))) * 10000.0 + 0.5)/10000.0 AS cos
@@ -891,6 +942,22 @@ object SparkEntry {
       textEmbBody + ",\n" + contextCte(prioritized = true) +
       """
         |SELECT q_id, combined_context FROM ctx ORDER BY q_id""".stripMargin),
+    "hybrid_context_fallback" -> ("WITH " + queriesCte + ",\n" + keywordBody +
+      """,
+        |kw AS (SELECT q_id, doc_id, score, rating, rk FROM kr WHERE rk <= 5),
+        |hits AS (SELECT kw.*, d.text FROM kw JOIN documents d USING (doc_id)),
+        |blocks AS (SELECT q_id, rk,
+        |  concat('🎯 USER CONTRIBUTION #', CAST(rk AS VARCHAR), ':', chr(10),
+        |    'Answer: ', substr(text, 1, 40), chr(10),
+        |    'Rating: ', CAST(rating AS VARCHAR), '/5.0 (Similarity: ',
+        |    CAST(CAST(floor(score*10000 + 0.5) AS BIGINT) AS VARCHAR), 'bp)') AS block
+        |  FROM hits),
+        |sec AS (SELECT q_id, concat('USER CONTRIBUTIONS (FALLBACK SEARCH):', chr(10),
+        |  array_to_string(list(block ORDER BY rk), concat(chr(10), chr(10)))) AS fb
+        |  FROM blocks GROUP BY q_id)
+        |SELECT q.q_id, coalesce(s.fb, '') AS fallback_context
+        |FROM queries q LEFT JOIN sec s ON q.q_id = s.q_id
+        |ORDER BY q.q_id""".stripMargin),
     "ask_batch" -> ("WITH " + queriesCte + ",\n" + keywordBody + ",\n" +
       textEmbBody + ",\n" + contextCte(prioritized = false) + ",\n" + sourcesCte +
       """,
@@ -1286,6 +1353,22 @@ object SparkEntry {
       """,
         |ex3 AS (SELECT q_id, vec_id FROM r WHERE rk <= 3),
         |ap AS (SELECT q_id, vec_id FROM ipr WHERE rk <= 3),
+        |h AS (SELECT ap.q_id, COUNT(*) AS hits
+        |  FROM ap JOIN ex3 ON ap.q_id = ex3.q_id AND ap.vec_id = ex3.vec_id
+        |  GROUP BY ap.q_id)
+        |SELECT e.q_id, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+        |  floor((CAST(coalesce(h.hits, 0) AS DOUBLE)/3.0) * 10000.0 + 0.5)/10000.0 AS recall
+        |FROM (SELECT DISTINCT q_id FROM ex3) e LEFT JOIN h ON e.q_id = h.q_id
+        |ORDER BY e.q_id""".stripMargin),
+    "ann_ivfpq_residual" -> (vecCte + ",\n" + kmeansCte + ",\n" + ivfpqProbeCte +
+      ",\n" + pqResCte +
+      """
+        |SELECT q_id, vec_id, cos, rk FROM ripr WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin),
+    "ann_ivfpq_residual_recall" -> (knnCte + ",\n" + kmeansCte + ",\n" + ivfpqProbeCte +
+      ",\n" + pqResCte +
+      """,
+        |ex3 AS (SELECT q_id, vec_id FROM r WHERE rk <= 3),
+        |ap AS (SELECT q_id, vec_id FROM ripr WHERE rk <= 3),
         |h AS (SELECT ap.q_id, COUNT(*) AS hits
         |  FROM ap JOIN ex3 ON ap.q_id = ex3.q_id AND ap.vec_id = ex3.vec_id
         |  GROUP BY ap.q_id)
