@@ -8,23 +8,31 @@ import graft.functions.TextFunctions
 
 /** A banded document on the wire between the signature projection and
   * the bucket state machine: `bd` the band index, `band_key` the
-  * band's joined minima, `sig` the full 16-permutation signature.
+  * band's joined minima, `sig` the full 16-permutation signature,
+  * `sketch`/`nsh` the bottom-k shingle sketch and true distinct-
+  * shingle count backing the streamed verification stage.
   */
 private[streaming] case class BandedDoc(
     bd: Int, band_key: String, doc_id: Long, ts_ms: Long, sig: Seq[Long],
+    sketch: Seq[Long], nsh: Long,
     ts: java.sql.Timestamp)   // the watermarked event-time attribute —
                               // must survive into the stateful operator
 
-/** A streamed near-duplicate candidate: `est_jaccard` is the MinHash
+/** A streamed near-duplicate pair: `est_jaccard` is the MinHash
   * estimate (matching signature components / 16 — an exact multiple
-  * of 1/16, so doubles carry it exactly). Pairs are candidate-grade,
-  * not verified: the batch posting-list Jaccard
-  * (operators/Dedup.minhashPairs) remains the reconciler, the same
-  * detect→apply division the batch pipeline draws.
+  * of 1/16, so doubles carry it exactly); `jaccard` is the VERIFIED
+  * bottom-k sketch estimate — EXACT Jaccard whenever both docs have ≤
+  * [[NearDupStream.SketchSize]] distinct shingles, the k-smallest-
+  * hashes estimator otherwise — good enough to act on without a batch
+  * reconciliation pass. The batch posting-list Jaccard
+  * (operators/Dedup.minhashPairs) remains the full-precision
+  * reconciler for capped docs.
   */
-case class NearDupCand(a_id: Long, b_id: Long, est_jaccard: Double, ts_ms: Long)
+case class NearDupCand(a_id: Long, b_id: Long, est_jaccard: Double,
+    jaccard: Double, ts_ms: Long)
 
-private[streaming] case class BucketDoc(doc_id: Long, ts_ms: Long, sig: Seq[Long])
+private[streaming] case class BucketDoc(doc_id: Long, ts_ms: Long, sig: Seq[Long],
+    sketch: Seq[Long], nsh: Long)
 private[streaming] case class BucketState(docs: Seq[BucketDoc])
 
 /** Streaming twin of the batch MinHash+LSH near-dup DETECTION
@@ -37,8 +45,9 @@ private[streaming] case class BucketState(docs: Seq[BucketDoc])
   * minima the batch aggregates compute, so a (doc, band) pair lands
   * in the SAME bucket under either engine) and pairs only ever form
   * inside a band bucket: candidate volume stays O(near-dups), never
-  * all-pairs. State per bucket is the retained docs' signatures —
-  * 16 longs each, NOT the texts — capped at [[MaxBucketDocs]] (newest
+  * all-pairs. State per bucket is the retained docs' signatures plus
+  * a bottom-k shingle sketch for in-stream verification — ≤ 16 +
+  * [[SketchSize]] longs each, NOT the texts — capped at [[MaxBucketDocs]] (newest
   * kept: a hot bucket is duplicate-heavy content whose exact copies
   * the upstream [[DedupStream]] already removed) and evicted
   * [[RetentionMs]] after each doc's event time, so an unbounded
@@ -62,6 +71,37 @@ object NearDupStream {
     */
   val MaxBucketDocs: Int = 256
 
+  /** Bottom-k shingle-sketch size: each retained doc keeps its
+    * [[SketchSize]] SMALLEST distinct shingle hashes (a KMV sketch)
+    * plus its true distinct count. For docs under the cap the sketch
+    * IS the shingle set, so the verified Jaccard is exact; above it,
+    * the standard bottom-k estimator (intersection within the k
+    * smallest of the union) with ~1/√k relative error. State cost: ≤
+    * cap·(16 + k) longs per bucket — still texts-free and bounded.
+    */
+  val SketchSize: Int = 64
+
+  /** Bottom-k verified Jaccard between two sketches. Exact when both
+    * true counts fit the sketch; otherwise restricted to the k
+    * smallest union hashes — the only window where both sketches are
+    * complete, which is what makes the estimator unbiased.
+    * Deterministic for given inputs (pure set arithmetic).
+    */
+  private[graft] def sketchJaccard(a: Seq[Long], na: Long,
+      b: Seq[Long], nb: Long): Double =
+    if (na <= SketchSize && nb <= SketchSize) {
+      val sa = a.toSet
+      val inter = b.count(sa)
+      val uni = na + nb - inter
+      if (uni == 0) 0.0 else inter.toDouble / uni
+    } else {
+      val sa = a.toSet
+      val sb = b.toSet
+      val union = (a ++ b).distinct.sorted.take(SketchSize)
+      if (union.isEmpty) 0.0
+      else union.count(x => sa(x) && sb(x)).toDouble / union.length
+    }
+
   import graft.operators.Dedup.{Bands, MinhashPerms}
 
   /** Per-row signature minima, the narrow (shuffle-free) restatement
@@ -83,14 +123,19 @@ object NearDupStream {
     */
   private[graft] def banded(docs: DataFrame): DataFrame = {
     val rows = MinhashPerms / Bands
+    // `hs` is DISTINCT hashes: the permutation minima are unchanged
+    // (min over distinct = min over all) and the bottom-k slice needs
+    // set semantics
     val sigged = docs
       .select(col("doc_id"), col("ts_ms"),
         TextFunctions.shingles(col("text"), 3).as("sh"))
       .where(size(col("sh")) > 0)
       .select(col("doc_id"), col("ts_ms"),
-        transform(col("sh"), g => TextFunctions.md5Long(g, 1, 8)).as("hs"))
-      .select(col("doc_id") +: col("ts_ms") +: sigCols: _*)
-    sigged.select(col("doc_id"), col("ts_ms"),
+        array_distinct(transform(col("sh"), g => TextFunctions.md5Long(g, 1, 8))).as("hs"))
+      .select(col("doc_id") +: col("ts_ms") +:
+        slice(array_sort(col("hs")), 1, SketchSize).as("sketch") +:
+        size(col("hs")).cast("long").as("nsh") +: sigCols: _*)
+    sigged.select(col("doc_id"), col("ts_ms"), col("sketch"), col("nsh"),
       array((0 until MinhashPerms).map(p => col(s"m$p")): _*).as("sig"),
       posexplode(array((0 until Bands).map { b =>
         concat_ws("|", (0 until rows).map(r => col(s"m${b * rows + r}").cast("string")): _*)
@@ -109,7 +154,7 @@ object NearDupStream {
       .withColumn("ts", timestamp_millis(col("ts_ms")))
       .withWatermark("ts", WatermarkSpec)
       .select(col("bd"), col("band_key"), col("doc_id"), col("ts_ms"),
-        col("sig"), col("ts"))
+        col("sig"), col("sketch"), col("nsh"), col("ts"))
       .as[BandedDoc]
       .groupByKey(d => (d.bd, d.band_key))
       .flatMapGroupsWithState[BucketState, NearDupCand](
@@ -129,10 +174,12 @@ object NearDupStream {
                 val est = matches.toDouble / MinhashPerms
                 if (est >= estFloor)
                   out += NearDupCand(math.min(r.doc_id, d.doc_id),
-                    math.max(r.doc_id, d.doc_id), est, d.ts_ms)
+                    math.max(r.doc_id, d.doc_id), est,
+                    sketchJaccard(r.sketch, r.nsh, d.sketch, d.nsh), d.ts_ms)
               }
             }
-            retained = (retained :+ BucketDoc(d.doc_id, d.ts_ms, d.sig))
+            retained = (retained :+ BucketDoc(d.doc_id, d.ts_ms, d.sig,
+                d.sketch, d.nsh))
               .takeRight(MaxBucketDocs)   // newest win the cap
           }
           if (retained.isEmpty) state.remove()

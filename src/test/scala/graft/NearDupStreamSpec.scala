@@ -73,6 +73,75 @@ class NearDupStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streamed verified jaccard: exact below the sketch cap; floor-filtered pairs ⊆ batch verified") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // every doc has < SketchSize distinct 3-gram shingles, so the
+    // bottom-k sketch IS the shingle set and the streamed jaccard is
+    // EXACT — comparable 1:1 against a driver-side posting-set jaccard
+    val corpus = perturbedCorpus().map { case (id, t) =>
+      (id, t.split(" ").take(40).mkString(" "))   // ≤ 38 shingles
+    }
+    def shingleSet(t: String): Set[Seq[String]] =
+      t.split(" ").sliding(3).filter(_.length == 3).map(_.toSeq).toSet
+    val exact = {
+      val sets = corpus.toMap.view.mapValues(shingleSet).toMap
+      for {
+        (a, sa) <- sets; (b, sb) <- sets if a < b
+        inter = (sa & sb).size if inter > 0
+      } yield (a, b) -> inter.toDouble / (sa.size + sb.size - inter)
+    }
+    val t0 = 1700000000000L
+    val docs = corpus.zipWithIndex.map { case ((id, t), i) =>
+      DocIn(id, t0 + i * 1000L, t)
+    }
+    val input = MemoryStream[DocIn]
+    val query = NearDupStream.nearDupPairs(spark, input.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("ndverif").start()
+    try {
+      docs.grouped(400).foreach { b =>
+        input.addData(b.toIndexedSeq); query.processAllAvailable()
+      }
+      val streamed = spark.table("ndverif").collect()
+        .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")) ->
+          r.getAs[Double]("jaccard")).toMap
+      assert(streamed.nonEmpty)
+      // exactness: every emitted pair's verified jaccard equals the
+      // driver-side posting-set jaccard bit-for-bit
+      streamed.foreach { case (pair, jac) =>
+        assert(jac == exact.getOrElse(pair, 0.0), s"pair $pair")
+      }
+      // the floor contract: streamed pairs at jaccard ≥ 0.8 are a
+      // subset of the batch verified pairs at the SAME floor (the
+      // stream can miss pairs — retention, caps — but never invent)
+      val batchVerified = exact.filter(_._2 >= 0.8).keySet
+      val streamedStrong = streamed.filter(_._2 >= 0.8).keys.toSet
+      assert(streamedStrong.nonEmpty, "no strong pairs streamed at all")
+      assert(streamedStrong.subsetOf(batchVerified),
+        s"${(streamedStrong -- batchVerified).size} streamed pairs not batch-verified")
+    } finally query.stop()
+  }
+
+  test("sketchJaccard: exact under the cap, bounded and sane over it") {
+    import graft.streaming.NearDupStream.{sketchJaccard, SketchSize}
+    // under the cap: plain set jaccard
+    assert(sketchJaccard(Seq(1L, 2L, 3L), 3, Seq(2L, 3L, 4L), 3) == 0.5)
+    assert(sketchJaccard(Seq(1L), 1, Seq(2L), 1) == 0.0)
+    assert(sketchJaccard(Seq.empty, 0, Seq.empty, 0) == 0.0)
+    // over the cap: identical sketches of oversized docs → estimate 1
+    val big = (1L to (SketchSize + 50L)).toSeq
+    val sk = big.take(SketchSize)
+    assert(sketchJaccard(sk, big.size.toLong, sk, big.size.toLong) == 1.0)
+    // disjoint oversized docs → 0
+    val sk2 = big.map(_ + 1000000L).take(SketchSize)
+    assert(sketchJaccard(sk, big.size.toLong, sk2, big.size.toLong) == 0.0)
+    // half-overlap estimate stays within [0, 1]
+    val a = (1L to 100L).take(SketchSize)
+    val b = (51L to 150L).take(SketchSize)
+    val est = sketchJaccard(a, 100, b, 100)
+    assert(est >= 0.0 && est <= 1.0)
+  }
+
   test("a hot bucket pairs each arrival against at most the state cap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
