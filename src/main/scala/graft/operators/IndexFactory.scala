@@ -108,4 +108,30 @@ object IndexFactory {
           s"parameters; supported: ${supported.mkString(", ")}")
     }
   }
+
+  /** Text search over a PERSISTED index (a [[graft.sources.ChunkIndex]]
+    * root) by factory string — the FAISS save → load(factory) →
+    * search flow end-to-end: the index's manifest records its own
+    * factory identity at write time (`param factory …`), and a loader
+    * naming different parameters fails fast, exactly as a FAISS index
+    * file fixes its nlist/M at train time. `spec` must parse (the
+    * same grammar errors as [[search]]) AND render equal to the
+    * recorded identity; a pre-parameter manifest (written before
+    * identities were stamped) is also a loud failure rather than an
+    * unchecked search.
+    */
+  def searchPersisted(spark: SparkSession, indexPath: String, spec: String,
+      queryText: String, nProbe: Int = 2, k: Int = 5): DataFrame = {
+    import graft.sources.ChunkIndex
+    val p = parse(spec)
+    val recorded = ChunkIndex.indexParams(spark, indexPath).getOrElse("factory",
+      throw new IllegalArgumentException(
+        s"index at $indexPath records no factory identity (pre-parameter " +
+          "manifest) — rewrite or upsert it to stamp one"))
+    if (p.render != parse(recorded).render)
+      throw new IllegalArgumentException(
+        s"factory '$spec' does not match the persisted index's " +
+          s"'$recorded' at $indexPath")
+    ChunkIndex.search(spark, indexPath, queryText, nProbe, k)
+  }
 }

@@ -76,9 +76,30 @@ object ChunkIndex {
   // Manifest IO
   // ----------------------------------------------------------------
 
-  private case class Manifest(seq: Long, tables: Map[String, Map[String, String]]) {
+  private case class Manifest(seq: Long, tables: Map[String, Map[String, String]],
+      params: Map[String, String] = Map.empty) {
     def table(name: String): Map[String, String] = tables.getOrElse(name, Map.empty)
   }
+
+  /** The index's FAISS-style factory identity, stamped into every
+    * manifest at write time (`param factory …`): the coarse quantizer
+    * is the dominant hashed-BoW dimension — [[Ingest.EmbedDim]]
+    * possible buckets over flat (unquantized) sparse weights. A
+    * loader asking for different parameters fails fast
+    * (operators.IndexFactory.searchPersisted), exactly as a FAISS
+    * index file fixes its own nlist/M at train time.
+    */
+  val FactoryString: String = s"IVF${Ingest.EmbedDim},Flat"
+
+  private def indexParamDefaults: Map[String, String] = Map(
+    "factory" -> FactoryString,
+    "chunk_shards" -> ChunkShards.toString)
+
+  /** The parameter block of the committed manifest (empty for a
+    * never-committed root or a pre-parameter manifest).
+    */
+  private[graft] def indexParams(spark: SparkSession, root: String): Map[String, String] =
+    currentManifest(spark, root).map(_.params).getOrElse(Map.empty)
 
   private def fsOf(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -126,14 +147,16 @@ object ChunkIndex {
     var seq = 0L
     val tabs = scala.collection.mutable.Map[String, Map[String, String]]()
       .withDefaultValue(Map.empty)
+    val params = scala.collection.mutable.Map[String, String]()
     lines.filter(_.nonEmpty).foreach { l =>
       l.split(" ", 3) match {
         case Array("seq", n)       => seq = n.toLong
+        case Array("param", k, v)  => params(k) = v
         case Array(t, part, rel)   => tabs(t) = tabs(t) + (part -> rel)
         case _                     => ()
       }
     }
-    Some(Manifest(seq, tabs.toMap))
+    Some(Manifest(seq, tabs.toMap, params.toMap))
   }
 
   /** Publish a manifest: write complete under a tmp name, then one
@@ -144,6 +167,7 @@ object ChunkIndex {
     val fs = fsOf(spark, rootP)
     fs.mkdirs(manifestDir(rootP))
     val content = (Seq(s"seq ${m.seq}") ++
+      m.params.toSeq.sorted.map { case (k, v) => s"param $k $v" } ++
       m.tables.toSeq.sortBy(_._1).flatMap { case (t, mp) =>
         mp.toSeq.sortBy(_._1).map { case (p, rel) => s"$t $p $rel" }
       }).mkString("\n")
@@ -217,7 +241,8 @@ object ChunkIndex {
       "shard", outPath, writeId, "chunks")
     val em = writeTablePartitions(spark, withBucket(Ingest.docEmbed(spark, dir)),
       "bucket", outPath, writeId, "embeddings")
-    commit(spark, outPath, Manifest(1L, Map("chunks" -> ch, "embeddings" -> em)))
+    commit(spark, outPath,
+      Manifest(1L, Map("chunks" -> ch, "embeddings" -> em), indexParamDefaults))
   }
 
   /** MERGE-style upsert of an incoming (doc_id, text) batch into the
@@ -253,7 +278,8 @@ object ChunkIndex {
           "shard", outPath, writeId, "chunks")
         val em = writeTablePartitions(spark, withBucket(Ingest.embedOf(incoming)),
           "bucket", outPath, writeId, "embeddings")
-        commit(spark, outPath, Manifest(1L, Map("chunks" -> ch, "embeddings" -> em)))
+        commit(spark, outPath,
+          Manifest(1L, Map("chunks" -> ch, "embeddings" -> em), indexParamDefaults))
       case Some(m) =>
         val writeId = s"w-${newId()}"
         val ids = incoming.select(col("doc_id")).distinct()
@@ -265,8 +291,11 @@ object ChunkIndex {
           ids, withShard(Ingest.chunksOf(incoming)), chunkOldParts, writeId, "chunks")
         val em = upsertTable(spark, outPath, m.table("embeddings"), "bucket",
           ids, withBucket(Ingest.embedOf(incoming)), None, writeId, "embeddings")
+        // params carry forward (they're the index's fixed identity); a
+        // pre-parameter manifest gets stamped on its next commit
         commit(spark, outPath,
-          Manifest(m.seq + 1, Map("chunks" -> ch, "embeddings" -> em)))
+          Manifest(m.seq + 1, Map("chunks" -> ch, "embeddings" -> em),
+            if (m.params.nonEmpty) m.params else indexParamDefaults))
     }
   }
 

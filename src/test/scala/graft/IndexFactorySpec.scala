@@ -38,6 +38,38 @@ class IndexFactorySpec extends SparkSpec {
     }
   }
 
+  test("persisted index: manifest records its factory identity; mismatch fails fast") {
+    import graft.sources.ChunkIndex
+    val root = java.nio.file.Files.createTempDirectory("graft_factory_idx").toString
+    ChunkIndex.write(spark, sfDir, root)
+    // the stamped identity round-trips through the manifest
+    assert(ChunkIndex.indexParams(spark, root).get("factory")
+      === Some(ChunkIndex.FactoryString))
+    // the matching factory string searches the persisted index and
+    // returns exactly what the direct persisted search returns
+    val got = IndexFactory.searchPersisted(spark, root,
+      ChunkIndex.FactoryString, "hash join", nProbe = 2, k = 5)
+      .collect().map(_.toString).toSeq
+    val direct = ChunkIndex.search(spark, root, "hash join", nProbe = 2, k = 5)
+      .collect().map(_.toString).toSeq
+    assert(got === direct && got.nonEmpty)
+    // a parseable but different configuration is a loud mismatch,
+    // naming both identities
+    val e = intercept[IllegalArgumentException](
+      IndexFactory.searchPersisted(spark, root, "IVF8,Flat", "hash join"))
+    assert(e.getMessage.contains("IVF8,Flat") &&
+      e.getMessage.contains(ChunkIndex.FactoryString))
+    // grammar errors fail before any manifest read
+    intercept[IllegalArgumentException](
+      IndexFactory.searchPersisted(spark, root, "HNSW32", "hash join"))
+    // an upsert carries the identity forward into the next manifest
+    import spark.implicits._
+    ChunkIndex.upsert(spark, root,
+      Seq((999999L, "carried forward param test")).toDF("doc_id", "text"))
+    assert(ChunkIndex.indexParams(spark, root).get("factory")
+      === Some(ChunkIndex.FactoryString))
+  }
+
   test("every supported string dispatches to the direct operator's frame") {
     def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
       df.collect().map(_.toString).sorted.toSeq
