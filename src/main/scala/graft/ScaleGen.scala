@@ -46,14 +46,21 @@ object ScaleGen {
     w(replicate(t("lineitem"), mult) { (df, k) =>
       df.withColumn("l_orderkey", col("l_orderkey") + lit(k * 1000000000L))
     }, "lineitem")
-    // events.ts arrives as a nanos long (legacy flag above); writing
-    // that long back would break the DuckDB oracle's epoch_ms(ts) on
-    // the scaled dir — publish a real TIMESTAMP_NTZ (micros) instead;
-    // Tables.events handles both physical types
-    w(replicate(t("events"), mult) { (df, k) =>
+    // events.ts physical type varies by testdata generation:
+    // TIMESTAMP(NANOS) reads as a nanos long under the legacy flag
+    // above and must be republished as a real TIMESTAMP_NTZ (micros)
+    // or the DuckDB oracle's epoch_ms(ts) breaks on the scaled dir;
+    // micros testdata already reads as TIMESTAMP_NTZ and passes
+    // through unchanged. Tables.events handles both.
+    val ev = t("events")
+    val tsOut = ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => timestamp_micros(expr("ts div 1000"))
+      case _                                   => col("ts")
+    }
+    w(replicate(ev, mult) { (df, k) =>
       df.withColumn("event_id", col("event_id") + lit(k * 1000000000L))
         .withColumn("user_id", col("user_id") + lit(k * 1000000L))
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .withColumn("ts", tsOut)
     }, "events")
     // copies keep their text/vector content: id blocks stay below the
     // +100000 near-dup-injection offset the dedup operators use

@@ -1108,16 +1108,17 @@ object SparkEntry {
         |halves AS (
         |  SELECT doc_id, simhash, 0 AS half_idx, simhash >> 16 AS half FROM sh
         |  UNION ALL SELECT doc_id, simhash, 1, simhash & 65535 FROM sh),
-        |bcap AS (SELECT half_idx, half, doc_id, simhash FROM (
-        |    SELECT half_idx, half, doc_id, simhash,
-        |      row_number() OVER (PARTITION BY half_idx, half ORDER BY doc_id) AS brk
-        |    FROM halves) t WHERE brk <= 256),
+        |ranked AS (SELECT half_idx, half, doc_id, simhash,
+        |    row_number() OVER (PARTITION BY half_idx, half ORDER BY doc_id) AS brk
+        |  FROM halves),
+        |bcap AS (SELECT half_idx, half, doc_id, simhash FROM ranked WHERE brk <= 32),
         |cand AS (SELECT DISTINCT least(a.doc_id, b.doc_id) AS a_id,
         |    greatest(a.doc_id, b.doc_id) AS b_id,
         |    CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-        |  FROM halves a JOIN bcap b ON a.half_idx = b.half_idx AND a.half = b.half
+        |  FROM ranked a JOIN bcap b ON a.half_idx = b.half_idx AND a.half = b.half
         |    AND a.doc_id <> b.doc_id
-        |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 6),
+        |  WHERE (a.brk > 32 OR a.doc_id < b.doc_id)
+        |    AND bit_count(xor(a.simhash, b.simhash)) <= 6),
         |capped AS (SELECT a_id, b_id, hamming,
         |    row_number() OVER (PARTITION BY a_id ORDER BY hamming, b_id) AS prk
         |  FROM cand)

@@ -38,8 +38,15 @@ object Dedup {
     * still probes both its buckets, but compares against ≤ cap
     * representatives per bucket. Audited in [[capAudit]] like
     * [[NgramBucketCap]]; mirrored exactly by the DuckDB oracle.
+    *
+    * 32 = 4× the partner cap: plenty of representatives to fill every
+    * vector's top-8 partner list, while actually ENGAGING on the
+    * duplicate-family hot buckets the scale ladder creates (a 256 cap
+    * never bit below bucket=256, so the ladder rungs paid uncapped
+    * volume plus the canonicalization overhead for nothing — measured
+    * 20.7 s at 32× before this was tightened, 8.3 s uncapped).
     */
-  val SimhashBucketCap = 256
+  val SimhashBucketCap = 32
 
   /** documents ∪ copies of every-7th doc (doc_id + 100000).
     * `perturb` drops the copy's first word to make near- rather than
@@ -411,26 +418,27 @@ object Dedup {
         lit(1).as("half_idx"), col("simhash").bitwiseAND(0xFFFFL).as("half")))
 
   /** Raw candidate stream — the half-bucket join's INTERMEDIATE, the
-    * stage [[SimhashBucketCap]] bounds: probe side is every half row,
-    * build side only each bucket's first `bucketCap` occupants, so the
-    * output is ≤ Σ_buckets bucket·min(bucket, cap) ≤ 2·cap·n rows
+    * stage [[SimhashBucketCap]] bounds: probe side is every half row
+    * (carrying its OWN bucket rank `a_brk`), build side only each
+    * bucket's first `bucketCap` occupants, so the output is
+    * ≤ Σ_buckets bucket·min(bucket, cap) ≤ 2·cap·n rows
     * (ScaleSmokeSpec floods one bucket with the whole corpus and
-    * counts this frame). Pairs surface in both (a,b) orders and again
-    * from the other half when both halves collide; the qualifying
-    * stage canonicalizes with least/greatest + distinct over the
-    * already-hamming-filtered (hence bounded) stream.
+    * counts this frame). The probe-side rank lets the qualifying
+    * stage emit each in-cap pair ONCE by construction (`a_id < b_id`
+    * when both sit in the cap) instead of once per join order.
     */
   private[graft] def simhashCandidates(sim: DataFrame, bucketCap: Int): DataFrame = {
-    val halves = simhashHalves(sim)
     val bw = org.apache.spark.sql.expressions.Window
       .partitionBy(col("half_idx"), col("half")).orderBy(col("doc_id"))
-    val bcap = halves
+    val ranked = simhashHalves(sim)
       .withColumn("brk", row_number().over(bw))
+    val bcap = ranked
       .where(col("brk") <= bucketCap)
       .select(col("half_idx"), col("half"),
         col("doc_id").as("b_id"), col("simhash").as("b_sim"))
-    halves.select(col("half_idx"), col("half"),
-        col("doc_id").as("a_id"), col("simhash").as("a_sim"))
+    ranked.select(col("half_idx"), col("half"),
+        col("doc_id").as("a_id"), col("simhash").as("a_sim"),
+        col("brk").as("a_brk"))
       .join(bcap, Seq("half_idx", "half"))
       .where(col("a_id") =!= col("b_id"))
   }
@@ -444,13 +452,19 @@ object Dedup {
 
   private[graft] def simhashQualifying(sim: DataFrame, bucketCap: Int): DataFrame =
     simhashCandidates(sim, bucketCap)
+      // within one bucket each pair emits once: the a<b orientation
+      // when both members are in the cap, the (out-of-cap → in-cap)
+      // orientation otherwise — a map-side filter, no dedup shuffle
+      // for the single-bucket case
+      .where(col("a_brk") > bucketCap || col("a_id") < col("b_id"))
       .select(least(col("a_id"), col("b_id")).as("a_id"),
         greatest(col("a_id"), col("b_id")).as("b_id"),
         bit_count(col("a_sim").bitwiseXOR(col("b_sim"))).cast("long").as("hamming"))
       .where(col("hamming") <= 6)
-      // both join orders + both-halves collisions collapse here; the
-      // distinct shuffles only the hamming-qualified capped stream
-      // (≤ 2·cap·n rows), never the full bucket² pair set
+      // a pair colliding in BOTH halves still surfaces twice (once per
+      // half): the distinct collapses it, shuffling only the
+      // hamming-qualified once-per-bucket stream (≤ cap·n rows + the
+      // both-halves overlap), never the full bucket² pair set
       .distinct()
 
   private def simhashPartnersOfSigs(sim: DataFrame): DataFrame =
