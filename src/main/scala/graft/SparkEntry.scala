@@ -1111,13 +1111,14 @@ object SparkEntry {
         |ranked AS (SELECT half_idx, half, doc_id, simhash,
         |    row_number() OVER (PARTITION BY half_idx, half ORDER BY doc_id) AS brk
         |  FROM halves),
-        |bcap AS (SELECT half_idx, half, doc_id, simhash FROM ranked WHERE brk <= 32),
+        |bcap AS (SELECT half_idx, half, doc_id, simhash FROM ranked
+        |  WHERE brk <= """.stripMargin + Dedup.SimhashBucketCap + """),
         |cand AS (SELECT DISTINCT least(a.doc_id, b.doc_id) AS a_id,
         |    greatest(a.doc_id, b.doc_id) AS b_id,
         |    CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
         |  FROM ranked a JOIN bcap b ON a.half_idx = b.half_idx AND a.half = b.half
         |    AND a.doc_id <> b.doc_id
-        |  WHERE (a.brk > 32 OR a.doc_id < b.doc_id)
+        |  WHERE (a.brk > """.stripMargin + Dedup.SimhashBucketCap + """ OR a.doc_id < b.doc_id)
         |    AND bit_count(xor(a.simhash, b.simhash)) <= 6),
         |capped AS (SELECT a_id, b_id, hamming,
         |    row_number() OVER (PARTITION BY a_id ORDER BY hamming, b_id) AS prk

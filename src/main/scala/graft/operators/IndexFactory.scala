@@ -124,7 +124,9 @@ object IndexFactory {
       queryText: String, nProbe: Int = 2, k: Int = 5): DataFrame = {
     import graft.sources.ChunkIndex
     val p = parse(spec)
-    val recorded = ChunkIndex.indexParams(spark, indexPath).getOrElse("factory",
+    val params = ChunkIndex.indexParams(spark, indexPath).getOrElse(
+      throw new java.io.FileNotFoundException(s"no committed index at $indexPath"))
+    val recorded = params.getOrElse("factory",
       throw new IllegalArgumentException(
         s"index at $indexPath records no factory identity (pre-parameter " +
           "manifest) — rewrite or upsert it to stamp one"))

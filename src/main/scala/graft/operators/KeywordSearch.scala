@@ -226,8 +226,22 @@ object KeywordSearch {
   /** The token→shard rule — one spelling for the index write and the
     * query-time shard derivation.
     */
-  private def bm25Shard(tok: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  private[graft] def bm25Shard(tok: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     pmod(md5Long(tok, 1, 8), lit(Bm25Shards.toLong))
+
+  /** Driver-side twin of [[bm25Shard]] for LITERAL tokens: first 8 md5
+    * hex chars (= first 4 digest bytes) as a long, mod [[Bm25Shards]].
+    * The standard query set is a compile-time constant, so its shard
+    * set is derivable without a Spark job — plan construction stays
+    * job-free (KeywordSearchSpec asserts parity with the Column
+    * spelling).
+    */
+  private[graft] def bm25ShardOf(tok: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(tok.getBytes("UTF-8")).take(4)
+      .map(b => f"${b & 0xff}%02x").mkString
+    java.lang.Long.parseLong(hex, 16) % Bm25Shards
+  }
 
   /** Per-token document frequency derived from the staged index,
     * memoized per (session, dir) — tiny (one row per distinct
@@ -258,14 +272,15 @@ object KeywordSearch {
   def keywordBm25(spark: SparkSession, dir: String): DataFrame = {
     val qtok = standardQueries(spark).select(col("q_id").as("_qid"),
       explode(array_distinct(tokens(col("q_text")))).as("_tok"))
-    // the query vocabulary's shard set is a bounded metadata-plane
-    // collect (≤ #distinct query tokens — the ann_ivfpq probe
-    // pattern); the STATIC `_shard IN (…)` filter reaches the staged
-    // index's parquet scan as a PartitionFilter, so only the
-    // directories holding the query's tokens are read at all
-    val shards = qtok
-      .select(bm25Shard(col("_tok")).as("_shard")).distinct()
-      .collect().map(_.getLong(0)).sorted
+    // the query vocabulary's shard set: a pure function of the
+    // CONSTANT standard query strings, derived driver-side with no
+    // Spark job (the collect-based ann_ivfpq pattern is for sets that
+    // require reading data; these don't); the STATIC `_shard IN (…)`
+    // filter reaches the staged index's parquet scan as a
+    // PartitionFilter, so only the directories holding the query's
+    // tokens are read at all
+    val shards = Seq(Query, Query2).flatMap(_.split(" "))
+      .distinct.map(bm25ShardOf).distinct.sorted
     val post = bm25Index(spark, dir)
       .where(col("_shard").isin(shards: _*))
     bm25Score(post, bm25IndexDf(spark, dir),

@@ -671,8 +671,11 @@ object VectorSearch {
     * [[pqCodebooks]].
     */
   private[graft] def pqResCodebooks(spark: SparkSession, dir: String): DataFrame =
-    graft.DfCache.getOrCompute(spark, s"pqres_codebooks:$KmClusters:$PqM:$PqKsub:$PqIters:$dir")(
-      graft.DfCache.stagedFrame(spark, s"pqres_codebooks:$KmClusters:$PqM:$PqKsub:$PqIters:$dir",
+    // KmIters is part of the key: the residuals depend on the
+    // KmIters-iterated centroids, so a changed iteration count must
+    // re-stage these codebooks too (the sibling index key agrees)
+    graft.DfCache.getOrCompute(spark, s"pqres_codebooks:$KmClusters:$KmIters:$PqM:$PqKsub:$PqIters:$dir")(
+      graft.DfCache.stagedFrame(spark, s"pqres_codebooks:$KmClusters:$KmIters:$PqM:$PqKsub:$PqIters:$dir",
         graft.DfCache.inputFingerprint(spark, s"$dir/embeddings.parquet")) {
         val corpusSub = pqSubvectors(
           residualCorpus(spark, dir).select(col("vec_id"), col("emb")))

@@ -95,11 +95,13 @@ object ChunkIndex {
     "factory" -> FactoryString,
     "chunk_shards" -> ChunkShards.toString)
 
-  /** The parameter block of the committed manifest (empty for a
-    * never-committed root or a pre-parameter manifest).
+  /** The parameter block of the committed manifest: None for a
+    * never-committed root (no index at all), Some(empty) for a
+    * pre-parameter manifest — the two need different error messages
+    * downstream.
     */
-  private[graft] def indexParams(spark: SparkSession, root: String): Map[String, String] =
-    currentManifest(spark, root).map(_.params).getOrElse(Map.empty)
+  private[graft] def indexParams(spark: SparkSession, root: String): Option[Map[String, String]] =
+    currentManifest(spark, root).map(_.params)
 
   private def fsOf(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -283,6 +285,20 @@ object ChunkIndex {
       case Some(m) =>
         val writeId = s"w-${newId()}"
         val ids = incoming.select(col("doc_id")).distinct()
+        // the index's recorded identity must match THIS writer's
+        // parameters BEFORE any merge work runs: merging rows bucketed
+        // by a different embedding dimension (or shard count) into the
+        // old layout would silently corrupt the very identity
+        // searchPersisted validates against. A pre-parameter manifest
+        // (graft's own earlier format — there is no foreign writer)
+        // gets stamped with the writer's parameters on this commit.
+        m.params.foreach { case (k, v) =>
+          indexParamDefaults.get(k).foreach { mine =>
+            if (mine != v) throw new IllegalStateException(
+              s"index at $outPath records $k=$v but this writer is built " +
+                s"with $k=$mine — refusing to mix layouts; rebuild the index")
+          }
+        }
         // old chunk shards are a pure function of the ids — no table scan
         val chunkOldParts = Some(ids
           .select(pmod(col("doc_id"), lit(ChunkShards.toLong)).cast("int").as("shard"))
@@ -291,8 +307,6 @@ object ChunkIndex {
           ids, withShard(Ingest.chunksOf(incoming)), chunkOldParts, writeId, "chunks")
         val em = upsertTable(spark, outPath, m.table("embeddings"), "bucket",
           ids, withBucket(Ingest.embedOf(incoming)), None, writeId, "embeddings")
-        // params carry forward (they're the index's fixed identity); a
-        // pre-parameter manifest gets stamped on its next commit
         commit(spark, outPath,
           Manifest(m.seq + 1, Map("chunks" -> ch, "embeddings" -> em),
             if (m.params.nonEmpty) m.params else indexParamDefaults))

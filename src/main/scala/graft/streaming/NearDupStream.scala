@@ -59,6 +59,14 @@ private[streaming] case class BucketState(docs: Seq[BucketDoc])
   * exactly like the batch build does), and a copy arriving more than
   * the retention horizon after its original is not paired with it —
   * the funnel/dedup-stream retention tradeoff.
+  *
+  * UPGRADE NOTE: adding the verification sketch changed the
+  * flatMapGroupsWithState state schema (BucketDoc gained
+  * sketch/nsh). A query restarted against a checkpoint written by
+  * the pre-sketch version fails Spark's state-schema compatibility
+  * check — start it with a fresh checkpoint location (retained
+  * bucket state rebuilds within one retention horizon of traffic);
+  * there is no in-place migration for stateful-operator schemas.
   */
 object NearDupStream {
 

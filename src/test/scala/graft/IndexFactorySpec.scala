@@ -41,9 +41,14 @@ class IndexFactorySpec extends SparkSpec {
   test("persisted index: manifest records its factory identity; mismatch fails fast") {
     import graft.sources.ChunkIndex
     val root = java.nio.file.Files.createTempDirectory("graft_factory_idx").toString
+    // before any commit: "no index" is distinguishable from a
+    // pre-parameter manifest
+    assert(ChunkIndex.indexParams(spark, root).isEmpty)
+    intercept[java.io.FileNotFoundException](
+      IndexFactory.searchPersisted(spark, root, "IVF16,Flat", "hash join"))
     ChunkIndex.write(spark, sfDir, root)
     // the stamped identity round-trips through the manifest
-    assert(ChunkIndex.indexParams(spark, root).get("factory")
+    assert(ChunkIndex.indexParams(spark, root).flatMap(_.get("factory"))
       === Some(ChunkIndex.FactoryString))
     // the matching factory string searches the persisted index and
     // returns exactly what the direct persisted search returns
@@ -66,7 +71,7 @@ class IndexFactorySpec extends SparkSpec {
     import spark.implicits._
     ChunkIndex.upsert(spark, root,
       Seq((999999L, "carried forward param test")).toDF("doc_id", "text"))
-    assert(ChunkIndex.indexParams(spark, root).get("factory")
+    assert(ChunkIndex.indexParams(spark, root).flatMap(_.get("factory"))
       === Some(ChunkIndex.FactoryString))
   }
 

@@ -76,6 +76,20 @@ class KeywordSearchSpec extends SparkSpec {
     }
   }
 
+  test("driver-side bm25 shard derivation matches the Column spelling token-for-token") {
+    import spark.implicits._
+    // the standard query tokens plus a few arbitrary ones: the literal
+    // twin must agree with the md5Long-based Column rule bit-for-bit,
+    // or the static partition filter would prune the wrong shards
+    val toks = (KeywordSearch.Query + " " + KeywordSearch.Query2).split(" ").toSeq ++
+      Seq("zebra", "Ωmega", "", "a", "hash")
+    val sparkSide = toks.toDF("t")
+      .select(KeywordSearch.bm25Shard(org.apache.spark.sql.functions.col("t")).as("s"))
+      .as[Long].collect().toSeq
+    assert(sparkSide == toks.map(KeywordSearch.bm25ShardOf),
+      s"driver/Column shard mismatch on $toks")
+  }
+
   test("staged-index keyword_bm25 scores identically to the ad-hoc bm25 form") {
     val adhoc = KeywordSearch.bm25(
       graft.sources.Tables.documents(spark, sfDir).select(col("doc_id"), col("text")),
