@@ -259,10 +259,20 @@ object SparkEntry {
     * cosine with smaller-cluster tie-break, DECIMAL-exact per-dim
     * means, emptied clusters keep the previous centroid. `kasF` is
     * the final assignment, `kcent3` the final centroid table.
+    *
+    * MATERIALIZED hints (values unchanged — pure evaluation
+    * strategy): every `kcent$i` is referenced twice (next
+    * iteration's assignment AND the empty-cluster carry join), so an
+    * inlining planner re-evaluates the chain 2× per level — 8× by
+    * kcent3, times each kcent3 consumer. At the 64× ladder rung that
+    * recomputation spilled DuckDB temp past the disk; materializing
+    * the ≤ k-row centroid tables (and the corpus-sized kc/kasF)
+    * makes each unrolled iteration evaluate exactly once, the same
+    * shape the Spark side gets from lloydsRefine's localCheckpoint.
     */
   private val kmeansCte: String = {
     def assignCte(name: String, centPrev: String) =
-      s"""$name AS (SELECT vec_id, emb, nrm, label FROM (
+      s"""$name AS MATERIALIZED (SELECT vec_id, emb, nrm, label FROM (
          |    SELECT c.vec_id, c.emb, c.nrm, k.label,
          |      row_number() OVER (PARTITION BY c.vec_id ORDER BY
          |        floor((list_dot_product(c.emb, k.c_emb)
@@ -270,8 +280,8 @@ object SparkEntry {
          |        k.label) AS ark
          |    FROM kc c, $centPrev k) WHERE ark = 1)""".stripMargin
     val init =
-      """kc AS (SELECT vec_id, emb, nrm FROM n WHERE vec_id >= 10),
-        |kcent0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS label,
+      """kc AS MATERIALIZED (SELECT vec_id, emb, nrm FROM n WHERE vec_id >= 10),
+        |kcent0 AS MATERIALIZED (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS label,
         |    emb AS c_emb
         |  FROM (SELECT vec_id, emb FROM kc ORDER BY vec_id LIMIT 8))""".stripMargin
     val iters = (1 to 3).map { i =>
@@ -282,7 +292,7 @@ object SparkEntry {
          |  FROM kas$i, LATERAL (SELECT unnest(generate_series(1, len(emb))) g) gg
          |  GROUP BY label, g),
          |kcm$i AS (SELECT label, list(cv ORDER BY dim) AS new_emb FROM kmd$i GROUP BY label),
-         |kcent$i AS (SELECT k.label, coalesce(m.new_emb, k.c_emb) AS c_emb
+         |kcent$i AS MATERIALIZED (SELECT k.label, coalesce(m.new_emb, k.c_emb) AS c_emb
          |  FROM kcent${i - 1} k LEFT JOIN kcm$i m USING (label))""".stripMargin
     }.mkString(",\n")
     init + ",\n" + iters + ",\n" + assignCte("kasF", "kcent3")
@@ -304,7 +314,7 @@ object SparkEntry {
       s"(2.0 * list_dot_product($s, $c))) * 10000.0 + 0.5)/10000.0"
 
   private def pqAssignSql(name: String, src: String, cbPrev: String) =
-    s"""$name AS (SELECT vec_id, m, sub, label FROM (
+    s"""$name AS MATERIALIZED (SELECT vec_id, m, sub, label FROM (
        |    SELECT c.vec_id, c.m, c.sub, k.label,
        |      row_number() OVER (PARTITION BY c.vec_id, c.m ORDER BY
        |        ${pqD2Sql("c.sub", "k.c_sub")} ASC, k.label) AS ark
@@ -318,7 +328,7 @@ object SparkEntry {
     */
   private def pqTrainSql(pfx: String, corpus: String): String = {
     val init =
-      s"""${pfx}cb0 AS (SELECT m, CAST(r - 1 AS BIGINT) AS label, sub AS c_sub FROM (
+      s"""${pfx}cb0 AS MATERIALIZED (SELECT m, CAST(r - 1 AS BIGINT) AS label, sub AS c_sub FROM (
          |    SELECT m, sub, row_number() OVER (PARTITION BY m ORDER BY vec_id) AS r
          |    FROM $corpus) WHERE r <= 16)""".stripMargin
     val iters = (1 to 3).map { i =>
@@ -330,7 +340,7 @@ object SparkEntry {
          |  GROUP BY m, label, g),
          |${pfx}cm$i AS (SELECT m, label, list(cv ORDER BY dim) AS new_sub
          |  FROM ${pfx}md$i GROUP BY m, label),
-         |${pfx}cb$i AS (SELECT k.m, k.label, coalesce(mm2.new_sub, k.c_sub) AS c_sub
+         |${pfx}cb$i AS MATERIALIZED (SELECT k.m, k.label, coalesce(mm2.new_sub, k.c_sub) AS c_sub
          |  FROM ${pfx}cb${i - 1} k LEFT JOIN ${pfx}cm$i mm2 USING (m, label))""".stripMargin
     }.mkString(",\n")
     init + ",\n" + iters
@@ -338,14 +348,14 @@ object SparkEntry {
 
   private val pqCte: String = {
     val init =
-      """psub AS (SELECT vec_id, mm.m AS m,
+      """psub AS MATERIALIZED (SELECT vec_id, mm.m AS m,
         |    emb[mm.m*(len(emb)//8)+1 : (mm.m+1)*(len(emb)//8)] AS sub
         |  FROM n, (SELECT unnest(generate_series(0, 7)) AS m) mm),
-        |pqc AS (SELECT vec_id, m, sub FROM psub WHERE vec_id >= 10)""".stripMargin
+        |pqc AS MATERIALIZED (SELECT vec_id, m, sub FROM psub WHERE vec_id >= 10)""".stripMargin
     val tail =
       pqAssignSql("pasF", "psub", "pcb3") +
       """,
-        |prec AS (SELECT a.vec_id, flatten(list(k.c_sub ORDER BY a.m)) AS recon
+        |prec AS MATERIALIZED (SELECT a.vec_id, flatten(list(k.c_sub ORDER BY a.m)) AS recon
         |  FROM pasF a JOIN pcb3 k USING (m, label) WHERE a.vec_id >= 10
         |  GROUP BY a.vec_id),
         |psc AS (SELECT q.vec_id AS q_id, r2.vec_id,
@@ -366,10 +376,10 @@ object SparkEntry {
     */
   private val pqResCte: String = {
     val init =
-      """rres AS (SELECT a.vec_id, a.label AS cl,
+      """rres AS MATERIALIZED (SELECT a.vec_id, a.label AS cl,
         |    list_transform(generate_series(1, len(a.emb)), g -> a.emb[g] - k.c_emb[g]) AS remb
         |  FROM kasF a JOIN kcent3 k USING (label)),
-        |rsub AS (SELECT vec_id, mm.m AS m,
+        |rsub AS MATERIALIZED (SELECT vec_id, mm.m AS m,
         |    remb[mm.m*(len(remb)//8)+1 : (mm.m+1)*(len(remb)//8)] AS sub
         |  FROM rres, (SELECT unnest(generate_series(0, 7)) AS m) mm)""".stripMargin
     val tail =
