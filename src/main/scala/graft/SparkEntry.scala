@@ -1118,7 +1118,7 @@ object SparkEntry {
         |halves AS (
         |  SELECT doc_id, simhash, 0 AS half_idx, simhash >> 16 AS half FROM sh
         |  UNION ALL SELECT doc_id, simhash, 1, simhash & 65535 FROM sh),
-        |ranked AS (SELECT half_idx, half, doc_id, simhash,
+        |ranked AS MATERIALIZED (SELECT half_idx, half, doc_id, simhash,
         |    row_number() OVER (PARTITION BY half_idx, half ORDER BY doc_id) AS brk
         |  FROM halves),
         |bcap AS (SELECT half_idx, half, doc_id, simhash FROM ranked

@@ -18,15 +18,33 @@ object KeywordSearch {
 
   val Query  = "join hash table"
   val Query2 = "stream window agg"
+  /** THE standard query text list — single source for
+    * [[standardQueries]] (the DataFrame the queries run on) and the
+    * static BM25 shard derivation, so adding a query can never leave
+    * its tokens' shards out of the partition filter.
+    */
+  private[graft] val StandardQueryTexts: Seq[String] = Seq(Query, Query2)
+
+  /** The standard query set's shard list — a pure function of
+    * [[StandardQueryTexts]] under the same split-on-space
+    * tokenization as `tokens()`; KeywordSearchSpec asserts this set
+    * equals the Spark-computed shards of the actual qtok frame, so a
+    * drift in EITHER the query list or the tokenization rule fails a
+    * test instead of silently pruning matching postings away.
+    */
+  private[graft] def standardQueryShards: Seq[Long] =
+    StandardQueryTexts.flatMap(_.split(" ")).distinct
+      .map(bm25ShardOf).distinct.sorted
 
   /** The standard 2-query demo set shared by keyword_search,
     * keyword_bm25 and knn_text — one definition, because the oracle's
     * queriesCte (SparkEntry) spells the same literals and every copy
     * must stay in lockstep.
     */
-  private[operators] def standardQueries(spark: SparkSession): DataFrame = {
+  private[graft] def standardQueries(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    Seq((1L, Query), (2L, Query2)).toDF("q_id", "q_text")
+    StandardQueryTexts.zipWithIndex
+      .map { case (t, i) => ((i + 1).toLong, t) }.toDF("q_id", "q_text")
   }
 
   /** BM25 defaults — referenced by [[bm25]]'s signature and the
@@ -279,8 +297,7 @@ object KeywordSearch {
     // filter reaches the staged index's parquet scan as a
     // PartitionFilter, so only the directories holding the query's
     // tokens are read at all
-    val shards = Seq(Query, Query2).flatMap(_.split(" "))
-      .distinct.map(bm25ShardOf).distinct.sorted
+    val shards = standardQueryShards
     val post = bm25Index(spark, dir)
       .where(col("_shard").isin(shards: _*))
     bm25Score(post, bm25IndexDf(spark, dir),

@@ -289,11 +289,15 @@ object ChunkIndex {
         // parameters BEFORE any merge work runs: merging rows bucketed
         // by a different embedding dimension (or shard count) into the
         // old layout would silently corrupt the very identity
-        // searchPersisted validates against. A pre-parameter manifest
+        // searchPersisted validates against. Iterated over the
+        // WRITER'S keys (not the manifest's), so a recorded-but-
+        // unknown key carries forward untouched while a key the
+        // manifest is missing gets back-filled below instead of
+        // escaping validation forever. A pre-parameter manifest
         // (graft's own earlier format — there is no foreign writer)
         // gets stamped with the writer's parameters on this commit.
-        m.params.foreach { case (k, v) =>
-          indexParamDefaults.get(k).foreach { mine =>
+        indexParamDefaults.foreach { case (k, mine) =>
+          m.params.get(k).foreach { v =>
             if (mine != v) throw new IllegalStateException(
               s"index at $outPath records $k=$v but this writer is built " +
                 s"with $k=$mine — refusing to mix layouts; rebuild the index")
@@ -307,9 +311,12 @@ object ChunkIndex {
           ids, withShard(Ingest.chunksOf(incoming)), chunkOldParts, writeId, "chunks")
         val em = upsertTable(spark, outPath, m.table("embeddings"), "bucket",
           ids, withBucket(Ingest.embedOf(incoming)), None, writeId, "embeddings")
+        // defaults-then-recorded: validated keys keep their recorded
+        // value, missing writer keys are back-filled, unknown recorded
+        // keys carry forward
         commit(spark, outPath,
           Manifest(m.seq + 1, Map("chunks" -> ch, "embeddings" -> em),
-            if (m.params.nonEmpty) m.params else indexParamDefaults))
+            indexParamDefaults ++ m.params))
     }
   }
 

@@ -81,13 +81,25 @@ class KeywordSearchSpec extends SparkSpec {
     // the standard query tokens plus a few arbitrary ones: the literal
     // twin must agree with the md5Long-based Column rule bit-for-bit,
     // or the static partition filter would prune the wrong shards
-    val toks = (KeywordSearch.Query + " " + KeywordSearch.Query2).split(" ").toSeq ++
+    val toks = KeywordSearch.StandardQueryTexts.flatMap(_.split(" ")) ++
       Seq("zebra", "Ωmega", "", "a", "hash")
     val sparkSide = toks.toDF("t")
       .select(KeywordSearch.bm25Shard(org.apache.spark.sql.functions.col("t")).as("s"))
       .as[Long].collect().toSeq
     assert(sparkSide == toks.map(KeywordSearch.bm25ShardOf),
       s"driver/Column shard mismatch on $toks")
+    // END-TO-END: the static shard set equals the shards of the ACTUAL
+    // qtok frame keywordBm25 builds (tokens() + array_distinct +
+    // explode over standardQueries) — covers query-list drift AND
+    // tokenization-rule drift, not just the hash function
+    import org.apache.spark.sql.functions.{array_distinct, col, explode}
+    val qtokShards = KeywordSearch.standardQueries(spark)
+      .select(explode(array_distinct(
+        graft.functions.TextFunctions.tokens(col("q_text")))).as("t"))
+      .select(KeywordSearch.bm25Shard(col("t")).as("s"))
+      .distinct().as[Long].collect().toSeq.sorted
+    assert(qtokShards == KeywordSearch.standardQueryShards,
+      "static shard set diverged from the live qtok frame's shards")
   }
 
   test("staged-index keyword_bm25 scores identically to the ad-hoc bm25 form") {
