@@ -63,7 +63,7 @@ object Curate {
     * like [[Dedup.corpusWithDups]] (which injects one kind at a
     * time; curation needs both in one corpus).
     */
-  private[operators] def curateCorpus(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def curateCorpus(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     base
       .unionAll(base.where(col("doc_id") % 7 === 0)
@@ -76,9 +76,12 @@ object Curate {
   /** One narrow pass computing every per-row stage flag: validity,
     * quality (quality_score's exact expression tree ≥ the floor) and
     * language identifiability (lang_id's round4 profile scores).
-    * Everything downstream filters on these three booleans.
+    * Everything downstream filters on these three booleans. Exposed
+    * over any (doc_id, text) frame so the streaming curation pipeline
+    * (streaming/CurateStream) applies the IDENTICAL gate expressions
+    * per micro-batch — one spelling, batch and stream.
     */
-  private def flaggedOf(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def gateFlags(docs: DataFrame): DataFrame = {
     val words = size(tokens(col("text")))
     val chars = length(col("text"))
     // the gates ARE the standalone operators' expressions —
@@ -87,11 +90,14 @@ object Curate {
     val langBest = greatest(TextAnalysis.Profiles.map { case (_, ws) =>
       TextAnalysis.profileScore(col("text"), ws)
     }: _*)
-    curateCorpus(spark, dir).select(col("doc_id"), col("text"),
+    docs.select(col("doc_id"), col("text"),
       (trim(col("text")) =!= "" && chars <= 1000 && words >= MinWords).as("valid"),
       (TextAnalysis.compositeQuality(col("text")) >= QualityFloor).as("quality_ok"),
       (langBest >= LangFloor).as("lang_ok"))
   }
+
+  private def flaggedOf(spark: SparkSession, dir: String): DataFrame =
+    gateFlags(curateCorpus(spark, dir))
 
   private def flaggedCached(spark: SparkSession, dir: String): DataFrame =
     DfCache.getOrCompute(spark, s"curate_flagged:$dir")(

@@ -88,7 +88,7 @@ object Dedup {
     * (doc_id, text) corpus; shared by [[dedupApply]] and the curation
     * funnel's exact-dedup stage so the rule has one spelling.
     */
-  private[operators] def exactKeep(corpus: DataFrame): DataFrame =
+  private[graft] def exactKeep(corpus: DataFrame): DataFrame =
     corpus.join(
       corpus.groupBy(md5(col("text")).as("text_md5"))
         .agg(min(col("doc_id")).as("doc_id"))
@@ -190,7 +190,7 @@ object Dedup {
     * per-doc dim. O(candidates × shingles-per-doc), arrays never
     * shuffled.
     */
-  private def jaccardOf(cand: DataFrame, posting: DataFrame): DataFrame = {
+  private[graft] def jaccardOf(cand: DataFrame, posting: DataFrame): DataFrame = {
     val counts = posting.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = cand
       .join(posting.select(col("doc_id").as("a_id"), col("s")), Seq("a_id"))
@@ -653,7 +653,7 @@ object Dedup {
     * one spelling. Output: (doc_id, max_overlap), one row per
     * training doc with ≥ 1 posting.
     */
-  private[operators] def benchMaxOverlap(posting: DataFrame): DataFrame = {
+  private[graft] def benchMaxOverlap(posting: DataFrame): DataFrame = {
     val bench = posting.where(col("doc_id") % 101 === 0)
       .select(col("doc_id").as("bench_id"), col("s"))
     val corpus = posting.where(col("doc_id") % 101 =!= 0)
