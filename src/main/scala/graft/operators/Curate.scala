@@ -55,6 +55,12 @@ object Curate {
     * threshold as dedup_clusters' strong pairs).
     */
   val NearDupJaccard = 0.8
+  /** Benchmark-overlap floor for the decontamination stage — ONE
+    * spelling shared by the batch funnel, contamination_check's
+    * flag, and the streaming pipeline (the oracle SQL spells the
+    * same literal).
+    */
+  val ContaminationFloor = 0.5
 
   /** The curation input: documents ∪ an exact copy of every 7th doc
     * (ids +100000) ∪ a first-word-dropped near-copy of every 13th
@@ -164,7 +170,7 @@ object Curate {
     // Dedup.benchMaxOverlap is the single spelling of the %101 split
     // + per-benchmark max-overlap rule shared with contamination_check
     val contaminated = Dedup.benchMaxOverlap(posting)
-      .where(col("max_overlap") >= 0.5)
+      .where(col("max_overlap") >= ContaminationFloor)
       .select(col("doc_id"))
     s6.where(col("doc_id") % 101 =!= 0)
       .join(contaminated, Seq("doc_id"), "left_anti")

@@ -642,7 +642,7 @@ object Dedup {
   def contaminationCheck(spark: SparkSession, dir: String): DataFrame =
     benchMaxOverlap(natPosting(spark, dir))
       .select(col("doc_id"), col("max_overlap"),
-        (col("max_overlap") >= 0.5).as("contaminated"))
+        (col("max_overlap") >= Curate.ContaminationFloor).as("contaminated"))
       .orderBy(col("doc_id"))
 
   /** THE benchmark-overlap rule — per training doc (id % 101 ≠ 0),
