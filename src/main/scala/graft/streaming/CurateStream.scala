@@ -1,11 +1,11 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions.shinglePosting
 import graft.operators.{Curate, Dedup}
+import graft.sources.ManifestStore
 
 /** The batch curation funnel (operators/Curate: validate → quality →
   * lang → exact-dedup → near-dup → decontaminate) maintained
@@ -20,17 +20,50 @@ import graft.operators.{Curate, Dedup}
   * — spec-proven identical to the batch build's — and the exact
   * posting-list [[Dedup.jaccardOf]] with the same
   * [[Curate.NearDupJaccard]] floor), against ACCUMULATED state
-  * tables:
+  * tables, all published under ONE [[ManifestStore]] root:
   *
   * {{{
   *   stateDir/
-  *     kept/       (doc_id, n_chars)  kept docs (pre-revocation)
-  *     revoked/    (doc_id)           retroactively decontaminated
-  *     hashes/     (text_md5)         exact-dedup horizon
-  *     postings/   (doc_id, s)        shingle postings of every
-  *     bands/      (bd, band_key, doc_id)  exact-dedup SURVIVOR
-  *     bench_post/ (doc_id, s)        surviving-benchmark postings
+  *     manifests/m-<seq>-<uuid>.txt   # the committed six-table state
+  *     data/b-<uuid>/kept/…           # (doc_id, n_chars) kept docs
+  *     data/b-<uuid>/revoked/…        # retroactively decontaminated
+  *     data/b-<uuid>/hashes/…         # (text_md5) exact-dedup horizon
+  *     data/b-<uuid>/postings/…       # (doc_id, s) shingle postings of
+  *                                    #   every exact-dedup SURVIVOR
+  *     data/b-<uuid>/bands/…          # (bd, band_key, doc_id)
+  *     data/b-<uuid>/bench_post/…     # surviving-benchmark postings
   * }}}
+  *
+  * == Atomic multi-table commit ==
+  *
+  * A micro-batch writes its six per-table deltas as immutable segment
+  * dirs under a fresh `data/b-*` prefix, then publishes ONE manifest
+  * naming every table's current segments — the ChunkIndex commit
+  * protocol. A crash ANYWHERE before the manifest rename leaves
+  * readers on the previous fully-consistent six-table snapshot
+  * (orphan segment dirs from the crashed attempt are invisible until
+  * [[vacuum]] reclaims them), and [[keptCorpus]] resolves the
+  * manifest ONCE, so kept and revoked are always read from the same
+  * snapshot — no transient kept-but-about-to-be-revoked view.
+  *
+  * DELIVERY: foreachBatch is at-least-once, and the atomic commit
+  * makes re-delivery all-or-nothing: a batch whose commit landed dies
+  * in full at the exact-dedup gate (its hashes are in the snapshot);
+  * a batch whose commit didn't land left NO visible state and
+  * reprocesses from scratch. The partial-append window of the
+  * previous per-table-append layout is gone. (State written by that
+  * pre-manifest layout is not readable here — restart streams with a
+  * fresh stateDir; see MIGRATION.md.)
+  *
+  * == Compaction ==
+  *
+  * One segment dir per table per batch accrues unbounded small dirs
+  * on a long-lived stream. When a table exceeds [[CompactSegments]]
+  * segments, the batch folds the table (prior segments + its own
+  * delta) into ONE segment published by the same manifest commit —
+  * amortized cost one table rewrite per [[CompactSegments]] batches,
+  * and the file count stays bounded regardless of stream length.
+  * Superseded segments are snapshots until [[vacuum]].
   *
   * The cleaned corpus is [[keptCorpus]] = kept minus revoked.
   * Near-dup state covers every exact-dedup survivor (not just final
@@ -54,18 +87,6 @@ import graft.operators.{Curate, Dedup}
   * triggers a RETROACTIVE pass: previously-kept docs it contaminates
   * land in the append-only `revoked/` table rather than being
   * rewritten in place.
-  *
-  * DELIVERY: foreachBatch is at-least-once. A re-delivered batch's
-  * docs die at the exact-dedup gate (their hashes are recorded LAST,
-  * after every other append), so reprocessing a partially-committed
-  * batch completes it. Duplicate state rows a crash-rerun can leave
-  * are collapsed with an explicit `distinct` at every read that feeds
-  * a COUNTING computation (posting-list jaccard, benchmark overlap)
-  * — duplicates there would inflate the counts, not just waste work.
-  * The residual window is a partially-committed single append (a
-  * non-atomic file committer can expose some files of a write);
-  * closing that takes a transactional table format — the ChunkIndex
-  * manifest protocol is the in-repo upgrade path.
   */
 object CurateStream {
 
@@ -76,11 +97,19 @@ object CurateStream {
   private val BandsDir     = "bands"
   private val BenchPostDir = "bench_post"
 
+  /** Segments a table may accrue before the next batch folds it into
+    * one — bounds on-disk dir count at CompactSegments + 1 per table.
+    */
+  private[graft] val CompactSegments = 12
+
   /** The accumulated cleaned corpus — the stream's `curate_apply`:
-    * kept docs minus retroactive decontamination revocations.
+    * kept docs minus retroactive decontamination revocations. Both
+    * tables resolve from ONE manifest, so the view is a consistent
+    * snapshot even while batches commit concurrently.
     */
   def keptCorpus(spark: SparkSession, stateDir: String): DataFrame = {
-    val kept = readState(spark, s"$stateDir/$KeptDir",
+    val m = ManifestStore.current(spark, stateDir)
+    val kept = readState(spark, stateDir, m, KeptDir,
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("doc_id",
@@ -89,23 +118,39 @@ object CurateStream {
             org.apache.spark.sql.types.LongType)))))
       .distinct()
     kept.join(
-      readState(spark, s"$stateDir/$RevokedDir", kept.select(col("doc_id")).limit(0)),
+      readState(spark, stateDir, m, RevokedDir, kept.select(col("doc_id")).limit(0)),
       Seq("doc_id"), "left_anti")
   }
 
-  private def readState(spark: SparkSession, path: String,
+  /** Reclaim superseded manifests and unreferenced segment dirs
+    * (crashed-attempt orphans, pre-compaction segments) — see
+    * [[ManifestStore.vacuum]] for the concurrent-reader caveat.
+    */
+  def vacuum(spark: SparkSession, stateDir: String): Unit =
+    ManifestStore.vacuum(spark, stateDir)
+
+  private def readState(spark: SparkSession, stateDir: String,
+      m: Option[ManifestStore.Manifest], table: String,
       empty: => DataFrame): DataFrame = {
-    val p = new Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) spark.read.parquet(path) else empty
+    val dirs = m.map(_.table(table).values.toSeq.sorted.map(r => s"$stateDir/$r"))
+      .getOrElse(Seq.empty)
+    if (dirs.nonEmpty) spark.read.parquet(dirs: _*) else empty
   }
 
-  /** One micro-batch through all six incremental gates. Pure batch
-    * DataFrame code — callable directly (the spec does) or through
-    * [[curateUpsert]].
+  def processBatch(batchIn: DataFrame, stateDir: String): Unit =
+    processBatch(batchIn, stateDir, None)
+
+  /** One micro-batch through all six incremental gates, committed as
+    * one manifest. Pure batch DataFrame code — callable directly (the
+    * spec does) or through [[curateUpsert]]. `abortAfter` is the
+    * crash-injection seam: Some(table) throws right after that
+    * table's segment write, BEFORE the commit — production passes
+    * None.
     */
-  def processBatch(batchIn: DataFrame, stateDir: String): Unit = {
+  private[graft] def processBatch(batchIn: DataFrame, stateDir: String,
+      abortAfter: Option[String]): Unit = {
     val spark = batchIn.sparkSession
+    val m = ManifestStore.current(spark, stateDir)
     // the batch feeds several stages: materialize once
     val batch = batchIn.select(col("doc_id"), col("text")).localCheckpoint()
 
@@ -116,14 +161,14 @@ object CurateStream {
 
     // 4. exact dedup: keep-min within the batch (exactKeep's rule),
     //    then drop anything whose content an earlier batch retained
-    val stateHashes = readState(spark, s"$stateDir/$HashesDir",
+    val stateHashes = readState(spark, stateDir, m, HashesDir,
       gated.select(md5(col("text")).as("text_md5")).limit(0))
     val ex = Dedup.exactKeep(gated)
       .withColumn("text_md5", md5(col("text")))
       .join(stateHashes, Seq("text_md5"), "left_anti")
-      .localCheckpoint()   // feeds postings, bands, and three appends
+      .localCheckpoint()   // feeds postings, bands, and three segments
     // a fully-redelivered (or fully-filtered) batch changes nothing:
-    // skip the merge work and the five empty appends it would litter
+    // skip the merge work and the empty commit it would litter
     if (ex.isEmpty) return
 
     // 5. near-dup: LSH band candidates against every PRIOR survivor
@@ -131,15 +176,15 @@ object CurateStream {
     //    keep-min rule), verified with the exact posting-list jaccard
     val batchPost = shinglePosting(ex, col("doc_id"), col("text"), 3)
       .localCheckpoint()
-    val statePost = readState(spark, s"$stateDir/$PostDir", batchPost.limit(0))
+    val statePost = readState(spark, stateDir, m, PostDir, batchPost.limit(0))
     val batchBands = NearDupStream.banded(ex.withColumn("ts_ms", lit(0L)))
       .select(col("bd"), col("band_key"), col("doc_id"))
       .localCheckpoint()
-    // crash-rerun band duplicates only duplicate candidate rows,
-    // which the cand distinct collapses — no distinct needed here
-    val stateBands = readState(spark, s"$stateDir/$BandsDir", batchBands.limit(0))
+    val stateBands = readState(spark, stateDir, m, BandsDir, batchBands.limit(0))
     val arriving = batchBands
       .select(col("bd"), col("band_key"), col("doc_id").as("b_id"))
+    // a pair colliding in several bands yields duplicate candidate
+    // rows — the distinct collapses them before the verify join
     val cand = arriving
       .join(stateBands.select(col("bd"), col("band_key"), col("doc_id").as("a_id")),
         Seq("bd", "band_key"))
@@ -153,8 +198,7 @@ object CurateStream {
     // restrict the posting union to candidate docs BEFORE the
     // counting join — per-batch cost tracks the candidate set, not
     // the whole accumulated history; the distinct AFTER the semi-join
-    // collapses crash-rerun duplicates where they would inflate
-    // jaccard's row counts
+    // guards jaccard's row counts against any duplicate state rows
     val candIds = cand.select(col("a_id").as("doc_id"))
       .unionAll(cand.select(col("b_id").as("doc_id"))).distinct()
     val candPost = statePost.unionByName(batchPost)
@@ -175,13 +219,13 @@ object CurateStream {
     val batchBenchPost = batchPost.join(
         kept56Ck.where(col("doc_id") % 101 === 0).select(col("doc_id")),
         Seq("doc_id"), "left_semi")
-      .localCheckpoint()   // feeds the overlap check, revocation, append
-    val stateBenchPost = readState(spark, s"$stateDir/$BenchPostDir",
+      .localCheckpoint()   // feeds the overlap check, revocation, segment
+    val stateBenchPost = readState(spark, stateDir, m, BenchPostDir,
       batchBenchPost.limit(0))
     val contaminated = Dedup.benchMaxOverlap(
         batchPost.join(trainKept.select(col("doc_id")), Seq("doc_id"), "left_semi")
           .unionByName(stateBenchPost).unionByName(batchBenchPost)
-          .distinct())   // counting computation: collapse rerun dups
+          .distinct())   // counting computation: keep set semantics
       .where(col("max_overlap") >= Curate.ContaminationFloor)
       .select(col("doc_id"))
     val keptFinal = trainKept.join(contaminated, Seq("doc_id"), "left_anti")
@@ -204,23 +248,51 @@ object CurateStream {
           .select(col("doc_id"))
       }
 
-    // state appends — hashes LAST: a crash before the hash append
-    // makes the re-delivered batch reprocess (and re-append) in full,
-    // a crash after it makes re-delivery a no-op; either way nothing
-    // is lost, and duplicates are collapsed where they are read
-    def append(df: DataFrame, sub: String): Unit =
-      df.write.mode(SaveMode.Append).parquet(s"$stateDir/$sub")
-    append(keptFinal.select(col("doc_id"),
+    // segment writes — all invisible until the single commit below;
+    // write order is irrelevant to correctness (the abort seam uses
+    // it only to place a crash between two writes)
+    val writeId = s"b-${ManifestStore.newId()}"
+    var tables: Map[String, Map[String, String]] =
+      m.map(_.tables).getOrElse(Map.empty)
+    def publish(df: DataFrame, table: String): Unit = {
+      val prev = tables.getOrElse(table, Map.empty)
+      val withDelta =
+        if (df.isEmpty) prev
+        else {
+          val rel = s"data/$writeId/$table"
+          df.write.mode(SaveMode.Overwrite).parquet(s"$stateDir/$rel")
+          prev + (writeId -> rel)
+        }
+      // threshold-triggered compaction: fold every segment (prior +
+      // this delta) into one, published by the same commit — the old
+      // segments stay on disk as snapshot state until vacuum
+      val merged =
+        if (withDelta.size <= CompactSegments) withDelta
+        else {
+          val rel = s"data/$writeId/${table}__c"
+          spark.read.parquet(
+              withDelta.values.toSeq.sorted.map(r => s"$stateDir/$r"): _*)
+            .write.mode(SaveMode.Overwrite).parquet(s"$stateDir/$rel")
+          Map(s"${writeId}c" -> rel)
+        }
+      tables = tables + (table -> merged)
+      if (abortAfter.contains(table))
+        throw new RuntimeException(s"injected crash after $table segment write")
+    }
+    publish(keptFinal.select(col("doc_id"),
       length(col("text")).cast("long").as("n_chars")), KeptDir)
-    append(revoked, RevokedDir)
-    append(batchPost, PostDir)
-    append(batchBands, BandsDir)
-    append(batchBenchPost, BenchPostDir)
-    append(ex.select(col("text_md5")), HashesDir)
+    publish(revoked, RevokedDir)
+    publish(batchPost, PostDir)
+    publish(batchBands, BandsDir)
+    publish(batchBenchPost, BenchPostDir)
+    publish(ex.select(col("text_md5")), HashesDir)
+    ManifestStore.commit(spark, stateDir,
+      ManifestStore.Manifest(m.map(_.seq + 1).getOrElse(1L), tables))
   }
 
   /** The streaming entry point: each micro-batch of (doc_id, text)
-    * merges into the curated-state tables via [[processBatch]].
+    * merges into the curated-state tables via [[processBatch]] — one
+    * manifest commit per batch.
     */
   def curateUpsert(docs: DataFrame, stateDir: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[Row] =

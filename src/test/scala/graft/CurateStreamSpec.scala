@@ -122,6 +122,76 @@ class CurateStreamSpec extends SparkSpec {
       "late-arriving benchmark doc failed to revoke the contaminated kept doc")
   }
 
+  test("a crash between segment writes leaves the previous snapshot intact") {
+    val stateDir = Files.createTempDirectory("graft_curate_crash").toString
+    val corpus = corpusAscending()
+    import spark.implicits._
+    val half = corpus.length / 2
+    CurateStream.processBatch(corpus.take(half).toDF("doc_id", "text"), stateDir)
+    val before = CurateStream.keptCorpus(spark, stateDir)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_chars"))
+      .sortBy(_._1).toSeq
+    assert(before.nonEmpty)
+    // kill batch 2 at two different points in the write sequence:
+    // after the FIRST segment write and after a LATER one — in both
+    // cases no manifest committed, so readers stay on batch 1's state
+    Seq("kept", "postings").foreach { table =>
+      intercept[RuntimeException] {
+        CurateStream.processBatch(
+          corpus.drop(half).toDF("doc_id", "text"), stateDir, Some(table))
+      }
+      val after = CurateStream.keptCorpus(spark, stateDir)
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_chars"))
+        .sortBy(_._1).toSeq
+      assert(after == before,
+        s"crash after '$table' segment write leaked partial state")
+    }
+    // at-least-once re-delivery completes the batch; end parity holds
+    CurateStream.processBatch(corpus.drop(half).toDF("doc_id", "text"), stateDir)
+    val streamed = CurateStream.keptCorpus(spark, stateDir)
+      .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
+    val batch = Curate.curateApply(spark, sfDir)
+      .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(streamed == batch, "re-delivery after injected crash broke parity")
+  }
+
+  test("compaction bounds segment count; vacuum reclaims superseded state") {
+    val stateDir = Files.createTempDirectory("graft_curate_compact").toString
+    val corpus = corpusAscending()
+    import spark.implicits._
+    // enough micro-batches to cross the compaction threshold
+    val nBatches = CurateStream.CompactSegments + 3
+    val per = math.max(1, math.ceil(corpus.length.toDouble / nBatches).toInt)
+    corpus.grouped(per).foreach { b =>
+      CurateStream.processBatch(b.toDF("doc_id", "text"), stateDir)
+    }
+    val m = graft.sources.ManifestStore.current(spark, stateDir)
+      .getOrElse(fail("no committed manifest"))
+    m.tables.foreach { case (t, segs) =>
+      assert(segs.size <= CurateStream.CompactSegments,
+        s"table $t holds ${segs.size} segments > ${CurateStream.CompactSegments}")
+    }
+    val streamedBefore = CurateStream.keptCorpus(spark, stateDir)
+      .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
+    CurateStream.vacuum(spark, stateDir)
+    // only manifest-referenced data dirs survive the vacuum
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = m.tables.values.flatMap(_.values)
+      .map(_.split("/").take(2).mkString("/")).toSet
+    val onDisk = fs.listStatus(new org.apache.hadoop.fs.Path(s"$stateDir/data"))
+      .map(s => s"data/${s.getPath.getName}").toSet
+    assert(onDisk == live, s"vacuum left orphans: ${onDisk -- live}")
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(s"$stateDir/manifests"))
+      .count(_.getPath.getName.endsWith(".txt")) == 1)
+    val streamedAfter = CurateStream.keptCorpus(spark, stateDir)
+      .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(streamedAfter == streamedBefore, "vacuum changed the kept corpus")
+    val batch = Curate.curateApply(spark, sfDir)
+      .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(streamedAfter == batch, "compacted stream lost batch parity")
+  }
+
   test("curateUpsert wires the same merge through a real stream") {
     val stateDir = Files.createTempDirectory("graft_curate_sink").toString
     val ckpt = Files.createTempDirectory("graft_curate_ckpt").toString
