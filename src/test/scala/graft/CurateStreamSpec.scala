@@ -192,6 +192,44 @@ class CurateStreamSpec extends SparkSpec {
     assert(streamedAfter == batch, "compacted stream lost batch parity")
   }
 
+  // ladder-scale parity — minutes of work, so opt-in like the bench
+  // scoping: SPARK_GRAFT_LADDER_PARITY=1 (optionally
+  // SPARK_GRAFT_SCALE_DIR=target/scale32) after ScaleGen has built
+  // the scaled dir. This is where state-growth and compaction bugs
+  // actually surface: ~40k docs, every copy an exact duplicate, the
+  // ascending-id split exercising hash-gate, near-dup AND compaction
+  // across batches.
+  test("ladder-scale streamed curation equals batch curate_apply bit-for-bit") {
+    assume(sys.env.contains("SPARK_GRAFT_LADDER_PARITY"),
+      "set SPARK_GRAFT_LADDER_PARITY=1 to run the ladder parity pass")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "target/scale8")
+    assume(new java.io.File(s"$dir/documents.parquet").exists,
+      s"no scaled testdata at $dir — run graft.ScaleGen first")
+    val stateDir = Files.createTempDirectory("graft_curate_ladder").toString
+    val corpus = Curate.curateCorpus(spark, dir).localCheckpoint()
+    // ascending-id micro-batches (keep-first ≡ batch keep-min); the
+    // batch count crosses the compaction threshold so the ladder pass
+    // also proves compacted state preserves parity
+    val ids = corpus.select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    val nBatches = CurateStream.CompactSegments + 3
+    val per = math.max(1, math.ceil(ids.length.toDouble / nBatches).toInt)
+    ids.grouped(per).foreach { g =>
+      CurateStream.processBatch(
+        corpus.where(col("doc_id").between(g.head, g.last)), stateDir)
+    }
+    val streamed = CurateStream.keptCorpus(spark, stateDir)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_chars"))
+      .sortBy(_._1).toSeq
+    val batch = Curate.curateApply(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_chars"))
+      .sortBy(_._1).toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch,
+      s"ladder parity broke: streamed ${streamed.size} vs batch ${batch.size}; " +
+        s"missing=${(batch.map(_._1).toSet -- streamed.map(_._1).toSet).take(5)} " +
+        s"extra=${(streamed.map(_._1).toSet -- batch.map(_._1).toSet).take(5)}")
+  }
+
   test("curateUpsert wires the same merge through a real stream") {
     val stateDir = Files.createTempDirectory("graft_curate_sink").toString
     val ckpt = Files.createTempDirectory("graft_curate_ckpt").toString
