@@ -94,6 +94,8 @@ object SparkEntry {
     "ann_ivf_kmeans"  -> (VectorSearch.annIvfKmeans _),
     "ann_pq"          -> (VectorSearch.annPq _),
     "ann_pq_recall"   -> (VectorSearch.annPqRecall _),
+    "ann_opq"         -> (VectorSearch.annOpq _),
+    "ann_opq_recall"  -> (VectorSearch.annOpqRecall _),
     "ann_ivfpq"        -> (VectorSearch.annIvfPq _),
     "ann_ivfpq_recall" -> (VectorSearch.annIvfPqRecall _),
     "ann_ivfpq_residual"        -> (VectorSearch.annIvfPqResidual _),
@@ -365,6 +367,46 @@ object SparkEntry {
         |prk AS (SELECT q_id, vec_id, cos,
         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk FROM psc)""".stripMargin
     init + ",\n" + pqTrainSql("p", "pqc") + ",\n" + tail
+  }
+
+  /** OPQ chain — oracle twin of VectorSearch.opqRotate / opqCodebooks
+    * / opqCodes / annOpq: the seeded rotation R = H·D/8 generated in
+    * SQL (sign j from the same md5 nibble rule as the Scala
+    * derivation — the seed string is interpolated from the ONE
+    * constant; H entry from bit_count(i AND j) parity; every entry
+    * ±0.125 so each product is an exact FP scaling), applied as a
+    * matrix-multiply CTE — one list_dot_product per output dim — then
+    * the SAME unrolled PQ training recipe via [[pqTrainSql]] (prefix
+    * `o`) in rotated space, encoding, reconstruction, asymmetric rank.
+    */
+  private val opqCte: String = {
+    val init =
+      s"""og AS (SELECT unnest(generate_series(0, ${VectorSearch.OpqDim - 1})) AS x),
+         |osgn AS (SELECT x AS j, CASE WHEN ('0x' || substr(md5('${VectorSearch.OpqSeed}_' || CAST(x AS VARCHAR)), 1, 1))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END AS s FROM og),
+         |orow AS MATERIALIZED (SELECT i.x AS i,
+         |    list(CASE WHEN bit_count(CAST(i.x & sg.j AS BIGINT)) % 2 = 0 THEN sg.s ELSE -sg.s END * 0.125 ORDER BY sg.j) AS rw
+         |  FROM og i, osgn sg GROUP BY i.x),
+         |ov AS MATERIALIZED (SELECT n.vec_id, list(list_dot_product(r.rw, n.emb) ORDER BY r.i) AS emb
+         |  FROM n, orow r GROUP BY n.vec_id),
+         |onv AS MATERIALIZED (SELECT vec_id, emb,
+         |    sqrt(list_sum(list_transform(emb, x -> x*x))) AS nrm FROM ov),
+         |osub AS MATERIALIZED (SELECT vec_id, mm.m AS m,
+         |    emb[mm.m*(len(emb)//8)+1 : (mm.m+1)*(len(emb)//8)] AS sub
+         |  FROM onv, (SELECT unnest(generate_series(0, 7)) AS m) mm),
+         |oqc AS MATERIALIZED (SELECT vec_id, m, sub FROM osub WHERE vec_id >= 10)""".stripMargin
+    val tail =
+      pqAssignSql("oasF", "osub", "ocb3") +
+      """,
+        |orec AS MATERIALIZED (SELECT a.vec_id, flatten(list(k.c_sub ORDER BY a.m)) AS recon
+        |  FROM oasF a JOIN ocb3 k USING (m, label) WHERE a.vec_id >= 10
+        |  GROUP BY a.vec_id),
+        |osc AS (SELECT q.vec_id AS q_id, r2.vec_id,
+        |    floor((list_dot_product(q.emb, r2.recon)
+        |      /(q.nrm * sqrt(list_sum(list_transform(r2.recon, x -> x*x))))) * 10000.0 + 0.5)/10000.0 AS cos
+        |  FROM orec r2, (SELECT vec_id, emb, nrm FROM onv WHERE vec_id < 10) q),
+        |ork AS (SELECT q_id, vec_id, cos,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk FROM osc)""".stripMargin
+    init + ",\n" + pqTrainSql("o", "oqc") + ",\n" + tail
   }
 
   /** Residual PQ chain — oracle twin of VectorSearch.pqResCodebooks /
@@ -1351,6 +1393,20 @@ object SparkEntry {
       """,
         |ex3 AS (SELECT q_id, vec_id FROM r WHERE rk <= 3),
         |ap AS (SELECT q_id, vec_id FROM prk WHERE rk <= 3),
+        |h AS (SELECT ap.q_id, COUNT(*) AS hits
+        |  FROM ap JOIN ex3 ON ap.q_id = ex3.q_id AND ap.vec_id = ex3.vec_id
+        |  GROUP BY ap.q_id)
+        |SELECT e.q_id, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+        |  floor((CAST(coalesce(h.hits, 0) AS DOUBLE)/3.0) * 10000.0 + 0.5)/10000.0 AS recall
+        |FROM (SELECT DISTINCT q_id FROM ex3) e LEFT JOIN h ON e.q_id = h.q_id
+        |ORDER BY e.q_id""".stripMargin),
+    "ann_opq" -> (vecCte + ",\n" + opqCte +
+      """
+        |SELECT q_id, vec_id, cos, rk FROM ork WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin),
+    "ann_opq_recall" -> (knnCte + ",\n" + opqCte +
+      """,
+        |ex3 AS (SELECT q_id, vec_id FROM r WHERE rk <= 3),
+        |ap AS (SELECT q_id, vec_id FROM ork WHERE rk <= 3),
         |h AS (SELECT ap.q_id, COUNT(*) AS hits
         |  FROM ap JOIN ex3 ON ap.q_id = ex3.q_id AND ap.vec_id = ex3.vec_id
         |  GROUP BY ap.q_id)

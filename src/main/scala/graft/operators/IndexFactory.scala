@@ -13,6 +13,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   LSH             random-hyperplane sign codes    → ann_lsh
   *   SQ8             int8 scalar quantization        → ann_quantized
   *   PQ8 | PQ8x4     product quantization            → ann_pq
+  *   OPQ8,PQ8[x4]    seeded pre-rotation + PQ        → ann_opq
   *   IVF8,Flat       k-means coarse quantizer        → ann_ivf_kmeans
   *   IVF8,PQ8[x4]    IVF + PQ fine codes             → ann_ivfpq
   * }}}
@@ -23,6 +24,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the supported grid in the message — the index parameters are part
   * of the persisted artifact's identity, exactly as a FAISS index
   * file fixes its own nlist/M at train time.
+  *
+  * Boundaries, stated rather than silently absent: the OPQ stage is
+  * the seeded orthonormal Hadamard-diagonal rotation
+  * (VectorSearch.opqRotate) — FAISS's LEARNED OPQ rotation trains by
+  * alternating SVD, which no cross-engine oracle can replay, so the
+  * deterministic rotation is the supported form. `HNSW` does not
+  * parse at all: graph traversal with data-dependent insertion order
+  * is inherently sequential and a poor fit for declarative DataFrame
+  * plans — the IVF family is this engine's scale path, and the parse
+  * error says so.
   */
 object IndexFactory {
 
@@ -37,7 +48,7 @@ object IndexFactory {
   /** product quantizer: `m` subspaces, 2^`nbits` codebook entries. */
   final case class Pq(m: Int, nbits: Int) extends Fine
 
-  final case class IndexSpec(nlist: Int, fine: Fine) {
+  final case class IndexSpec(nlist: Int, fine: Fine, opq: Boolean = false) {
     def render: String = {
       val f = fine match {
         case FlatFine   => "Flat"
@@ -45,20 +56,38 @@ object IndexFactory {
         case Sq8        => "SQ8"
         case Pq(m, nb)  => s"PQ${m}x$nb"
       }
-      if (nlist > 0) s"IVF$nlist,$f" else f
+      val body = if (nlist > 0) s"IVF$nlist,$f" else f
+      if (opq) s"OPQ${VectorSearch.PqM},$body" else body
     }
   }
 
   private val IvfRe = "^IVF(\\d+)$".r
   private val PqRe  = "^PQ(\\d+)(?:x(\\d+))?$".r
   private val SqRe  = "^SQ(\\d+)$".r
+  private val OpqRe = "^OPQ(\\d+)$".r
 
   /** Parse a factory string to its spec, or throw
     * IllegalArgumentException naming the offending component. Parsing
     * is grammar-only — see [[search]] for the trained-grid check.
     */
   def parse(s: String): IndexSpec = {
-    val parts = s.trim.split(",").map(_.trim).filter(_.nonEmpty).toList
+    val parts0 = s.trim.split(",").map(_.trim).filter(_.nonEmpty).toList
+    if (parts0.exists(_.startsWith("HNSW")))
+      throw new IllegalArgumentException(
+        s"'$s': HNSW is not implemented — graph traversal with " +
+          "data-dependent insertion order is inherently sequential and a " +
+          "poor fit for declarative DataFrame plans; use the IVF family " +
+          s"(e.g. 'IVF${VectorSearch.KmClusters},PQ${VectorSearch.PqM}x4') " +
+          "as the scale path")
+    // an OPQ prefix modifies the chain that follows it
+    val (opq, parts) = parts0 match {
+      case OpqRe(m) :: rest =>
+        if (m.toInt != VectorSearch.PqM) throw new IllegalArgumentException(
+          s"OPQ$m: the rotation feeds $m-subspace PQ; only " +
+            s"OPQ${VectorSearch.PqM} is implemented")
+        (true, rest)
+      case rest => (false, rest)
+    }
     def fineOf(p: String): Fine = p match {
       case "Flat"        => FlatFine
       case "LSH"         => Lsh8
@@ -70,10 +99,13 @@ object IndexFactory {
         s"unrecognized index component '$other' in '$s'")
     }
     parts match {
-      case IvfRe(n) :: fine :: Nil => IndexSpec(n.toInt, fineOf(fine))
+      case IvfRe(n) :: fine :: Nil => IndexSpec(n.toInt, fineOf(fine), opq)
       case IvfRe(_) :: Nil => throw new IllegalArgumentException(
         s"'$s': IVF needs a fine stage, e.g. 'IVF${VectorSearch.KmClusters},Flat'")
-      case fine :: Nil             => IndexSpec(0, fineOf(fine))
+      case fine :: Nil             => IndexSpec(0, fineOf(fine), opq)
+      case Nil if opq => throw new IllegalArgumentException(
+        s"'$s': OPQ is a pre-rotation and needs a quantizer after it, " +
+          s"e.g. 'OPQ${VectorSearch.PqM},PQ${VectorSearch.PqM}x4'")
       case _                       => throw new IllegalArgumentException(
         s"cannot parse index factory string '$s'")
     }
@@ -85,6 +117,7 @@ object IndexFactory {
   private def supported: Seq[String] = Seq(
     "Flat", "LSH", "SQ8",
     s"PQ${VectorSearch.PqM}x4",
+    s"OPQ${VectorSearch.PqM},PQ${VectorSearch.PqM}x4",
     s"IVF${VectorSearch.KmClusters},Flat",
     s"IVF${VectorSearch.KmClusters},PQ${VectorSearch.PqM}x4")
 
@@ -96,13 +129,14 @@ object IndexFactory {
   def search(spark: SparkSession, dir: String, spec: String): DataFrame = {
     val p = parse(spec)
     val pq4 = Pq(VectorSearch.PqM, 4)
-    (p.nlist, p.fine) match {
-      case (0, FlatFine)                      => VectorSearch.knnBrute(spark, dir)
-      case (0, Lsh8)                          => VectorSearch.annLsh(spark, dir)
-      case (0, Sq8)                           => VectorSearch.annQuantized(spark, dir)
-      case (0, `pq4`)                         => VectorSearch.annPq(spark, dir)
-      case (VectorSearch.KmClusters, FlatFine) => VectorSearch.annIvfKmeans(spark, dir)
-      case (VectorSearch.KmClusters, `pq4`)    => VectorSearch.annIvfPq(spark, dir)
+    (p.nlist, p.fine, p.opq) match {
+      case (0, FlatFine, false)                      => VectorSearch.knnBrute(spark, dir)
+      case (0, Lsh8, false)                          => VectorSearch.annLsh(spark, dir)
+      case (0, Sq8, false)                           => VectorSearch.annQuantized(spark, dir)
+      case (0, `pq4`, false)                         => VectorSearch.annPq(spark, dir)
+      case (0, `pq4`, true)                          => VectorSearch.annOpq(spark, dir)
+      case (VectorSearch.KmClusters, FlatFine, false) => VectorSearch.annIvfKmeans(spark, dir)
+      case (VectorSearch.KmClusters, `pq4`, false)    => VectorSearch.annIvfPq(spark, dir)
       case _ => throw new IllegalArgumentException(
         s"'${p.render}' parses but no staged index is trained with these " +
           s"parameters; supported: ${supported.mkString(", ")}")

@@ -739,6 +739,134 @@ object VectorSearch {
   def annIvfPqResidualRecall(spark: SparkSession, dir: String): DataFrame =
     recallOf(annIvfPqResidual(spark, dir), spark, dir)
 
+  // ----------------------------------------------------------------
+  // OPQ: seeded orthonormal pre-rotation before PQ — the FAISS
+  // index_factory "OPQ8,PQ8x4" spelling (beyond-reference: the
+  // reference is IndexFlatIP only, embed_pdfs.py:227)
+  // ----------------------------------------------------------------
+
+  /** The rotation's fixed dimensionality (the corpus embedding dim;
+    * Hadamard needs a power of two). Oversized/undersized vectors
+    * fail loudly in [[opqRotate]].
+    */
+  val OpqDim  = 64
+  /** Seed namespace for the diagonal sign flip — interpolated into
+    * BOTH the Scala derivation and the oracle's md5 SQL (SparkEntry
+    * builds the CTE from this constant), so the two cannot drift.
+    */
+  val OpqSeed = "opq1"
+
+  /** Seeded diagonal D: sign j from the first hex nibble of
+    * md5("opq1_j") — the [[lshPlanes]] derivation discipline, replayed
+    * verbatim by the oracle CTE.
+    */
+  private lazy val opqSigns: IndexedSeq[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until OpqDim).map { j =>
+      val hex = f"${md.digest(s"${OpqSeed}_$j".getBytes("UTF-8")).head & 0xff}%02x"
+      if (java.lang.Long.parseLong(hex.substring(0, 1), 16) % 2 == 0) 1.0 else -1.0
+    }
+  }
+
+  /** R = H·D/8: R[i][j] = (−1)^popcount(i AND j) · D[j] · 0.125 — the
+    * 64-point Hadamard matrix times the seeded sign flip, scaled by
+    * 1/√64. EXACTLY orthonormal (H·Hᵀ = 64·I and √64 = 8 is exact),
+    * so rotated cosines equal original cosines up to FP roundoff; and
+    * every entry is ±2⁻³ (an exact binary fraction), so each product
+    * in the matrix multiply is an exact FP scaling and the
+    * sequential-fold dot replays bit-for-bit in DuckDB. HD with a
+    * random diagonal is the standard structured random rotation of
+    * the randomized-Hadamard-transform family — the form of OPQ
+    * pre-rotation that stays oracle-checkable (a LEARNED OPQ rotation
+    * needs per-iteration SVD, which no cross-engine oracle can
+    * replay; see IndexFactory's grammar note).
+    */
+  private lazy val opqRows: IndexedSeq[Seq[Double]] =
+    (0 until OpqDim).map { i =>
+      (0 until OpqDim).map { j =>
+        val h = if (java.lang.Integer.bitCount(i & j) % 2 == 0) 1.0 else -1.0
+        h * opqSigns(j) * 0.125
+      }
+    }
+
+  /** Apply the rotation: out[i] = dot(R_i, emb) — the matrix multiply
+    * the oracle replays as a generated-row list_dot_product CTE.
+    * Constant-folded plane rows (computed once at plan construction,
+    * like [[lshPlanes]]); a non-[[OpqDim]] vector fails loudly.
+    */
+  private[graft] def opqRotate(emb: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val rot = array(opqRows.map(r => V.dot(lit(r.toArray), emb)): _*)
+    when(size(emb) =!= OpqDim,
+      raise_error(concat(lit(s"OPQ rotation needs exactly $OpqDim dims, got "),
+        size(emb).cast("string"))).cast("array<double>"))
+      .otherwise(rot)
+  }
+
+  /** The corpus in rotated space — queries and vectors alike; the
+    * whole OPQ chain (training, encoding, search) lives here, and
+    * because R is orthonormal the rotated-space cosine IS the
+    * original-space cosine, so no inverse rotation is ever needed.
+    */
+  private def opqVectors(spark: SparkSession, dir: String): DataFrame =
+    vectors(spark, dir).select(col("vec_id"), opqRotate(col("emb")).as("emb"))
+
+  /** OPQ codebooks: the [[pqCodebooks]] recipe verbatim, trained on
+    * the ROTATED corpus — same deterministic Lloyd's, same staging.
+    */
+  private[graft] def opqCodebooks(spark: SparkSession, dir: String): DataFrame = {
+    val key = s"opq_codebooks:$OpqSeed:$PqM:$PqKsub:$PqIters:$dir"
+    graft.DfCache.getOrCompute(spark, key)(
+      graft.DfCache.stagedFrame(spark, key,
+        graft.DfCache.inputFingerprint(spark, s"$dir/embeddings.parquet")) {
+        val corpusSub = pqSubvectors(
+          opqVectors(spark, dir).where(col("vec_id") >= NQueries))
+        val init = corpusSub
+          .withColumn("r", row_number().over(
+            Window.partitionBy(col("m")).orderBy(col("vec_id"))))
+          .where(col("r") <= PqKsub)
+          .select(col("m"), (col("r") - 1).cast("long").as("label"),
+            col("sub").as("c_sub"))
+        lloydsRefine(corpusSub, init, Seq("m", "label"), "sub", "c_sub",
+          PqIters, pqAssign)
+      })
+  }
+
+  /** OPQ codes over the rotated vectors — the stored index, staged
+    * like [[pqCodes]].
+    */
+  private[graft] def opqCodes(spark: SparkSession, dir: String): DataFrame = {
+    val key = s"opq_codes:$OpqSeed:$PqM:$PqKsub:$PqIters:$dir"
+    graft.DfCache.getOrCompute(spark, key)(
+      graft.DfCache.stagedFrame(spark, key,
+        graft.DfCache.inputFingerprint(spark, s"$dir/embeddings.parquet"))(
+        pqAssign(pqSubvectors(opqVectors(spark, dir)), opqCodebooks(spark, dir))
+          .select(col("vec_id"), col("m"), col("label"))))
+  }
+
+  /** OPQ search — FAISS "OPQ8,PQ8x4": asymmetric PQ search run
+    * entirely in rotated space (rotated query vs rotated-codebook
+    * reconstruction; orthonormality makes the scores directly
+    * comparable to exact original-space cosines). Same decode
+    * spelling ([[pqDecodeWith]]) and plan shape as [[annPq]].
+    */
+  def annOpq(spark: SparkSession, dir: String): DataFrame = {
+    val q = opqVectors(spark, dir).where(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val recon = pqDecodeWith(opqCodebooks(spark, dir),
+      opqCodes(spark, dir).where(col("vec_id") >= NQueries), Seq("vec_id"))
+    topKExplode(recon.crossJoin(broadcast(q))
+      .select(col("q_id"), col("vec_id"),
+        V.cosine4(col("q_emb"), col("recon")).as("cos")), K, "vec_id")
+  }
+
+  /** Recall@3 of OPQ search against exact brute force (original
+    * space — valid because the rotation preserves the true ranking):
+    * the measured effect of the pre-rotation vs [[annPqRecall]] on
+    * the same corpus.
+    */
+  def annOpqRecall(spark: SparkSession, dir: String): DataFrame =
+    recallOf(annOpq(spark, dir).where(col("rk") <= 3), spark, dir)
+
   /** End-to-end text search: literal query strings → hashed-BoW
     * embedding (Ingest.rawEmbed) → cosine against doc_embed vectors →
     * top-k docs. Mirror of search_similar_chunks (core/utils.py:194):

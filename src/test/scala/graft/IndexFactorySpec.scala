@@ -18,20 +18,30 @@ class IndexFactorySpec extends SparkSpec {
     assert(parse("IVF8,Flat") === IndexSpec(8, FlatFine))
     assert(parse(" IVF8 , PQ8x4 ") === IndexSpec(8, Pq(8, 4)))
     assert(parse("IVF8,PQ8x4").render === "IVF8,PQ8x4")
+    assert(parse("OPQ8,PQ8x4") === IndexSpec(0, Pq(8, 4), opq = true))
+    assert(parse("OPQ8,PQ8").render === "OPQ8,PQ8x4")
   }
 
   test("rejects what it cannot parse, names the component") {
     val e1 = intercept[IllegalArgumentException](parse("HNSW32"))
     assert(e1.getMessage.contains("HNSW32"))
+    // the HNSW boundary is documented in the error itself, pointing
+    // at the IVF family as the scale path
+    assert(e1.getMessage.contains("IVF"))
     val e2 = intercept[IllegalArgumentException](parse("IVF8"))
     assert(e2.getMessage.contains("fine stage"))
     val e3 = intercept[IllegalArgumentException](parse("SQ4"))
     assert(e3.getMessage.contains("SQ8"))
+    val e4 = intercept[IllegalArgumentException](parse("OPQ16,PQ8x4"))
+    assert(e4.getMessage.contains("OPQ16"))
+    val e5 = intercept[IllegalArgumentException](parse("OPQ8"))
+    assert(e5.getMessage.contains("pre-rotation"))
     intercept[IllegalArgumentException](parse(""))
   }
 
   test("parseable but untrained configurations fail with the supported grid") {
-    for (s <- Seq("IVF32,Flat", "PQ16", "IVF8,PQ4", "PQ8x8")) {
+    for (s <- Seq("IVF32,Flat", "PQ16", "IVF8,PQ4", "PQ8x8", "OPQ8,SQ8",
+        "OPQ8,IVF8,PQ8x4")) {
       val e = intercept[IllegalArgumentException](
         IndexFactory.search(spark, sfDir, s))
       assert(e.getMessage.contains("supported:"), s"no grid in message for '$s'")
@@ -83,6 +93,7 @@ class IndexFactorySpec extends SparkSpec {
       "LSH"        -> VectorSearch.annLsh(spark, sfDir),
       "SQ8"        -> VectorSearch.annQuantized(spark, sfDir),
       "PQ8"        -> VectorSearch.annPq(spark, sfDir),
+      "OPQ8,PQ8x4" -> VectorSearch.annOpq(spark, sfDir),
       "IVF8,Flat"  -> VectorSearch.annIvfKmeans(spark, sfDir),
       "IVF8,PQ8x4" -> VectorSearch.annIvfPq(spark, sfDir))
     grid.foreach { case (s, direct) =>

@@ -311,6 +311,53 @@ class VectorSearchSpec extends SparkSpec {
     assert(mean >= 10 * chance, s"pq recall@3 $mean vs chance $chance")
   }
 
+  test("OPQ rotation is orthonormal: norms and pairwise cosines preserved") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.toDouble(col("embedding")).as("emb"))
+      .orderBy(col("vec_id")).limit(20)
+    val rows = emb.select(col("vec_id"), col("emb"),
+        VectorSearch.opqRotate(col("emb")).as("remb"))
+      .collect()
+      .map(r => (r.getAs[Seq[Double]]("emb").toArray, r.getAs[Seq[Double]]("remb").toArray))
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    rows.foreach { case (x, rx) =>
+      assert(rx.length == VectorSearch.OpqDim)
+      assert(math.abs(dot(x, x) - dot(rx, rx)) < 1e-9, "norm not preserved")
+    }
+    for (Seq((x, rx), (y, ry)) <- rows.toSeq.combinations(2).take(50))
+      assert(math.abs(dot(x, y) - dot(rx, ry)) < 1e-9,
+        "inner product not preserved — rotation is not orthonormal")
+    // a wrong-dimension vector fails loudly, not silently
+    import spark.implicits._
+    val e = intercept[Exception] {
+      Seq((1L, Seq(1.0, 2.0))).toDF("vec_id", "emb")
+        .select(VectorSearch.opqRotate(col("emb"))).collect()
+    }
+    assert(e.getMessage.contains("OPQ rotation needs exactly"))
+  }
+
+  test("ann_opq: code domain bounded and recall@3 >= plain PQ's (measured)") {
+    val codes = VectorSearch.opqCodes(spark, sfDir).collect()
+    assert(codes.nonEmpty)
+    assert(codes.forall { r =>
+      val l = r.getAs[Long]("label")
+      l >= 0 && l < VectorSearch.PqKsub && r.getAs[Int]("m") < VectorSearch.PqM
+    })
+    // the pre-rotation must not cost recall on the same corpus —
+    // measured 6 vs 4 hits at sf0.001, 5 vs 5 at sf0.01, 3 vs 2 at
+    // sf0.1 (the rotation spreads the corpus's per-subspace variance,
+    // which is what OPQ buys)
+    val opqHits = VectorSearch.annOpqRecall(spark, sfDir)
+      .collect().map(_.getAs[Long]("hits")).sum
+    val pqHits = VectorSearch.annPqRecall(spark, sfDir)
+      .collect().map(_.getAs[Long]("hits")).sum
+    assert(opqHits >= pqHits,
+      s"OPQ recall regressed vs plain PQ: $opqHits vs $pqHits hits")
+  }
+
   test("keyword_search scores follow the reference formula bounds") {
     val rows = KeywordSearch.keywordSearch(spark, sfDir).collect()
     assert(rows.nonEmpty)
