@@ -57,6 +57,7 @@ object SparkEntry {
     "vec_normalize"   -> (Ingest.vecNormalize _),
     "pipeline_ingest" -> (Ingest.pipelineIngest _),
     "index_search"    -> ((s, d) => graft.sources.ChunkIndex.indexSearch(s, d)),
+    "index_search_dsv2" -> ((s, d) => graft.sources.ChunkIndex.indexSearchDsv2(s, d)),
     "jsonl_ingest"    -> ((s, d) => graft.sources.Formats.jsonlIngest(s, d)),
     // §2.F LLM-data-pipeline operators
     "dedup_exact"     -> (Dedup.dedupExact _),
@@ -763,7 +764,14 @@ object SparkEntry {
         |  UNION ALL SELECT 6, 'decontaminate', n6, n7 FROM nn)
         |ORDER BY stage_id""".stripMargin
 
-  def oracleSql: Map[String, String] = Map(
+  // the DSv2 variant reads the SAME committed index through the
+  // connector, so its expected rows are index_search's by
+  // construction — what differs (and what the gate now covers) is the
+  // manifest-resolution + bucket-pruned read path
+  def oracleSql: Map[String, String] =
+    oracleSql0 + ("index_search_dsv2" -> oracleSql0("index_search"))
+
+  private lazy val oracleSql0: Map[String, String] = Map(
     // the quarantine reader's row accounting, arithmetically: good
     // lines are every doc_id % 13 != 0 (the generator corrupts the
     // rest), so both aggregates derive straight from the table

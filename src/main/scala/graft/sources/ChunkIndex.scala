@@ -59,7 +59,7 @@ object ChunkIndex {
     * the table becomes unreadable (UNABLE_TO_INFER_SCHEMA on load),
     * so empty tables land as one flat schema-bearing dir instead.
     */
-  private val FlatKey = "__flat__"
+  private[sources] val FlatKey = "__flat__"
   private val PartDirCol = "_p"
 
   private def withShard(chunks: DataFrame): DataFrame =
@@ -320,6 +320,24 @@ object ChunkIndex {
   def indexSearch(spark: SparkSession, dir: String): DataFrame =
     search(spark, ensureIndex(spark, dir), "hash join", nProbe = 2, k = 5)
 
+  /** The same persisted search with the probed buckets read THROUGH
+    * the DSv2 connector (`spark.read.format("graft-index")` with the
+    * `buckets` option) instead of [[searchBuckets]]' direct path
+    * selection — identical semantics (same query prep and scoring
+    * spelling via [[searchImpl]]), so the connector's manifest
+    * resolution + bucket pruning sits under the DuckDB gate rather
+    * than under IndexSourceSpec only.
+    */
+  def indexSearchDsv2(spark: SparkSession, dir: String): DataFrame = {
+    val root = ensureIndex(spark, dir)
+    searchImpl(spark, root, "hash join", nProbe = 2, k = 5, buckets =>
+      spark.read.format("graft-index")
+        .option("table", "embeddings")
+        .option("buckets", buckets.mkString(","))
+        .load(root)
+        .where(col("bucket").isin(buckets: _*)))
+  }
+
   /** Load the persisted index (core/utils.py:150 `load_index` /
     * :178 `load_metadata`): every partition dir the current manifest
     * references.
@@ -374,7 +392,17 @@ object ChunkIndex {
     * saved index rather than the in-session one.
     */
   def search(spark: SparkSession, outPath: String, queryText: String,
-      nProbe: Int, k: Int): DataFrame = {
+      nProbe: Int, k: Int): DataFrame =
+    searchImpl(spark, outPath, queryText, nProbe, k,
+      searchBuckets(spark, outPath, _))
+
+  /** The search body with the probed-bucket read as a seam — ONE
+    * spelling of query prep and scoring serves both the direct
+    * manifest path and the DSv2 connector path, so the two cannot
+    * drift.
+    */
+  private def searchImpl(spark: SparkSession, outPath: String, queryText: String,
+      nProbe: Int, k: Int, probedOf: Seq[Long] => DataFrame): DataFrame = {
     import spark.implicits._
     val qRows = Ingest.normalizeLongForm(
       Ingest.rawEmbed(Seq((1L, queryText)).toDF("q_id", "q_text"),
@@ -387,7 +415,7 @@ object ChunkIndex {
     // uncached qemb frame would re-run the whole embed job in the join
     val qemb = qRows.map(r => (r.getAs[Long]("dim"), r.getAs[Double]("qw")))
       .toSeq.toDF("dim", "qw")
-    val probed = searchBuckets(spark, outPath, buckets)
+    val probed = probedOf(buckets)
     probed.join(functions.broadcast(qemb), Seq("dim"))
       .groupBy(col("doc_id"))
       .agg(graft.functions.Par.round4(sum(col("qw") * col("weight"))).as("score"))

@@ -20,6 +20,9 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *   // time travel: any not-yet-vacuumed commit by sequence number
   *   spark.read.format("graft-index")
   *     .option("snapshot", "3").load(root)
+  *   // probe-pruned: only the named quantizer buckets' dirs are read
+  *   spark.read.format("graft-index")
+  *     .option("table", "embeddings").option("buckets", "3,7").load(root)
   * }}}
   *
   * Resolution happens at the MANIFEST layer — the table's file list
@@ -71,9 +74,25 @@ object IndexSource {
       knownSchema: Option[StructType] = None): ParquetTable = {
     require(Tables(table),
       s"unknown index table '$table' (expected one of ${Tables.mkString(", ")})")
-    val dirs = ChunkIndex.partitionDirs(spark, root, table, snapshot)
-    if (dirs.isEmpty)
+    val all = ChunkIndex.partitionDirs(spark, root, table, snapshot)
+    if (all.isEmpty)
       throw new java.io.FileNotFoundException(s"no committed index at $root")
+    // manifest-level partition pruning: option("buckets", "3,7")
+    // restricts the table's FILE LIST to the named partitions' dirs —
+    // the connector twin of ChunkIndex.searchBuckets, so probing
+    // through the DSv2 path never lists or reads unprobed directories
+    val dirs = Option(options.get("buckets")) match {
+      case None => all
+      case Some(bs) =>
+        require(table == "embeddings",
+          "option 'buckets' prunes the embeddings table's quantizer partitions")
+        val want = bs.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        val sel = all.filter { case (k, _) => want(k) || k == ChunkIndex.FlatKey }
+        // no probed partition exists: keep one real dir for schema —
+        // the caller's bucket filter reduces it to zero rows
+        // (searchBuckets' fallback, same contract)
+        if (sel.nonEmpty) sel else Map(all.toSeq.minBy(_._1))
+    }
     val at = snapshot.map(s => s"@$s").getOrElse("")
     ParquetTable(s"graft-index($root$at).$table", spark, options,
       dirs.values.toSeq.sorted, knownSchema, classOf[ParquetFileFormat])

@@ -54,6 +54,47 @@ class IndexSourceSpec extends SparkSpec {
     assert(q.count() == expect)
   }
 
+  test("buckets option prunes the file list at the manifest layer") {
+    val full = spark.read.format("graft-index")
+      .option("table", "embeddings").load(root)
+    val probed = Seq(3L, 7L)
+    val pruned = spark.read.format("graft-index")
+      .option("table", "embeddings")
+      .option("buckets", probed.mkString(","))
+      .load(root)
+    // the DIRECT witness of dir-level pruning: the pruned table's
+    // file list is a strict subset, and every file sits in a probed
+    // partition's directory
+    val fullFiles = full.inputFiles.toSet
+    val prunedFiles = pruned.inputFiles.toSet
+    assert(prunedFiles.nonEmpty && prunedFiles.subsetOf(fullFiles))
+    assert(prunedFiles.size < fullFiles.size,
+      "buckets option did not drop any directory from the file list")
+    assert(prunedFiles.forall(f => probed.exists(b => f.contains(s"_p=$b"))),
+      s"unprobed directory in pruned file list: ${prunedFiles.take(3)}")
+    // content parity with the library's direct bucket read
+    val direct = ChunkIndex.searchBuckets(spark, root, probed)
+    assert(pruned.where(col("bucket").isin(probed: _*)).count() == direct.count())
+    // a probe set with no committed partition still reads (schema via
+    // one real dir) and filters to zero rows
+    assert(spark.read.format("graft-index")
+      .option("table", "embeddings").option("buckets", "999")
+      .load(root).where(col("bucket") === 999L).count() == 0L)
+    // buckets on the chunks table is a loud contract error
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft-index")
+        .option("table", "chunks").option("buckets", "3").load(root)
+    }
+  }
+
+  test("indexSearchDsv2 matches indexSearch row-for-row") {
+    val viaDsv2 = graft.sources.ChunkIndex.indexSearchDsv2(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    val direct = graft.sources.ChunkIndex.indexSearch(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    assert(viaDsv2.nonEmpty && viaDsv2 == direct)
+  }
+
   test("catalog plugin: SQL over the index, mutation rejected") {
     spark.conf.set("spark.sql.catalog.gidx", classOf[IndexCatalog].getName)
     spark.conf.set("spark.sql.catalog.gidx.root", root)

@@ -112,6 +112,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(one.select(countDistinct(col("cl"))).collect()(0).getLong(0) == 1L)
   }
 
+  test("index_search_dsv2: the oracle-gated read goes through the DSv2 BatchScan") {
+    val df = graft.sources.ChunkIndex.indexSearchDsv2(spark, sfDir)
+    val plan = finalPlan(df)
+    assert(plan.contains("BatchScan graft-index"),
+      s"search did not read through the connector:\n$plan")
+    // dir-level pruning happened at the manifest layer: the scan's
+    // file list holds only probed-bucket directories (inputFiles is
+    // the witness — a filter above an unpruned scan would pass a
+    // naive plan-string check while listing every partition)
+    val files = df.inputFiles.filter(_.contains("/embeddings/"))
+    assert(files.nonEmpty)
+    val buckets = files.flatMap(_.split("/").find(_.startsWith("_p="))).distinct
+    assert(buckets.length <= 2,
+      s"expected <= nProbe=2 probed partition dirs, saw ${buckets.mkString(", ")}")
+  }
+
   test("hybrid_rrf: fusion joins bounded frames, never the corpus against itself") {
     val plan = finalPlan(KeywordSearch.hybridRrf(spark, sfDir))
     assert(!plan.contains("CartesianProduct"),
