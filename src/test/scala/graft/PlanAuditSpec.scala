@@ -171,6 +171,54 @@ class PlanAuditSpec extends SparkSpec {
       s"expected <= 3 parquet scans (queries + corpus + staged centroids), saw $parquetScans:\n$plan")
   }
 
+  test("every BroadcastNestedLoopJoin in headliner plans builds a <=1-row side") {
+    // the engine's BNLJ-Cross nodes are all SCALAR combiners (a
+    // one-row aggregate broadcast against a frame); a regression that
+    // introduces a REAL cartesian — a multi-row build side — must
+    // fail here, not surface as a ladder blow-up
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => a +: flatten(a.executedPlan)
+      case q: QueryStageExec        => q +: flatten(q.plan)
+      case o                        => o +: o.children.flatMap(flatten)
+    }
+    def rowsOf(p: SparkPlan): Option[Long] =
+      p.metrics.get("numOutputRows").map(_.value).orElse {
+        val kids = p match {
+          case q: QueryStageExec => Seq(q.plan)
+          case o                 => o.children
+        }
+        kids.view.flatMap(rowsOf).headOption
+      }
+    // the BNLJ carriers among the PLANS.md headliners, plus the
+    // scalar-combining analytics
+    val guarded = Seq("corpus_curate", "curate_apply", "hybrid_rrf",
+      "ask_batch", "dashboard_stats", "session_stats", "funnel")
+    var seen = 0
+    guarded.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.collect()
+      flatten(df.queryExecution.executedPlan)
+        .collect { case j: BroadcastNestedLoopJoinExec => j }
+        .foreach { j =>
+          seen += 1
+          val side = j.buildSide match {
+            case BuildLeft  => j.left
+            case BuildRight => j.right
+          }
+          val n = rowsOf(side).getOrElse(
+            fail(s"$name: no numOutputRows metric on the BNLJ build side"))
+          assert(n <= 1L,
+            s"$name: BroadcastNestedLoopJoin builds $n rows — a real " +
+              s"cartesian, not a scalar combine:\n${j.treeString}")
+        }
+    }
+    assert(seen > 0, "guard is vacuous: no BNLJ found in any guarded plan")
+  }
+
   test("q1 aggregation is map-side partial") {
     val plan = finalPlan(Relational.q1Pricing(spark, sfDir))
     assert(plan.contains("partial_sum") || plan.contains("HashAggregate"),
