@@ -52,7 +52,7 @@ object Dedup {
     * `perturb` drops the copy's first word to make near- rather than
     * exact duplicates.
     */
-  private[operators] def corpusWithDups(spark: SparkSession, dir: String,
+  private[graft] def corpusWithDups(spark: SparkSession, dir: String,
       perturb: Boolean): DataFrame = {
     val base = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     val copyText =
@@ -674,6 +674,18 @@ object Dedup {
     * aggregate over the same staged artifact its query consumes.
     * `unit` says what is being counted (verified pairs vs blocking
     * entries). Collected by [[graft.Audit]]; reported by Bench.
+    *
+    * READ THE UNITS: the `dedup_simhash.bucket_cap` row counts bucket
+    * OCCUPANTS (how many half-bucket rows sat beyond the build-side
+    * cap), NOT lost verified pairs — a qualifying pair is lost only
+    * when BOTH members rank beyond the cap in BOTH shared halves, so
+    * occupant drops overstate the pair cost. The direct
+    * uncapped-vs-capped pair measurement (too expensive to run inside
+    * the audit at ladder scale — uncapped is the Σ bucket² join the
+    * cap exists to avoid) lives in ScaleSmokeSpec's bucket-cap recall
+    * test: capped pairs ⊆ uncapped pairs, and every doc with any
+    * uncapped partner keeps a capped partner (cluster coverage 1.0)
+    * even on a single-bucket flood where pair-level recall drops.
     */
   def capAudit(spark: SparkSession, dir: String): DataFrame = {
     def summarize(perKey: DataFrame, stage: String, cap: Long, unit: String): DataFrame =

@@ -97,6 +97,47 @@ class ScaleSmokeSpec extends SparkSpec {
       "duplicate pairs survived the canonicalizing distinct")
   }
 
+  test("bucket cap recall: capped vs uncapped qualifying pairs, measured") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    def pairsOf(sigs: org.apache.spark.sql.DataFrame, cap: Int): Set[(Long, Long)] =
+      Dedup.simhashQualifying(sigs, cap).select(col("a_id"), col("b_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 1. the REAL dedup_simhash corpus at this SF: the cap must not
+    //    bite at all — capped == uncapped, pair recall exactly 1.0
+    //    (the small-scale ground-truth check the audit's occupant
+    //    counts cannot provide; see Dedup.capAudit's unit note)
+    val nat = Dedup.simhashSigs(
+      Dedup.corpusWithDups(spark, sfDir, perturb = true)).localCheckpoint()
+    val natCapped = pairsOf(nat, Dedup.SimhashBucketCap)
+    val natFull = pairsOf(nat, Int.MaxValue)
+    assert(natCapped == natFull,
+      s"cap bites on the natural corpus: ${natFull.size - natCapped.size} " +
+        s"of ${natFull.size} qualifying pairs lost")
+    // 2. a single-bucket flood (the cap's worst case): pair recall
+    //    drops by design, but soundness and CLUSTER COVERAGE hold —
+    //    capped ⊆ uncapped, and every doc with an uncapped partner
+    //    still has a capped partner, so no duplicate escapes detection
+    val n = 200
+    val boiler = (1 to 30).map(i => s"common$i").mkString(" ")
+    val flood = Dedup.simhashSigs(
+      (0L until n.toLong).map(i => (i, s"$boiler unique$i"))
+        .toDF("doc_id", "text")).localCheckpoint()
+    val fCapped = pairsOf(flood, Dedup.SimhashBucketCap)
+    val fFull = pairsOf(flood, Int.MaxValue)
+    assert(fCapped.subsetOf(fFull), "capped stream invented pairs")
+    def docs(ps: Set[(Long, Long)]) = ps.flatMap(p => Seq(p._1, p._2))
+    assert(docs(fCapped) == docs(fFull),
+      "cap removed a doc's LAST partner — a duplicate would escape detection")
+    // the measured pair-level cost of the cap on the flood (≈ 0.28
+    // here): in-cap pairs + (out-of-cap → in-cap) survive, the
+    // out-of-cap × out-of-cap tail is delegated to the in-cap
+    // representatives — quantified, not silent
+    val recall = fCapped.size.toDouble / fFull.size
+    assert(recall > 0.1 && recall < 1.0,
+      s"flood pair recall $recall outside the expected capped band")
+  }
+
   test("ngram_jaccard relative window still finds candidates under 8x replication") {
     import spark.implicits._
     import graft.functions.TextFunctions.shinglePosting
