@@ -25,13 +25,13 @@ object SparkEntry {
     "q_rolling"       -> (Relational.qRolling _),
     // §2.D analytics
     "contribution_analytics" -> (Analytics.contributionAnalytics _),
-    "top_rated"        -> (Analytics.topRated _),
-    "recent_n"         -> (Analytics.recentN _),
-    "paginate"         -> (Analytics.paginate _),
-    "sessionize"       -> (Analytics.sessionize _),
-    "session_stats"    -> (Analytics.sessionStats _),
-    "live_users"       -> (Analytics.liveUsers _),
-    "activity_summary" -> (Analytics.activitySummary _),
+    "top_rated"        -> ((s, d) => Analytics.topRated(s, d)),
+    "recent_n"         -> ((s, d) => Analytics.recentN(s, d)),
+    "paginate"         -> ((s, d) => Analytics.paginate(s, d)),
+    "sessionize"       -> ((s, d) => Analytics.sessionize(s, d)),
+    "session_stats"    -> ((s, d) => Analytics.sessionStats(s, d)),
+    "live_users"       -> ((s, d) => Analytics.liveUsers(s, d)),
+    "activity_summary" -> ((s, d) => Analytics.activitySummary(s, d)),
     "dashboard_stats"  -> (Analytics.dashboardStats _),
     "props_extract"    -> (Analytics.propsExtract _),
     "funnel"           -> (Analytics.funnel _),
@@ -43,11 +43,11 @@ object SparkEntry {
     "event_windows"     -> (Analytics.eventWindows _),
     "value_outliers"    -> (Analytics.valueOutliers _),
     "status_transition" -> (Analytics.statusTransition _),
-    "session_cleanup"   -> (Analytics.sessionCleanup _),
+    "session_cleanup"   -> ((s, d) => Analytics.sessionCleanup(s, d)),
     "q_rollup"          -> (Analytics.qRollup _),
     "pivot_events"      -> (Analytics.pivotEvents _),
     // sketch ops: no oracle (implementations differ) → rows-only check
-    "approx_live_users" -> (Analytics.approxLiveUsers _),
+    "approx_live_users" -> ((s, d) => Analytics.approxLiveUsers(s, d)),
     "approx_value_percentiles" -> (Analytics.approxValuePercentiles _),
     "approx_top_tokens" -> (TextAnalysis.approxTopTokens _),
     // §2.A ingestion / text processing
@@ -64,8 +64,8 @@ object SparkEntry {
     "dedup_apply"     -> (Dedup.dedupApply _),
     "dedup_clusters"  -> (Dedup.dedupClusters _),
     "neardup_apply"   -> (Dedup.neardupApply _),
-    "deterministic_sample" -> (Dedup.deterministicSample _),
-    "dedup_minhash"   -> (Dedup.dedupMinhash _),
+    "deterministic_sample" -> ((s, d) => Dedup.deterministicSample(s, d)),
+    "dedup_minhash"   -> ((s, d) => Dedup.dedupMinhash(s, d)),
     "dedup_simhash"   -> (Dedup.dedupSimhash _),
     "ngram_jaccard"   -> (Dedup.ngramJaccard _),
     "lang_id"         -> (TextAnalysis.langId _),
@@ -74,18 +74,18 @@ object SparkEntry {
     "doc_fingerprint" -> (TextAnalysis.docFingerprint _),
     "multimodal_meta" -> (TextAnalysis.multimodalMeta _),
     "doc_extract"     -> ((s, d) => Multimodal.docExtract(s, d)),
-    "validate_docs"   -> (TextAnalysis.validateDocs _),
+    "validate_docs"   -> ((s, d) => TextAnalysis.validateDocs(s, d)),
     "clean_text"      -> (TextAnalysis.cleanText _),
     "pii_scrub"       -> (TextAnalysis.piiScrub _),
     "repetition_score" -> (TextAnalysis.repetitionScore _),
     "stratified_balance" -> ((s, d) => TextAnalysis.stratifiedBalance(s, d)),
-    "contamination_check" -> (Dedup.contaminationCheck _),
-    "corpus_curate"   -> (Curate.corpusCurate _),
-    "curate_apply"    -> (Curate.curateApply _),
+    "contamination_check" -> ((s, d) => Dedup.contaminationCheck(s, d)),
+    "corpus_curate"   -> ((s, d) => Curate.corpusCurate(s, d)),
+    "curate_apply"    -> ((s, d) => Curate.curateApply(s, d)),
     // §2.B vector search
-    "knn_brute"       -> (VectorSearch.knnBrute _),
-    "knn_threshold"   -> (VectorSearch.knnThreshold _),
-    "ann_ivf"         -> (VectorSearch.annIvf _),
+    "knn_brute"       -> ((s, d) => VectorSearch.knnBrute(s, d)),
+    "knn_threshold"   -> ((s, d) => VectorSearch.knnThreshold(s, d)),
+    "ann_ivf"         -> ((s, d) => VectorSearch.annIvf(s, d)),
     "ann_lsh"         -> (VectorSearch.annLsh _),
     "ann_lsh_recall"  -> (VectorSearch.annLshRecall _),
     "ann_recall"      -> (VectorSearch.annRecall _),
@@ -105,8 +105,8 @@ object SparkEntry {
     "image_search"    -> ((s, d) => Multimodal.imageSearch(s, d)),
     "dedup_embedding" -> (VectorSearch.dedupEmbedding _),
     // §2.C keyword + hybrid search
-    "keyword_search"    -> (KeywordSearch.keywordSearch _),
-    "keyword_bm25"      -> (KeywordSearch.keywordBm25 _),
+    "keyword_search"    -> ((s, d) => KeywordSearch.keywordSearch(s, d)),
+    "keyword_bm25"      -> ((s, d) => KeywordSearch.keywordBm25(s, d)),
     "hybrid_rrf"        -> (KeywordSearch.hybridRrf _),
     "keyword_substring" -> (KeywordSearch.keywordSubstring _),
     "hybrid_quality"    -> (KeywordSearch.hybridQuality _),

@@ -22,6 +22,11 @@ object Analytics {
 
   val SessionGapMs = 30L * 60 * 1000   // reference: 30-min activity window
 
+  /** activity_summary's trailing window — the reference's `days=7`
+    * API default (core/session_utils.py:268).
+    */
+  val ActivityDays = 7
+
   /** count + average value by type — mirror of
     * get_contribution_analytics (core/supabase_utils.py:315): total
     * contributions and average rating, here grouped by event_type.
@@ -37,40 +42,47 @@ object Analytics {
 
   /** Top-n by rating — get_top_rated_qa (core/supabase_utils.py:346):
     * `order by rating desc limit n`, with a deterministic id
-    * tie-break. Bounded top-k, never a global sort.
+    * tie-break. Bounded top-k, never a global sort. `n` mirrors the
+    * reference's `limit=10` API parameter.
     */
-  def topRated(spark: SparkSession, dir: String): DataFrame =
+  def topRated(spark: SparkSession, dir: String, n: Int = 10): DataFrame =
     Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-      .limit(10)
+      .limit(n)
 
-  /** Most-recent-n — get_recent_qa (core/supabase_utils.py:354). */
-  def recentN(spark: SparkSession, dir: String): DataFrame =
+  /** Most-recent-n — get_recent_qa (core/supabase_utils.py:354);
+    * `n` mirrors the reference's `limit=10` API parameter.
+    */
+  def recentN(spark: SparkSession, dir: String, n: Int = 10): DataFrame =
     Tables.events(spark, dir)
       .select(col("event_id"), col("ts_ms"),
         col("user_id"), col("event_type"))
       .orderBy(col("ts_ms").desc, col("event_id").desc)
-      .limit(10)
+      .limit(n)
 
   /** Offset/limit page listing — list_contributions
     * (core/supabase_utils.py:383) `range(start, end)` pagination:
-    * page 2 at 20/page. At scale pagination this deep is cheap; deep
-    * offsets would use a keyset (`doc_id > last_seen`) instead.
+    * 0-based `page` at `pageSize`/page (defaults: page 2 at
+    * 20/page, the row the oracle pins). At scale pagination this
+    * deep is cheap; deep offsets would use a keyset
+    * (`doc_id > last_seen`) instead.
     */
-  def paginate(spark: SparkSession, dir: String): DataFrame =
+  def paginate(spark: SparkSession, dir: String,
+               page: Int = 1, pageSize: Int = 20): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), col("n_chars"))
       .orderBy(col("doc_id"))
-      .offset(20)
-      .limit(20)
+      .offset(page * pageSize)
+      .limit(pageSize)
 
   /** Gap-based sessionization of the event stream — the batch twin of
     * the reference's login/logout session tracking
     * (core/session_models.py, is_active + last_activity). One shuffle
     * on user_id; lag + running conditional count assigns session ids.
     */
-  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+  def sessionize(spark: SparkSession, dir: String,
+                 gapMs: Long = SessionGapMs): DataFrame = {
     val byTime = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_ms"), col("event_id"))
     val ev = Tables.events(spark, dir)
@@ -78,7 +90,7 @@ object Analytics {
         col("ts_ms"))
       .withColumn("prev_ms", lag(col("ts_ms"), 1).over(byTime))
       .withColumn("new_sess",
-        when(col("prev_ms").isNull || col("ts_ms") - col("prev_ms") > SessionGapMs, 1)
+        when(col("prev_ms").isNull || col("ts_ms") - col("prev_ms") > gapMs, 1)
           .otherwise(0))
       .withColumn("session_id",
         sum(col("new_sess")).over(byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -95,15 +107,16 @@ object Analytics {
     * (core/session_utils.py:215). "Active" = session still inside the
     * 30-min gap at end-of-data; "today" = started on max(ts)'s date.
     */
-  def sessionStats(spark: SparkSession, dir: String): DataFrame = {
-    val sess = sessionize(spark, dir)
+  def sessionStats(spark: SparkSession, dir: String,
+                   gapMs: Long = SessionGapMs): DataFrame = {
+    val sess = sessionize(spark, dir, gapMs)
     val nowMs = Tables.events(spark, dir)
       .agg(max(col("ts_ms")).as("now_ms"),
         (max(col("ts_ms")) - max(col("ts_ms")) % (24L * 3600 * 1000)).as("today_ms"))
     sess.crossJoin(nowMs)
       .agg(
         count(lit(1)).as("total_sessions"),
-        sum(when(col("end_ms") >= col("now_ms") - SessionGapMs, 1).otherwise(0))
+        sum(when(col("end_ms") >= col("now_ms") - gapMs, 1).otherwise(0))
           .as("active_sessions"),
         sum(when(col("start_ms") >= col("today_ms"), 1).otherwise(0))
           .as("today_sessions"))
@@ -119,8 +132,10 @@ object Analytics {
     * kept frame feeds a partition-overwrite write-back
     * (cf. ChunkIndex.upsert); the counts are the audit trail.
     */
-  def sessionCleanup(spark: SparkSession, dir: String): DataFrame = {
-    val sess = sessionize(spark, dir)
+  def sessionCleanup(spark: SparkSession, dir: String,
+                     gapMs: Long = SessionGapMs,
+                     retentionMs: Long = CleanupRetentionMs): DataFrame = {
+    val sess = sessionize(spark, dir, gapMs)
       .select(col("user_id"), col("session_id"), col("end_ms"))
       .localCheckpoint()   // feeds before-count, doomed, and anti-join
     val nowMs = Tables.events(spark, dir).agg(max(col("ts_ms")).as("now_ms"))
@@ -129,8 +144,8 @@ object Analytics {
     // 30-min inactivity test — if either constant changed they would
     // no longer nest, and the oracle mirrors the pair
     val doomed = sess.crossJoin(broadcast(nowMs))
-      .where(col("end_ms") < col("now_ms") - SessionGapMs &&
-        col("end_ms") < col("now_ms") - CleanupRetentionMs)
+      .where(col("end_ms") < col("now_ms") - gapMs &&
+        col("end_ms") < col("now_ms") - retentionMs)
       .select(col("user_id"), col("session_id"))
     // the anti-join IS the delete (the kept frame is what a MERGE
     // write-back would persist); total_after is counted from it
@@ -148,24 +163,26 @@ object Analytics {
   /** Distinct users active in the trailing 30-min window —
     * get_live_user_count (core/session_utils.py:200).
     */
-  def liveUsers(spark: SparkSession, dir: String): DataFrame = {
+  def liveUsers(spark: SparkSession, dir: String,
+                gapMs: Long = SessionGapMs): DataFrame = {
     val ev = Tables.events(spark, dir)
     val nowMs = ev.agg(max(col("ts_ms")).as("now_ms"))
     ev.select(col("user_id"), col("ts_ms"))
       .crossJoin(nowMs)
-      .where(col("ts_ms") >= col("now_ms") - SessionGapMs)
+      .where(col("ts_ms") >= col("now_ms") - gapMs)
       .agg(countDistinct(col("user_id")).as("live_users"))
   }
 
   /** Per-user × activity-type counts over the trailing 7 days —
     * get_user_activity_summary (core/session_utils.py:268).
     */
-  def activitySummary(spark: SparkSession, dir: String): DataFrame = {
+  def activitySummary(spark: SparkSession, dir: String,
+                      days: Int = ActivityDays): DataFrame = {
     val ev = Tables.events(spark, dir)
     val nowMs = ev.agg(max(col("ts_ms")).as("now_ms"))
     ev.select(col("user_id"), col("event_type"), col("ts_ms"))
       .crossJoin(nowMs)
-      .where(col("ts_ms") >= col("now_ms") - 7L * 24 * 3600 * 1000)
+      .where(col("ts_ms") >= col("now_ms") - days.toLong * 24 * 3600 * 1000)
       .groupBy(col("user_id"), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("user_id"), col("event_type"))
@@ -306,12 +323,13 @@ object Analytics {
     * aggregation). No DuckDB oracle: sketch implementations differ;
     * the spec bounds the error against the exact count instead.
     */
-  def approxLiveUsers(spark: SparkSession, dir: String): DataFrame = {
+  def approxLiveUsers(spark: SparkSession, dir: String,
+                      gapMs: Long = SessionGapMs): DataFrame = {
     val ev = Tables.events(spark, dir)
     val nowMs = ev.agg(max(col("ts_ms")).as("now_ms"))
     ev.select(col("user_id"), col("ts_ms"))
       .crossJoin(nowMs)
-      .where(col("ts_ms") >= col("now_ms") - SessionGapMs)
+      .where(col("ts_ms") >= col("now_ms") - gapMs)
       .agg(approx_count_distinct(col("user_id")).as("approx_live_users"))
   }
 

@@ -62,6 +62,28 @@ object Curate {
     */
   val ContaminationFloor = 0.5
 
+  /** The tunable curation-gate surface — the constants above as
+    * defaulted knobs, so a caller can run the funnel at e.g. a
+    * stricter quality floor without a recompile. The defaults are
+    * exactly the constants the DuckDB oracle pins, so the default
+    * path is byte-identical to the historical fixed-constant one.
+    */
+  case class Params(
+      minWords: Int = MinWords,
+      qualityFloor: Double = QualityFloor,
+      langFloor: Double = LangFloor,
+      nearDupJaccard: Double = NearDupJaccard,
+      contaminationFloor: Double = ContaminationFloor) {
+    /** Cache/staging key suffix: default params keep the historical
+      * un-suffixed keys (cross-round staged artifacts stay shared);
+      * non-default runs get their own cache/staging namespace so
+      * they can never poison the oracle-checked default chain.
+      */
+    private[operators] def tag: String =
+      if (this == Params()) ""
+      else s":p$minWords:$qualityFloor:$langFloor:$nearDupJaccard:$contaminationFloor"
+  }
+
   /** The curation input: documents ∪ an exact copy of every 7th doc
     * (ids +100000) ∪ a first-word-dropped near-copy of every 13th
     * (ids +200000) — the synthetic corpus has no natural duplicates,
@@ -87,7 +109,8 @@ object Curate {
     * (streaming/CurateStream) applies the IDENTICAL gate expressions
     * per micro-batch — one spelling, batch and stream.
     */
-  private[graft] def gateFlags(docs: DataFrame): DataFrame = {
+  private[graft] def gateFlags(docs: DataFrame,
+                               p: Params = Params()): DataFrame = {
     val words = size(tokens(col("text")))
     val chars = length(col("text"))
     // the gates ARE the standalone operators' expressions —
@@ -97,17 +120,17 @@ object Curate {
       TextAnalysis.profileScore(col("text"), ws)
     }: _*)
     docs.select(col("doc_id"), col("text"),
-      (trim(col("text")) =!= "" && chars <= 1000 && words >= MinWords).as("valid"),
-      (TextAnalysis.compositeQuality(col("text")) >= QualityFloor).as("quality_ok"),
-      (langBest >= LangFloor).as("lang_ok"))
+      (trim(col("text")) =!= "" && chars <= 1000 && words >= p.minWords).as("valid"),
+      (TextAnalysis.compositeQuality(col("text")) >= p.qualityFloor).as("quality_ok"),
+      (langBest >= p.langFloor).as("lang_ok"))
   }
 
-  private def flaggedOf(spark: SparkSession, dir: String): DataFrame =
-    gateFlags(curateCorpus(spark, dir))
+  private def flaggedOf(spark: SparkSession, dir: String, p: Params): DataFrame =
+    gateFlags(curateCorpus(spark, dir), p)
 
-  private def flaggedCached(spark: SparkSession, dir: String): DataFrame =
-    DfCache.getOrCompute(spark, s"curate_flagged:$dir")(
-      flaggedOf(spark, dir)
+  private def flaggedCached(spark: SparkSession, dir: String, p: Params): DataFrame =
+    DfCache.getOrCompute(spark, s"curate_flagged:$dir${p.tag}")(
+      flaggedOf(spark, dir, p)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** Survivors of the three per-row gates. */
@@ -122,10 +145,10 @@ object Curate {
     * detect-stage artifact, staged cross-process like
     * [[Dedup.minhashPairs]] (same build, different corpus).
     */
-  private def curatePairs(spark: SparkSession, dir: String): DataFrame =
-    DfCache.getOrCompute(spark, s"curate_pairs:$dir") {
-      Dedup.minhashPairsOf(s5Cached(spark, dir))(
-        DfCache.stagedFrame(spark, s"curate_pairs:$dir",
+  private def curatePairs(spark: SparkSession, dir: String, p: Params): DataFrame =
+    DfCache.getOrCompute(spark, s"curate_pairs:$dir${p.tag}") {
+      Dedup.minhashPairsOf(s5Cached(spark, dir, p))(
+        DfCache.stagedFrame(spark, s"curate_pairs:$dir${p.tag}",
           DfCache.inputFingerprint(spark, s"$dir/documents.parquet"))(_))
     }
 
@@ -135,20 +158,20 @@ object Curate {
     * branches, so without the persist each reference re-runs the
     * content-hash groupBy over the corpus.
     */
-  private def s5Cached(spark: SparkSession, dir: String): DataFrame =
-    DfCache.getOrCompute(spark, s"curate_s5:$dir")(
-      exactKeptOf(filteredOf(flaggedCached(spark, dir)))
+  private def s5Cached(spark: SparkSession, dir: String, p: Params): DataFrame =
+    DfCache.getOrCompute(spark, s"curate_s5:$dir${p.tag}")(
+      exactKeptOf(filteredOf(flaggedCached(spark, dir, p)))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** Deduped survivors: the near-dup drop applied to the exact-dedup
     * output, cached per (session, dir) — shared by the funnel counts
     * and [[curateApply]].
     */
-  private def s6Cached(spark: SparkSession, dir: String): DataFrame =
-    DfCache.getOrCompute(spark, s"curate_s6:$dir")(
-      s5Cached(spark, dir).join(
-          curatePairs(spark, dir)
-            .where(col("jaccard") >= NearDupJaccard)
+  private def s6Cached(spark: SparkSession, dir: String, p: Params): DataFrame =
+    DfCache.getOrCompute(spark, s"curate_s6:$dir${p.tag}")(
+      s5Cached(spark, dir, p).join(
+          curatePairs(spark, dir, p)
+            .where(col("jaccard") >= p.nearDupJaccard)
             .select(col("b_id").as("doc_id")).distinct(),
           Seq("doc_id"), "left_anti")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
@@ -160,17 +183,17 @@ object Curate {
     * filter. The benchmark posting list is broadcast (eval suites are
     * tiny by nature).
     */
-  private def s7Of(spark: SparkSession, dir: String): DataFrame = {
-    val s6 = s6Cached(spark, dir)
+  private def s7Of(spark: SparkSession, dir: String, p: Params): DataFrame = {
+    val s6 = s6Cached(spark, dir, p)
     // the survivor posting list feeds the bench split and both
     // overlap joins — session-cached like the other detect artifacts
-    val posting = DfCache.getOrCompute(spark, s"curate_post:$dir")(
+    val posting = DfCache.getOrCompute(spark, s"curate_post:$dir${p.tag}")(
       shinglePosting(s6, col("doc_id"), col("text"), 3)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // Dedup.benchMaxOverlap is the single spelling of the %101 split
     // + per-benchmark max-overlap rule shared with contamination_check
     val contaminated = Dedup.benchMaxOverlap(posting)
-      .where(col("max_overlap") >= ContaminationFloor)
+      .where(col("max_overlap") >= p.contaminationFloor)
       .select(col("doc_id"))
     s6.where(col("doc_id") % 101 =!= 0)
       .join(contaminated, Seq("doc_id"), "left_anti")
@@ -179,28 +202,30 @@ object Curate {
   /** s7 cached per (session, dir): read by both the funnel's n7 count
     * and curate_apply's materialization.
     */
-  private def s7Cached(spark: SparkSession, dir: String): DataFrame =
-    DfCache.getOrCompute(spark, s"curate_s7:$dir")(
-      s7Of(spark, dir)
+  private def s7Cached(spark: SparkSession, dir: String, p: Params): DataFrame =
+    DfCache.getOrCompute(spark, s"curate_s7:$dir${p.tag}")(
+      s7Of(spark, dir, p)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** Materialize the cleaned corpus — the apply-stage twin of the
     * funnel report, same output shape as dedup_apply: the documents
     * that survived all seven gates, with their sizes.
     */
-  def curateApply(spark: SparkSession, dir: String): DataFrame =
-    s7Cached(spark, dir)
+  def curateApply(spark: SparkSession, dir: String,
+                  p: Params = Params()): DataFrame =
+    s7Cached(spark, dir, p)
       .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
       .orderBy(col("doc_id"))
 
   /** The 7-row funnel report: (stage_id, stage, docs_in, docs_out,
     * dropped), each stage's input being the previous stage's output.
     */
-  def corpusCurate(spark: SparkSession, dir: String): DataFrame = {
-    val flagged = flaggedCached(spark, dir)
-    val s5 = s5Cached(spark, dir)
-    val s6 = s6Cached(spark, dir)
-    val s7 = s7Cached(spark, dir)
+  def corpusCurate(spark: SparkSession, dir: String,
+                   p: Params = Params()): DataFrame = {
+    val flagged = flaggedCached(spark, dir, p)
+    val s5 = s5Cached(spark, dir, p)
+    val s6 = s6Cached(spark, dir, p)
+    val s7 = s7Cached(spark, dir, p)
     // stage counts: the four per-row gates fold into ONE aggregate
     // over the persisted flag frame; the three join-stage counts are
     // one aggregate each; the crossJoin of 1-row frames is free

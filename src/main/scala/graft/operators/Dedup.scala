@@ -101,11 +101,13 @@ object Dedup {
     * cluster size — the property a training-data pipeline needs for
     * auditable subsets.
     */
-  def deterministicSample(spark: SparkSession, dir: String): DataFrame = {
+  def deterministicSample(spark: SparkSession, dir: String,
+                          baseRate: Double = 0.05,
+                          errorRate: Double = 0.5): DataFrame = {
     val u = md5Long(col("event_id").cast("string"), 1, 8).cast("double") / 4294967296.0
     val rate = when(col("event_type") === "purchase", 1.0)   // keep all rare events
-      .when(col("event_type") === "error", 0.5)
-      .otherwise(0.05)
+      .when(col("event_type") === "error", errorRate)
+      .otherwise(baseRate)
     Tables.events(spark, dir)
       .where(u < rate)
       .select(col("event_id"), col("user_id"), col("event_type"), col("ts_ms"))
@@ -180,10 +182,11 @@ object Dedup {
     * human-facing detection listing; the clustering/apply path
     * consumes the uncapped `minhashPairs` directly.
     */
-  def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
+  def dedupMinhash(spark: SparkSession, dir: String,
+                   topN: Int = 50): DataFrame =
     minhashPairs(spark, dir)
       .orderBy(col("jaccard").desc, col("a_id"), col("b_id"))
-      .limit(50)
+      .limit(topN)
 
   /** Exact Jaccard for candidate (a_id, b_id) pairs via posting-list
     * joins: |∩| = matching-shingle row count, sizes from a small
@@ -639,10 +642,11 @@ object Dedup {
     * side streams through map-side without a shuffle of corpus
     * shingles.
     */
-  def contaminationCheck(spark: SparkSession, dir: String): DataFrame =
+  def contaminationCheck(spark: SparkSession, dir: String,
+                         floor: Double = Curate.ContaminationFloor): DataFrame =
     benchMaxOverlap(natPosting(spark, dir))
       .select(col("doc_id"), col("max_overlap"),
-        (col("max_overlap") >= Curate.ContaminationFloor).as("contaminated"))
+        (col("max_overlap") >= floor).as("contaminated"))
       .orderBy(col("doc_id"))
 
   /** THE benchmark-overlap rule — per training doc (id % 101 ≠ 0),

@@ -76,7 +76,8 @@ object KeywordSearch {
     * ≤ 5 rows per query and map partition — a per-query window would
     * funnel every scored (doc × query) row into #queries partitions.
     */
-  def keywordSearch(spark: SparkSession, dir: String): DataFrame = {
+  def keywordSearch(spark: SparkSession, dir: String,
+                    k: Int = 5): DataFrame = {
     val queries = standardQueries(spark)
     val qTok = array_distinct(split(col("q_text"), " "))
     val dTok = array_distinct(tokens(col("text")))
@@ -87,7 +88,7 @@ object KeywordSearch {
         Par.round4(score).as("score"), rating.as("rating"))
       .where(col("score") > 0)
       .groupBy(col("q_id"))
-      .agg(TopK.topK2(5)(col("score"), col("rating"), col("doc_id")).as("top"))
+      .agg(TopK.topK2(k)(col("score"), col("rating"), col("doc_id")).as("top"))
       .select(col("q_id"), posexplode(col("top")).as(Seq("i", "hit")))
       .select(col("q_id"), col("hit.id").as("doc_id"), col("hit.score").as("score"),
         col("hit.score2").as("rating"), (col("i") + 1).cast("long").as("rk"))
@@ -287,7 +288,9 @@ object KeywordSearch {
     * the ad-hoc [[bm25]] form's vocab-pruned df, so both paths score
     * identically (spec-asserted).
     */
-  def keywordBm25(spark: SparkSession, dir: String): DataFrame = {
+  def keywordBm25(spark: SparkSession, dir: String,
+                  k: Int = Bm25K, k1: Double = Bm25K1,
+                  b: Double = Bm25B): DataFrame = {
     val qtok = standardQueries(spark).select(col("q_id").as("_qid"),
       explode(array_distinct(tokens(col("q_text")))).as("_tok"))
     // the query vocabulary's shard set: a pure function of the
@@ -302,8 +305,8 @@ object KeywordSearch {
       .where(col("_shard").isin(shards: _*))
     bm25Score(post, bm25IndexDf(spark, dir),
       bm25IndexStats(spark, dir), qtok, "q_id", "doc_id",
-      k = Bm25K, k1p1 = Bm25K1 + 1.0, k1 = Bm25K1, b = Bm25B,
-      oneMinusB = 1.0 - Bm25B)
+      k = k, k1p1 = k1 + 1.0, k1 = k1, b = b,
+      oneMinusB = 1.0 - b)
       .orderBy(col("q_id"), col("rk"))
   }
 

@@ -129,10 +129,11 @@ object TextAnalysis {
     * and length > 1000), extended with a minimum-token gate. Produces
     * (doc_id, valid, reason) for downstream filtering or quarantine.
     */
-  def validateDocs(spark: SparkSession, dir: String): DataFrame = {
+  def validateDocs(spark: SparkSession, dir: String,
+                   maxChars: Int = 1000, minTokens: Int = 3): DataFrame = {
     val reason = when(trim(col("text")) === "", "empty")
-      .when(length(col("text")) > 1000, "too_long")
-      .when(size(tokens(col("text"))) < 3, "too_short")
+      .when(length(col("text")) > maxChars, "too_long")
+      .when(size(tokens(col("text"))) < minTokens, "too_short")
       .otherwise("ok")
     Tables.documents(spark, dir)
       .select(col("doc_id"), reason.as("reason"))

@@ -51,20 +51,23 @@ object VectorSearch {
     * against the rest of the corpus — the exact-search baseline
     * (FAISS IndexFlatIP.search, core/utils.py:221).
     */
-  def knnBrute(spark: SparkSession, dir: String): DataFrame = {
+  def knnBrute(spark: SparkSession, dir: String, k: Int = K): DataFrame = {
     val v = vectors(spark, dir)
     val q = v.where(col("vec_id") < NQueries)
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
     val corpus = v.where(col("vec_id") >= NQueries)
     topKExplode(corpus.crossJoin(broadcast(q))
       .select(col("q_id"), col("vec_id"),
-        V.cosine4(col("q_emb"), col("emb")).as("cos")), K, "vec_id")
+        V.cosine4(col("q_emb"), col("emb")).as("cos")), k, "vec_id")
   }
 
   /** Top-k with a similarity threshold — search_similar_chunks'
-    * `score >= similarity_threshold` filter (core/utils.py:228).
+    * `score >= similarity_threshold` filter (core/utils.py:228);
+    * `threshold` mirrors the reference's `similarity_threshold` API
+    * parameter.
     */
-  def knnThreshold(spark: SparkSession, dir: String): DataFrame = {
+  def knnThreshold(spark: SparkSession, dir: String,
+                   threshold: Double = Threshold, k: Int = 2 * K): DataFrame = {
     val v = vectors(spark, dir)
     val q = v.where(col("vec_id") < NQueries)
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
@@ -72,7 +75,7 @@ object VectorSearch {
     topKExplode(corpus.crossJoin(broadcast(q))
       .select(col("q_id"), col("vec_id"),
         V.cosine4(col("q_emb"), col("emb")).as("cos"))
-      .where(col("cos") >= Threshold), 2 * K, "vec_id")
+      .where(col("cos") >= threshold), k, "vec_id")
   }
 
   /** Per-label mean centroids of the embeddings table — the IVF
@@ -107,14 +110,16 @@ object VectorSearch {
     * scale the bucket is a partition key: probing = partition
     * pruning, and the fine search touches nProbe/K of the corpus.
     */
-  def annIvf(spark: SparkSession, dir: String): DataFrame =
-    annIvfWith(spark, dir, centroidsOf(spark, dir))
+  def annIvf(spark: SparkSession, dir: String,
+             nProbe: Int = NProbe): DataFrame =
+    annIvfWith(spark, dir, centroidsOf(spark, dir), nProbe)
 
   /** IVF fine search against an explicit (label, c_emb) centroid
     * frame — the prebuilt-index seam.
     */
-  def annIvfWith(spark: SparkSession, dir: String, cent: DataFrame): DataFrame =
-    ivfFineSearch(vectors(spark, dir), cent)
+  def annIvfWith(spark: SparkSession, dir: String, cent: DataFrame,
+                 nProbe: Int = NProbe): DataFrame =
+    ivfFineSearch(vectors(spark, dir), cent, nProbe)
 
   val KmClusters = 8
   val KmIters    = 3
@@ -222,14 +227,15 @@ object VectorSearch {
     * labels, bounded top-3 — serves both the full-precision and the
     * dequantized-int8 index so probe/rank semantics cannot drift.
     */
-  private def ivfFineSearch(v: DataFrame, cent: DataFrame): DataFrame = {
+  private def ivfFineSearch(v: DataFrame, cent: DataFrame,
+                            nProbe: Int = NProbe): DataFrame = {
     val q = v.where(col("vec_id") < NQueries)
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
     val probes = q.crossJoin(broadcast(cent))
       .select(col("q_id"), col("q_emb"), col("label"),
         V.cosine4(col("q_emb"), col("c_emb")).as("c_cos"))
       .withColumn("prk", rank("c_cos", "label", "q_id"))
-      .where(col("prk") <= NProbe)
+      .where(col("prk") <= nProbe)
     val corpus = v.where(col("vec_id") >= NQueries)
     topKExplode(corpus.join(broadcast(probes), Seq("label"))
       .select(col("q_id"), col("vec_id"),
