@@ -39,7 +39,7 @@ object DfCache {
     * [[gc]]; superseded fingerprints within the current version are
     * swept opportunistically at publish time ([[publishStaged]]).
     */
-  val StagingVersion = 4   // v4: int8_codes carries the IVF label
+  val StagingVersion = 5   // v5: minhash pair build is quotient-contracted
 
   /** Once-only holder; `compute` runs outside the owning map's locks. */
   private final class Cell(c0: () => DataFrame) {

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.DfCache
@@ -142,18 +143,62 @@ object Dedup {
           DfCache.inputFingerprint(spark, s"$dir/documents.parquet"))(_))
     }
 
+  /** Exact-content quotient of a corpus: (doc_id, rep_id) where
+    * rep_id is the minimum doc_id sharing md5(text) — the contraction
+    * every production near-dup pipeline applies BEFORE MinHash
+    * (boilerplate-heavy crawls carry huge exact-duplicate cliques;
+    * verifying C(g,2) identical pairs per clique is pure waste). The
+    * oracle's dedup-closure SQL carries the correctness argument
+    * (SparkEntry's quotient chain): bands and jaccard are pure
+    * functions of the text, so a group shares all band keys (an
+    * internal clique at jaccard 1) and a cross-group pair exists —
+    * with the same jaccard — iff it exists between representatives.
+    */
+  private def quotientOf(corpus: DataFrame): DataFrame =
+    corpus.select(col("doc_id"), md5(col("text")).as("h"))
+      .withColumn("rep_id", min(col("doc_id")).over(Window.partitionBy(col("h"))))
+      .select(col("doc_id"), col("rep_id"))
+
+  /** The exact-content quotient of the near-dup input corpus, cached
+    * per (session, dir) — read by the pair build's expansion and by
+    * the cluster closure's rep-graph projection.
+    */
+  private[operators] def minhashMembers(spark: SparkSession, dir: String): DataFrame =
+    DfCache.getOrCompute(spark, s"minhash_members:$dir")(
+      quotientOf(corpusWithDups(spark, dir, perturb = true))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   /** The MinHash+LSH verified-pair build over ANY (doc_id, text)
     * corpus — the body of [[minhashPairs]], reused by the curation
     * pipeline on its filtered survivor set. `materialize` must force
     * the returned frame (a staging write or an action): the shingle
     * posting list is persisted for the build's internal reuse and
     * unpersisted as soon as `materialize` returns.
+    *
+    * The signature/band/verify pipeline runs on the EXACT-CONTENT
+    * QUOTIENT ([[quotientOf]]) and the verified rep pairs are then
+    * expanded back over the groups — within-group member pairs at
+    * jaccard 1.0 (identical shingle sets), cross-group combos at the
+    * representatives' verified jaccard. The emitted pair set is
+    * row-identical to the doc-level build (the oracle still spells
+    * the doc-level form for dedup_minhash), but the expensive
+    * cand ⋈ posting ⋈ posting verify touches one doc per distinct
+    * text: on a corpus that is 90% exact boilerplate copies the
+    * verify volume drops ~100×, which is the difference between the
+    * detect stage fitting a maintenance window at 100 TB or not.
+    * Groups whose text yields no shingle (< n tokens) produce no
+    * signature doc-level, so expansion skips them (eligibility =
+    * rep has ≥ 1 posting row), keeping the no-pair behavior exact.
     */
   private[operators] def minhashPairsOf(corpus: DataFrame)(
       materialize: DataFrame => DataFrame): DataFrame = {
-    val posting = cachedPosting(shinglePosting(corpus, col("doc_id"), col("text"), 3))
+    val members = cachedPosting(quotientOf(corpus))
+    val reps = corpus.join(
+      members.where(col("doc_id") === col("rep_id")).select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val posting = cachedPosting(shinglePosting(reps, col("doc_id"), col("text"), 3))
     // one md5 per distinct shingle; the 16 permutation minima are 16
-    // agg columns → map-side partial min, one shuffle of #docs rows
+    // agg columns → map-side partial min, one shuffle of #reps rows
     val rows = MinhashPerms / Bands
     val permMins = (0 until MinhashPerms).map { p =>
       min(minhashPerm(col("h"), lit(p.toLong))).as(s"m$p")
@@ -173,8 +218,27 @@ object Dedup {
       .where(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"))
       .distinct()   // a pair may collide in several bands
-    val pairs = materialize(jaccardOf(cand, posting))
+    val repPairs = jaccardOf(cand, posting)
+    // expansion: groups with a signature (≥ 1 shingle) contribute
+    // their internal clique at exact jaccard 1.0 …
+    val eligibleMembers = members.join(
+      posting.select(col("doc_id").as("rep_id")).distinct(),
+      Seq("rep_id"), "left_semi")
+    val within = eligibleMembers.select(col("rep_id"), col("doc_id").as("a_id"))
+      .join(eligibleMembers.select(col("rep_id"), col("doc_id").as("b_id")),
+        Seq("rep_id"))
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), lit(1.0).as("jaccard"))
+    // … and every verified rep pair lifts to all member combos with
+    // the reps' jaccard (identical texts ⇒ identical shingle sets)
+    val cross = repPairs
+      .join(members.select(col("rep_id").as("a_id"), col("doc_id").as("ma")), Seq("a_id"))
+      .join(members.select(col("rep_id").as("b_id"), col("doc_id").as("mb")), Seq("b_id"))
+      .select(least(col("ma"), col("mb")).as("a_id"),
+        greatest(col("ma"), col("mb")).as("b_id"), col("jaccard"))
+    val pairs = materialize(within.unionAll(cross))
     posting.unpersist()
+    members.unpersist()
     pairs
   }
 
@@ -320,15 +384,45 @@ object Dedup {
   def dedupClusters(spark: SparkSession, dir: String): DataFrame =
     clustersCached(spark, dir).orderBy(col("doc_id"))
 
+  /** The closure runs on the REP GRAPH (the oracle's quotient
+    * argument, see [[quotientOf]]): components over the ≥ 0.8 pairs
+    * whose endpoints are both group representatives, then every
+    * member of a pair-bearing group inherits its rep's component.
+    * The propagated label is already the full-graph minimum — a rep
+    * is the min of its group and the component label is the min rep,
+    * so no re-minimization over members is needed. Docs whose only
+    * pairs are within-group (rep absent from the rep graph) label as
+    * their rep. Identical output to doc-level components; the
+    * pointer-doubling fixpoint iterates over #distinct-text nodes
+    * instead of #docs — on a 90%-boilerplate corpus that is the
+    * difference between log-rounds over 100 TB of edges and over the
+    * quotient's few GB.
+    */
   private def clustersCached(spark: SparkSession, dir: String): DataFrame =
     DfCache.getOrCompute(spark, s"dedup_clusters:$dir")(
       DfCache.stagedFrame(spark, s"dedup_clusters:$dir",
-        DfCache.inputFingerprint(spark, s"$dir/documents.parquet"))(
-        componentsWithRounds(minhashPairs(spark, dir)
+        DfCache.inputFingerprint(spark, s"$dir/documents.parquet")) {
+        val pairs8 = minhashPairs(spark, dir)
           .where(col("jaccard") >= 0.8)
-          .select(col("a_id"), col("b_id")),
+          .select(col("a_id"), col("b_id"))
+        val members = minhashMembers(spark, dir)
+        val isRep = members.where(col("doc_id") === col("rep_id"))
+          .select(col("doc_id"))
+        val repEdges = pairs8
+          .join(isRep.withColumnRenamed("doc_id", "a_id"), Seq("a_id"), "left_semi")
+          .join(isRep.withColumnRenamed("doc_id", "b_id"), Seq("b_id"), "left_semi")
+        val repComp = componentsWithRounds(repEdges,
           // cluster runs opt into fault-tolerant per-round staging
-          sys.props.get("graft.components.checkpointDir"))._1))
+          sys.props.get("graft.components.checkpointDir"))._1
+        val nodes = pairs8.select(col("a_id").as("doc_id"))
+          .unionAll(pairs8.select(col("b_id").as("doc_id")))
+          .distinct()
+        nodes.join(members, Seq("doc_id"))
+          .join(repComp.select(col("doc_id").as("rep_id"), col("cluster_id")),
+            Seq("rep_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("cluster_id"), col("rep_id")).as("cluster_id"))
+      })
 
   /** Apply the near-dup clustering: drop every non-canonical cluster
     * member (anti-join), keeping one representative per component —
