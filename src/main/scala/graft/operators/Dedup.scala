@@ -310,8 +310,13 @@ object Dedup {
     * `-Dgraft.components.checkpointDir=...` (read by dedupClusters).
     * The convergence accumulator rides the write job the same way.
     */
-  private[graft] def componentsWithRounds(pairs: DataFrame,
+  private[graft] def componentsWithRounds(rawPairs: DataFrame,
       reliableDir: Option[String] = None): (DataFrame, Int) = {
+    // By-name re-selection: a caller that built its edge list through
+    // USING-column joins may hand us a frame whose physical column
+    // order is (b_id, a_id) — the symmetric closure below is
+    // POSITIONAL (unionAll), so order matters even though names bind.
+    val pairs = rawPairs.select(col("a_id"), col("b_id"))
     val spark = pairs.sparkSession
     val acc = spark.sparkContext.longAccumulator("graft.components.changed")
     // rides inside the checkpoint job: counts rows whose label improved
@@ -342,6 +347,16 @@ object Dedup {
       "edges")
     var prev = materialize(edges.select(col("a_id").as("id")).distinct()
       .withColumn("cluster", col("id")), "round_0")
+    // Invariant that would have caught the round-10 closure break: the
+    // symmetric closure's node set must cover EVERY endpoint of the
+    // input edge list. If the reversed half of the union silently
+    // degenerates (e.g. column reorder making both halves identical),
+    // b_id-only endpoints vanish and this count diverges.
+    val endpointCount = pairs.select(col("a_id").as("id"))
+      .unionAll(pairs.select(col("b_id").as("id"))).distinct().count()
+    val nodeCount = prev.count()
+    require(nodeCount == endpointCount,
+      s"components: symmetric closure lost endpoints ($nodeCount nodes vs $endpointCount edge endpoints)")
     var prevSlot = "round_0"
     var labels = prev
     var changed = 1L
@@ -408,9 +423,15 @@ object Dedup {
         val members = minhashMembers(spark, dir)
         val isRep = members.where(col("doc_id") === col("rep_id"))
           .select(col("doc_id"))
+        // NB: USING-column joins put the join key FIRST, so after the
+        // Seq("b_id") semi-join the frame is physically (b_id, a_id).
+        // Re-select by name before handing it to the positional
+        // symmetric closure (componentsWithRounds also re-selects
+        // defensively — this is the belt to its braces).
         val repEdges = pairs8
           .join(isRep.withColumnRenamed("doc_id", "a_id"), Seq("a_id"), "left_semi")
           .join(isRep.withColumnRenamed("doc_id", "b_id"), Seq("b_id"), "left_semi")
+          .select(col("a_id"), col("b_id"))
         val repComp = componentsWithRounds(repEdges,
           // cluster runs opt into fault-tolerant per-round staging
           sys.props.get("graft.components.checkpointDir"))._1
