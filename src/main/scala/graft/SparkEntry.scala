@@ -66,6 +66,8 @@ object SparkEntry {
     "neardup_apply"   -> (Dedup.neardupApply _),
     "deterministic_sample" -> ((s, d) => Dedup.deterministicSample(s, d)),
     "dedup_minhash"   -> ((s, d) => Dedup.dedupMinhash(s, d)),
+    "dedup_minhash_grouped"  -> ((s, d) => Dedup.dedupMinhashGrouped(s, d)),
+    "dedup_clusters_grouped" -> (Dedup.dedupClustersGrouped _),
     "dedup_simhash"   -> (Dedup.dedupSimhash _),
     "ngram_jaccard"   -> (Dedup.ngramJaccard _),
     "lang_id"         -> (TextAnalysis.langId _),
@@ -648,6 +650,38 @@ object SparkEntry {
   /** Top-50 report oracle (dedup_minhash). */
   private val minhashOracle: String = minhashPairsSql + " LIMIT 50"
 
+  /** The grouped near-dup corpus (Dedup.corpusWithGroups): the base
+    * corpus plus SURVIVING exact-duplicate groups — exact copies of
+    * every 14th/28th doc and of every 14th's perturbed near-copy
+    * (groups of size 2-3 on both sides of near-dup edges), plus a
+    * duplicated two-word prefix (a group that cannot shingle). On
+    * this corpus the exact-content quotient is NOT the identity, so
+    * the doc-level oracle spelling below genuinely cross-checks the
+    * Spark side's quotient-expand build.
+    */
+  private val groupedCorpusSql: String =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 100000, substr(text, strpos(text, ' ') + 1)
+      |    FROM documents WHERE doc_id % 7 = 0
+      |  UNION ALL SELECT doc_id + 200000, text FROM documents WHERE doc_id % 14 = 0
+      |  UNION ALL SELECT doc_id + 300000, text FROM documents WHERE doc_id % 28 = 0
+      |  UNION ALL SELECT doc_id + 400000, substr(text, strpos(text, ' ') + 1)
+      |    FROM documents WHERE doc_id % 14 = 0
+      |  UNION ALL SELECT doc_id + 500000, regexp_extract(text, '^(\S+ \S+)', 1)
+      |    FROM documents WHERE doc_id % 10 = 0
+      |  UNION ALL SELECT doc_id + 600000, regexp_extract(text, '^(\S+ \S+)', 1)
+      |    FROM documents WHERE doc_id % 10 = 0)""".stripMargin
+
+  /** dedup_minhash_grouped's oracle: the DOC-LEVEL pair build over
+    * the grouped corpus — no quotient on the DuckDB side, so a gate
+    * pass proves the quotient expansion emits exactly the doc-level
+    * pair set on real multi-member groups.
+    */
+  private val minhashGroupedOracle: String =
+    "WITH " + groupedCorpusSql + ",\n" + postingCte("corpus") +
+      ",\n" + minhashStagesSql + ",\n" + jaccardTail + " LIMIT 50"
+
   /** Shared component chain for dedup_clusters/neardup_apply,
     * QUOTIENTED by exact-content group BEFORE minhash: bands and
     * jaccard are pure functions of the text, so every md5(text) group
@@ -665,7 +699,14 @@ object SparkEntry {
     * text shingles, i.e. ≥ 3 tokens).
     */
   private val clustersQuotientSql: String =
-    "WITH RECURSIVE " + corpusCte(perturb = true) +
+    clustersQuotientSqlOver(corpusCte(perturb = true))
+
+  /** The quotient component chain over an arbitrary `corpus` CTE —
+    * shared by the base near-dup closure and its grouped variant
+    * (where exact-duplicate groups of size ≥ 2 actually exist).
+    */
+  private def clustersQuotientSqlOver(corpusSql: String): String =
+    "WITH RECURSIVE " + corpusSql +
       """,
         |grp AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS r,
         |    COUNT(*) OVER (PARTITION BY md5(text)) AS gn,
@@ -1153,18 +1194,33 @@ object SparkEntry {
         |         WHEN event_type = 'error' THEN 0.5 ELSE 0.05 END
         |ORDER BY event_id""".stripMargin,
     "dedup_minhash" -> minhashOracle,
+    "dedup_minhash_grouped" -> minhashGroupedOracle,
     "dedup_clusters" ->
       (clustersQuotientSql +
         "SELECT doc_id, cluster_id FROM clus ORDER BY doc_id"),
+    "dedup_clusters_grouped" ->
+      (clustersQuotientSqlOver(groupedCorpusSql) +
+        "SELECT doc_id, cluster_id FROM clus ORDER BY doc_id"),
+    // QUOTIENTED simhash (mirror of Dedup.simhashExpandedQualifying):
+    // signatures and half-bucket capping over one REP per distinct
+    // text, then the qualifying rep pairs expanded over the exact-
+    // content groups — within-group pairs at hamming 0 under the same
+    // member cap, cross pairs lifted where at least one member sits
+    // inside its group's first cap members.
     "dedup_simhash" -> ("WITH " + corpusCte(perturb = true) +
       """,
+        |grp AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS r,
+        |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS grk
+        |  FROM corpus),
+        |reps AS (SELECT c.doc_id, c.text FROM corpus c
+        |  JOIN (SELECT DISTINCT r FROM grp) rr ON c.doc_id = rr.r),
         |tok AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS h
-        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM corpus)),
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM reps)),
         |votes AS (SELECT doc_id, bb.bit AS bit,
         |    CASE WHEN CAST(SUM(CASE WHEN (h >> bb.bit) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) > 0
         |      THEN (CAST(1 AS BIGINT) << bb.bit) ELSE 0 END AS bv
         |  FROM tok, (SELECT unnest(generate_series(0, 31)) AS bit) bb GROUP BY doc_id, bb.bit),
-        |sh AS (SELECT doc_id, CAST(SUM(bv) AS BIGINT) AS simhash FROM votes GROUP BY doc_id),
+        |sh AS MATERIALIZED (SELECT doc_id, CAST(SUM(bv) AS BIGINT) AS simhash FROM votes GROUP BY doc_id),
         |halves AS (
         |  SELECT doc_id, simhash, 0 AS half_idx, simhash >> 16 AS half FROM sh
         |  UNION ALL SELECT doc_id, simhash, 1, simhash & 65535 FROM sh),
@@ -1173,13 +1229,26 @@ object SparkEntry {
         |  FROM halves),
         |bcap AS (SELECT half_idx, half, doc_id, simhash FROM ranked
         |  WHERE brk <= """.stripMargin + Dedup.SimhashBucketCap + """),
-        |cand AS (SELECT DISTINCT least(a.doc_id, b.doc_id) AS a_id,
+        |rcand AS MATERIALIZED (SELECT DISTINCT least(a.doc_id, b.doc_id) AS a_id,
         |    greatest(a.doc_id, b.doc_id) AS b_id,
         |    CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
         |  FROM ranked a JOIN bcap b ON a.half_idx = b.half_idx AND a.half = b.half
         |    AND a.doc_id <> b.doc_id
         |  WHERE (a.brk > """.stripMargin + Dedup.SimhashBucketCap + """ OR a.doc_id < b.doc_id)
         |    AND bit_count(xor(a.simhash, b.simhash)) <= 6),
+        |eg AS MATERIALIZED (SELECT g.doc_id, g.r, g.grk FROM grp g
+        |  WHERE g.r IN (SELECT doc_id FROM sh)),
+        |within AS (SELECT least(a.doc_id, b.doc_id) AS a_id,
+        |    greatest(a.doc_id, b.doc_id) AS b_id, CAST(0 AS BIGINT) AS hamming
+        |  FROM eg a JOIN eg b ON a.r = b.r AND a.doc_id <> b.doc_id
+        |    AND b.grk <= """.stripMargin + Dedup.SimhashBucketCap + """
+        |  WHERE (a.grk > """.stripMargin + Dedup.SimhashBucketCap + """ OR a.doc_id < b.doc_id)),
+        |crossp AS (SELECT least(ma.doc_id, mb.doc_id) AS a_id,
+        |    greatest(ma.doc_id, mb.doc_id) AS b_id, c.hamming
+        |  FROM rcand c JOIN grp ma ON ma.r = c.a_id JOIN grp mb ON mb.r = c.b_id
+        |  WHERE ma.grk <= """.stripMargin + Dedup.SimhashBucketCap +
+      """ OR mb.grk <= """.stripMargin + Dedup.SimhashBucketCap + """),
+        |cand AS (SELECT * FROM within UNION ALL SELECT * FROM crossp),
         |capped AS (SELECT a_id, b_id, hamming,
         |    row_number() OVER (PARTITION BY a_id ORDER BY hamming, b_id) AS prk
         |  FROM cand)

@@ -138,7 +138,8 @@ object Dedup {
     */
   private[graft] def minhashPairs(spark: SparkSession, dir: String): DataFrame =
     DfCache.getOrCompute(spark, s"minhash_pairs:$dir") {
-      minhashPairsOf(corpusWithDups(spark, dir, perturb = true))(
+      minhashPairsOf(corpusWithDups(spark, dir, perturb = true),
+        Some(minhashMembers(spark, dir)))(
         DfCache.stagedFrame(spark, s"minhash_pairs:$dir",
           DfCache.inputFingerprint(spark, s"$dir/documents.parquet"))(_))
     }
@@ -160,8 +161,10 @@ object Dedup {
       .select(col("doc_id"), col("rep_id"))
 
   /** The exact-content quotient of the near-dup input corpus, cached
-    * per (session, dir) — read by the pair build's expansion and by
-    * the cluster closure's rep-graph projection.
+    * per (session, dir) — passed into the pair build's expansion
+    * ([[minhashPairsOf]]'s `membersOpt`) and read by the cluster
+    * closure's rep-graph projection, so the quotient of a corpus is
+    * computed once per session however many consumers run.
     */
   private[operators] def minhashMembers(spark: SparkSession, dir: String): DataFrame =
     DfCache.getOrCompute(spark, s"minhash_members:$dir")(
@@ -190,9 +193,18 @@ object Dedup {
     * signature doc-level, so expansion skips them (eligibility =
     * rep has ≥ 1 posting row), keeping the no-pair behavior exact.
     */
-  private[operators] def minhashPairsOf(corpus: DataFrame)(
+  private[operators] def minhashPairsOf(corpus: DataFrame,
+      membersOpt: Option[DataFrame] = None)(
       materialize: DataFrame => DataFrame): DataFrame = {
-    val members = cachedPosting(quotientOf(corpus))
+    // A caller with a session-cached quotient passes it in; otherwise
+    // build (and own) one inline. `ownMembers` guards the unpersist —
+    // a caller's cached frame must outlive this build.
+    // Passing an IDENTITY quotient (rep_id = doc_id) degenerates the
+    // build to the plain doc-level pipeline: `within` is empty and
+    // `cross` lifts trivially — QuotientSpec uses exactly that to
+    // assert the expansion algebra against doc-level ground truth.
+    val ownMembers = membersOpt.isEmpty
+    val members = membersOpt.getOrElse(cachedPosting(quotientOf(corpus)))
     val reps = corpus.join(
       members.where(col("doc_id") === col("rep_id")).select(col("doc_id")),
       Seq("doc_id"), "left_semi")
@@ -238,7 +250,7 @@ object Dedup {
         greatest(col("ma"), col("mb")).as("b_id"), col("jaccard"))
     val pairs = materialize(within.unionAll(cross))
     posting.unpersist()
-    members.unpersist()
+    if (ownMembers) members.unpersist()
     pairs
   }
 
@@ -345,18 +357,26 @@ object Dedup {
     val edges = materialize(pairs
       .unionAll(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id"))),
       "edges")
-    var prev = materialize(edges.select(col("a_id").as("id")).distinct()
-      .withColumn("cluster", col("id")), "round_0")
     // Invariant that would have caught the round-10 closure break: the
     // symmetric closure's node set must cover EVERY endpoint of the
     // input edge list. If the reversed half of the union silently
     // degenerates (e.g. column reorder making both halves identical),
-    // b_id-only endpoints vanish and this count diverges.
+    // b_id-only endpoints vanish from round_0 and nodes < endpoints.
+    // Costs: the node count rides round_0's own checkpoint job as an
+    // accumulator (task retries can only INFLATE it, so the check is
+    // `>=` — loss, the dangerous direction, is still always caught);
+    // the endpoint count is ONE extra setup action over the edge
+    // list, before the fixpoint — never per round (ScaleSmokeSpec
+    // counts the loop's jobs and allows exactly this setup probe).
+    val nodeAcc = spark.sparkContext.longAccumulator("graft.components.nodes")
+    val tally = udf { id: Long => nodeAcc.add(1L); id }
+    var prev = materialize(edges.select(col("a_id").as("id")).distinct()
+      .withColumn("cluster", tally(col("id"))), "round_0")
     val endpointCount = pairs.select(col("a_id").as("id"))
       .unionAll(pairs.select(col("b_id").as("id"))).distinct().count()
-    val nodeCount = prev.count()
-    require(nodeCount == endpointCount,
-      s"components: symmetric closure lost endpoints ($nodeCount nodes vs $endpointCount edge endpoints)")
+    require(nodeAcc.value >= endpointCount,
+      s"components: symmetric closure lost endpoints " +
+        s"(${nodeAcc.value} nodes vs $endpointCount edge endpoints)")
     var prevSlot = "round_0"
     var labels = prev
     var changed = 1L
@@ -414,13 +434,23 @@ object Dedup {
     * quotient's few GB.
     */
   private def clustersCached(spark: SparkSession, dir: String): DataFrame =
-    DfCache.getOrCompute(spark, s"dedup_clusters:$dir")(
-      DfCache.stagedFrame(spark, s"dedup_clusters:$dir",
-        DfCache.inputFingerprint(spark, s"$dir/documents.parquet")) {
-        val pairs8 = minhashPairs(spark, dir)
+    clustersOf(spark, s"dedup_clusters:$dir", s"$dir/documents.parquet",
+      minhashPairs(spark, dir), minhashMembers(spark, dir))
+
+  /** The rep-graph closure body shared by the base and grouped
+    * cluster queries — parameterized on the verified pair set and the
+    * exact-content quotient it was built over.
+    */
+  private def clustersOf(spark: SparkSession, cacheKey: String,
+      fingerprintPath: String, pairSource: => DataFrame,
+      memberSource: => DataFrame): DataFrame =
+    DfCache.getOrCompute(spark, cacheKey)(
+      DfCache.stagedFrame(spark, cacheKey,
+        DfCache.inputFingerprint(spark, fingerprintPath)) {
+        val pairs8 = pairSource
           .where(col("jaccard") >= 0.8)
           .select(col("a_id"), col("b_id"))
-        val members = minhashMembers(spark, dir)
+        val members = memberSource
         val isRep = members.where(col("doc_id") === col("rep_id"))
           .select(col("doc_id"))
         // NB: USING-column joins put the join key FIRST, so after the
@@ -459,6 +489,80 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** The near-dup corpus with SURVIVING EXACT-DUPLICATE GROUPS — the
+    * input shape the exact-content quotient ([[quotientOf]]) exists
+    * for. [[corpusWithDups]]' perturbed copies are all distinct
+    * texts, so on it the quotient is the identity and the expansion
+    * code (within-clique emission, cross-pair lifting, rep-graph
+    * projection) never runs a multi-member group; this corpus makes
+    * gn ≥ 2 and gn ≥ 3 groups real, the way a boilerplate-heavy crawl
+    * does:
+    *  - every 14th doc gains an exact copy (+200000), every 28th a
+    *    second (+300000) → base-text groups of size 2 and 3;
+    *  - every 14th doc's PERTURBED text (+100000 near-copy of every
+    *    7th) gains its own exact copy (+400000) → a multi-member
+    *    group on the other side of a cross-group near-dup edge;
+    *  - every 10th doc's first two words appear twice (+500000,
+    *    +600000) → a gn ≥ 2 group whose text cannot shingle
+    *    (< 3 tokens), exercising the expansion's eligibility skip.
+    */
+  private[graft] def corpusWithGroups(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val drop1 = expr("substring(text, instr(text, ' ') + 1)")
+    val first2 = regexp_extract(col("text"), "^(\\S+ \\S+)", 1)
+    def shifted(modulo: Int, offset: Long, text: org.apache.spark.sql.Column) =
+      base.where(col("doc_id") % modulo === 0)
+        .select((col("doc_id") + offset).as("doc_id"), text.as("text"))
+    base
+      .unionAll(shifted(7,  100000L, drop1))
+      .unionAll(shifted(14, 200000L, col("text")))
+      .unionAll(shifted(28, 300000L, col("text")))
+      .unionAll(shifted(14, 400000L, drop1))
+      .unionAll(shifted(10, 500000L, first2))
+      .unionAll(shifted(10, 600000L, first2))
+  }
+
+  /** Quotient of the grouped corpus, session-cached like
+    * [[minhashMembers]].
+    */
+  private[operators] def minhashMembersGrouped(spark: SparkSession, dir: String): DataFrame =
+    DfCache.getOrCompute(spark, s"minhash_members:g:$dir")(
+      quotientOf(corpusWithGroups(spark, dir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Verified pair set over [[corpusWithGroups]] — the gated query
+    * where the quotient contraction is NOT the identity, so the
+    * within/cross expansion is exercised against the oracle's
+    * doc-level spelling (the base corpus can't: 572 docs, 572
+    * distinct texts).
+    */
+  private[graft] def minhashPairsGrouped(spark: SparkSession, dir: String): DataFrame =
+    DfCache.getOrCompute(spark, s"minhash_pairs:g:$dir") {
+      minhashPairsOf(corpusWithGroups(spark, dir),
+        Some(minhashMembersGrouped(spark, dir)))(
+        DfCache.stagedFrame(spark, s"minhash_pairs:g:$dir",
+          DfCache.inputFingerprint(spark, s"$dir/documents.parquet"))(_))
+    }
+
+  /** Top-50 near-dup report over the grouped corpus — oracle-checked
+    * against DuckDB's DOC-LEVEL pair build, so every gate run proves
+    * quotient-expand ≡ doc-level on real multi-member groups.
+    */
+  def dedupMinhashGrouped(spark: SparkSession, dir: String,
+                          topN: Int = 50): DataFrame =
+    minhashPairsGrouped(spark, dir)
+      .orderBy(col("jaccard").desc, col("a_id"), col("b_id"))
+      .limit(topN)
+
+  /** Transitive clustering over the grouped corpus: the rep-graph
+    * closure where reps actually carry members (gn up to 3+), checked
+    * against the oracle's recursive quotient chain.
+    */
+  def dedupClustersGrouped(spark: SparkSession, dir: String): DataFrame =
+    clustersOf(spark, s"dedup_clusters:g:$dir", s"$dir/documents.parquet",
+      minhashPairsGrouped(spark, dir), minhashMembersGrouped(spark, dir))
+      .orderBy(col("doc_id"))
+
   /** SimHash near-dup: 32-bit signature from per-bit majority votes
     * of token md5s; candidate pairs share one of the two 16-bit
     * halves, verified with exact hamming ≤ 6. Recall is GUARANTEED
@@ -489,17 +593,88 @@ object Dedup {
     * never as a silent recall cliff.
     */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
-    simhashPartnersOfSigs(simhashSigsCached(spark, dir))
+    simhashExpandedQualifying(spark, dir)
+      .groupBy(col("a_id"))
+      .agg(graft.functions.TopK.topK(SimhashPartnerCap)(
+        -col("hamming").cast("double"), col("b_id")).as("top"))
+      .select(col("a_id"), explode(col("top")).as("hit"))
+      .select(col("a_id"), col("hit.id").as("b_id"),
+        (-col("hit.score")).cast("long").as("hamming"))
       .orderBy(col("hamming"), col("a_id"), col("b_id"))
 
-  /** The staged signature table behind [[dedupSimhash]] — shared with
-    * the cap audit so both count the same artifact.
+  /** The staged REP signature table behind [[dedupSimhash]] — one
+    * signature per distinct text ([[quotientOf]] representative), the
+    * same exact-content contraction the MinHash build runs: identical
+    * texts have identical token multisets hence identical signatures,
+    * so signing them separately only wastes the half-bucket cap's
+    * slots on copies of one text (on a boilerplate-heavy corpus the
+    * 32-slot build side would fill with ONE template's clones and the
+    * cap's recall cost would concentrate exactly where near-dup mass
+    * is). Shared with the cap audit so both count the same artifact.
     */
   private[operators] def simhashSigsCached(spark: SparkSession, dir: String): DataFrame =
-    DfCache.getOrCompute(spark, s"simhash_sigs:$dir")(
-      DfCache.stagedFrame(spark, s"simhash_sigs:$dir",
-        DfCache.inputFingerprint(spark, s"$dir/documents.parquet"))(
-        simhashSigs(corpusWithDups(spark, dir, perturb = true))))
+    DfCache.getOrCompute(spark, s"simhash_rep_sigs:$dir")(
+      DfCache.stagedFrame(spark, s"simhash_rep_sigs:$dir",
+        DfCache.inputFingerprint(spark, s"$dir/documents.parquet")) {
+        val members = minhashMembers(spark, dir)
+        val reps = corpusWithDups(spark, dir, perturb = true)
+          .join(members.where(col("doc_id") === col("rep_id"))
+            .select(col("doc_id")), Seq("doc_id"), "left_semi")
+        simhashSigs(reps)
+      })
+
+  /** The qualifying pair stream of [[dedupSimhash]], quotient-
+    * expanded: hamming-≤ 6 pairs are found between GROUP
+    * REPRESENTATIVES ([[simhashSigsCached]] — so the half-bucket cap
+    * spends its slots on distinct texts), then expanded over the
+    * exact-content groups:
+    *  - WITHIN a group, members pair at hamming 0 (identical
+    *    signatures). The group is itself a degenerate hot bucket, so
+    *    the same build-side cap applies: every member compares
+    *    against the group's first [[SimhashBucketCap]] members, each
+    *    unordered pair emitted once by the probe-rank rule (mirror of
+    *    [[simhashCandidates]]); groups whose text has no token have
+    *    no signature and pair with nothing.
+    *  - ACROSS groups, a verified rep pair lifts to member combos at
+    *    the reps' hamming, bounded the same way: a combo survives iff
+    *    at least one member is among its group's first cap members —
+    *    every doc still reaches cap representatives of the partner
+    *    group, but a pair of two deep-rank clones is not emitted
+    *    (cap·(|Ga|+|Gb|) instead of |Ga|·|Gb| rows per rep edge).
+    * Output volume stays linear in corpus size with the SAME caps as
+    * the doc-level build, while cap recall now degrades per distinct
+    * text, not per clone. Both the partner cap and the group cap are
+    * audited ([[capAudit]]); the oracle mirrors every stage.
+    */
+  private[operators] def simhashExpandedQualifying(spark: SparkSession, dir: String): DataFrame = {
+    val cap = SimhashBucketCap
+    val sigs = simhashSigsCached(spark, dir)
+    val repQ = simhashQualifying(sigs)
+    val gw = Window.partitionBy(col("rep_id")).orderBy(col("doc_id"))
+    val ranked = minhashMembers(spark, dir)
+      .withColumn("grk", row_number().over(gw))
+    val eligible = ranked.join(
+      sigs.select(col("doc_id").as("rep_id")), Seq("rep_id"), "left_semi")
+    val gcap = eligible.where(col("grk") <= cap)
+      .select(col("rep_id"), col("doc_id").as("b_id"))
+    val within = eligible
+      .select(col("rep_id"), col("doc_id").as("a_id"), col("grk").as("a_grk"))
+      .join(gcap, Seq("rep_id"))
+      .where(col("a_id") =!= col("b_id"))
+      .where(col("a_grk") > cap || col("a_id") < col("b_id"))
+      .select(least(col("a_id"), col("b_id")).as("a_id"),
+        greatest(col("a_id"), col("b_id")).as("b_id"),
+        lit(0L).as("hamming"))
+    val cross = repQ
+      .join(ranked.select(col("rep_id").as("a_id"), col("doc_id").as("ma"),
+        col("grk").as("ka")), Seq("a_id"))
+      .join(ranked.select(col("rep_id").as("b_id"), col("doc_id").as("mb"),
+        col("grk").as("kb")), Seq("b_id"))
+      .where(col("ka") <= cap || col("kb") <= cap)
+      .select(least(col("ma"), col("mb")).as("a_id"),
+        greatest(col("ma"), col("mb")).as("b_id"), col("hamming"))
+    within.unionAll(cross)
+  }
 
   /** Capped verified simhash partner pairs of any (doc_id, text)
     * frame — split from [[dedupSimhash]] so the linear-output bound is
@@ -815,13 +990,23 @@ object Dedup {
           lit(unit).as("unit"), col("candidates"), col("emitted"))
     val sigs = simhashSigsCached(spark, dir)
     val sim = summarize(
-      simhashQualifying(sigs)
+      simhashExpandedQualifying(spark, dir)
         .groupBy(col("a_id")).agg(count(lit(1)).as("c")),
       "dedup_simhash.partner_cap", SimhashPartnerCap.toLong, "verified_pairs")
+    // rep-level half buckets: after the quotient contraction the cap
+    // competes over DISTINCT texts, so this row shows how many
+    // distinct-text signatures each hot half-bucket actually holds
     val simBucket = summarize(
       simhashHalves(sigs).groupBy(col("half_idx"), col("half"))
         .agg(count(lit(1)).as("c")),
       "dedup_simhash.bucket_cap", SimhashBucketCap.toLong, "bucket_occupants")
+    // exact-content group sizes vs the expansion's member cap — the
+    // quotient twin of the bucket row (a group is a degenerate bucket
+    // of identical signatures)
+    val simGroup = summarize(
+      minhashMembers(spark, dir).groupBy(col("rep_id"))
+        .agg(count(lit(1)).as("c")),
+      "dedup_simhash.group_cap", SimhashBucketCap.toLong, "group_members")
     val posting = natPosting(spark, dir)
     val docIds = Tables.documents(spark, dir).select(col("doc_id"))
     val bucket = summarize(
@@ -831,6 +1016,7 @@ object Dedup {
       ngramRankedPairs(posting, docIds).agg(count(lit(1)).as("c")),
       "ngram_jaccard.verify_budget", ngramVerifyBudget(docIds.count()),
       "candidate_pairs")
-    sim.unionByName(simBucket).unionByName(bucket).unionByName(verify)
+    sim.unionByName(simBucket).unionByName(simGroup)
+      .unionByName(bucket).unionByName(verify)
   }
 }

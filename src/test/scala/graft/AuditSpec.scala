@@ -17,7 +17,7 @@ class AuditSpec extends SparkSpec {
 
   test("every capped stage reports, and the arithmetic is consistent") {
     assert(rows.keySet == Set("dedup_simhash.partner_cap",
-      "dedup_simhash.bucket_cap",
+      "dedup_simhash.bucket_cap", "dedup_simhash.group_cap",
       "ngram_jaccard.bucket_cap", "ngram_jaccard.verify_budget",
       "dedup_embedding.pair_cap"))
     rows.foreach { case (stage, (cap, cand, emitted, dropped)) =>

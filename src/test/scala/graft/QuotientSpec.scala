@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Proves the exact-content quotient contraction of the MinHash build
+  * (Dedup.minhashPairsOf's members path) against DOC-LEVEL ground
+  * truth on a corpus where the quotient is NOT the identity —
+  * `corpusWithGroups` carries exact-duplicate groups of size 2-3 on
+  * both sides of near-dup edges plus a group that cannot shingle.
+  * The doc-level build is obtained from the SAME code by passing an
+  * identity quotient (rep_id = doc_id): `within` is then empty and
+  * `cross` lifts trivially, so the pipeline degenerates to banding
+  * every doc. (The sf0.01 gate additionally checks the quotient
+  * build against DuckDB's independent doc-level SQL spelling —
+  * dedup_minhash_grouped / dedup_clusters_grouped.)
+  */
+class QuotientSpec extends graft.SparkSpec {
+
+  private lazy val corpus = Dedup.corpusWithGroups(spark, sfDir)
+  private lazy val members = Dedup.minhashMembersGrouped(spark, sfDir)
+  private lazy val quotientPairs = Dedup.minhashPairsGrouped(spark, sfDir)
+  private lazy val docPairs = Dedup.minhashPairsOf(corpus,
+    Some(corpus.select(col("doc_id"), col("doc_id").as("rep_id"))))(
+    _.localCheckpoint())
+
+  private def pairSet(df: DataFrame): Set[(Long, Long, Double)] =
+    df.select(col("a_id"), col("b_id"), col("jaccard")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  test("the grouped corpus actually exercises the quotient (preconditions)") {
+    val sizes = members.groupBy(col("rep_id")).agg(count(lit(1)).as("gn"))
+    assert(sizes.where(col("gn") >= 3).count() > 0,
+      "no group of size >= 3 — the corpus no longer stresses the expansion")
+    // a multi-member group whose text cannot shingle (< 3 tokens)
+    val shortGroups = members.join(corpus, Seq("doc_id"))
+      .where(size(split(col("text"), " ")) < 3)
+      .groupBy(col("rep_id")).agg(count(lit(1)).as("gn"))
+      .where(col("gn") >= 2)
+    assert(shortGroups.count() > 0,
+      "no multi-member no-shingle group — the eligibility skip is unexercised")
+  }
+
+  test("quotient-expanded pairs are row-identical to the doc-level build") {
+    val q = pairSet(quotientPairs)
+    val d = pairSet(docPairs)
+    assert(q == d,
+      s"pair sets differ: quotient-only=${(q -- d).take(5)} doc-only=${(d -- q).take(5)}")
+    // the no-shingle groups must pair with nothing (eligibility skip)
+    assert(!d.exists { case (a, b, _) => a >= 500000L || b >= 500000L },
+      "a two-word-text doc produced a pair")
+    // cross-group lift emitted NON-REP member combos (jaccard < 1 pairs
+    // whose endpoint is not its group's representative)
+    val nonReps = members.where(col("doc_id") =!= col("rep_id"))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(q.exists { case (a, b, j) => j < 1.0 && (nonReps(a) || nonReps(b)) },
+      "no cross-group pair was lifted onto a non-representative member")
+  }
+
+  test("quotient closure matches the doc-level component closure") {
+    val docComp = Dedup.componentsWithRounds(
+      docPairs.where(col("jaccard") >= 0.8).select(col("a_id"), col("b_id")))._1
+    val expected = docComp.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Dedup.dedupClustersGrouped(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected,
+      s"closure differs: ${(got.toSet -- expected.toSet).take(5)} vs ${(expected.toSet -- got.toSet).take(5)}")
+  }
+}
