@@ -69,12 +69,21 @@ object Analytics {
     * (`doc_id > last_seen`) instead.
     */
   def paginate(spark: SparkSession, dir: String,
-               page: Int = 1, pageSize: Int = 20): DataFrame =
+               page: Int = 1, pageSize: Int = 20): DataFrame = {
+    // fail here with a clear message, not at Spark analysis time with
+    // an opaque negative-offset error; the Long product also keeps
+    // page * pageSize from overflowing Int for deep pages
+    require(page >= 0 && pageSize > 0,
+      s"paginate: page must be >= 0 and pageSize > 0 (got page=$page, pageSize=$pageSize)")
+    val skip = page.toLong * pageSize
+    require(skip <= Int.MaxValue,
+      s"paginate: page $page x pageSize $pageSize overflows the maximum offset")
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), col("n_chars"))
       .orderBy(col("doc_id"))
-      .offset(page * pageSize)
+      .offset(skip.toInt)
       .limit(pageSize)
+  }
 
   /** Gap-based sessionization of the event stream — the batch twin of
     * the reference's login/logout session tracking

@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.operators._
+import graft.sources.Tables
 
 /** The tunable-parameter surface (round-9 verdict #6): the reference
   * exposes its fixed constants as API parameters (days=7,
@@ -34,6 +35,12 @@ class ParamSurfaceSpec extends SparkSpec {
     assert(p0.length === 7 && p1.length === 7)
     assert(p0.toSet.intersect(p1.toSet).isEmpty)
     assert(p0.max < p1.min)   // ordered by doc_id, consecutive pages
+    // invalid shapes fail fast with a clear message, not at Spark
+    // analysis time with an opaque negative-offset error
+    intercept[IllegalArgumentException](Analytics.paginate(spark, sfDir, page = -1))
+    intercept[IllegalArgumentException](Analytics.paginate(spark, sfDir, pageSize = 0))
+    intercept[IllegalArgumentException](
+      Analytics.paginate(spark, sfDir, page = Int.MaxValue, pageSize = 1000))
   }
 
   test("activitySummary(days): a shorter window counts a subset of events") {
@@ -44,14 +51,32 @@ class ParamSurfaceSpec extends SparkSpec {
     assert(d1.nonEmpty)
     // every 1-day cell exists in the 7-day frame with a count ≥ its own
     d1.foreach { case (k, n) => assert(d7.contains(k) && d7(k) >= n) }
-    assert(d1.values.sum < d7.values.sum)   // the window actually narrowed
+    // the strict narrowing is a property of the DATA (events spanning
+    // more than one day), not of the operator — assert it only when
+    // the corpus actually spans multiple days, so a regenerated
+    // single-day corpus can't fail this spuriously
+    import spark.implicits._
+    val spanDays = Tables.events(spark, sfDir)
+      .agg(((max($"ts_ms") - min($"ts_ms")) / (24L * 3600 * 1000)).cast("long"))
+      .collect().head.getLong(0)
+    if (spanDays >= 1) assert(d1.values.sum < d7.values.sum)
   }
 
   test("sessionize(gapMs): a tighter gap can only split sessions, never merge") {
     val wide = Analytics.sessionize(spark, sfDir).count()
     val tight = Analytics.sessionize(spark, sfDir, gapMs = 60L * 1000).count()
-    assert(tight >= wide)
-    assert(tight > wide)   // 1-min gap vs 30-min gap must split something
+    assert(tight >= wide)   // the invariant: tighter gaps never merge
+    // the strict split is data-dependent (some user must have two
+    // events 1-30 min apart); assert it only when such a gap exists,
+    // so a denser regenerated corpus can't fail this spuriously
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"ts_ms")
+    val splittable = Tables.events(spark, sfDir)
+      .select($"user_id", $"ts_ms", ($"ts_ms" - lag($"ts_ms", 1).over(w)).as("d"))
+      .where($"d" > 60L * 1000 && $"d" <= Analytics.SessionGapMs)
+      .limit(1).count() > 0
+    if (splittable) assert(tight > wide)
     // liveUsers widens monotonically with the window
     val lu30 = Analytics.liveUsers(spark, sfDir).collect().head.getLong(0)
     val luAll = Analytics.liveUsers(spark, sfDir, gapMs = Long.MaxValue / 4)
@@ -72,8 +97,12 @@ class ParamSurfaceSpec extends SparkSpec {
     }
     // a maximal threshold keeps nothing
     assert(VectorSearch.knnThreshold(spark, sfDir, threshold = 1.01).count() === 0)
-    // more probes ⇒ recall can only grow: every nProbe=2 hit set is
-    // ⊆ the nProbe=8 (all-centroids ⇒ exact over the probed space)
+    // NB: nProbe=2's top-3 is NOT a subset of the all-centroid top-3
+    // in general — a narrow-probe hit outside the true top-3 is
+    // legitimately displaced when widening probes. The properties
+    // that DO hold: probing every centroid is exact, and every true
+    // neighbor the narrow probe finds is confirmed by the wide run
+    // (so widening never loses a correct answer the narrow run had).
     val p2 = VectorSearch.annIvf(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
     val pAll = VectorSearch.annIvf(spark, sfDir, nProbe = 100).collect()
@@ -82,6 +111,10 @@ class ParamSurfaceSpec extends SparkSpec {
       .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
     assert(pAll === exact)   // probing every centroid = brute force
     assert(p2.nonEmpty)
+    assert(p2.intersect(exact).subsetOf(pAll),
+      "a true neighbor found at nProbe=2 vanished when probing wider")
+    assert(p2.intersect(exact).nonEmpty,
+      "narrow probing found no true neighbor at all on this corpus")
   }
 
   // ---- KeywordSearch: top-k and BM25 shape parameters
