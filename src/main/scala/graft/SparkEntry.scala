@@ -1205,8 +1205,8 @@ object SparkEntry {
     // signatures and half-bucket capping over one REP per distinct
     // text, then the qualifying rep pairs expanded over the exact-
     // content groups — within-group pairs at hamming 0 under the same
-    // member cap, cross pairs lifted where at least one member sits
-    // inside its group's first cap members.
+    // member cap, cross pairs lifted over BOTH groups' first-cap
+    // member slates (≤ cap² combos per rep edge, group-size-free).
     "dedup_simhash" -> ("WITH " + corpusCte(perturb = true) +
       """,
         |grp AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS r,
@@ -1247,7 +1247,7 @@ object SparkEntry {
         |    greatest(ma.doc_id, mb.doc_id) AS b_id, c.hamming
         |  FROM rcand c JOIN grp ma ON ma.r = c.a_id JOIN grp mb ON mb.r = c.b_id
         |  WHERE ma.grk <= """.stripMargin + Dedup.SimhashBucketCap +
-      """ OR mb.grk <= """.stripMargin + Dedup.SimhashBucketCap + """),
+      """ AND mb.grk <= """.stripMargin + Dedup.SimhashBucketCap + """),
         |cand AS (SELECT * FROM within UNION ALL SELECT * FROM crossp),
         |capped AS (SELECT a_id, b_id, hamming,
         |    row_number() OVER (PARTITION BY a_id ORDER BY hamming, b_id) AS prk

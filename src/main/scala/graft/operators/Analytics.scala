@@ -76,7 +76,9 @@ object Analytics {
     require(page >= 0 && pageSize > 0,
       s"paginate: page must be >= 0 and pageSize > 0 (got page=$page, pageSize=$pageSize)")
     val skip = page.toLong * pageSize
-    require(skip <= Int.MaxValue,
+    // Spark folds offset + limit into one bound downstream, so the
+    // guard must leave room for the page itself, not just the skip
+    require(skip + pageSize <= Int.MaxValue,
       s"paginate: page $page x pageSize $pageSize overflows the maximum offset")
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), col("n_chars"))

@@ -362,21 +362,21 @@ object Dedup {
     // input edge list. If the reversed half of the union silently
     // degenerates (e.g. column reorder making both halves identical),
     // b_id-only endpoints vanish from round_0 and nodes < endpoints.
-    // Costs: the node count rides round_0's own checkpoint job as an
-    // accumulator (task retries can only INFLATE it, so the check is
-    // `>=` — loss, the dangerous direction, is still always caught);
-    // the endpoint count is ONE extra setup action over the edge
-    // list, before the fixpoint — never per round (ScaleSmokeSpec
-    // counts the loop's jobs and allows exactly this setup probe).
-    val nodeAcc = spark.sparkContext.longAccumulator("graft.components.nodes")
-    val tally = udf { id: Long => nodeAcc.add(1L); id }
+    // Costs: TWO setup actions, never per round (ScaleSmokeSpec's
+    // job guard sanctions exactly these two) — the node count is a
+    // count over the ALREADY-MATERIALIZED round_0 checkpoint (no
+    // recompute; exact, so unlike an accumulator it can't be masked
+    // by task-retry inflation), the endpoint count one distinct over
+    // the edge list, which at any scale is the cheap side of the
+    // fixpoint this function is about to run log-n rounds over.
     var prev = materialize(edges.select(col("a_id").as("id")).distinct()
-      .withColumn("cluster", tally(col("id"))), "round_0")
+      .withColumn("cluster", col("id")), "round_0")
+    val nodeCount = prev.count()
     val endpointCount = pairs.select(col("a_id").as("id"))
       .unionAll(pairs.select(col("b_id").as("id"))).distinct().count()
-    require(nodeAcc.value >= endpointCount,
+    require(nodeCount == endpointCount,
       s"components: symmetric closure lost endpoints " +
-        s"(${nodeAcc.value} nodes vs $endpointCount edge endpoints)")
+        s"($nodeCount nodes vs $endpointCount edge endpoints)")
     var prevSlot = "round_0"
     var labels = prev
     var changed = 1L
@@ -593,14 +593,23 @@ object Dedup {
     * never as a silent recall cliff.
     */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
-    simhashExpandedQualifying(spark, dir)
+    partnerCapped(simhashExpandedQualifying(spark, dir))
+      .orderBy(col("hamming"), col("a_id"), col("b_id"))
+
+  /** The per-vector partner cap shared by the grouped and plain
+    * simhash paths: nearest-[[SimhashPartnerCap]] partners per a_id,
+    * hamming ascending, via the map-side-combining TopKAgg. One
+    * definition so the cap and its tie-break can never silently
+    * diverge between the two oracle-gated paths.
+    */
+  private def partnerCapped(qualifying: DataFrame): DataFrame =
+    qualifying
       .groupBy(col("a_id"))
       .agg(graft.functions.TopK.topK(SimhashPartnerCap)(
         -col("hamming").cast("double"), col("b_id")).as("top"))
       .select(col("a_id"), explode(col("top")).as("hit"))
       .select(col("a_id"), col("hit.id").as("b_id"),
         (-col("hit.score")).cast("long").as("hamming"))
-      .orderBy(col("hamming"), col("a_id"), col("b_id"))
 
   /** The staged REP signature table behind [[dedupSimhash]] — one
     * signature per distinct text ([[quotientOf]] representative), the
@@ -635,23 +644,39 @@ object Dedup {
     *    unordered pair emitted once by the probe-rank rule (mirror of
     *    [[simhashCandidates]]); groups whose text has no token have
     *    no signature and pair with nothing.
-    *  - ACROSS groups, a verified rep pair lifts to member combos at
-    *    the reps' hamming, bounded the same way: a combo survives iff
-    *    at least one member is among its group's first cap members —
-    *    every doc still reaches cap representatives of the partner
-    *    group, but a pair of two deep-rank clones is not emitted
-    *    (cap·(|Ga|+|Gb|) instead of |Ga|·|Gb| rows per rep edge).
-    * Output volume stays linear in corpus size with the SAME caps as
-    * the doc-level build, while cap recall now degrades per distinct
-    * text, not per clone. Both the partner cap and the group cap are
-    * audited ([[capAudit]]); the oracle mirrors every stage.
+    *  - ACROSS groups, a verified rep pair lifts to combos of the two
+    *    groups' first-[[SimhashBucketCap]] members at the reps'
+    *    hamming — at most cap² rows per rep edge, INDEPENDENT of
+    *    group size. Cross recall is carried by each group's cap
+    *    members (one slate per DISTINCT TEXT — the contraction's
+    *    whole point); a deeper-rank clone is not silently lost: its
+    *    hamming-0 within pairs tie it to the capped members that do
+    *    carry the cross edges, and the group_cap audit row reports
+    *    exactly how many members sat beyond the slate. (The earlier
+    *    either-side rule re-admitted |Ga|·|Gb| combos whenever both
+    *    groups fit under the cap — 215M candidate pairs at the 64×
+    *    rung, measured — so the expansion grew with clone count, the
+    *    very dependence the quotient exists to remove.)
+    * Expansion volume is ≤ cap²·|rep edges| + cap·n with the SAME
+    * caps as the doc-level build, while cap recall degrades per
+    * distinct text, not per clone. Both the partner cap and the group
+    * cap are audited ([[capAudit]]); the oracle mirrors every stage.
     */
-  private[operators] def simhashExpandedQualifying(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] def simhashExpandedQualifying(spark: SparkSession, dir: String): DataFrame =
+    simhashExpandedQualifyingOf(minhashMembers(spark, dir),
+      simhashSigsCached(spark, dir))
+
+  /** The expansion body over an explicit (doc_id, rep_id) quotient
+    * and rep signature table — the seam ScaleSmokeSpec uses to prove
+    * the cross bound is group-size-free on a synthetic mega-group
+    * corpus no gate dir contains.
+    */
+  private[graft] def simhashExpandedQualifyingOf(members: DataFrame,
+      sigs: DataFrame): DataFrame = {
     val cap = SimhashBucketCap
-    val sigs = simhashSigsCached(spark, dir)
     val repQ = simhashQualifying(sigs)
     val gw = Window.partitionBy(col("rep_id")).orderBy(col("doc_id"))
-    val ranked = minhashMembers(spark, dir)
+    val ranked = members
       .withColumn("grk", row_number().over(gw))
     val eligible = ranked.join(
       sigs.select(col("doc_id").as("rep_id")), Seq("rep_id"), "left_semi")
@@ -666,11 +691,10 @@ object Dedup {
         greatest(col("a_id"), col("b_id")).as("b_id"),
         lit(0L).as("hamming"))
     val cross = repQ
-      .join(ranked.select(col("rep_id").as("a_id"), col("doc_id").as("ma"),
-        col("grk").as("ka")), Seq("a_id"))
-      .join(ranked.select(col("rep_id").as("b_id"), col("doc_id").as("mb"),
-        col("grk").as("kb")), Seq("b_id"))
-      .where(col("ka") <= cap || col("kb") <= cap)
+      .join(gcap.select(col("rep_id").as("a_id"), col("b_id").as("ma")),
+        Seq("a_id"))
+      .join(gcap.select(col("rep_id").as("b_id"), col("b_id").as("mb")),
+        Seq("b_id"))
       .select(least(col("ma"), col("mb")).as("a_id"),
         greatest(col("ma"), col("mb")).as("b_id"), col("hamming"))
     within.unionAll(cross)
@@ -761,13 +785,7 @@ object Dedup {
       .distinct()
 
   private def simhashPartnersOfSigs(sim: DataFrame): DataFrame =
-    simhashQualifying(sim)
-      .groupBy(col("a_id"))
-      .agg(graft.functions.TopK.topK(SimhashPartnerCap)(
-        -col("hamming").cast("double"), col("b_id")).as("top"))
-      .select(col("a_id"), explode(col("top")).as("hit"))
-      .select(col("a_id"), col("hit.id").as("b_id"),
-        (-col("hit.score")).cast("long").as("hamming"))
+    partnerCapped(simhashQualifying(sim))
 
   /** Natural-corpus distinct-shingle posting list, cached per
     * (session, dir) and staged as parquet — shared by ngram_jaccard,

@@ -200,9 +200,17 @@ class CurateStreamSpec extends SparkSpec {
   // ascending-id split exercising hash-gate, near-dup AND compaction
   // across batches.
   test("ladder-scale streamed curation equals batch curate_apply bit-for-bit") {
-    assume(sys.env.contains("SPARK_GRAFT_LADDER_PARITY"),
-      "set SPARK_GRAFT_LADDER_PARITY=1 to run the ladder parity pass")
+    // self-arming: whenever ladder data is on disk the parity claim
+    // is RE-PROVEN, not assumed — a plain `sbt test` after a ladder
+    // workflow runs this for real. Without data it cancels with the
+    // generate command spelled out (a loud marker, not a silent skip);
+    // SPARK_GRAFT_LADDER_PARITY=1 keeps the explicit opt-in spelling.
     val dir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "target/scale8")
+    assume(sys.env.contains("SPARK_GRAFT_LADDER_PARITY") ||
+        new java.io.File(s"$dir/documents.parquet").exists,
+      s"LADDER PARITY NOT PROVEN THIS RUN: no scaled corpus at $dir — " +
+        s"generate one with `sbt 'runMain graft.ScaleGen /root/testdata/sf0.1 $dir 8'` " +
+        "and re-run, or set SPARK_GRAFT_LADDER_PARITY=1")
     assume(new java.io.File(s"$dir/documents.parquet").exists,
       s"no scaled testdata at $dir — run graft.ScaleGen first")
     val stateDir = Files.createTempDirectory("graft_curate_ladder").toString

@@ -138,6 +138,49 @@ class ScaleSmokeSpec extends SparkSpec {
       s"flood pair recall $recall outside the expected capped band")
   }
 
+  test("quotient cross expansion is group-size-free: <= cap^2 per rep edge") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val cap = Dedup.SimhashBucketCap
+    // two near-identical templates (one word dropped), each duplicated
+    // far past the cap: doc-level cross would be n*n combos per edge;
+    // the group-slate rule must emit at most cap^2 — independent of n
+    val n = 200          // n >> cap so the slate genuinely truncates
+    val boiler = (1 to 40).map(i => s"common$i").mkString(" ")
+    val corpus = (
+      (0L until n.toLong).map(i => (i, boiler)) ++
+      (10000L until (10000L + n)).map(i => (i, boiler.stripSuffix(" common40")))
+    ).toDF("doc_id", "text")
+    val members = corpus
+      .withColumn("rep_id", when(col("doc_id") < 10000L, lit(0L)).otherwise(lit(10000L)))
+      .select(col("doc_id"), col("rep_id"))
+    val sigs = Dedup.simhashSigs(
+      Seq((0L, boiler), (10000L, boiler.stripSuffix(" common40")))
+        .toDF("doc_id", "text")).localCheckpoint()
+    // precondition: the two reps actually qualify (hamming in 1..6),
+    // otherwise the cross set is empty and the bound check is vacuous
+    val repPairs = Dedup.simhashQualifying(sigs, cap).collect()
+    assume(repPairs.length == 1 && repPairs.head.getAs[Long]("hamming") > 0,
+      "template edit did not land in the qualifying hamming band — adjust the corpus")
+    val q = Dedup.simhashExpandedQualifyingOf(members, sigs)
+      .select(col("a_id"), col("b_id"), col("hamming")).collect()
+    val cross = q.filter(_.getAs[Long]("hamming") > 0)
+    assert(cross.length <= cap * cap,
+      s"cross expansion emitted ${cross.length} rows for ONE rep edge " +
+        s"(bound: cap^2 = ${cap * cap}) — group size leaked back in")
+    assert(cross.nonEmpty, "cross expansion emitted nothing for a qualifying edge")
+    // within stays linear: each member vs its group's first-cap slate
+    val within = q.length - cross.length
+    assert(within <= 2L * cap * n,
+      s"within expansion $within exceeded cap*n per group")
+    // and every deep-rank clone still appears in some hamming-0 pair,
+    // so no duplicate escapes detection when groups exceed the cap
+    val withinDocs = q.filter(_.getAs[Long]("hamming") == 0L)
+      .flatMap(r => Seq(r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    assert(withinDocs.size == 2 * n,
+      s"${2 * n - withinDocs.size} clones lost their hamming-0 tie to the slate")
+  }
+
   test("ngram_jaccard relative window still finds candidates under 8x replication") {
     import spark.implicits._
     import graft.functions.TextFunctions.shinglePosting
@@ -255,11 +298,12 @@ class ScaleSmokeSpec extends SparkSpec {
       // not a separate probe action
       assert(jobs.get() == 2 + rounds,
         s"expected ${2 + rounds} checkpoint jobs (2 setup + $rounds rounds), saw ${jobs.get()}")
-      // exactly ONE non-checkpoint action is sanctioned: the one-time
-      // endpoint-coverage invariant over the edge list (a SETUP count,
-      // never per round — the loop itself must stay probe-free)
-      assert(probes.size == 1 && probes.peek().contains("count"),
-        "expected only the setup endpoint-invariant count, saw: " +
+      // exactly TWO non-checkpoint actions are sanctioned, both
+      // one-time SETUP counts for the endpoint-coverage invariant
+      // (materialized round_0 nodes + edge-list endpoints) — never
+      // per round; the loop itself must stay probe-free
+      assert(probes.size == 2 && probes.toArray.forall(_.toString.contains("count")),
+        "expected only the two setup endpoint-invariant counts, saw: " +
           probes.toArray.mkString(", "))
       assert(labels.collect().forall(_.getAs[Long]("cluster_id") == 0L))
     } finally {
