@@ -602,6 +602,12 @@ object Dedup {
     * definition so the cap and its tie-break can never silently
     * diverge between the two oracle-gated paths.
     */
+  /** Test seam: ScaleSmokeSpec proves the dominance trim leaves the
+    * partner-capped output identical to the untrimmed expansion.
+    */
+  private[graft] def partnerCappedForTest(qualifying: DataFrame): DataFrame =
+    partnerCapped(qualifying)
+
   private def partnerCapped(qualifying: DataFrame): DataFrame =
     qualifying
       .groupBy(col("a_id"))
@@ -639,28 +645,30 @@ object Dedup {
     * exact-content groups:
     *  - WITHIN a group, members pair at hamming 0 (identical
     *    signatures). The group is itself a degenerate hot bucket, so
-    *    the same build-side cap applies: every member compares
-    *    against the group's first [[SimhashBucketCap]] members, each
-    *    unordered pair emitted once by the probe-rank rule (mirror of
-    *    [[simhashCandidates]]); groups whose text has no token have
+    *    the same build-side cap applies: semantically every member
+    *    pairs with the group's first [[SimhashBucketCap]] members
+    *    (the oracle's spelling); groups whose text has no token have
     *    no signature and pair with nothing.
     *  - ACROSS groups, a verified rep pair lifts to combos of the two
-    *    groups' first-[[SimhashBucketCap]] members at the reps'
-    *    hamming — at most cap² rows per rep edge, INDEPENDENT of
-    *    group size. Cross recall is carried by each group's cap
-    *    members (one slate per DISTINCT TEXT — the contraction's
-    *    whole point); a deeper-rank clone is not silently lost: its
-    *    hamming-0 within pairs tie it to the capped members that do
-    *    carry the cross edges, and the group_cap audit row reports
-    *    exactly how many members sat beyond the slate. (The earlier
-    *    either-side rule re-admitted |Ga|·|Gb| combos whenever both
-    *    groups fit under the cap — 215M candidate pairs at the 64×
-    *    rung, measured — so the expansion grew with clone count, the
-    *    very dependence the quotient exists to remove.)
-    * Expansion volume is ≤ cap²·|rep edges| + cap·n with the SAME
-    * caps as the doc-level build, while cap recall degrades per
-    * distinct text, not per clone. Both the partner cap and the group
-    * cap are audited ([[capAudit]]); the oracle mirrors every stage.
+    *    groups' first-[[SimhashBucketCap]] member slates at the reps'
+    *    hamming — at most cap² semantic rows per rep edge,
+    *    INDEPENDENT of group size. Cross recall is carried by one
+    *    slate per DISTINCT TEXT (the contraction's whole point); the
+    *    group_cap audit row reports exactly how many members sat
+    *    beyond the slate. (The earlier either-side rule re-admitted
+    *    |Ga|·|Gb| combos whenever both groups fit under the cap —
+    *    215M candidate pairs at the 64× rung, measured — so the
+    *    expansion grew with clone count, the very dependence the
+    *    quotient exists to remove.)
+    * The implementation emits the dominance-TRIMMED subset of those
+    * semantics (see the body): shuffled volume pk·n + 2·cap·pk per
+    * edge, with [[dedupSimhash]]'s final output provably identical.
+    * Clones beyond a slate's first pk successors don't reach the
+    * partner REPORT in either spelling — that is the partner cap's
+    * design; complete clone enumeration is the exact-dedup family's
+    * job ([[dedupExact]]/[[dedupClusters]]), not this report's. Both
+    * the partner cap and the group cap are audited ([[capAudit]]);
+    * the oracle mirrors the semantic stages.
     */
   private[operators] def simhashExpandedQualifying(spark: SparkSession, dir: String): DataFrame =
     simhashExpandedQualifyingOf(minhashMembers(spark, dir),
@@ -674,30 +682,51 @@ object Dedup {
   private[graft] def simhashExpandedQualifyingOf(members: DataFrame,
       sigs: DataFrame): DataFrame = {
     val cap = SimhashBucketCap
+    val pk = SimhashPartnerCap
     val repQ = simhashQualifying(sigs)
+    // DOMINANCE TRIM, applied to both streams below: the partner cap
+    // keeps each doc's pk best pairs by (hamming asc, b_id asc), and
+    // within one stream instance (a group's clique, or one rep edge)
+    // every pair carries the SAME hamming — so a candidate outranked
+    // by pk same-hamming smaller-id candidates charged to the same
+    // doc can never reach its TopK(pk) list. Emitting only those pk
+    // per (doc, instance) leaves [[dedupSimhash]]'s output BIT-
+    // IDENTICAL (ScaleSmokeSpec asserts equality against the
+    // untrimmed spelling, which the oracle still spells) while the
+    // shuffled candidate volume drops from cap·n + cap²·|edges| to
+    // pk·n + 2·cap·pk·|edges|.
     val gw = Window.partitionBy(col("rep_id")).orderBy(col("doc_id"))
+    // a slate member's within-partners are exactly the group members
+    // AFTER it in id order (pairs charge to their min side), so its
+    // pk best are the next pk ids — read off the SAME window pass
+    // that ranks the slate, no extra shuffle
     val ranked = members
       .withColumn("grk", row_number().over(gw))
+      .withColumn("nxt",
+        array((1 to pk).map(i => lead(col("doc_id"), i).over(gw)): _*))
     val eligible = ranked.join(
       sigs.select(col("doc_id").as("rep_id")), Seq("rep_id"), "left_semi")
-    val gcap = eligible.where(col("grk") <= cap)
-      .select(col("rep_id"), col("doc_id").as("b_id"))
-    val within = eligible
-      .select(col("rep_id"), col("doc_id").as("a_id"), col("grk").as("a_grk"))
-      .join(gcap, Seq("rep_id"))
-      .where(col("a_id") =!= col("b_id"))
-      .where(col("a_grk") > cap || col("a_id") < col("b_id"))
-      .select(least(col("a_id"), col("b_id")).as("a_id"),
-        greatest(col("a_id"), col("b_id")).as("b_id"),
-        lit(0L).as("hamming"))
-    val cross = repQ
-      .join(gcap.select(col("rep_id").as("a_id"), col("b_id").as("ma")),
+    val slate = eligible.where(col("grk") <= cap)
+    val within = slate
+      .select(col("doc_id").as("a_id"),
+        explode(filter(col("nxt"), x => x.isNotNull)).as("b_id"))
+      .select(col("a_id"), col("b_id"), lit(0L).as("hamming"))
+    // bounded (≤ cap ids, sorted) slate arrays carry the cross lift;
+    // filter+slice is the same trim against the partner group's slate
+    val slates = slate.groupBy(col("rep_id"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("slate"))
+    val crossE = repQ
+      .join(slates.select(col("rep_id").as("a_id"), col("slate").as("sa")),
         Seq("a_id"))
-      .join(gcap.select(col("rep_id").as("b_id"), col("b_id").as("mb")),
+      .join(slates.select(col("rep_id").as("b_id"), col("slate").as("sb")),
         Seq("b_id"))
-      .select(least(col("ma"), col("mb")).as("a_id"),
-        greatest(col("ma"), col("mb")).as("b_id"), col("hamming"))
-    within.unionAll(cross)
+    def half(mine: String, theirs: String): DataFrame = crossE
+      .select(col("hamming"), explode(col(mine)).as("m"), col(theirs).as("othr"))
+      .select(col("m").as("a_id"),
+        explode(slice(filter(col("othr"), x => x > col("m")), 1, pk)).as("b_id"),
+        col("hamming"))
+      .select(col("a_id"), col("b_id"), col("hamming"))
+    within.unionAll(half("sa", "sb")).unionAll(half("sb", "sa"))
   }
 
   /** Capped verified simhash partner pairs of any (doc_id, text)

@@ -138,7 +138,7 @@ class ScaleSmokeSpec extends SparkSpec {
       s"flood pair recall $recall outside the expected capped band")
   }
 
-  test("quotient cross expansion is group-size-free: <= cap^2 per rep edge") {
+  test("quotient cross expansion is group-size-free and trim-exact") {
     import spark.implicits._
     import graft.operators.Dedup
     val cap = Dedup.SimhashBucketCap
@@ -162,23 +162,47 @@ class ScaleSmokeSpec extends SparkSpec {
     val repPairs = Dedup.simhashQualifying(sigs, cap).collect()
     assume(repPairs.length == 1 && repPairs.head.getAs[Long]("hamming") > 0,
       "template edit did not land in the qualifying hamming band — adjust the corpus")
+    val pk = Dedup.SimhashPartnerCap
     val q = Dedup.simhashExpandedQualifyingOf(members, sigs)
       .select(col("a_id"), col("b_id"), col("hamming")).collect()
     val cross = q.filter(_.getAs[Long]("hamming") > 0)
-    assert(cross.length <= cap * cap,
+    assert(cross.length <= 2 * cap * pk,
       s"cross expansion emitted ${cross.length} rows for ONE rep edge " +
-        s"(bound: cap^2 = ${cap * cap}) — group size leaked back in")
+        s"(bound: 2*cap*pk = ${2 * cap * pk}) — group size leaked back in")
     assert(cross.nonEmpty, "cross expansion emitted nothing for a qualifying edge")
-    // within stays linear: each member vs its group's first-cap slate
+    // within is trimmed to each slate member's next-pk group ids
     val within = q.length - cross.length
-    assert(within <= 2L * cap * n,
-      s"within expansion $within exceeded cap*n per group")
-    // and every deep-rank clone still appears in some hamming-0 pair,
-    // so no duplicate escapes detection when groups exceed the cap
-    val withinDocs = q.filter(_.getAs[Long]("hamming") == 0L)
-      .flatMap(r => Seq(r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
-    assert(withinDocs.size == 2 * n,
-      s"${2 * n - withinDocs.size} clones lost their hamming-0 tie to the slate")
+    assert(within <= pk.toLong * 2 * cap,
+      s"within expansion $within exceeded pk per slate member")
+    // EXACTNESS of the dominance trim: the partner-capped output must
+    // be row-identical to the UNTRIMMED expansion the oracle spells
+    // (every group member vs the slate; full slate x slate per edge)
+    def capped(pairs: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      Dedup.partnerCappedForTest(pairs).collect()
+        .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+          r.getAs[Long]("hamming"))).toSet
+    val gw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("rep_id")).orderBy(col("doc_id"))
+    val ranked = members.withColumn("grk", row_number().over(gw))
+    val slate = ranked.where(col("grk") <= cap)
+      .select(col("rep_id"), col("doc_id").as("b_id"))
+    val naiveWithin = ranked
+      .select(col("rep_id"), col("doc_id").as("a_id"), col("grk").as("a_grk"))
+      .join(slate, Seq("rep_id"))
+      .where(col("a_id") =!= col("b_id"))
+      .where(col("a_grk") > cap || col("a_id") < col("b_id"))
+      .select(least(col("a_id"), col("b_id")).as("a_id"),
+        greatest(col("a_id"), col("b_id")).as("b_id"), lit(0L).as("hamming"))
+    val naiveCross = Dedup.simhashQualifying(sigs, cap)
+      .join(slate.select(col("rep_id").as("a_id"), col("b_id").as("ma")), Seq("a_id"))
+      .join(slate.select(col("rep_id").as("b_id"), col("b_id").as("mb")), Seq("b_id"))
+      .select(least(col("ma"), col("mb")).as("a_id"),
+        greatest(col("ma"), col("mb")).as("b_id"), col("hamming"))
+    val naive = capped(naiveWithin.unionAll(naiveCross))
+    val trimmed = capped(Dedup.simhashExpandedQualifyingOf(members, sigs))
+    assert(trimmed == naive,
+      s"dominance trim changed the partner-capped output: " +
+        s"missing=${(naive -- trimmed).take(3)} extra=${(trimmed -- naive).take(3)}")
   }
 
   test("ngram_jaccard relative window still finds candidates under 8x replication") {
