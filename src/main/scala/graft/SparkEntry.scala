@@ -84,6 +84,10 @@ object SparkEntry {
     "contamination_check" -> ((s, d) => Dedup.contaminationCheck(s, d)),
     "corpus_curate"   -> ((s, d) => Curate.corpusCurate(s, d)),
     "curate_apply"    -> ((s, d) => Curate.curateApply(s, d)),
+    "token_vocab"     -> ((s, d) => TextAnalysis.tokenVocab(s, d)),
+    "sequence_pack"   -> ((s, d) => Pack.seqPack(s, d)),
+    "pack_stats"      -> ((s, d) => Pack.packStats(s, d)),
+    "dataset_mix"     -> ((s, d) => Pack.datasetMix(s, d)),
     // §2.B vector search
     "knn_brute"       -> ((s, d) => VectorSearch.knnBrute(s, d)),
     "knn_threshold"   -> ((s, d) => VectorSearch.knnThreshold(s, d)),
@@ -1390,6 +1394,53 @@ object SparkEntry {
         |  FROM cnt c LEFT JOIN mx ON c.doc_id = mx.doc_id)
         |SELECT doc_id, max_overlap, max_overlap >= 0.5 AS contaminated
         |FROM f ORDER BY doc_id""".stripMargin),
+    // EXACT top-N token frequencies (approx_top_tokens' ground truth)
+    "token_vocab" ->
+      """SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
+        |WHERE token <> '' GROUP BY token
+        |ORDER BY cnt DESC, token LIMIT 50""".stripMargin,
+    // Concat-and-chunk sequence packing (Pack.seqPack): hash-shard,
+    // lay token streams end to end in doc_id order, cut every 256
+    // tokens; a doc belongs to the sequence holding its first token.
+    "sequence_pack" ->
+      """WITH t AS (SELECT doc_id,
+        |    ('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 32 AS shard,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (SELECT doc_id, shard, n_tok,
+        |    CAST(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS BIGINT) AS start_tok
+        |  FROM t)
+        |SELECT doc_id, shard, start_tok // 256 AS seq_id,
+        |  start_tok % 256 AS tok_offset, n_tok
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "pack_stats" ->
+      """WITH t AS (SELECT
+        |    ('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 32 AS shard,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |g AS (SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(n_tok) AS BIGINT) AS total_tokens FROM t GROUP BY shard),
+        |s AS (SELECT shard, n_docs, total_tokens,
+        |    (total_tokens + 255) // 256 AS n_seqs FROM g)
+        |SELECT shard, n_docs, total_tokens, n_seqs,
+        |  floor((CAST(total_tokens AS DOUBLE) / (n_seqs * 256)) * 10000.0 + 0.5)/10000.0 AS fill_ratio
+        |FROM s ORDER BY shard""".stripMargin,
+    // Uniform-over-language target mixture via downsampling only:
+    // capacity T = min_s n_s/w_s, keep-rate w_s*T/n_s, deterministic
+    // md5 coin salted 'mix:' (Pack.datasetMix).
+    "dataset_mix" ->
+      """WITH cnt AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+        |k AS (SELECT COUNT(*) AS k FROM cnt),
+        |w AS (SELECT lang, n, 1.0::DOUBLE / k.k AS w FROM cnt, k),
+        |cap AS (SELECT MIN(CAST(n AS DOUBLE) / w) AS capacity FROM w),
+        |r AS (SELECT lang, least(1.0::DOUBLE, w * cap.capacity / n) AS rate FROM w, cap)
+        |SELECT d.doc_id, d.lang, floor(r.rate * 10000.0 + 0.5)/10000.0 AS rate
+        |FROM documents d JOIN r USING (lang)
+        |WHERE CAST(('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT AS DOUBLE)
+        |  / 4294967296.0 < r.rate
+        |ORDER BY d.doc_id""".stripMargin,
     "knn_brute" -> (knnCte +
       """
         |SELECT q_id, vec_id, cos, rk FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin),

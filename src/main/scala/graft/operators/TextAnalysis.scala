@@ -272,4 +272,25 @@ object TextAnalysis {
         col("h.err").as("err"))
       .orderBy(col("est_count").desc, col("token"))
       .limit(20)
+
+  /** EXACT corpus token frequencies, top-N — [[approxTopTokens]]'s
+    * ground-truth twin. Same tokenization (lowercased whitespace
+    * split), but a full explode + hash-aggregate: the map side
+    * partial-aggregates per partition, so the shuffle carries one row
+    * per (partition, distinct token), not one per token instance.
+    * Run this when the vocabulary report must be exact (tokenizer
+    * training, contamination audits); run the Misra–Gries sketch when
+    * a bounded-error answer at a fraction of the shuffle will do —
+    * TokenVocabSpec proves the sketch honest against this truth.
+    */
+  def tokenVocab(spark: SparkSession, dir: String, topN: Int = 50): DataFrame = {
+    require(topN > 0, s"topN must be positive, got $topN")
+    Tables.documents(spark, dir)
+      .select(explode(tokens(lower(col("text")))).as("token"))
+      .where(col("token") =!= "")
+      .groupBy("token")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(topN)
+  }
 }

@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Pack, TextAnalysis}
+import graft.sources.Tables
+
+/** Invariants for the training-batch prep operators (Pack.scala) and
+  * the exact-vocab twin of the Misra–Gries sketch. Everything here is
+  * structural — true for ANY corpus — so a regenerated testdata dir
+  * cannot fail these spuriously.
+  */
+class PackSpec extends SparkSpec {
+
+  private val budget = Pack.DefaultSeqTokens
+
+  test("sequence_pack: a total, contiguous, zero-padding layout") {
+    val docs = Tables.documents(spark, sfDir)
+    val pack = Pack.seqPack(spark, sfDir).collect()
+
+    // total: every document appears exactly once
+    assert(pack.length === docs.count())
+    assert(pack.map(_.getAs[Long]("doc_id")).distinct.length === pack.length)
+
+    // offsets are in-range and sequences start at 0
+    assert(pack.forall { r =>
+      val off = r.getAs[Long]("tok_offset")
+      off >= 0 && off < budget && r.getAs[Long]("seq_id") >= 0
+    })
+
+    // contiguity: within a shard (doc_id order), each doc starts
+    // exactly where the previous one ended — the concat-and-chunk
+    // stream has no gaps and no overlaps, hence zero padding waste
+    pack.groupBy(_.getAs[Long]("shard")).foreach { case (_, rows) =>
+      var expectStart = 0L
+      rows.sortBy(_.getAs[Long]("doc_id")).foreach { r =>
+        val start = r.getAs[Long]("seq_id") * budget + r.getAs[Long]("tok_offset")
+        assert(start === expectStart, s"gap at doc ${r.getAs[Long]("doc_id")}")
+        expectStart = start + r.getAs[Long]("n_tok")
+      }
+    }
+  }
+
+  test("sequence_pack params: nShards=1 is one global stream; budget beyond the corpus is one sequence") {
+    val one = Pack.seqPack(spark, sfDir, nShards = 1).collect()
+    assert(one.map(_.getAs[Long]("shard")).distinct.toSeq === Seq(0L))
+    val starts = one.sortBy(_.getAs[Long]("doc_id"))
+      .map(r => r.getAs[Long]("seq_id") * budget + r.getAs[Long]("tok_offset"))
+    assert(starts.toSeq === starts.sorted.toSeq) // doc_id order IS stream order
+
+    val big = Pack.seqPack(spark, sfDir, budget = 1 << 30)
+    assert(big.where(col("seq_id") =!= 0).count() === 0)
+    intercept[IllegalArgumentException](Pack.seqPack(spark, sfDir, budget = 0))
+    intercept[IllegalArgumentException](Pack.seqPack(spark, sfDir, nShards = -1))
+  }
+
+  test("pack_stats agrees with the packing it summarizes") {
+    val stats = Pack.packStats(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("shard") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("total_tokens"),
+          r.getAs[Long]("n_seqs"), r.getAs[Double]("fill_ratio"))).toMap
+    val byShard = Pack.seqPack(spark, sfDir).collect().groupBy(_.getAs[Long]("shard"))
+    assert(stats.keySet === byShard.keySet)
+    byShard.foreach { case (shard, rows) =>
+      val (nDocs, tot, nSeqs, fill) = stats(shard)
+      assert(nDocs === rows.length)
+      val totTok = rows.map(_.getAs[Long]("n_tok")).sum
+      assert(tot === totTok)
+      assert(nSeqs === (totTok + budget - 1) / budget)
+      // the only under-fill is the final partial sequence
+      assert(math.abs(fill - totTok.toDouble / (nSeqs * budget)) < 1e-4)
+      assert(fill > 0.0 && fill <= 1.0)
+    }
+  }
+
+  test("dataset_mix: binding stratum kept whole, every kept doc under its coin, rates exact") {
+    val docs = Tables.documents(spark, sfDir)
+    val counts = docs.groupBy("lang").count().collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("count")).toMap
+    val minN = counts.values.min
+    val kept = Pack.datasetMix(spark, sfDir)
+
+    // uniform shares ⇒ rate_s = min_n / n_s; the smallest stratum is
+    // the binding one and is kept in full
+    val rates = kept.select("lang", "rate").distinct().collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Double]("rate")).toMap
+    rates.foreach { case (lang, rate) =>
+      assert(math.abs(rate - math.floor(minN.toDouble / counts(lang) * 1e4 + 0.5) / 1e4) < 1e-9)
+    }
+    val binding = counts.minBy(_._2)._1
+    assert(kept.where(col("lang") === binding).count() === minN)
+
+    // the coin is the salted md5 uniform — no kept doc violates it
+    import graft.functions.TextFunctions.md5Long
+    val u = md5Long(concat(lit("mix:"), col("doc_id").cast("string")), 1, 8)
+      .cast("double") / 4294967296.0
+    val keptIds = kept.select("doc_id")
+    val violating = docs.join(keptIds, "doc_id")
+      .withColumn("u", u)
+      .join(kept.select(col("lang"), col("rate")).distinct(), "lang")
+      // rate is round4-ed for output; allow the rounding in the check
+      .where(col("u") >= col("rate") + 5e-5)
+    assert(violating.count() === 0)
+
+    intercept[IllegalArgumentException](
+      Pack.datasetMix(spark, sfDir, shares = Map("en" -> -1.0)))
+  }
+
+  test("dataset_mix(shares): explicit weights shift the rates, binding stratum at rate 1") {
+    val kept = Pack.datasetMix(spark, sfDir, shares = Map("en" -> 3.0, "fr" -> 1.0))
+    val langs = kept.select("lang").distinct().collect().map(_.getString(0)).toSet
+    assert(langs.subsetOf(Set("en", "fr"))) // unweighted strata are dropped
+    // whichever stratum binds capacity is kept at rate exactly 1.0
+    val rates = kept.select("lang", "rate").distinct().collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Double]("rate")).toMap
+    assert(rates.values.max === 1.0)
+    assert(rates.values.forall(r => r > 0.0 && r <= 1.0))
+  }
+
+  test("token_vocab is exact and bounds the Misra-Gries sketch") {
+    val exact = TextAnalysis.tokenVocab(spark, sfDir, topN = Int.MaxValue).collect()
+      .map(r => r.getAs[String]("token") -> r.getAs[Long]("cnt")).toMap
+    // top-5 is a prefix of top-50 (total order: cnt desc, token asc)
+    val t5 = TextAnalysis.tokenVocab(spark, sfDir, topN = 5).collect().toSeq
+    val t50 = TextAnalysis.tokenVocab(spark, sfDir, topN = 50).collect().toSeq
+    assert(t5 === t50.take(5))
+    // MG honesty through the public operators: est ≤ true ≤ est + err
+    TextAnalysis.approxTopTokens(spark, sfDir).collect().foreach { r =>
+      val tok = r.getAs[String]("token")
+      val est = r.getAs[Long]("est_count")
+      val err = r.getAs[Long]("err")
+      val truth = exact.getOrElse(tok, 0L)
+      assert(est <= truth && truth <= est + err,
+        s"sketch dishonest for '$tok': est=$est err=$err true=$truth")
+    }
+    intercept[IllegalArgumentException](TextAnalysis.tokenVocab(spark, sfDir, topN = 0))
+  }
+}
