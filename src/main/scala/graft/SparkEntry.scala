@@ -68,6 +68,7 @@ object SparkEntry {
     "dedup_minhash"   -> ((s, d) => Dedup.dedupMinhash(s, d)),
     "dedup_minhash_grouped"  -> ((s, d) => Dedup.dedupMinhashGrouped(s, d)),
     "dedup_clusters_grouped" -> (Dedup.dedupClustersGrouped _),
+    "neardup_incremental" -> ((s, d) => Dedup.neardupIncremental(s, d)),
     "dedup_simhash"   -> (Dedup.dedupSimhash _),
     "ngram_jaccard"   -> (Dedup.ngramJaccard _),
     "lang_id"         -> (TextAnalysis.langId _),
@@ -1199,6 +1200,27 @@ object SparkEntry {
         |ORDER BY event_id""".stripMargin,
     "dedup_minhash" -> minhashOracle,
     "dedup_minhash_grouped" -> minhashGroupedOracle,
+    // Incremental delta-vs-base near-dup (Dedup.neardupIncremental):
+    // same signature/band pipeline, candidates restricted to
+    // base × delta, best base match per delta doc at jaccard ≥ 0.8.
+    "neardup_incremental" ->
+      ("WITH " + corpusCte(perturb = true) + ",\n" + postingCte("corpus") +
+        ",\n" + minhashStagesSql +
+        """,
+          |inc AS (SELECT a_id, b_id FROM cand WHERE a_id < 100000 AND b_id >= 100000),
+          |cnt AS (SELECT doc_id, COUNT(*) AS n FROM posting GROUP BY doc_id),
+          |itr AS (SELECT c.a_id, c.b_id, COUNT(*) AS inter
+          |  FROM inc c JOIN posting pa ON pa.doc_id = c.a_id
+          |  JOIN posting pb ON pb.doc_id = c.b_id AND pb.s = pa.s
+          |  GROUP BY c.a_id, c.b_id),
+          |jac AS (SELECT a_id, b_id,
+          |    floor((CAST(inter AS DOUBLE)/(ca.n + cb.n - inter)) * 10000.0 + 0.5) / 10000.0 AS jaccard
+          |  FROM itr JOIN cnt ca ON ca.doc_id = a_id JOIN cnt cb ON cb.doc_id = b_id),
+          |best AS (SELECT b_id AS doc_id, a_id AS match_id, jaccard,
+          |    row_number() OVER (PARTITION BY b_id ORDER BY jaccard DESC, a_id) AS rk
+          |  FROM jac WHERE jaccard >= 0.8)
+          |SELECT doc_id, match_id, jaccard FROM best WHERE rk = 1
+          |ORDER BY doc_id""".stripMargin),
     "dedup_clusters" ->
       (clustersQuotientSql +
         "SELECT doc_id, cluster_id FROM clus ORDER BY doc_id"),

@@ -49,6 +49,12 @@ object Dedup {
     */
   val SimhashBucketCap = 32
 
+  /** Injected copies live at `doc_id + CopyIdOffset` — which also
+    * makes the id a clean BASE (historical corpus) vs DELTA (new
+    * arrivals) split for the incremental operators.
+    */
+  private[graft] val CopyIdOffset = 100000L
+
   /** documents ∪ copies of every-7th doc (doc_id + 100000).
     * `perturb` drops the copy's first word to make near- rather than
     * exact duplicates.
@@ -61,7 +67,7 @@ object Dedup {
       else col("text")
     base.unionAll(
       base.where(col("doc_id") % 7 === 0)
-        .select((col("doc_id") + 100000L).as("doc_id"), copyText.as("text")))
+        .select((col("doc_id") + CopyIdOffset).as("doc_id"), copyText.as("text")))
   }
 
   /** Exact dedup: one md5 hash-aggregate; duplicate groups keep the
@@ -144,6 +150,30 @@ object Dedup {
           DfCache.inputFingerprint(spark, s"$dir/documents.parquet"))(_))
     }
 
+  /** 16-perm MinHash signatures banded into `(doc_id, bd, band_key)`
+    * rows over a shingle posting — one md5 per distinct shingle, the
+    * 16 permutation minima as agg columns (map-side partial min, one
+    * shuffle of #docs rows), band key = the band's minima joined in
+    * permutation order. Shared by the full-corpus pair build
+    * ([[minhashPairsOf]]) and the incremental delta-vs-base probe
+    * ([[neardupIncremental]]) so both sides of an incremental join
+    * hash identically by construction.
+    */
+  private def bandedSigsOf(posting: DataFrame): DataFrame = {
+    val rows = MinhashPerms / Bands
+    val permMins = (0 until MinhashPerms).map { p =>
+      min(minhashPerm(col("h"), lit(p.toLong))).as(s"m$p")
+    }
+    val sigs = posting
+      .select(col("doc_id"), hexLong(col("s"), 1, 8).as("h"))   // s is a md5 prefix already
+      .groupBy(col("doc_id"))
+      .agg(permMins.head, permMins.tail: _*)
+    sigs.select(col("doc_id"),
+      posexplode(array((0 until Bands).map { b =>
+        concat_ws("|", (0 until rows).map(r => col(s"m${b * rows + r}").cast("string")): _*)
+      }: _*)).as(Seq("bd", "band_key")))
+  }
+
   /** Exact-content quotient of a corpus: (doc_id, rep_id) where
     * rep_id is the minimum doc_id sharing md5(text) — the contraction
     * every production near-dup pipeline applies BEFORE MinHash
@@ -209,21 +239,7 @@ object Dedup {
       members.where(col("doc_id") === col("rep_id")).select(col("doc_id")),
       Seq("doc_id"), "left_semi")
     val posting = cachedPosting(shinglePosting(reps, col("doc_id"), col("text"), 3))
-    // one md5 per distinct shingle; the 16 permutation minima are 16
-    // agg columns → map-side partial min, one shuffle of #reps rows
-    val rows = MinhashPerms / Bands
-    val permMins = (0 until MinhashPerms).map { p =>
-      min(minhashPerm(col("h"), lit(p.toLong))).as(s"m$p")
-    }
-    val sigs = posting
-      .select(col("doc_id"), hexLong(col("s"), 1, 8).as("h"))   // s is a md5 prefix already
-      .groupBy(col("doc_id"))
-      .agg(permMins.head, permMins.tail: _*)
-    // band key = the band's minima joined in permutation order
-    val banded = sigs.select(col("doc_id"),
-      posexplode(array((0 until Bands).map { b =>
-        concat_ws("|", (0 until rows).map(r => col(s"m${b * rows + r}").cast("string")): _*)
-      }: _*)).as(Seq("bd", "band_key")))
+    val banded = bandedSigsOf(posting)
     val cand = banded.select(col("bd"), col("band_key"), col("doc_id").as("a_id"))
       .join(banded.select(col("bd"), col("band_key"), col("doc_id").as("b_id")),
         Seq("bd", "band_key"))
@@ -486,6 +502,61 @@ object Dedup {
     corpusWithDups(spark, dir, perturb = true)
       .join(drop, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** INCREMENTAL near-dup detection: a small DELTA of new documents
+    * probed against the PERSISTED MinHash band index of the
+    * historical BASE corpus — the daily-crawl shape, where
+    * re-shingling and re-banding 100 TB of history for every
+    * arriving batch is the cost incremental processing exists to
+    * avoid. Here the injected copies ARE the delta (ids ≥
+    * [[CopyIdOffset]]) and the original documents the base.
+    *
+    * The base's shingle posting and banded signatures are staged once
+    * per corpus version (DfCache.stagedFrame — cross-process, exactly
+    * the persisted-index pattern ChunkIndex uses); a fresh JVM probes
+    * the staged index without re-deriving it. Per delta batch the
+    * work is: shingle + band the DELTA only, hash-join its band keys
+    * against the index, and verify the (few) colliding pairs with
+    * exact Jaccard against the union posting. Verify volume is
+    * O(delta's collisions), independent of base size.
+    *
+    * Output: each delta document's best base match at jaccard ≥
+    * `threshold` (ties broken by min base id) — the report a crawl
+    * operator acts on; novel delta docs emit nothing.
+    */
+  def neardupIncremental(spark: SparkSession, dir: String,
+                         threshold: Double = 0.8): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val corpus = corpusWithDups(spark, dir, perturb = true)
+    val fp = DfCache.inputFingerprint(spark, s"$dir/documents.parquet")
+    // the persisted index: base postings + banded signatures
+    val basePosting = DfCache.getOrCompute(spark, s"neardup_base_posting:$dir")(
+      DfCache.stagedFrame(spark, s"neardup_base_posting:$dir", fp)(
+        shinglePosting(corpus.where(col("doc_id") < CopyIdOffset),
+          col("doc_id"), col("text"), 3)))
+    val baseBanded = DfCache.getOrCompute(spark, s"neardup_base_banded:$dir")(
+      DfCache.stagedFrame(spark, s"neardup_base_banded:$dir", fp)(
+        bandedSigsOf(basePosting)))
+    // the arriving batch: shingle + band the delta only
+    val deltaPosting = DfCache.getOrCompute(spark, s"neardup_delta_posting:$dir")(
+      cachedPosting(shinglePosting(corpus.where(col("doc_id") >= CopyIdOffset),
+        col("doc_id"), col("text"), 3)))
+    val cand = bandedSigsOf(deltaPosting)
+      .select(col("bd"), col("band_key"), col("doc_id").as("b_id"))
+      .join(baseBanded.select(col("bd"), col("band_key"), col("doc_id").as("a_id")),
+        Seq("bd", "band_key"))
+      .select(col("a_id"), col("b_id"))
+      .distinct()   // a pair may collide in several bands
+    val w = Window.partitionBy(col("b_id"))
+      .orderBy(col("jaccard").desc, col("a_id"))
+    jaccardOf(cand, basePosting.unionByName(deltaPosting))
+      .where(col("jaccard") >= threshold)
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select(col("b_id").as("doc_id"), col("a_id").as("match_id"), col("jaccard"))
       .orderBy(col("doc_id"))
   }
 

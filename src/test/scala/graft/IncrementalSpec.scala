@@ -9,6 +9,28 @@ import graft.sources.{ChunkIndex, Tables}
 
 class IncrementalSpec extends SparkSpec {
 
+  test("neardupIncremental ≡ the full-corpus pair build restricted to base × delta") {
+    import graft.operators.Dedup
+    val off = Dedup.CopyIdOffset
+    val inc = Dedup.neardupIncremental(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("match_id"),
+        r.getAs[Double]("jaccard")))
+    // shape: one row per matched delta doc, base match, over threshold
+    assert(inc.map(_._1).distinct.length === inc.length)
+    assert(inc.forall { case (d, m, j) => d >= off && m < off && j >= 0.8 })
+    // equivalence: the incremental probe of the staged base index finds
+    // exactly what the batch build finds across the base/delta cut —
+    // best base match per delta doc among jaccard ≥ 0.8 pairs
+    val expected = Dedup.minhashPairs(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"), r.getAs[Double]("jaccard")))
+      .filter { case (a, b, j) => a < off && b >= off && j >= 0.8 }
+      .groupBy(_._2).map { case (d, ps) =>
+        val best = ps.minBy { case (a, _, j) => (-j, a) }
+        (d, best._1, best._3)
+      }.toSeq
+    assert(inc.sortBy(_._1).toSeq === expected.sortBy(_._1).toSeq)
+  }
+
   test("mergeIncremental upserts: new docs added, changed docs replaced") {
     val existing = Tables.documents(spark, sfDir).select("doc_id", "text")
     val incoming = spark.createDataFrame(Seq(
