@@ -89,6 +89,8 @@ object SparkEntry {
     "sequence_pack"   -> ((s, d) => Pack.seqPack(s, d)),
     "pack_stats"      -> ((s, d) => Pack.packStats(s, d)),
     "dataset_mix"     -> ((s, d) => Pack.datasetMix(s, d)),
+    "dataset_mix_epochs" -> ((s, d) => Pack.datasetMixEpochs(s, d)),
+    "pipeline_trainprep" -> ((s, d) => Pack.trainPrep(s, d)),
     // §2.B vector search
     "knn_brute"       -> ((s, d) => VectorSearch.knnBrute(s, d)),
     "knn_threshold"   -> ((s, d) => VectorSearch.knnThreshold(s, d)),
@@ -1402,6 +1404,23 @@ object SparkEntry {
         |SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars FROM s6
         |WHERE doc_id % 101 <> 0 AND doc_id NOT IN (SELECT doc_id FROM contam)
         |ORDER BY doc_id""".stripMargin),
+    // Curate → pack end to end (Pack.trainPrep): the funnel's
+    // survivor set laid out by the concat-and-chunk packer.
+    "pipeline_trainprep" -> (curateChainSql +
+      """,
+        |surv AS (SELECT doc_id, text FROM s6
+        |  WHERE doc_id % 101 <> 0 AND doc_id NOT IN (SELECT doc_id FROM contam)),
+        |pt AS (SELECT doc_id,
+        |    ('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 32 AS shard,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM surv),
+        |pc AS (SELECT doc_id, shard, n_tok,
+        |    CAST(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS BIGINT) AS start_tok
+        |  FROM pt)
+        |SELECT doc_id, shard, start_tok // 256 AS seq_id,
+        |  start_tok % 256 AS tok_offset, n_tok
+        |FROM pc ORDER BY doc_id""".stripMargin),
     "contamination_check" -> ("WITH " + postingCte("documents") +
       """,
         |cnt AS (SELECT doc_id, COUNT(*) AS n FROM posting
@@ -1463,6 +1482,27 @@ object SparkEntry {
         |WHERE CAST(('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT AS DOUBLE)
         |  / 4294967296.0 < r.rate
         |ORDER BY d.doc_id""".stripMargin,
+    // Upsampling mixture (Pack.datasetMixEpochs): capacity T =
+    // max_s n_s/w_s, each stratum emits floor(w*T/n) whole epochs
+    // plus a coin-fractional extra, capped at 16 copies per doc.
+    "dataset_mix_epochs" ->
+      """WITH cnt AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+        |k AS (SELECT COUNT(*) AS k FROM cnt),
+        |w AS (SELECT lang, n, 1.0::DOUBLE / k.k AS w FROM cnt, k),
+        |cap AS (SELECT MAX(CAST(n AS DOUBLE) / w) AS capacity FROM w),
+        |r AS (SELECT lang,
+        |    CAST(floor(w * cap.capacity / n) AS BIGINT) AS base_copies,
+        |    w * cap.capacity / n - floor(w * cap.capacity / n) AS frac FROM w, cap),
+        |e AS (SELECT d.doc_id, d.lang,
+        |    least(r.base_copies + CASE WHEN
+        |        CAST(('0x' || substr(md5('epoch:' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT AS DOUBLE)
+        |          / 4294967296.0 < r.frac THEN 1 ELSE 0 END,
+        |      16) AS n_copies
+        |  FROM documents d JOIN r USING (lang))
+        |SELECT doc_id, lang, CAST(ci AS BIGINT) AS copy_idx
+        |FROM e, LATERAL (SELECT unnest(generate_series(0, n_copies - 1)) AS ci) s
+        |WHERE n_copies > 0
+        |ORDER BY doc_id, copy_idx""".stripMargin,
     "knn_brute" -> (knnCte +
       """
         |SELECT q_id, vec_id, cos, rk FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin),

@@ -207,6 +207,14 @@ object Curate {
       s7Of(spark, dir, p)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  /** The curated corpus as a (doc_id, text) frame — the survivors of
+    * all seven gates, for downstream composition (Pack.trainPrep
+    * packs exactly this set into training sequences).
+    */
+  private[operators] def survivors(spark: SparkSession, dir: String,
+      p: Params = Params()): DataFrame =
+    s7Cached(spark, dir, p).select(col("doc_id"), col("text"))
+
   /** Materialize the cleaned corpus — the apply-stage twin of the
     * funnel report, same output shape as dedup_apply: the documents
     * that survived all seven gates, with their sizes.

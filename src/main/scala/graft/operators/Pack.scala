@@ -64,12 +64,20 @@ object Pack {
     */
   def seqPack(spark: SparkSession, dir: String,
               budget: Int = DefaultSeqTokens,
-              nShards: Int = DefaultPackShards): DataFrame = {
+              nShards: Int = DefaultPackShards): DataFrame =
+    seqPackOf(Tables.documents(spark, dir), budget, nShards)
+
+  /** The packing core over ANY (doc_id, text) corpus — shared by the
+    * raw-table query, [[trainPrep]]'s curated composition, and (in
+    * semantics) streaming/PackStream.
+    */
+  private[operators] def seqPackOf(corpus: DataFrame,
+      budget: Int, nShards: Int): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
     require(nShards > 0, s"nShards must be positive, got $nShards")
     val w = Window.partitionBy("shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(spark, dir)
+    corpus
       .select(col("doc_id"),
         (uniform(col("doc_id"), "pack:") % nShards).as("shard"),
         size(tokens(col("text"))).cast("long").as("n_tok"))
@@ -80,6 +88,19 @@ object Pack {
         col("n_tok"))
       .orderBy("doc_id")
   }
+
+  /** Curate → pack, end to end: the seven-gate curation funnel's
+    * survivors (operators/Curate) laid out as training sequences —
+    * the full raw-crawl-to-trainer-input composition in ONE
+    * declarative plan. The survivor frame is the session-cached s7
+    * stage the funnel already computes, so running the funnel report,
+    * the apply step and this packing in one session pays the curation
+    * chain once.
+    */
+  def trainPrep(spark: SparkSession, dir: String,
+                budget: Int = DefaultSeqTokens,
+                nShards: Int = DefaultPackShards): DataFrame =
+    seqPackOf(Curate.survivors(spark, dir), budget, nShards)
 
   /** Packing efficiency audit: per shard, how many documents and
     * tokens landed there, how many sequences that cuts into, and the
@@ -143,5 +164,63 @@ object Pack {
         < col("rate"))
       .select(col("doc_id"), col(stratum), Par.round4(col("rate")).as("rate"))
       .orderBy("doc_id")
+  }
+
+  /** Hard ceiling on per-document repetition in [[datasetMixEpochs]]
+    * — past a handful of epochs, repeating data hurts more than the
+    * mixture helps, and an unboundedly small stratum must not blow up
+    * the output volume.
+    */
+  val MaxEpochs = 16
+
+  /** Target-mixture UPSAMPLING over a stratum — [[datasetMix]]'s dual.
+    * Downsampling-only mixing cuts every stratum to the smallest; when
+    * the under-represented strata are too precious to waste the rest,
+    * the standard alternative repeats them: capacity `T = max_s
+    * n_s/w_s` (the largest stratum is kept exactly once), every
+    * stratum emits `need_s = w_s·T` document-copies as `floor(need/n)`
+    * whole epochs plus one extra copy for documents whose
+    * deterministic coin falls under the fractional epoch — capped at
+    * [[MaxEpochs]]. Output: one row per emitted copy (doc_id,
+    * stratum, copy_idx), the multiset a trainer's sampler consumes.
+    * Same broadcast-rates / shuffle-free-scan shape as [[datasetMix]];
+    * output volume ≤ min(strata·max_s n_s, MaxEpochs·corpus).
+    */
+  def datasetMixEpochs(spark: SparkSession, dir: String,
+                       stratum: String = "lang",
+                       shares: Map[String, Double] = Map.empty,
+                       maxEpochs: Int = MaxEpochs): DataFrame = {
+    require(shares.values.forall(_ > 0), "target shares must be positive")
+    require(maxEpochs > 0, s"maxEpochs must be positive, got $maxEpochs")
+    val docs = Tables.documents(spark, dir)
+    val counts = docs.groupBy(col(stratum)).agg(count(lit(1)).as("n"))
+    val all = Window.partitionBy() // |strata| rows — scalar-sized frame
+    val weighted =
+      if (shares.isEmpty)
+        counts.withColumn("w", lit(1.0) / count(lit(1)).over(all))
+      else {
+        import spark.implicits._
+        val total = shares.values.sum
+        val wdf = shares.toSeq.toDF(stratum, "w_raw")
+          .select(col(stratum), (col("w_raw") / total).as("w"))
+        counts.join(wdf, stratum)
+      }
+    val need = col("w") * col("capacity") / col("n")
+    val rates = weighted
+      .withColumn("capacity", max(col("n").cast("double") / col("w")).over(all))
+      .select(col(stratum),
+        floor(need).as("base_copies"),      // BIGINT in Spark
+        (need - floor(need)).as("frac"))
+    docs
+      .join(broadcast(rates), stratum)
+      .withColumn("n_copies", least(
+        col("base_copies") +
+          when(uniform(col("doc_id"), "epoch:").cast("double") / 4294967296.0
+            < col("frac"), 1L).otherwise(0L),
+        lit(maxEpochs.toLong)))
+      .where(col("n_copies") > 0)   // always true (need/n ≥ 1); guards explode
+      .select(col("doc_id"), col(stratum),
+        explode(sequence(lit(0L), col("n_copies") - 1)).as("copy_idx"))
+      .orderBy("doc_id", "copy_idx")
   }
 }

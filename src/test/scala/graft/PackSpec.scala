@@ -117,6 +117,52 @@ class PackSpec extends SparkSpec {
     assert(rates.values.forall(r => r > 0.0 && r <= 1.0))
   }
 
+  test("dataset_mix_epochs: per-doc copies bounded by the stratum's epoch need, indices contiguous") {
+    val docs = Tables.documents(spark, sfDir)
+    val counts = docs.groupBy("lang").count().collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("count")).toMap
+    val maxN = counts.values.max
+    val out = Pack.datasetMixEpochs(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"), r.getAs[Long]("copy_idx")))
+
+    // per doc: copy indices are exactly 0..k-1 for some k ≥ 1
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val idx = rows.map(_._3).sorted
+      assert(idx.toSeq === (0L until idx.length).toSeq)
+      assert(idx.length <= Pack.MaxEpochs)
+    }
+    // per stratum: every doc emits either floor(need/n) or one more
+    // (need = uniform target = capacity/k ≈ maxN up to FP), and the
+    // stratum total sits inside those bounds
+    counts.foreach { case (lang, n) =>
+      val copies = out.filter(_._2 == lang).groupBy(_._1).map(_._2.length.toLong)
+      assert(copies.nonEmpty && copies.size === n)
+      val lo = copies.min
+      val hi = copies.max
+      assert(hi - lo <= 1, s"$lang: copies span more than one epoch: $lo..$hi")
+      assert(hi <= math.min((maxN / n + 1), Pack.MaxEpochs.toLong))
+    }
+    // every document of every stratum appears at least once
+    assert(out.map(_._1).distinct.length === docs.count())
+    intercept[IllegalArgumentException](
+      Pack.datasetMixEpochs(spark, sfDir, maxEpochs = 0))
+  }
+
+  test("pipeline_trainprep packs exactly the curated survivor set, contiguously") {
+    val survivors = graft.operators.Curate.curateApply(spark, sfDir).collect()
+      .map(_.getAs[Long]("doc_id")).sorted
+    val packed = Pack.trainPrep(spark, sfDir).collect()
+    assert(packed.map(_.getAs[Long]("doc_id")).sorted.toSeq === survivors.toSeq)
+    packed.groupBy(_.getAs[Long]("shard")).foreach { case (_, rows) =>
+      var expectStart = 0L
+      rows.sortBy(_.getAs[Long]("doc_id")).foreach { r =>
+        val start = r.getAs[Long]("seq_id") * budget + r.getAs[Long]("tok_offset")
+        assert(start === expectStart)
+        expectStart = start + r.getAs[Long]("n_tok")
+      }
+    }
+  }
+
   test("token_vocab is exact and bounds the Misra-Gries sketch") {
     val exact = TextAnalysis.tokenVocab(spark, sfDir, topN = Int.MaxValue).collect()
       .map(r => r.getAs[String]("token") -> r.getAs[Long]("cnt")).toMap
