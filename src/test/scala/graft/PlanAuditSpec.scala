@@ -219,6 +219,36 @@ class PlanAuditSpec extends SparkSpec {
     assert(seen > 0, "guard is vacuous: no BNLJ found in any guarded plan")
   }
 
+  test("sequence_pack: one data shuffle (shard exchange) plus the output sort, nothing else") {
+    val plan = finalPlan(graft.operators.Pack.seqPack(spark, sfDir))
+    // exactly ONE hash exchange (the shard key); the only other
+    // exchange is the final orderBy's range partitioning. AQE's
+    // toString appends the initial plan — audit the final one only.
+    val finalSection = plan.split("== Initial Plan ==").head
+    assert("hashpartitioning\\(".r.findAllIn(finalSection).length === 1,
+      s"unexpected extra hash exchange:\n$plan")
+    assert(plan.contains("hashpartitioning(shard"), s"missing shard exchange:\n$plan")
+    assert(plan.contains("Window"), "packing cumsum should be a per-shard window")
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    // text is consumed into n_tok at the scan projection; lang/source pruned
+    assert(!plan.contains("source#"), "scan reads pruned column source")
+  }
+
+  test("dataset_mix: rates broadcast, corpus side never reshuffled") {
+    val plan = finalPlan(graft.operators.Pack.datasetMix(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), s"rates not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus reshuffled for the rate join:\n$plan")
+  }
+
+  test("token_vocab: exact top-N is a partial hash-aggregate + bounded sort") {
+    val plan = finalPlan(TextAnalysis.tokenVocab(spark, sfDir))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-N should be a bounded sort, not a global one:\n$plan")
+    assert(plan.contains("partial_count"), s"no map-side partial agg:\n$plan")
+    assert(!plan.contains("Window"))
+  }
+
   test("q1 aggregation is map-side partial") {
     val plan = finalPlan(Relational.q1Pricing(spark, sfDir))
     assert(plan.contains("partial_sum") || plan.contains("HashAggregate"),
