@@ -51,6 +51,28 @@ object Pack {
   private def uniform(docId: Column, salt: String): Column =
     md5Long(concat(lit(salt), docId.cast("string")), 1, 8)
 
+  /** Per-stratum counts with normalized target weights `w` — the
+    * |strata|-row frame both mixers derive their rates from. Empty
+    * `shares` means uniform over observed strata; explicit shares are
+    * normalized to sum 1, and strata without a share are dropped
+    * (weight 0).
+    */
+  private def stratumWeights(spark: SparkSession, docs: DataFrame,
+      stratum: String, shares: Map[String, Double]): DataFrame = {
+    require(shares.values.forall(_ > 0), "target shares must be positive")
+    val counts = docs.groupBy(col(stratum)).agg(count(lit(1)).as("n"))
+    if (shares.isEmpty)
+      // scalar-sized frame: the single-partition window is |strata| rows
+      counts.withColumn("w", lit(1.0) / count(lit(1)).over(Window.partitionBy()))
+    else {
+      import spark.implicits._
+      val total = shares.values.sum
+      val wdf = shares.toSeq.toDF(stratum, "w_raw")
+        .select(col(stratum), (col("w_raw") / total).as("w"))
+      counts.join(wdf, stratum)
+    }
+  }
+
   /** Concat-and-chunk sequence packing: shard documents by a content
     * hash of their id, order each shard by doc_id, lay the token
     * streams end to end, and cut a sequence boundary every `budget`
@@ -140,22 +162,10 @@ object Pack {
   def datasetMix(spark: SparkSession, dir: String,
                  stratum: String = "lang",
                  shares: Map[String, Double] = Map.empty): DataFrame = {
-    require(shares.values.forall(_ > 0), "target shares must be positive")
     val docs = Tables.documents(spark, dir)
-    val counts = docs.groupBy(col(stratum)).agg(count(lit(1)).as("n"))
-    val all = Window.partitionBy() // |strata| rows — scalar-sized frame
-    val weighted =
-      if (shares.isEmpty)
-        counts.withColumn("w", lit(1.0) / count(lit(1)).over(all))
-      else {
-        import spark.implicits._
-        val total = shares.values.sum
-        val wdf = shares.toSeq.toDF(stratum, "w_raw")
-          .select(col(stratum), (col("w_raw") / total).as("w"))
-        counts.join(wdf, stratum) // strata without a share: weight 0, dropped
-      }
-    val rates = weighted
-      .withColumn("capacity", min(col("n").cast("double") / col("w")).over(all))
+    val rates = stratumWeights(spark, docs, stratum, shares)
+      .withColumn("capacity",
+        min(col("n").cast("double") / col("w")).over(Window.partitionBy()))
       .select(col(stratum),
         least(lit(1.0), col("w") * col("capacity") / col("n")).as("rate"))
     docs
@@ -190,24 +200,12 @@ object Pack {
                        stratum: String = "lang",
                        shares: Map[String, Double] = Map.empty,
                        maxEpochs: Int = MaxEpochs): DataFrame = {
-    require(shares.values.forall(_ > 0), "target shares must be positive")
     require(maxEpochs > 0, s"maxEpochs must be positive, got $maxEpochs")
     val docs = Tables.documents(spark, dir)
-    val counts = docs.groupBy(col(stratum)).agg(count(lit(1)).as("n"))
-    val all = Window.partitionBy() // |strata| rows — scalar-sized frame
-    val weighted =
-      if (shares.isEmpty)
-        counts.withColumn("w", lit(1.0) / count(lit(1)).over(all))
-      else {
-        import spark.implicits._
-        val total = shares.values.sum
-        val wdf = shares.toSeq.toDF(stratum, "w_raw")
-          .select(col(stratum), (col("w_raw") / total).as("w"))
-        counts.join(wdf, stratum)
-      }
     val need = col("w") * col("capacity") / col("n")
-    val rates = weighted
-      .withColumn("capacity", max(col("n").cast("double") / col("w")).over(all))
+    val rates = stratumWeights(spark, docs, stratum, shares)
+      .withColumn("capacity",
+        max(col("n").cast("double") / col("w")).over(Window.partitionBy()))
       .select(col(stratum),
         floor(need).as("base_copies"),      // BIGINT in Spark
         (need - floor(need)).as("frac"))
