@@ -528,23 +528,62 @@ object Dedup {
     */
   def neardupIncremental(spark: SparkSession, dir: String,
                          threshold: Double = 0.8): DataFrame = {
-    require(threshold > 0.0 && threshold <= 1.0,
-      s"threshold must be in (0, 1], got $threshold")
     val corpus = corpusWithDups(spark, dir, perturb = true)
     val fp = DfCache.inputFingerprint(spark, s"$dir/documents.parquet")
-    // the persisted index: base postings + banded signatures
-    val basePosting = DfCache.getOrCompute(spark, s"neardup_base_posting:$dir")(
-      DfCache.stagedFrame(spark, s"neardup_base_posting:$dir", fp)(
-        shinglePosting(corpus.where(col("doc_id") < CopyIdOffset),
-          col("doc_id"), col("text"), 3)))
-    val baseBanded = DfCache.getOrCompute(spark, s"neardup_base_banded:$dir")(
-      DfCache.stagedFrame(spark, s"neardup_base_banded:$dir", fp)(
-        bandedSigsOf(basePosting)))
-    // the arriving batch: shingle + band the delta only
-    val deltaPosting = DfCache.getOrCompute(spark, s"neardup_delta_posting:$dir")(
-      cachedPosting(shinglePosting(corpus.where(col("doc_id") >= CopyIdOffset),
-        col("doc_id"), col("text"), 3)))
-    val cand = bandedSigsOf(deltaPosting)
+    neardupIncrementalOf(
+      corpus.where(col("doc_id") < CopyIdOffset),
+      corpus.where(col("doc_id") >= CopyIdOffset),
+      threshold,
+      // base-index frames are the persisted artifact (cross-process,
+      // rebuilt only when the corpus version changes); delta frames
+      // are per-batch and session-cached only
+      mat = (slot, df) => slot match {
+        case "base_rep_posting" | "base_rep_banded" =>
+          DfCache.getOrCompute(spark, s"neardup_$slot:$dir")(
+            DfCache.stagedFrame(spark, s"neardup_$slot:$dir", fp)(df))
+        case _ =>
+          DfCache.getOrCompute(spark, s"neardup_$slot:$dir")(cachedPosting(df))
+      })
+  }
+
+  /** The incremental probe over arbitrary base/delta corpora — the
+    * body of [[neardupIncremental]], QUOTIENTED by exact content on
+    * BOTH sides like [[minhashPairsOf]]: signatures, bands and the
+    * verify all run on one rep per distinct text, and the verified
+    * best-match is projected back onto the delta members at the end.
+    * Without the contraction, a corpus where every text has k exact
+    * clones pays k² candidate combos per true near-pair in the band
+    * join (measured: the scale ladder's replicated rungs); with it,
+    * candidate volume tracks DISTINCT texts on both sides.
+    *
+    * Output equality with the doc-level build (QuotientSpec proves it
+    * on a cloned corpus): jaccard is a pure function of the text, so
+    * every member of a delta group has the same candidate jaccards as
+    * its rep, and the doc-level tie-break (min base id among argmax
+    * docs) lands on a group MINIMUM — which is exactly the rep the
+    * rep-level tie-break picks.
+    *
+    * `mat(slot, df)` materializes the build's reusable frames; slots
+    * `base_rep_posting` / `base_rep_banded` form the persisted index,
+    * `delta_members` / `delta_rep_posting` the per-batch state.
+    */
+  private[operators] def neardupIncrementalOf(base: DataFrame, delta: DataFrame,
+      threshold: Double,
+      mat: (String, DataFrame) => DataFrame = (_, df) => cachedPosting(df)): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    def repsOf(corpus: DataFrame, members: DataFrame) = corpus.join(
+      members.where(col("doc_id") === col("rep_id")).select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+    // persisted index: one rep per distinct base text, shingled + banded
+    val baseRepPosting = mat("base_rep_posting",
+      shinglePosting(repsOf(base, quotientOf(base)), col("doc_id"), col("text"), 3))
+    val baseBanded = mat("base_rep_banded", bandedSigsOf(baseRepPosting))
+    // arriving batch: quotient + shingle + band the delta reps only
+    val deltaMembers = mat("delta_members", quotientOf(delta))
+    val deltaRepPosting = mat("delta_rep_posting",
+      shinglePosting(repsOf(delta, deltaMembers), col("doc_id"), col("text"), 3))
+    val cand = bandedSigsOf(deltaRepPosting)
       .select(col("bd"), col("band_key"), col("doc_id").as("b_id"))
       .join(baseBanded.select(col("bd"), col("band_key"), col("doc_id").as("a_id")),
         Seq("bd", "band_key"))
@@ -552,11 +591,14 @@ object Dedup {
       .distinct()   // a pair may collide in several bands
     val w = Window.partitionBy(col("b_id"))
       .orderBy(col("jaccard").desc, col("a_id"))
-    jaccardOf(cand, basePosting.unionByName(deltaPosting))
+    val bestPerRep = jaccardOf(cand, baseRepPosting.unionByName(deltaRepPosting))
       .where(col("jaccard") >= threshold)
       .withColumn("rk", row_number().over(w))
       .where(col("rk") === 1)
-      .select(col("b_id").as("doc_id"), col("a_id").as("match_id"), col("jaccard"))
+      .select(col("b_id").as("rep_id"), col("a_id").as("match_id"), col("jaccard"))
+    // every exact clone of a matched delta rep inherits the match
+    deltaMembers.join(bestPerRep, Seq("rep_id"))
+      .select(col("doc_id"), col("match_id"), col("jaccard"))
       .orderBy(col("doc_id"))
   }
 

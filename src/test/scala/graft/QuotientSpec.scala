@@ -57,6 +57,47 @@ class QuotientSpec extends graft.SparkSpec {
       "no cross-group pair was lifted onto a non-representative member")
   }
 
+  test("incremental probe ≡ doc-level best-match across a cloned base/delta cut") {
+    // base: every text in 4 exact clones; delta: near-copies of every
+    // 3rd doc in 3 clones — the replicated-ladder shape where an
+    // uncontracted band join pays clones² combos per true near-pair
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    val base = (0 until 4).map(k =>
+      docs.select((col("doc_id") + k * 1000000L).as("doc_id"), col("text")))
+      .reduce(_ unionAll _)
+    val deltaSeed = docs.where(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), expr("substring(text, instr(text, ' ') + 1)").as("text"))
+    val cut = 50000000L
+    val delta = (0 until 3).map(k =>
+      deltaSeed.select((col("doc_id") + cut + k * 1000000L).as("doc_id"), col("text")))
+      .reduce(_ unionAll _)
+
+    val inc = Dedup.neardupIncrementalOf(base, delta, 0.8).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("match_id"),
+        r.getAs[Double]("jaccard"))).sortBy(_._1)
+
+    // doc-level ground truth from the identity-quotient pair build:
+    // every base×delta pair over threshold, best per delta doc
+    val union = base.unionAll(delta)
+    val ref = Dedup.minhashPairsOf(union,
+        Some(union.select(col("doc_id"), col("doc_id").as("rep_id"))))(
+        _.localCheckpoint())
+      .collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"), r.getAs[Double]("jaccard")))
+      .filter { case (a, b, j) => a < cut && b >= cut && j >= 0.8 }
+      .groupBy(_._2).map { case (d, ps) =>
+        val best = ps.minBy { case (a, _, j) => (-j, a) }
+        (d, best._1, best._3)
+      }.toSeq.sortBy(_._1)
+
+    assert(inc.nonEmpty, "cloned cut produced no matches — test corpus degenerate")
+    assert(inc.toSeq === ref)
+    // the match is always a base-group REPRESENTATIVE (min clone id):
+    // the rep-level tie-break must coincide with the doc-level one
+    assert(inc.forall(_._2 < 1000000L), "a non-rep base clone won a tie-break")
+  }
+
   test("quotient closure matches the doc-level component closure") {
     val docComp = Dedup.componentsWithRounds(
       docPairs.where(col("jaccard") >= 0.8).select(col("a_id"), col("b_id")))._1
