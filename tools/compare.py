@@ -23,9 +23,15 @@ def cell_eq(a, b):
         return a == b
     return a == b
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, skip=()):
     import os
     con = duckdb.connect()
+    # Bound DuckDB's memory so an oracle too big for the box fails as a
+    # clean per-query error (a FAIL row) instead of the kernel OOM
+    # killer taking the whole run down mid-gate (observed: the
+    # doc-level grouped-minhash spelling at the 64x rung, 130 GB RSS).
+    con.sql("SET memory_limit='90GB'")
+    con.sql(f"SET temp_directory='{out_dir}/duckdb_spill'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(p):  # Spark-written table = directory of parts
@@ -34,6 +40,9 @@ def main(sf_dir, out_dir):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
+        if name in skip:
+            print(f"SKIP {name} (excluded by caller)")
+            continue
         try:
             got = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
             g_cols, g_rows = canon(got.fetchall(), [d[0] for d in got.description])
@@ -68,4 +77,8 @@ def main(sf_dir, out_dir):
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    # optional 3rd arg: comma-separated query names to skip (for rungs
+    # where a deliberately doc-level oracle spelling is infeasible —
+    # document any use in the gate artifact)
+    skips = tuple(sys.argv[3].split(",")) if len(sys.argv) > 3 else ()
+    sys.exit(main(sys.argv[1], sys.argv[2], skips))
