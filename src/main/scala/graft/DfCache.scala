@@ -169,6 +169,20 @@ object DfCache {
     md.digest().map(b => f"${b & 0xff}%02x").mkString.take(16)
   }
 
+  /** Monotone count of staged-artifact REBUILDS this JVM — every
+    * time [[publishStaged]] takes its write path (staging absent or
+    * half-written) rather than serving the committed table. Bench
+    * snapshots it around each timed query: a pass in which a query's
+    * staged artifact rebuilt is a build measurement, not a
+    * steady-state one, and is excluded from that query's median —
+    * the structural fix for the recurring
+    * "staging-rebuild-landed-in-pass-2 reads as a 3× regression"
+    * adjudications (rounds 10-11: index_search, ngram_jaccard,
+    * hybrid_rrf, then value_outliers/neardup_incremental).
+    */
+  def stagingRebuilds: Long = rebuildCount.get
+  private val rebuildCount = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** Write-if-absent publisher for a staged directory: runs `write`
     * against a tmp path, marks it complete (`doneFile`), renames into
     * place, then sweeps superseded fingerprints of the same key. The
@@ -184,6 +198,7 @@ object DfCache {
     val fs = target.getFileSystem(conf)
     val done = new org.apache.hadoop.fs.Path(target, doneFile)
     if (!fs.exists(done)) {
+      rebuildCount.incrementAndGet()
       if (fs.exists(target)) fs.delete(target, true)   // half-written leftover
       val tmp = new org.apache.hadoop.fs.Path(
         dir + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))

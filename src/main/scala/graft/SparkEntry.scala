@@ -91,6 +91,7 @@ object SparkEntry {
     "dataset_mix"     -> ((s, d) => Pack.datasetMix(s, d)),
     "dataset_mix_epochs" -> ((s, d) => Pack.datasetMixEpochs(s, d)),
     "pipeline_trainprep" -> ((s, d) => Pack.trainPrep(s, d)),
+    "pipeline_trainprep_mixed" -> ((s, d) => Pack.trainPrepMixed(s, d)),
     // §2.B vector search
     "knn_brute"       -> ((s, d) => VectorSearch.knnBrute(s, d)),
     "knn_threshold"   -> ((s, d) => VectorSearch.knnThreshold(s, d)),
@@ -1421,6 +1422,48 @@ object SparkEntry {
         |SELECT doc_id, shard, start_tok // 256 AS seq_id,
         |  start_tok % 256 AS tok_offset, n_tok
         |FROM pc ORDER BY doc_id""".stripMargin),
+    // Curate → MIX → pack (Pack.trainPrepMixed): survivors stratified
+    // by the lang_id argmax over the TEXT (the injected survivor ids
+    // have no raw-table lang), downsampled to a uniform mixture over
+    // assigned languages, then packed. Score + argmax spellings are
+    // the lang_id oracle's; mix spellings are dataset_mix's.
+    "pipeline_trainprep_mixed" -> (curateChainSql +
+      """,
+        |surv AS (SELECT doc_id, text FROM s6
+        |  WHERE doc_id % 101 <> 0 AND doc_id NOT IN (SELECT doc_id FROM contam)),
+        |ml AS MATERIALIZED (SELECT doc_id, text,
+        |    CASE WHEN s_exec >= s_query AND s_exec >= s_storage THEN 'exec'
+        |         WHEN s_query >= s_storage THEN 'query' ELSE 'storage' END AS mix_lang
+        |  FROM (SELECT doc_id, text,
+        |    floor((CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+        |      ['spark','batch','stream','window','join','agg','merge','fast','slow'])) AS DOUBLE)
+        |      / len(list_distinct(string_split(text, ' ')))) * 10000.0 + 0.5)/10000.0 AS s_exec,
+        |    floor((CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+        |      ['query','scan','filter','sort','group','order'])) AS DOUBLE)
+        |      / len(list_distinct(string_split(text, ' ')))) * 10000.0 + 0.5)/10000.0 AS s_query,
+        |    floor((CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+        |      ['table','row','column','part','key','value','hash'])) AS DOUBLE)
+        |      / len(list_distinct(string_split(text, ' ')))) * 10000.0 + 0.5)/10000.0 AS s_storage
+        |  FROM surv)),
+        |mcnt AS (SELECT mix_lang, COUNT(*) AS n FROM ml GROUP BY mix_lang),
+        |mk AS (SELECT COUNT(*) AS k FROM mcnt),
+        |mw AS (SELECT mix_lang, n, 1.0::DOUBLE / mk.k AS w FROM mcnt, mk),
+        |mcap AS (SELECT MIN(CAST(n AS DOUBLE) / w) AS capacity FROM mw),
+        |mr AS (SELECT mix_lang, least(1.0::DOUBLE, w * mcap.capacity / n) AS rate FROM mw, mcap),
+        |kept AS (SELECT ml.doc_id, ml.text FROM ml JOIN mr USING (mix_lang)
+        |  WHERE CAST(('0x' || substr(md5('mix:' || CAST(ml.doc_id AS VARCHAR)), 1, 8))::BIGINT AS DOUBLE)
+        |    / 4294967296.0 < mr.rate),
+        |mpt AS (SELECT doc_id,
+        |    ('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 32 AS shard,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM kept),
+        |mpc AS (SELECT doc_id, shard, n_tok,
+        |    CAST(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS BIGINT) AS start_tok
+        |  FROM mpt)
+        |SELECT doc_id, shard, start_tok // 256 AS seq_id,
+        |  start_tok % 256 AS tok_offset, n_tok
+        |FROM mpc ORDER BY doc_id""".stripMargin),
     "contamination_check" -> ("WITH " + postingCte("documents") +
       """,
         |cnt AS (SELECT doc_id, COUNT(*) AS n FROM posting

@@ -55,7 +55,12 @@ object Pack {
     * |strata|-row frame both mixers derive their rates from. Empty
     * `shares` means uniform over observed strata; explicit shares are
     * normalized to sum 1, and strata without a share are dropped
-    * (weight 0).
+    * (weight 0). A share key that matches NO observed stratum is a
+    * typo by construction (the mix would silently lose that slice of
+    * the target mixture), so it fails the query loudly: the check is
+    * a `raise_error` branch inside the rates projection — evaluated
+    * with the same |strata|-row aggregate the mix needs anyway, zero
+    * extra jobs.
     */
   private def stratumWeights(spark: SparkSession, docs: DataFrame,
       stratum: String, shares: Map[String, Double]): DataFrame = {
@@ -69,7 +74,15 @@ object Pack {
       val total = shares.values.sum
       val wdf = shares.toSeq.toDF(stratum, "w_raw")
         .select(col(stratum), (col("w_raw") / total).as("w"))
-      counts.join(wdf, stratum)
+      // right join keeps every share key; an unmatched one (n IS NULL)
+      // raises with the offending key in the message
+      counts.join(wdf, Seq(stratum), "right")
+        .select(col(stratum),
+          when(col("n").isNull, raise_error(concat(
+              lit(s"datasetMix: share key '"), col(stratum),
+              lit(s"' matches no observed '$stratum' stratum"))))
+            .otherwise(col("n")).as("n"),
+          col("w"))
     }
   }
 
@@ -84,31 +97,84 @@ object Pack {
     * One shuffle (shard key), one within-shard sort, whole-stage
     * codegen end to end.
     */
+  /** Present a corpus-sized result in doc_id (or doc_id, copy_idx)
+    * order — the determinism the oracle diff and a human reader want,
+    * but a GLOBAL range exchange a 100 TB caller laying out training
+    * shards should skip (`sorted = false`): the trainer reads shards,
+    * not a totally-ordered table. Gate spellings keep the default.
+    */
+  private def presented(df: DataFrame, sorted: Boolean, keys: String*): DataFrame =
+    if (sorted) df.orderBy(keys.map(col): _*) else df
+
   def seqPack(spark: SparkSession, dir: String,
               budget: Int = DefaultSeqTokens,
-              nShards: Int = DefaultPackShards): DataFrame =
-    seqPackOf(Tables.documents(spark, dir), budget, nShards)
+              nShards: Int = DefaultPackShards,
+              sorted: Boolean = true): DataFrame =
+    seqPackOf(Tables.documents(spark, dir), budget, nShards, sorted)
 
   /** The packing core over ANY (doc_id, text) corpus — shared by the
     * raw-table query, [[trainPrep]]'s curated composition, and (in
     * semantics) streaming/PackStream.
     */
   private[operators] def seqPackOf(corpus: DataFrame,
-      budget: Int, nShards: Int): DataFrame = {
+      budget: Int, nShards: Int, sorted: Boolean = true): DataFrame =
+    packLayout(corpus
+      .select(col("doc_id"),
+        (uniform(col("doc_id"), "pack:") % nShards).as("shard"),
+        size(tokens(col("text"))).cast("long").as("n_tok")),
+      budget, nShards, sorted)
+
+  /** The layout step over an already-counted (doc_id, shard, n_tok)
+    * frame: per-shard doc_id-ordered token cumsum, boundary every
+    * `budget` tokens. Shared by the columnar whitespace path and the
+    * tokenizer-seam path — ONE spelling of the packing math,
+    * whatever produced the counts.
+    */
+  private def packLayout(counted: DataFrame, budget: Int, nShards: Int,
+      sorted: Boolean): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
     require(nShards > 0, s"nShards must be positive, got $nShards")
     val w = Window.partitionBy("shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    corpus
-      .select(col("doc_id"),
-        (uniform(col("doc_id"), "pack:") % nShards).as("shard"),
-        size(tokens(col("text"))).cast("long").as("n_tok"))
+    presented(counted
       .withColumn("start_tok", sum(col("n_tok")).over(w) - col("n_tok"))
       .select(col("doc_id"), col("shard"),
         expr(s"start_tok div $budget").as("seq_id"),
         (col("start_tok") % budget).as("tok_offset"),
+        col("n_tok")), sorted, "doc_id")
+  }
+
+  /** [[seqPack]] parameterized by a pluggable [[graft.functions.Tokenizer]]
+    * — the packing layout in the units the TRAINER counts in
+    * (fertility-corrected when a real BPE artifact is plugged;
+    * bit-identical to the columnar path on the whitespace stub —
+    * TokenizerSpec pins both). Token counting runs through the
+    * per-partition open() / batched tokenize() seam, the same shape
+    * as Ingest.embedWith; the layout math is [[packLayout]], shared
+    * with the columnar path.
+    */
+  def seqPackWith(spark: SparkSession, corpus: DataFrame,
+                  tokenizer: graft.functions.Tokenizer,
+                  budget: Int = DefaultSeqTokens,
+                  nShards: Int = DefaultPackShards,
+                  sorted: Boolean = true): DataFrame = {
+    import spark.implicits._
+    val counted = corpus.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val enc = tokenizer.open()   // per-partition artifact load
+        it.grouped(tokenizer.batchSize).flatMap { batch =>
+          val toks = enc.tokenize(batch.map(_._2))
+          // a short return would silently mis-count every later doc
+          require(toks.size == batch.size,
+            s"tokenizer returned ${toks.size} sequences for ${batch.size} texts")
+          batch.map(_._1).zip(toks.map(_.size.toLong))
+        }
+      }
+      .toDF("doc_id", "n_tok")
+      .select(col("doc_id"),
+        (uniform(col("doc_id"), "pack:") % nShards).as("shard"),
         col("n_tok"))
-      .orderBy("doc_id")
+    packLayout(counted, budget, nShards, sorted)
   }
 
   /** Curate → pack, end to end: the seven-gate curation funnel's
@@ -121,8 +187,43 @@ object Pack {
     */
   def trainPrep(spark: SparkSession, dir: String,
                 budget: Int = DefaultSeqTokens,
-                nShards: Int = DefaultPackShards): DataFrame =
-    seqPackOf(Curate.survivors(spark, dir), budget, nShards)
+                nShards: Int = DefaultPackShards,
+                sorted: Boolean = true): DataFrame =
+    seqPackOf(Curate.survivors(spark, dir), budget, nShards, sorted)
+
+  /** Curate → MIX → pack: [[trainPrep]] with the production mixing
+    * stage between curation and layout. The survivor corpus includes
+    * injected ids absent from the raw table, so the stratum cannot be
+    * a raw-table column join — it is ASSIGNED from the text itself
+    * via the lang_id argmax (TextAnalysis.predictedLang, the single
+    * spelling shared with the lang_id query), which is also what a
+    * real crawl pipeline does: language is a classifier output, not
+    * input metadata. The mix downsamples survivors to a uniform
+    * mixture over assigned languages (explicit `shares` override),
+    * then the packer lays the kept set out as training sequences.
+    *
+    * Plan shape: the mix adds ONE broadcast join (|strata| rates) and
+    * a filter over the cached survivor frame — the corpus side still
+    * reaches the packer's shard exchange without any extra shuffle,
+    * so the whole composition keeps sequence_pack's one-data-shuffle
+    * property (plan-guarded in PlanAuditSpec).
+    */
+  def trainPrepMixed(spark: SparkSession, dir: String,
+                     budget: Int = DefaultSeqTokens,
+                     nShards: Int = DefaultPackShards,
+                     shares: Map[String, Double] = Map.empty,
+                     sorted: Boolean = true): DataFrame = {
+    val scored = Curate.survivors(spark, dir).select(
+      col("doc_id"), col("text"),
+      TextAnalysis.predictedLang(
+        TextAnalysis.profileScore(col("text"), TextAnalysis.Profiles(0)._2),
+        TextAnalysis.profileScore(col("text"), TextAnalysis.Profiles(1)._2),
+        TextAnalysis.profileScore(col("text"), TextAnalysis.Profiles(2)._2))
+        .as("mix_lang"))
+    seqPackOf(mixKeepOf(spark, scored, "mix_lang", shares)
+        .select(col("doc_id"), col("text")),
+      budget, nShards, sorted)
+  }
 
   /** Packing efficiency audit: per shard, how many documents and
     * tokens landed there, how many sequences that cuts into, and the
@@ -161,20 +262,42 @@ object Pack {
     */
   def datasetMix(spark: SparkSession, dir: String,
                  stratum: String = "lang",
-                 shares: Map[String, Double] = Map.empty): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val rates = stratumWeights(spark, docs, stratum, shares)
+                 shares: Map[String, Double] = Map.empty,
+                 sorted: Boolean = true): DataFrame =
+    presented(
+      mixKeepOf(spark, Tables.documents(spark, dir), stratum, shares)
+        .select(col("doc_id"), col(stratum), Par.round4(col("rate")).as("rate")),
+      sorted, "doc_id")
+
+  /** The downsampling-mix core over ANY corpus carrying `stratum`:
+    * returns the kept rows (every input column) plus their stratum's
+    * keep `rate` — the composable form [[datasetMix]] presents and
+    * [[trainPrepMixed]] feeds to the packer. Rates are a broadcast
+    * |strata|-row table; the corpus side is a scan + filter, no
+    * shuffle.
+    */
+  /** The downsampling mix's |strata|-row keep-rate table over ANY
+    * corpus carrying `stratum` — capacity `T = min_s n_s/w_s`, rate
+    * `w_s·T/n_s`. Public because this IS the epoch-boundary artifact
+    * a streaming deployment freezes: compute it here from the corpus
+    * snapshot, hand it to streaming/MixStream.mixApply for the
+    * epoch, recompute at the next boundary (see MixStream's scaladoc
+    * for why mixing cannot honestly self-adjust mid-epoch).
+    */
+  def mixRatesOf(spark: SparkSession, corpus: DataFrame, stratum: String,
+      shares: Map[String, Double] = Map.empty): DataFrame =
+    stratumWeights(spark, corpus, stratum, shares)
       .withColumn("capacity",
         min(col("n").cast("double") / col("w")).over(Window.partitionBy()))
       .select(col(stratum),
         least(lit(1.0), col("w") * col("capacity") / col("n")).as("rate"))
-    docs
-      .join(broadcast(rates), stratum)
+
+  private[operators] def mixKeepOf(spark: SparkSession, corpus: DataFrame,
+      stratum: String, shares: Map[String, Double] = Map.empty): DataFrame =
+    corpus
+      .join(broadcast(mixRatesOf(spark, corpus, stratum, shares)), stratum)
       .where(uniform(col("doc_id"), "mix:").cast("double") / 4294967296.0
         < col("rate"))
-      .select(col("doc_id"), col(stratum), Par.round4(col("rate")).as("rate"))
-      .orderBy("doc_id")
-  }
 
   /** Hard ceiling on per-document repetition in [[datasetMixEpochs]]
     * — past a handful of epochs, repeating data hurts more than the
@@ -199,7 +322,8 @@ object Pack {
   def datasetMixEpochs(spark: SparkSession, dir: String,
                        stratum: String = "lang",
                        shares: Map[String, Double] = Map.empty,
-                       maxEpochs: Int = MaxEpochs): DataFrame = {
+                       maxEpochs: Int = MaxEpochs,
+                       sorted: Boolean = true): DataFrame = {
     require(maxEpochs > 0, s"maxEpochs must be positive, got $maxEpochs")
     val docs = Tables.documents(spark, dir)
     val need = col("w") * col("capacity") / col("n")
@@ -209,7 +333,7 @@ object Pack {
       .select(col(stratum),
         floor(need).as("base_copies"),      // BIGINT in Spark
         (need - floor(need)).as("frac"))
-    docs
+    presented(docs
       .join(broadcast(rates), stratum)
       .withColumn("n_copies", least(
         col("base_copies") +
@@ -218,7 +342,7 @@ object Pack {
         lit(maxEpochs.toLong)))
       .where(col("n_copies") > 0)   // always true (need/n ≥ 1); guards explode
       .select(col("doc_id"), col(stratum),
-        explode(sequence(lit(0L), col("n_copies") - 1)).as("copy_idx"))
-      .orderBy("doc_id", "copy_idx")
+        explode(sequence(lit(0L), col("n_copies") - 1)).as("copy_idx")),
+      sorted, "doc_id", "copy_idx")
   }
 }

@@ -56,6 +56,18 @@ object TextAnalysis {
       + lit(0.3) * least(avgWordLen / 10.0, lit(1.0)))
   }
 
+  /** Argmax label over the three profile scores with the fixed-order
+    * tie-break (CASE chain — portable to the oracle): THE
+    * predicted-language spelling, shared by [[langId]] and the mixed
+    * training-prep stratifier (Pack.trainPrepMixed) so the two cannot
+    * drift.
+    */
+  private[operators] def predictedLang(sExec: Column, sQuery: Column,
+      sStorage: Column): Column =
+    when(sExec >= sQuery && sExec >= sStorage, "exec")
+      .when(sQuery >= sStorage, "query")
+      .otherwise("storage")
+
   /** Profile overlap scores + argmax label — the structure of an
     * n-gram language identifier, deterministic for the oracle.
     */
@@ -64,11 +76,8 @@ object TextAnalysis {
       .select(col("doc_id") +: Profiles.map { case (name, words) =>
         profileScore(col("text"), words).as(s"s_$name")
       }: _*)
-    // argmax with fixed-order tie-break (CASE chain — portable to the oracle)
     val predicted =
-      when(col("s_exec") >= col("s_query") && col("s_exec") >= col("s_storage"), "exec")
-        .when(col("s_query") >= col("s_storage"), "query")
-        .otherwise("storage")
+      predictedLang(col("s_exec"), col("s_query"), col("s_storage"))
     scored
       .select(col("doc_id") +: predicted.as("predicted") +:
         Profiles.map { case (n, _) => col(s"s_$n") }: _*)
@@ -287,6 +296,39 @@ object TextAnalysis {
     require(topN > 0, s"topN must be positive, got $topN")
     Tables.documents(spark, dir)
       .select(explode(tokens(lower(col("text")))).as("token"))
+      .where(col("token") =!= "")
+      .groupBy("token")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(topN)
+  }
+
+  /** [[tokenVocab]] parameterized by a pluggable
+    * [[graft.functions.Tokenizer]] — the vocabulary report in the
+    * units the trainer counts in (subword types under a BPE
+    * artifact). Same conventions as the columnar path: text is
+    * lowercased before tokenization and empty tokens are dropped, so
+    * the whitespace stub reproduces tokenVocab exactly (TokenizerSpec
+    * pins it). The tokenize seam is per-partition open() + batched
+    * calls; downstream stays the same partial hash-aggregate +
+    * bounded top-N sort.
+    */
+  def tokenVocabWith(spark: SparkSession, corpus: DataFrame,
+                     tokenizer: graft.functions.Tokenizer,
+                     topN: Int = 50): DataFrame = {
+    require(topN > 0, s"topN must be positive, got $topN")
+    import spark.implicits._
+    corpus.select(lower(col("text"))).as[String]
+      .mapPartitions { it =>
+        val enc = tokenizer.open()   // per-partition artifact load
+        it.grouped(tokenizer.batchSize).flatMap { batch =>
+          val toks = enc.tokenize(batch)
+          require(toks.size == batch.size,
+            s"tokenizer returned ${toks.size} sequences for ${batch.size} texts")
+          toks.iterator.flatten
+        }
+      }
+      .toDF("token")
       .where(col("token") =!= "")
       .groupBy("token")
       .agg(count(lit(1)).as("cnt"))

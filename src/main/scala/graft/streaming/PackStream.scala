@@ -44,7 +44,13 @@ private[streaming] case class PackRow(doc_id: Long, shard: Long, n_tok: Long)
   * Scale shape: one shuffle (groupBy shard), state O(nShards) longs
   * — no watermark needed because state never grows with data; a
   * 100 TB/day stream and a 1 GB/day stream hold the same 8 bytes per
-  * shard.
+  * shard. PER-BATCH memory is a separate bound: the in-batch doc_id
+  * sort materializes each shard's micro-batch slice
+  * (`rows.toSeq.sortBy`), so a task holds O(largest shard's rows in
+  * ONE micro-batch) — sized by trigger interval × ingest rate /
+  * nShards, not by corpus size. Raise nShards (or shorten the
+  * trigger) if a micro-batch's per-shard slice outgrows executor
+  * memory; the rows are (id, shard, count) triples, never the texts.
   */
 object PackStream {
 

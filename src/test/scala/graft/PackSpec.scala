@@ -163,6 +163,65 @@ class PackSpec extends SparkSpec {
     }
   }
 
+  test("dataset_mix: a share key matching no stratum fails loudly") {
+    // a typo'd stratum name must not silently produce a lossy mixture
+    val bad = Pack.datasetMix(spark, sfDir, shares = Map("zz_typo" -> 1.0, "en" -> 1.0))
+    val e = intercept[Exception](bad.collect())
+    assert(e.getMessage != null && e.getMessage.contains("zz_typo"),
+      s"error should name the offending key: ${e.getMessage}")
+  }
+
+  test("sorted=false drops the global presentation sort from the plan") {
+    def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+      df.collect()
+      df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    }
+    // default keeps the oracle's doc_id order; sorted=false must have
+    // NO range exchange (the 100 TB layout path writes shards, not a
+    // totally-ordered table)
+    assert(finalPlan(Pack.seqPack(spark, sfDir)).contains("rangepartitioning"))
+    val unsortedPack = finalPlan(Pack.seqPack(spark, sfDir, sorted = false))
+    assert(!unsortedPack.contains("rangepartitioning"),
+      s"sorted=false still range-partitions:\n$unsortedPack")
+    val unsortedMix = finalPlan(Pack.datasetMix(spark, sfDir, sorted = false))
+    assert(!unsortedMix.contains("rangepartitioning"),
+      s"sorted=false still range-partitions:\n$unsortedMix")
+    val unsortedEpochs = finalPlan(Pack.datasetMixEpochs(spark, sfDir, sorted = false))
+    assert(!unsortedEpochs.contains("rangepartitioning"),
+      s"sorted=false still range-partitions:\n$unsortedEpochs")
+    // same rows either way
+    assert(Pack.seqPack(spark, sfDir, sorted = false).collect()
+      .map(_.getAs[Long]("doc_id")).sorted.toSeq ===
+      Pack.seqPack(spark, sfDir).collect().map(_.getAs[Long]("doc_id")).toSeq)
+  }
+
+  test("pipeline_trainprep_mixed: a mixed subset of the survivors, packed contiguously") {
+    val survivors = graft.operators.Curate.curateApply(spark, sfDir).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    val full = Pack.trainPrep(spark, sfDir).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    val mixed = Pack.trainPrepMixed(spark, sfDir).collect()
+    val mixedIds = mixed.map(_.getAs[Long]("doc_id")).toSet
+
+    // strict subset of the survivor set (the mix drops over-represented
+    // strata), never inventing documents
+    assert(mixedIds.subsetOf(survivors) && mixedIds.subsetOf(full))
+    assert(mixedIds.nonEmpty && mixedIds.size < survivors.size)
+
+    // the packing invariant holds over the mixed subset
+    mixed.groupBy(_.getAs[Long]("shard")).foreach { case (_, rows) =>
+      var expectStart = 0L
+      rows.sortBy(_.getAs[Long]("doc_id")).foreach { r =>
+        val start = r.getAs[Long]("seq_id") * budget + r.getAs[Long]("tok_offset")
+        assert(start === expectStart)
+        expectStart = start + r.getAs[Long]("n_tok")
+      }
+    }
+    // deterministic: a second run is bit-identical
+    assert(Pack.trainPrepMixed(spark, sfDir).collect().map(_.toSeq).toSeq
+      === mixed.map(_.toSeq).toSeq)
+  }
+
   test("token_vocab is exact and bounds the Misra-Gries sketch") {
     val exact = TextAnalysis.tokenVocab(spark, sfDir, topN = Int.MaxValue).collect()
       .map(r => r.getAs[String]("token") -> r.getAs[Long]("cnt")).toMap

@@ -241,6 +241,26 @@ class PlanAuditSpec extends SparkSpec {
       s"corpus reshuffled for the rate join:\n$plan")
   }
 
+  test("pipeline_trainprep_mixed: rates broadcast, one data shuffle on the corpus side") {
+    val plan = finalPlan(graft.operators.Pack.trainPrepMixed(spark, sfDir))
+    // audit the composition ABOVE the cached survivor frame: the plan
+    // string inlines the s7 curate chain's own (cached, run-once)
+    // build under InMemoryRelation, whose joins are not this query's
+    // recurring work — cut there, and before AQE's echoed initial plan
+    val above = plan.split("== Initial Plan ==").head
+      .linesIterator.takeWhile(!_.contains("InMemoryRelation")).mkString("\n")
+    // the mix stage must not reshuffle the survivor corpus: rates are
+    // a broadcast |strata|-row table, so the only hash exchange on the
+    // data path is the packer's shard key
+    assert(above.contains("BroadcastHashJoin"), s"rates not broadcast:\n$above")
+    assert(!above.contains("SortMergeJoin"),
+      s"corpus reshuffled for the rate join:\n$above")
+    val hashEx = "hashpartitioning\\(".r.findAllIn(above).length
+    assert(hashEx === 1, s"expected exactly the shard exchange above the cache, got $hashEx:\n$above")
+    assert(above.contains("hashpartitioning(shard"), s"missing shard exchange:\n$above")
+    assert(above.contains("Window"), "packing cumsum should be a per-shard window")
+  }
+
   test("token_vocab: exact top-N is a partial hash-aggregate + bounded sort") {
     val plan = finalPlan(TextAnalysis.tokenVocab(spark, sfDir))
     assert(plan.contains("TakeOrderedAndProject"),

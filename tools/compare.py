@@ -23,6 +23,21 @@ def cell_eq(a, b):
         return a == b
     return a == b
 
+def mem_limit_gb():
+    """Memory cap for DuckDB: 80% of MemAvailable, ceilinged at 90GB —
+    on a smaller box the 90GB literal would never bind and the kernel
+    OOM killer could still take the gate down. Override with
+    GRAFT_DUCKDB_MEM_GB when a run needs a specific bound."""
+    import os
+    if os.environ.get("GRAFT_DUCKDB_MEM_GB"):
+        return int(os.environ["GRAFT_DUCKDB_MEM_GB"])
+    try:
+        kb = int(next(l for l in open("/proc/meminfo")
+                      if l.startswith("MemAvailable")).split()[1])
+        return max(4, min(90, int(kb / 1024 / 1024 * 0.8)))
+    except Exception:
+        return 90
+
 def main(sf_dir, out_dir, skip=()):
     import os
     con = duckdb.connect()
@@ -30,7 +45,7 @@ def main(sf_dir, out_dir, skip=()):
     # clean per-query error (a FAIL row) instead of the kernel OOM
     # killer taking the whole run down mid-gate (observed: the
     # doc-level grouped-minhash spelling at the 64x rung, 130 GB RSS).
-    con.sql("SET memory_limit='90GB'")
+    con.sql(f"SET memory_limit='{mem_limit_gb()}GB'")
     con.sql(f"SET temp_directory='{out_dir}/duckdb_spill'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
