@@ -651,12 +651,57 @@ object SparkEntry {
       |  FROM banded a JOIN banded b ON a.bd = b.bd AND a.band_key = b.band_key
       |    AND a.doc_id < b.doc_id)""".stripMargin
 
-  private val minhashPairsSql: String =
+  /** DOC-LEVEL pair report — every doc through posting → minhash →
+    * bands → verified jaccard. Correct at every scale but
+    * clone²-infeasible as a DuckDB oracle at the 128× ladder rung
+    * (the cand ⋈ posting ⋈ posting verify join spills past the
+    * box's disk); kept as the equivalence anchor for the quotient
+    * spelling below, which replaced it as dedup_minhash's oracle in
+    * round 12 after a full-pair-set DuckDB diff of the two came back
+    * empty at sf0.01, sf0.1 and the 8× rung.
+    */
+  private[graft] val minhashPairsSql: String =
     "WITH " + corpusCte(perturb = true) + ",\n" + postingCte("corpus") +
       ",\n" + minhashStagesSql + ",\n" + jaccardTail
 
+  /** Quotient-contracted spelling of the SAME doc-level pair report:
+    * band keys and jaccard are pure functions of the text, so the
+    * posting/minhash/band/verify chain runs on ONE rep per distinct
+    * text (`reps`), and doc-level pairs are recovered by membership
+    * expansion — a cross-group rep pair (ra, rb, j) expands to
+    * Ga × Gb pairs all at jaccard j, and a group's internal pairs
+    * are exact clones: candidates iff the text shingles (identical
+    * band keys), jaccard exactly 1. Same argument as
+    * clustersQuotientSql (which has used it since the 32× rung);
+    * the doc-level form stays the oracle for dedup_minhash_grouped,
+    * so quotient-expand ≡ doc-level remains independently gated on
+    * real multi-member groups.
+    */
+  private[graft] val minhashQuotientPairsSql: String =
+    "WITH " + corpusCte(perturb = true) +
+      """,
+        |grp AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS r,
+        |    (len(string_split(text, ' ')) >= 3) AS hasp
+        |  FROM corpus),
+        |reps AS (SELECT c.doc_id, c.text FROM corpus c
+        |  JOIN (SELECT DISTINCT r FROM grp) rr ON c.doc_id = rr.r),
+        |rpairs AS (WITH """.stripMargin + postingCte("reps") +
+      ",\n" + minhashStagesSql + ",\n" + jaccardTail +
+      """
+        |),
+        |within AS (SELECT g1.doc_id AS a_id, g2.doc_id AS b_id,
+        |    CAST(1.0 AS DOUBLE) AS jaccard
+        |  FROM grp g1 JOIN grp g2 ON g1.r = g2.r AND g1.doc_id < g2.doc_id
+        |  WHERE g1.hasp),
+        |crossx AS (SELECT least(ga.doc_id, gb.doc_id) AS a_id,
+        |    greatest(ga.doc_id, gb.doc_id) AS b_id, p.jaccard
+        |  FROM rpairs p JOIN grp ga ON ga.r = p.a_id JOIN grp gb ON gb.r = p.b_id)
+        |SELECT a_id, b_id, jaccard
+        |FROM (SELECT * FROM within UNION ALL SELECT * FROM crossx)
+        |ORDER BY jaccard DESC, a_id, b_id""".stripMargin
+
   /** Top-50 report oracle (dedup_minhash). */
-  private val minhashOracle: String = minhashPairsSql + " LIMIT 50"
+  private val minhashOracle: String = minhashQuotientPairsSql + " LIMIT 50"
 
   /** The grouped near-dup corpus (Dedup.corpusWithGroups): the base
     * corpus plus SURVIVING exact-duplicate groups — exact copies of
