@@ -64,6 +64,7 @@ object SparkEntry {
     "dedup_apply"     -> (Dedup.dedupApply _),
     "dedup_clusters"  -> (Dedup.dedupClusters _),
     "neardup_apply"   -> (Dedup.neardupApply _),
+    "dataset_split"   -> ((s, d) => Dedup.datasetSplit(s, d)),
     "deterministic_sample" -> ((s, d) => Dedup.deterministicSample(s, d)),
     "dedup_minhash"   -> ((s, d) => Dedup.dedupMinhash(s, d)),
     "dedup_minhash_grouped"  -> ((s, d) => Dedup.dedupMinhashGrouped(s, d)),
@@ -103,6 +104,7 @@ object SparkEntry {
     "ann_quantized_recall" -> (VectorSearch.annQuantizedRecall _),
     "ann_ivf_quantized" -> (VectorSearch.annIvfQuantized _),
     "ann_ivf_kmeans"  -> (VectorSearch.annIvfKmeans _),
+    "diversity_sample" -> ((s, d) => VectorSearch.diversitySample(s, d)),
     "ann_pq"          -> (VectorSearch.annPq _),
     "ann_pq_recall"   -> (VectorSearch.annPqRecall _),
     "ann_opq"         -> (VectorSearch.annOpq _),
@@ -1272,6 +1274,18 @@ object SparkEntry {
     "dedup_clusters" ->
       (clustersQuotientSql +
         "SELECT doc_id, cluster_id FROM clus ORDER BY doc_id"),
+    // Leakage-aware split (Dedup.datasetSplit): group id = near-dup
+    // component label (falling back to the doc's own id), side = the
+    // deterministic_sample md5 coin over the group id.
+    "dataset_split" ->
+      (clustersQuotientSql +
+        """, asg AS (SELECT c.doc_id, COALESCE(k.cluster_id, c.doc_id) AS group_id
+          |  FROM corpus c LEFT JOIN clus k ON k.doc_id = c.doc_id)
+          |SELECT doc_id, group_id,
+          |  CASE WHEN CAST(('0x' || substr(md5(CAST(group_id AS VARCHAR)), 1, 8))::BIGINT AS DOUBLE)
+          |      / 4294967296.0 < """.stripMargin + Dedup.SplitEvalFrac +
+        """ THEN 'eval' ELSE 'train' END AS split
+          |FROM asg ORDER BY doc_id""".stripMargin),
     "dedup_clusters_grouped" ->
       (clustersQuotientSqlOver(groupedCorpusSql) +
         "SELECT doc_id, cluster_id FROM clus ORDER BY doc_id"),
@@ -1638,6 +1652,19 @@ object SparkEntry {
         |kr2 AS (SELECT q_id, vec_id, cos,
         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk FROM ks)
         |SELECT q_id, vec_id, cos, rk FROM kr2 WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin),
+    // Cluster-balanced diversity sample (VectorSearch.diversitySample):
+    // final kmeans assignment (kasF) + deterministic md5(vec_id) coin,
+    // fixed quota per cluster — the per-label row_number replays the
+    // TopKAgg's (coin asc, vec_id asc) order exactly.
+    "diversity_sample" -> (vecCte + ",\n" + kmeansCte +
+      """,
+        |dvr AS (SELECT label, vec_id,
+        |    row_number() OVER (PARTITION BY label ORDER BY
+        |      ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT, vec_id) AS srk,
+        |    COUNT(*) OVER (PARTITION BY label) AS cluster_n
+        |  FROM kasF)
+        |SELECT label, vec_id, CAST(srk AS BIGINT) AS srk, cluster_n
+        |FROM dvr WHERE srk <= 64 ORDER BY label, srk""".stripMargin),
     "ann_recall" -> (knnCte + ",\n" + centroidCte +
       """,
         |pr AS (SELECT q_id, q_emb, q_nrm, label,

@@ -505,6 +505,49 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  val SplitEvalFrac = 0.1
+
+  /** LEAKAGE-AWARE train/eval split: a deterministic held-out split
+    * where the unit of assignment is the NEAR-DUP CLUSTER, not the
+    * document — every member of a connected component (and therefore
+    * every exact duplicate, jaccard 1.0 edges) lands on the same
+    * side, so a perturbed near-copy of a training document can never
+    * leak into the eval set. A naive per-doc hash split has exactly
+    * this failure mode: exact dups share text (same coin, safe) but
+    * near-dups don't, and on this corpus every 7th document has a
+    * planted near-copy that a doc-level split would straddle ~2 ·
+    * frac·(1−frac) of the time.
+    *
+    * The split coin is the deterministic_sample md5 spelling applied
+    * to the GROUP id (the component's min doc_id): reproducible
+    * regardless of partitioning, cluster size or execution order.
+    * Note the fraction is group-mass-level — document-level eval
+    * share deviates by dup-mass skew, which is the price of a
+    * leak-proof boundary and is what a real pipeline accepts.
+    *
+    * Scale shape: one corpus scan left-joined on doc_id against the
+    * STAGED cluster assignment (pair-bearing docs only — the small
+    * side; AQE broadcasts it at test scale, a doc_id hash join at
+    * 100 TB), coin and side are scalar expressions. No shuffle
+    * beyond the join; `sorted = false` drops the presentation
+    * exchange for corpus-sized callers (the Pack convention).
+    */
+  def datasetSplit(spark: SparkSession, dir: String,
+                   evalFrac: Double = SplitEvalFrac,
+                   sorted: Boolean = true): DataFrame = {
+    val corpus = corpusWithDups(spark, dir, perturb = true).select(col("doc_id"))
+    val groups = clustersCached(spark, dir)
+      .select(col("doc_id"), col("cluster_id"))
+    val asg = corpus.join(groups, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("group_id"))
+    val coin =
+      md5Long(col("group_id").cast("string"), 1, 8).cast("double") / 4294967296.0
+    val out = asg.select(col("doc_id"), col("group_id"),
+      when(coin < evalFrac, "eval").otherwise("train").as("split"))
+    if (sorted) out.orderBy(col("doc_id")) else out
+  }
+
   /** INCREMENTAL near-dup detection: a small DELTA of new documents
     * probed against the PERSISTED MinHash band index of the
     * historical BASE corpus — the daily-crawl shape, where

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.functions.{Par, TopK, VectorFunctions => V}
+import graft.functions.{Par, TextFunctions, TopK, VectorFunctions => V}
 import graft.sources.Tables
 
 /** The reference's FAISS search surface re-expressed for Spark
@@ -944,6 +944,52 @@ object VectorSearch {
     embeddingDupCandidates(codedVectors(spark, dir))
       .orderBy(col("cos").desc, col("a_id"), col("b_id"))
       .limit(20)
+
+  val DiversityQuota = 64
+
+  /** Cluster-balanced diversity sample over the embedding corpus —
+    * the coverage-sampling complement to Pack.datasetMix: where the
+    * mixer balances by a METADATA stratum (language, source), this
+    * balances by EMBEDDING-SPACE region, the cluster-then-sample
+    * shape of semantic-diversity curation (SemDeDup-style pruning's
+    * sampling dual): assign every corpus vector to its nearest
+    * [[kmeansCentroids]] cluster, then keep a deterministic
+    * fixed-quota sample per cluster so over-represented regions
+    * (boilerplate, templates) cannot crowd the subset.
+    *
+    * Scale shape — ONE aggregation, no window, no second corpus
+    * pass: the per-cluster quota rides the map-side-combining
+    * TopKAgg (each map partition reduces to ≤ k·quota buffer rows
+    * before the shuffle, so the k-groups aggregate is skew-free by
+    * construction — a row_number window over 8 clusters would sort
+    * the whole corpus on 8 reducers), and `cluster_n` is a count in
+    * the SAME agg, not a join. The sampling coin is the
+    * deterministic md5(vec_id) spelling of [[Dedup.deterministicSample]]
+    * — reproducible regardless of partitioning or cluster count.
+    * Output ≤ k·quota rows at every scale. Oracle: the unrolled
+    * kmeansCte chain (kasF) + a per-label row_number replay.
+    */
+  def diversitySample(spark: SparkSession, dir: String,
+                      quota: Int = DiversityQuota): DataFrame = {
+    val cent = kmeansCentroids(spark, dir)
+    val corpus = vectors(spark, dir).where(col("vec_id") >= NQueries)
+      .select(col("vec_id"), col("emb"))
+    val assigned = assignClusters(corpus, cent)
+      .select(col("vec_id"), col("label"))
+    // coin is 32-bit (exact in double); TopK orders score DESC with
+    // id-asc tie-break, so -coin == (coin asc, vec_id asc) — the
+    // oracle's ORDER BY coin, vec_id
+    val coin = TextFunctions.md5Long(col("vec_id").cast("string"), 1, 8)
+    assigned
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("cluster_n"),
+        TopK.topK(quota)(-coin.cast("double"), col("vec_id")).as("top"))
+      .select(col("label"), col("cluster_n"),
+        posexplode(col("top")).as(Seq("i", "hit")))
+      .select(col("label"), col("hit.id").as("vec_id"),
+        (col("i") + 1).cast("long").as("srk"), col("cluster_n"))
+      .orderBy(col("label"), col("srk"))
+  }
 
   /** "No silent caps": what [[PairCap]] dropped from the blocked
     * embedding pair stream on this corpus — see Dedup.capAudit for
