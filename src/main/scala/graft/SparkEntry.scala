@@ -65,6 +65,7 @@ object SparkEntry {
     "dedup_clusters"  -> (Dedup.dedupClusters _),
     "neardup_apply"   -> (Dedup.neardupApply _),
     "dataset_split"   -> ((s, d) => Dedup.datasetSplit(s, d)),
+    "dataset_split_incremental" -> ((s, d) => Dedup.datasetSplitIncremental(s, d)),
     "deterministic_sample" -> ((s, d) => Dedup.deterministicSample(s, d)),
     "dedup_minhash"   -> ((s, d) => Dedup.dedupMinhash(s, d)),
     "dedup_minhash_grouped"  -> ((s, d) => Dedup.dedupMinhashGrouped(s, d)),
@@ -1286,6 +1287,42 @@ object SparkEntry {
           |      / 4294967296.0 < """.stripMargin + Dedup.SplitEvalFrac +
         """ THEN 'eval' ELSE 'train' END AS split
           |FROM asg ORDER BY doc_id""".stripMargin),
+    // Incremental split (Dedup.datasetSplitIncremental): base-only
+    // quotient closure (corpus := documents alone) gives the frozen
+    // base manifest; the full-corpus posting/band chain restricted to
+    // base × delta gives each delta doc's best match; matched docs
+    // inherit the match's group coin, novel docs their own.
+    "dataset_split_incremental" ->
+      (clustersQuotientSqlOver("corpus AS (SELECT doc_id, text FROM documents)") +
+        """, delta AS (SELECT doc_id + 100000 AS doc_id,
+          |    substr(text, strpos(text, ' ') + 1) AS text
+          |  FROM documents WHERE doc_id % 7 = 0),
+          |fullc AS (SELECT doc_id, text FROM corpus
+          |  UNION ALL SELECT doc_id, text FROM delta),
+          |""".stripMargin + postingCte("fullc") + ",\n" + minhashStagesSql +
+        """,
+          |inc AS (SELECT a_id, b_id FROM cand WHERE a_id < 100000 AND b_id >= 100000),
+          |cnt AS (SELECT doc_id, COUNT(*) AS n FROM posting GROUP BY doc_id),
+          |itr AS (SELECT c.a_id, c.b_id, COUNT(*) AS inter
+          |  FROM inc c JOIN posting pa ON pa.doc_id = c.a_id
+          |  JOIN posting pb ON pb.doc_id = c.b_id AND pb.s = pa.s
+          |  GROUP BY c.a_id, c.b_id),
+          |jac AS (SELECT a_id, b_id,
+          |    floor((CAST(inter AS DOUBLE)/(ca.n + cb.n - inter)) * 10000.0 + 0.5) / 10000.0 AS jaccard
+          |  FROM itr JOIN cnt ca ON ca.doc_id = a_id JOIN cnt cb ON cb.doc_id = b_id),
+          |best AS (SELECT b_id AS doc_id, a_id AS match_id, jaccard,
+          |    row_number() OVER (PARTITION BY b_id ORDER BY jaccard DESC, a_id) AS rk
+          |  FROM jac WHERE jaccard >= 0.8),
+          |bs AS (SELECT d.doc_id, COALESCE(k.cluster_id, d.doc_id) AS group_id
+          |  FROM corpus d LEFT JOIN clus k ON k.doc_id = d.doc_id)
+          |SELECT dl.doc_id, b.match_id,
+          |  COALESCE(bs.group_id, dl.doc_id) AS group_id,
+          |  CASE WHEN CAST(('0x' || substr(md5(CAST(COALESCE(bs.group_id, dl.doc_id) AS VARCHAR)), 1, 8))::BIGINT AS DOUBLE)
+          |      / 4294967296.0 < """.stripMargin + Dedup.SplitEvalFrac +
+        """ THEN 'eval' ELSE 'train' END AS split
+          |FROM delta dl LEFT JOIN (SELECT * FROM best WHERE rk = 1) b ON b.doc_id = dl.doc_id
+          |  LEFT JOIN bs ON bs.doc_id = b.match_id
+          |ORDER BY dl.doc_id""".stripMargin),
     "dedup_clusters_grouped" ->
       (clustersQuotientSqlOver(groupedCorpusSql) +
         "SELECT doc_id, cluster_id FROM clus ORDER BY doc_id"),

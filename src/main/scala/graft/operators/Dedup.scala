@@ -548,6 +548,64 @@ object Dedup {
     if (sorted) out.orderBy(col("doc_id")) else out
   }
 
+  /** Near-dup clusters of the BASE corpus alone (ids < CopyIdOffset)
+    * — derived by restricting the staged full-corpus pair set and
+    * quotient membership to base endpoints, which is EQUIVALENT to
+    * running the pipeline on the base: the pair set is uncapped and
+    * jaccard is a pure function of the two texts (so dropping pairs
+    * with a delta endpoint = never computing them), and delta ids
+    * all sort above every base id, so removing delta members never
+    * changes a surviving group's rep. Staged under its own key like
+    * every other detect-stage artifact.
+    */
+  private def baseClustersCached(spark: SparkSession, dir: String): DataFrame =
+    clustersOf(spark, s"dataset_split_base:$dir", s"$dir/documents.parquet",
+      minhashPairs(spark, dir)
+        .where(col("a_id") < CopyIdOffset && col("b_id") < CopyIdOffset),
+      minhashMembers(spark, dir).where(col("doc_id") < CopyIdOffset))
+
+  /** INCREMENTAL leakage-aware split: the [[datasetSplit]] contract
+    * for the daily-crawl shape — the historical BASE corpus already
+    * has a committed split manifest (base-only clusters + group
+    * coin), and each arriving DELTA document must take a side
+    * CONSISTENTLY with it: a delta doc that near-matches a base doc
+    * (via [[neardupIncremental]]'s staged-index probe) inherits the
+    * side of its best match's group, so a fresh crawl of an eval
+    * document can never drift into train; a novel delta doc gets its
+    * own deterministic coin. Note the contract is consistency with
+    * the FROZEN base manifest, not equality with a full re-split —
+    * re-running the batch split over base+delta could relabel groups
+    * a delta doc bridges, which is exactly the instability an
+    * append-only training manifest cannot absorb (same argument as
+    * MixStream's epoch-frozen rates).
+    *
+    * Scale shape: everything heavy is staged — the base cluster
+    * assignment (one fixpoint per corpus version) and the base band
+    * index the probe hash-joins against. Per batch: the delta-sized
+    * probe, two hash joins on doc ids, a scalar coin. Output is
+    * delta-sized.
+    */
+  def datasetSplitIncremental(spark: SparkSession, dir: String,
+                              evalFrac: Double = SplitEvalFrac): DataFrame = {
+    val baseAsg = Tables.documents(spark, dir).select(col("doc_id"))
+      .join(baseClustersCached(spark, dir), Seq("doc_id"), "left")
+      .select(col("doc_id").as("match_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("base_group"))
+    val matches = neardupIncremental(spark, dir)
+      .select(col("doc_id"), col("match_id"))
+    val delta = corpusWithDups(spark, dir, perturb = true)
+      .where(col("doc_id") >= CopyIdOffset).select(col("doc_id"))
+    val asg = delta.join(matches, Seq("doc_id"), "left")
+      .join(baseAsg, Seq("match_id"), "left")
+      .select(col("doc_id"), col("match_id"),
+        coalesce(col("base_group"), col("doc_id")).as("group_id"))
+    val coin =
+      md5Long(col("group_id").cast("string"), 1, 8).cast("double") / 4294967296.0
+    asg.select(col("doc_id"), col("match_id"), col("group_id"),
+      when(coin < evalFrac, "eval").otherwise("train").as("split"))
+      .orderBy(col("doc_id"))
+  }
+
   /** INCREMENTAL near-dup detection: a small DELTA of new documents
     * probed against the PERSISTED MinHash band index of the
     * historical BASE corpus — the daily-crawl shape, where
