@@ -1293,12 +1293,12 @@ object SparkEntry {
     // base × delta gives each delta doc's best match; matched docs
     // inherit the match's group coin, novel docs their own.
     "dataset_split_incremental" ->
-      (clustersQuotientSqlOver("corpus AS (SELECT doc_id, text FROM documents)") +
-        """, delta AS (SELECT doc_id + 100000 AS doc_id,
-          |    substr(text, strpos(text, ' ') + 1) AS text
+      (clustersQuotientSqlOver(
+        """fullc AS (SELECT doc_id, text FROM documents
+          |  UNION ALL SELECT doc_id + 100000, substr(text, strpos(text, ' ') + 1)
           |  FROM documents WHERE doc_id % 7 = 0),
-          |fullc AS (SELECT doc_id, text FROM corpus
-          |  UNION ALL SELECT doc_id, text FROM delta),
+          |corpus AS (SELECT doc_id, text FROM fullc WHERE doc_id < 100000)""".stripMargin) +
+        """, delta AS (SELECT doc_id, text FROM fullc WHERE doc_id >= 100000),
           |""".stripMargin + postingCte("fullc") + ",\n" + minhashStagesSql +
         """,
           |inc AS (SELECT a_id, b_id FROM cand WHERE a_id < 100000 AND b_id >= 100000),

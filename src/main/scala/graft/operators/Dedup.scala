@@ -587,7 +587,13 @@ object Dedup {
     */
   def datasetSplitIncremental(spark: SparkSession, dir: String,
                               evalFrac: Double = SplitEvalFrac): DataFrame = {
-    val baseAsg = Tables.documents(spark, dir).select(col("doc_id"))
+    // base/delta by the SAME id threshold neardupIncremental uses —
+    // at an unreplicated SF base == documents exactly, and at a
+    // replicated ladder rung (where ScaleGen's id shifts push clone
+    // replicas past CopyIdOffset) both sides of the oracle stay on
+    // one spelling instead of diverging on what "the base" means
+    val baseAsg = corpusWithDups(spark, dir, perturb = true)
+      .where(col("doc_id") < CopyIdOffset).select(col("doc_id"))
       .join(baseClustersCached(spark, dir), Seq("doc_id"), "left")
       .select(col("doc_id").as("match_id"),
         coalesce(col("cluster_id"), col("doc_id")).as("base_group"))
