@@ -75,6 +75,8 @@ object SparkEntry {
     "ngram_jaccard"   -> (Dedup.ngramJaccard _),
     "lang_id"         -> (TextAnalysis.langId _),
     "quality_score"   -> (TextAnalysis.qualityScore _),
+    "quality_perplexity" -> ((s, d) => Perplexity.qualityPerplexity(s, d)),
+    "quality_perplexity_buckets" -> ((s, d) => Perplexity.qualityPerplexityBuckets(s, d)),
     "token_count"     -> (TextAnalysis.tokenCount _),
     "doc_fingerprint" -> (TextAnalysis.docFingerprint _),
     "multimodal_meta" -> (TextAnalysis.multimodalMeta _),
@@ -595,6 +597,26 @@ object SparkEntry {
        |    substr(md5(concat(t[i], ' ', t[i+1], ' ', t[i+2])), 1, 16) AS s
        |  FROM tk, LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS i) ii
        |  WHERE len(t) >= 3 AND concat(t[i], ' ', t[i+1], ' ', t[i+2]) <> '')""".stripMargin
+
+  /** Per-doc bigram-LM cross-entropy (oracle twin of
+    * Perplexity.scoreAgainst over a self-trained Perplexity.modelOf):
+    * bigram stream → (w1,w2)/(w1) counts + vocab size → add-one
+    * conditional → -Σ ln P / n per doc, round4. Shared by both
+    * perplexity oracles.
+    */
+  private val pplxScoredCte =
+    """ptk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 2),
+      |bgr AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+      |  FROM ptk, LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i) ii),
+      |big AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM bgr GROUP BY w1, w2),
+      |uni AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM big GROUP BY w1),
+      |voc AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v
+      |  FROM (SELECT unnest(t) AS tok FROM ptk)),
+      |scr AS (SELECT bgr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |    floor((-SUM(ln((c12 + 1.0) / (c1 + v))) / COUNT(*)) * 10000.0 + 0.5)/10000.0 AS xent
+      |  FROM bgr JOIN big USING (w1, w2) JOIN uni USING (w1), voc
+      |  GROUP BY bgr.doc_id)""".stripMargin
 
   /** Candidate-pair Jaccard over `posting` (itr/cnt CTEs shared by
     * the dedup oracles).
@@ -1410,6 +1432,23 @@ object SparkEntry {
         |  CASE WHEN s_exec >= s_query AND s_exec >= s_storage THEN 'exec'
         |       WHEN s_query >= s_storage THEN 'query' ELSE 'storage' END AS predicted,
         |  s_exec, s_query, s_storage FROM s ORDER BY doc_id""".stripMargin,
+    // CCNet-style bigram-LM cross-entropy (Perplexity.scoreAgainst):
+    // add-one smoothing P(w2|w1) = (c12+1)/(c1+V), xent in nats/bigram.
+    "quality_perplexity" -> ("WITH " + pplxScoredCte +
+      """
+        |SELECT doc_id, n_bigrams, xent FROM scr ORDER BY doc_id""".stripMargin),
+    // Head/middle/tail perplexity terciles; cutoffs via quantile_cont
+    // = Spark's exact interpolated percentile (value_percentiles parity).
+    "quality_perplexity_buckets" -> ("WITH " + pplxScoredCte +
+      """,
+        |cut AS (SELECT floor((quantile_cont(xent, 1.0/3)) * 10000.0 + 0.5)/10000.0 AS c1,
+        |    floor((quantile_cont(xent, 2.0/3)) * 10000.0 + 0.5)/10000.0 AS c2 FROM scr),
+        |b AS (SELECT CASE WHEN xent <= c1 THEN 'head'
+        |    WHEN xent <= c2 THEN 'middle' ELSE 'tail' END AS bucket, xent
+        |  FROM scr, cut)
+        |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  MIN(xent) AS min_xent, MAX(xent) AS max_xent
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin),
     "quality_score" ->
       """WITH q AS (SELECT doc_id,
         |  CAST(length(text) AS BIGINT) AS chars,

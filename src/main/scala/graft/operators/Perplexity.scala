@@ -1,0 +1,175 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.DfCache
+import graft.functions.Par
+import graft.functions.TextFunctions._
+import graft.sources.Tables
+
+/** Perplexity-based quality filtering — the CCNet recipe (Wenzek et
+  * al. 2019, "CCNet: Extracting High Quality Monolingual Datasets
+  * from Web Crawl Data"): score every document by its cross-entropy
+  * under an n-gram language model, then split the corpus into
+  * head / middle / tail perplexity buckets so a curation pipeline can
+  * keep the head, sample the middle, and drop the tail. This is the
+  * model-based complement of [[TextAnalysis.qualityScore]]'s
+  * closed-form heuristics, and the last major curation stage of a
+  * pretraining pipeline the surface was missing (the reference's
+  * quality signal is its per-answer rating, core/models.py — a human
+  * score; perplexity is the automated stand-in a 100 TB crawl needs).
+  *
+  * Model: an add-one-smoothed bigram LM,
+  * `P(w2 | w1) = (c(w1 w2) + 1) / (c(w1 ·) + V)`, trained by default
+  * on the scored corpus itself (self-perplexity: boilerplate and
+  * template text land in the head, rare constructions in the tail).
+  * [[modelOf]] is public so a caller can train on a curated
+  * reference corpus and score a crawl against it — CCNet's actual
+  * shape, and the same pluggable-artifact seam as
+  * `Pack.mixRatesOf`'s epoch-frozen rate table.
+  *
+  * Scale shape (the part that must survive 100 TB):
+  *   - model build = the word-count pattern: explode to bigrams
+  *     (narrow), two partial-aggregated shuffles on (w1,w2) then
+  *     (w1); the model table is |distinct bigrams| rows, bounded by
+  *     corpus vocabulary, not corpus size.
+  *   - scoring = ONE hash join of the bigram stream against the
+  *     model (AQE broadcasts it at test scale; at 100 TB it is a
+  *     hash join on the bigram key, with AQE skew split covering
+  *     stopword-prefix skew), then a map-side-combined groupBy
+  *     doc_id. Linear, no self-joins, no windows.
+  *   - the per-doc score table is staged (DfCache.stagedFrame), the
+  *     detect/apply boundary of every other curation stage here.
+  *   - bucket cutoffs are an EXACT percentile over one double per
+  *     doc; at 100 TB calibrate on a deterministic md5-coin sample
+  *     (`calibFrac`) — the cutoffs are a 2-value epoch artifact, the
+  *     same frozen-calibration argument as MixStream's rate table.
+  */
+object Perplexity {
+
+  /** Documents with ≥ 2 whitespace tokens, tokenized — the corpus a
+    * bigram model can see. One spelling shared by the bigram stream
+    * and the vocabulary count so the two can never drift.
+    */
+  private def tokenized(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .where(size(col("toks")) >= 2)
+
+  /** Consecutive-token bigrams, one row per position — zip_with over
+    * two slices, so the explode is the only row-expanding step and
+    * nothing shuffles.
+    */
+  private def bigramsOf(docs: DataFrame): DataFrame =
+    tokenized(docs).select(col("doc_id"), explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+
+  /** Add-one-smoothed bigram LM over `corpus`: one row per distinct
+    * bigram with its count `c12`, its prefix total `c1` (= Σ_w2 c12,
+    * so the conditional is properly normalized), and the corpus
+    * vocabulary size `v` as a broadcast-scalar column. |vocabulary|²
+    * bounds the row count; in practice it is the distinct-bigram
+    * count, the classic word-count output size.
+    */
+  def modelOf(spark: SparkSession, corpus: DataFrame): DataFrame = {
+    val bg = bigramsOf(corpus)
+    val big = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val uni = big.groupBy("w1").agg(sum("c12").as("c1"))
+    val voc = tokenized(corpus)
+      .select(explode(col("toks")).as("tok"))
+      .agg(count_distinct(col("tok")).as("v"))
+    big.join(uni, Seq("w1")).crossJoin(broadcast(voc))
+  }
+
+  /** Per-document cross-entropy (nats/bigram) of `corpus` under
+    * `model`: join the bigram stream to the model, fold
+    * `-Σ ln P(w2|w1) / n` per document. Exposed so a reference-
+    * trained model can score a different corpus (the CCNet shape) —
+    * which is exactly why the joins are LEFT: a bigram the model
+    * never saw takes the smoothed floor (c12 = 0, and c1 = 0 too
+    * when even the prefix is novel, so P = 1/V), instead of silently
+    * dropping out of the document's average. On the self-trained
+    * gate path every bigram is in the model, so left ≡ inner and the
+    * oracle's inner-join spelling hashes identically. Plan: one hash
+    * join on the bigram key (the data-sized one), one broadcastable
+    * join on the vocab-sized prefix table, one broadcast scalar.
+    */
+  def scoreAgainst(model: DataFrame, corpus: DataFrame): DataFrame = {
+    val prefix = model.groupBy("w1").agg(first("c1").as("p_c1"))
+    val vdf = model.agg(first("v").as("vv"))
+    bigramsOf(corpus)
+      .join(model.select("w1", "w2", "c12"), Seq("w1", "w2"), "left")
+      .join(prefix, Seq("w1"), "left")
+      .crossJoin(broadcast(vdf))
+      .select(col("doc_id"),
+        log((coalesce(col("c12"), lit(0L)) + 1.0)
+          / (coalesce(col("p_c1"), lit(0L)) + col("vv"))).as("lp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        Par.round4((-sum(col("lp"))) / count(lit(1))).as("xent"))
+  }
+
+  /** Self-perplexity scores of the documents table, staged: the
+    * score table is the reusable curation artifact (both queries and
+    * any downstream keep/drop gate consume it), so it lands in
+    * parquet once per (corpus fingerprint) and a fresh JVM reads it
+    * back instead of retraining the LM.
+    */
+  private def scoredOf(spark: SparkSession, dir: String): DataFrame = {
+    val fp = DfCache.inputFingerprint(spark, s"$dir/documents.parquet")
+    DfCache.getOrCompute(spark, s"pplx_scored:$dir") {
+      DfCache.stagedFrame(spark, "pplx_scored", fp) {
+        val corpus = Tables.documents(spark, dir)
+        scoreAgainst(modelOf(spark, corpus), corpus)
+      }
+    }
+  }
+
+  /** Gate query: (doc_id, n_bigrams, xent) per scoreable document. */
+  def qualityPerplexity(spark: SparkSession, dir: String): DataFrame =
+    scoredOf(spark, dir).orderBy(col("doc_id"))
+
+  /** Gate query: CCNet's head / middle / tail terciles. Cutoffs are
+    * exact interpolated percentiles of the rounded scores (the
+    * value_percentiles ≡ quantile_cont parity, established for the
+    * events table since round 7); each bucket row reports its size
+    * and exact score range — constant 3-row output at every ladder
+    * rung. `calibFrac` < 1 computes the cutoffs on a deterministic
+    * md5-coin subsample (the 100 TB calibration path — the exact
+    * percentile's single aggregation buffer holds one double per
+    * SAMPLED doc); the bucketing itself stays a full-corpus scalar
+    * comparison against the two broadcast cutoffs either way.
+    */
+  def qualityPerplexityBuckets(spark: SparkSession, dir: String,
+      calibFrac: Double = 1.0): DataFrame = {
+    val sc = scoredOf(spark, dir)
+    val calib =
+      if (calibFrac >= 1.0) sc
+      else sc.where(md5Long(concat(lit("pplx:"), col("doc_id").cast("string")), 1, 8)
+        .cast("double") / 4294967296.0 < calibFrac)
+    // round4 the cutoffs themselves (the value_percentiles ≡
+    // quantile_cont convention): when the tercile falls inside a tie
+    // run, both engines interpolate lower*(1-frac) + higher*frac with
+    // lower == higher and the two products round a few ulp apart —
+    // observed straddling the data value 3.3973 at sf0.1 (Spark above,
+    // DuckDB below, shifting 18 tied docs across the boundary).
+    // Snapping to the score grid is exact: an interior cutoff sits
+    // ≥ 1/3·10⁻⁴ from the grid, ≥ 1.6·10⁻⁵ from the nearest rounding
+    // midpoint — far beyond interpolation noise.
+    val cuts = calib.agg(
+      Par.round4(expr("percentile(xent, 1.0/3)")).as("c1"),
+      Par.round4(expr("percentile(xent, 2.0/3)")).as("c2"))
+    sc.crossJoin(broadcast(cuts))
+      .select(col("xent"),
+        when(col("xent") <= col("c1"), "head")
+          .when(col("xent") <= col("c2"), "middle")
+          .otherwise("tail").as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min("xent").as("min_xent"), max("xent").as("max_xent"))
+      .orderBy("bucket")
+  }
+}

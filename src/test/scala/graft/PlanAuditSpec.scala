@@ -269,6 +269,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Window"))
   }
 
+  test("quality_perplexity: bigram/model join is hash-based, doc agg partial, no cartesian") {
+    val corpus = graft.sources.Tables.documents(spark, sfDir)
+    val model = graft.operators.Perplexity.modelOf(spark, corpus)
+    val plan = finalPlan(graft.operators.Perplexity.scoreAgainst(model, corpus))
+    // the vocab scalar and prefix table must ride broadcasts; the
+    // data-sized bigram stream is joined by hash, never paired
+    assert(!plan.contains("CartesianProduct"), s"cartesian in score pass:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"model/prefix not broadcast at this scale:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus-sized sort for the model join:\n$plan")
+    // word-count model build and the per-doc fold are both map-side partial
+    assert(plan.contains("partial_count"), s"no partial aggregation:\n$plan")
+  }
+
   test("q1 aggregation is map-side partial") {
     val plan = finalPlan(Relational.q1Pricing(spark, sfDir))
     assert(plan.contains("partial_sum") || plan.contains("HashAggregate"),
