@@ -77,6 +77,7 @@ object SparkEntry {
     "quality_score"   -> (TextAnalysis.qualityScore _),
     "quality_perplexity" -> ((s, d) => Perplexity.qualityPerplexity(s, d)),
     "quality_perplexity_buckets" -> ((s, d) => Perplexity.qualityPerplexityBuckets(s, d)),
+    "quality_perplexity_apply" -> ((s, d) => Perplexity.qualityPerplexityApply(s, d)),
     "token_count"     -> (TextAnalysis.tokenCount _),
     "doc_fingerprint" -> (TextAnalysis.docFingerprint _),
     "multimodal_meta" -> (TextAnalysis.multimodalMeta _),
@@ -1449,6 +1450,13 @@ object SparkEntry {
         |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  MIN(xent) AS min_xent, MAX(xent) AS max_xent
         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin),
+    // CCNet apply: keep head+middle (xent <= c2), drop the tail tercile
+    "quality_perplexity_apply" -> ("WITH " + pplxScoredCte +
+      """,
+        |cut AS (SELECT floor((quantile_cont(xent, 1.0/3)) * 10000.0 + 0.5)/10000.0 AS c1,
+        |    floor((quantile_cont(xent, 2.0/3)) * 10000.0 + 0.5)/10000.0 AS c2 FROM scr)
+        |SELECT doc_id, n_bigrams, xent FROM scr, cut
+        |WHERE xent <= c2 ORDER BY doc_id""".stripMargin),
     "quality_score" ->
       """WITH q AS (SELECT doc_id,
         |  CAST(length(text) AS BIGINT) AS chars,

@@ -132,6 +132,37 @@ object Perplexity {
   def qualityPerplexity(spark: SparkSession, dir: String): DataFrame =
     scoredOf(spark, dir).orderBy(col("doc_id"))
 
+  /** THE bucket spelling — shared by the buckets query, the apply
+    * gate, and the streaming scorer (streaming/PplxStream) so the
+    * keep/drop boundary can never drift between them.
+    */
+  private[graft] def bucketOf(xent: Column, c1: Column, c2: Column): Column =
+    when(xent <= c1, "head").when(xent <= c2, "middle").otherwise("tail")
+
+  /** The 2-value cutoff artifact: exact interpolated percentiles of
+    * the rounded scores, ROUND4-SNAPPED to the score grid (see
+    * [[qualityPerplexityBuckets]] for why), optionally calibrated on
+    * a deterministic md5-coin subsample.
+    */
+  private def cutsOf(sc: DataFrame, calibFrac: Double): DataFrame = {
+    val calib =
+      if (calibFrac >= 1.0) sc
+      else sc.where(md5Long(concat(lit("pplx:"), col("doc_id").cast("string")), 1, 8)
+        .cast("double") / 4294967296.0 < calibFrac)
+    // round4 the cutoffs themselves (the value_percentiles ≡
+    // quantile_cont convention): when the tercile falls inside a tie
+    // run, both engines interpolate lower*(1-frac) + higher*frac with
+    // lower == higher and the two products round a few ulp apart —
+    // observed straddling the data value 3.3973 at sf0.1 (Spark above,
+    // DuckDB below, shifting 18 tied docs across the boundary).
+    // Snapping to the score grid is exact: an interior cutoff sits
+    // ≥ 1/3·10⁻⁴ from the grid, ≥ 1.6·10⁻⁵ from the nearest rounding
+    // midpoint — far beyond interpolation noise.
+    calib.agg(
+      Par.round4(expr("percentile(xent, 1.0/3)")).as("c1"),
+      Par.round4(expr("percentile(xent, 2.0/3)")).as("c2"))
+  }
+
   /** Gate query: CCNet's head / middle / tail terciles. Cutoffs are
     * exact interpolated percentiles of the rounded scores (the
     * value_percentiles ≡ quantile_cont parity, established for the
@@ -146,30 +177,28 @@ object Perplexity {
   def qualityPerplexityBuckets(spark: SparkSession, dir: String,
       calibFrac: Double = 1.0): DataFrame = {
     val sc = scoredOf(spark, dir)
-    val calib =
-      if (calibFrac >= 1.0) sc
-      else sc.where(md5Long(concat(lit("pplx:"), col("doc_id").cast("string")), 1, 8)
-        .cast("double") / 4294967296.0 < calibFrac)
-    // round4 the cutoffs themselves (the value_percentiles ≡
-    // quantile_cont convention): when the tercile falls inside a tie
-    // run, both engines interpolate lower*(1-frac) + higher*frac with
-    // lower == higher and the two products round a few ulp apart —
-    // observed straddling the data value 3.3973 at sf0.1 (Spark above,
-    // DuckDB below, shifting 18 tied docs across the boundary).
-    // Snapping to the score grid is exact: an interior cutoff sits
-    // ≥ 1/3·10⁻⁴ from the grid, ≥ 1.6·10⁻⁵ from the nearest rounding
-    // midpoint — far beyond interpolation noise.
-    val cuts = calib.agg(
-      Par.round4(expr("percentile(xent, 1.0/3)")).as("c1"),
-      Par.round4(expr("percentile(xent, 2.0/3)")).as("c2"))
-    sc.crossJoin(broadcast(cuts))
+    sc.crossJoin(broadcast(cutsOf(sc, calibFrac)))
       .select(col("xent"),
-        when(col("xent") <= col("c1"), "head")
-          .when(col("xent") <= col("c2"), "middle")
-          .otherwise("tail").as("bucket"))
+        bucketOf(col("xent"), col("c1"), col("c2")).as("bucket"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_docs"),
         min("xent").as("min_xent"), max("xent").as("max_xent"))
       .orderBy("bucket")
+  }
+
+  /** Gate query: the CCNet APPLY step — keep head + middle, drop the
+    * tail tercile (the highest-perplexity third). The keep decision
+    * is the broadcast-scalar comparison against the 2-value cutoff
+    * artifact, so applying it to 100 TB is one corpus scan; the
+    * surviving (doc_id, n_bigrams, xent) frame is what feeds a
+    * downstream mix/pack stage.
+    */
+  def qualityPerplexityApply(spark: SparkSession, dir: String,
+      calibFrac: Double = 1.0): DataFrame = {
+    val sc = scoredOf(spark, dir)
+    sc.crossJoin(broadcast(cutsOf(sc, calibFrac)))
+      .where(bucketOf(col("xent"), col("c1"), col("c2")) =!= "tail")
+      .select(col("doc_id"), col("n_bigrams"), col("xent"))
+      .orderBy(col("doc_id"))
   }
 }
