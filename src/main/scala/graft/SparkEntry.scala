@@ -97,6 +97,7 @@ object SparkEntry {
     "dataset_mix_epochs" -> ((s, d) => Pack.datasetMixEpochs(s, d)),
     "pipeline_trainprep" -> ((s, d) => Pack.trainPrep(s, d)),
     "pipeline_trainprep_mixed" -> ((s, d) => Pack.trainPrepMixed(s, d)),
+    "pipeline_trainprep_scored" -> ((s, d) => Pack.trainPrepScored(s, d)),
     // §2.B vector search
     "knn_brute"       -> ((s, d) => VectorSearch.knnBrute(s, d)),
     "knn_threshold"   -> ((s, d) => VectorSearch.knnThreshold(s, d)),
@@ -605,8 +606,8 @@ object SparkEntry {
     * conditional → -Σ ln P / n per doc, round4. Shared by both
     * perplexity oracles.
     */
-  private val pplxScoredCte =
-    """ptk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  private def pplxScoredCteOver(src: String): String =
+    s"""ptk AS (SELECT doc_id, string_split(text, ' ') AS t FROM $src
       |  WHERE len(string_split(text, ' ')) >= 2),
       |bgr AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
       |  FROM ptk, LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i) ii),
@@ -618,6 +619,8 @@ object SparkEntry {
       |    floor((-SUM(ln((c12 + 1.0) / (c1 + v))) / COUNT(*)) * 10000.0 + 0.5)/10000.0 AS xent
       |  FROM bgr JOIN big USING (w1, w2) JOIN uni USING (w1), voc
       |  GROUP BY bgr.doc_id)""".stripMargin
+
+  private val pplxScoredCte = pplxScoredCteOver("documents")
 
   /** Candidate-pair Jaccard over `posting` (itr/cnt CTEs shared by
     * the dedup oracles).
@@ -1588,6 +1591,52 @@ object SparkEntry {
         |      ['table','row','column','part','key','value','hash'])) AS DOUBLE)
         |      / len(list_distinct(string_split(text, ' ')))) * 10000.0 + 0.5)/10000.0 AS s_storage
         |  FROM surv)),
+        |mcnt AS (SELECT mix_lang, COUNT(*) AS n FROM ml GROUP BY mix_lang),
+        |mk AS (SELECT COUNT(*) AS k FROM mcnt),
+        |mw AS (SELECT mix_lang, n, 1.0::DOUBLE / mk.k AS w FROM mcnt, mk),
+        |mcap AS (SELECT MIN(CAST(n AS DOUBLE) / w) AS capacity FROM mw),
+        |mr AS (SELECT mix_lang, least(1.0::DOUBLE, w * mcap.capacity / n) AS rate FROM mw, mcap),
+        |kept AS (SELECT ml.doc_id, ml.text FROM ml JOIN mr USING (mix_lang)
+        |  WHERE CAST(('0x' || substr(md5('mix:' || CAST(ml.doc_id AS VARCHAR)), 1, 8))::BIGINT AS DOUBLE)
+        |    / 4294967296.0 < mr.rate),
+        |mpt AS (SELECT doc_id,
+        |    ('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 32 AS shard,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM kept),
+        |mpc AS (SELECT doc_id, shard, n_tok,
+        |    CAST(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS BIGINT) AS start_tok
+        |  FROM mpt)
+        |SELECT doc_id, shard, start_tok // 256 AS seq_id,
+        |  start_tok % 256 AS tok_offset, n_tok
+        |FROM mpc ORDER BY doc_id""".stripMargin),
+    // Curate -> perplexity-keep -> mix -> pack (Pack.trainPrepScored):
+    // the pplx chain runs over the SURVIVOR set, tail tercile dropped,
+    // then the trainprep_mixed mix/pack tail over the kept docs.
+    "pipeline_trainprep_scored" -> (curateChainSql +
+      """,
+        |surv AS MATERIALIZED (SELECT doc_id, text FROM s6
+        |  WHERE doc_id % 101 <> 0 AND doc_id NOT IN (SELECT doc_id FROM contam)),
+        |""".stripMargin + pplxScoredCteOver("surv") +
+      """,
+        |pcut AS (SELECT floor((quantile_cont(xent, 1.0/3)) * 10000.0 + 0.5)/10000.0 AS c1,
+        |    floor((quantile_cont(xent, 2.0/3)) * 10000.0 + 0.5)/10000.0 AS c2 FROM scr),
+        |pkept AS (SELECT s.doc_id, s.text FROM surv s JOIN scr USING (doc_id), pcut
+        |  WHERE scr.xent <= pcut.c2),
+        |ml AS MATERIALIZED (SELECT doc_id, text,
+        |    CASE WHEN s_exec >= s_query AND s_exec >= s_storage THEN 'exec'
+        |         WHEN s_query >= s_storage THEN 'query' ELSE 'storage' END AS mix_lang
+        |  FROM (SELECT doc_id, text,
+        |    floor((CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+        |      ['spark','batch','stream','window','join','agg','merge','fast','slow'])) AS DOUBLE)
+        |      / len(list_distinct(string_split(text, ' ')))) * 10000.0 + 0.5)/10000.0 AS s_exec,
+        |    floor((CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+        |      ['query','scan','filter','sort','group','order'])) AS DOUBLE)
+        |      / len(list_distinct(string_split(text, ' ')))) * 10000.0 + 0.5)/10000.0 AS s_query,
+        |    floor((CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+        |      ['table','row','column','part','key','value','hash'])) AS DOUBLE)
+        |      / len(list_distinct(string_split(text, ' ')))) * 10000.0 + 0.5)/10000.0 AS s_storage
+        |  FROM pkept)),
         |mcnt AS (SELECT mix_lang, COUNT(*) AS n FROM ml GROUP BY mix_lang),
         |mk AS (SELECT COUNT(*) AS k FROM mcnt),
         |mw AS (SELECT mix_lang, n, 1.0::DOUBLE / mk.k AS w FROM mcnt, mk),

@@ -211,7 +211,7 @@ object Curate {
     * all seven gates, for downstream composition (Pack.trainPrep
     * packs exactly this set into training sequences).
     */
-  private[operators] def survivors(spark: SparkSession, dir: String,
+  private[graft] def survivors(spark: SparkSession, dir: String,
       p: Params = Params()): DataFrame =
     s7Cached(spark, dir, p).select(col("doc_id"), col("text"))
 

@@ -225,6 +225,65 @@ object Pack {
       budget, nShards, sorted)
   }
 
+  /** Curate → PERPLEXITY-KEEP → mix → pack: [[trainPrepMixed]] with
+    * the model-based quality gate between curation and mixing — the
+    * full modern pretraining composition (CCNet's LM filter slotted
+    * into the funnel). The bigram LM is self-trained ON THE SURVIVOR
+    * corpus (the cleaned text is the best in-pipeline reference;
+    * production swaps in an offline reference-trained artifact via
+    * Perplexity.modelOf/scoreAgainst), the tail tercile is dropped
+    * against the round4-snapped cutoff artifact, and the kept set
+    * flows through the same mix + pack stages as trainPrepMixed.
+    *
+    * Survivors with < 2 tokens are unscoreable by a bigram LM and are
+    * DROPPED with the tail (an inner join against the score table —
+    * a one-token document is not trainable text).
+    *
+    * Plan shape: the scoring stage adds the word-count model shuffles
+    * and a doc_id semi-join over the cached survivor frame; from the
+    * keep onward the composition keeps trainPrepMixed's shape (rates
+    * broadcast, one data shuffle into the packer).
+    */
+  def trainPrepScored(spark: SparkSession, dir: String,
+                      budget: Int = DefaultSeqTokens,
+                      nShards: Int = DefaultPackShards,
+                      shares: Map[String, Double] = Map.empty,
+                      sorted: Boolean = true): DataFrame = {
+    // memoize the KEPT survivor frame (scores, cutoffs, keep filter,
+    // stratum assignment folded in): the mix references its corpus
+    // twice (rates build + join) and every un-memoized reference
+    // re-runs the cutoff agg + broadcast + semi-join chain (~4 s at
+    // sf0.1 each — probed stage-by-stage with TrainPrepProbe after
+    // the first cut benched at 25.7 s; with the memo the recurring
+    // pass is the mix/pack tail over a cached frame, ~1 s)
+    val scored = graft.DfCache.getOrCompute(spark, s"pplx_surv_kept:$dir") {
+      val surv = Curate.survivors(spark, dir)
+      val sc = Perplexity.scoreAgainst(Perplexity.modelOf(spark, surv), surv)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val keptIds = sc.crossJoin(broadcast(Perplexity.cutsOf(sc)))
+        .where(Perplexity.bucketOf(col("xent"), col("c1"), col("c2")) =!= "tail")
+        .select(col("doc_id"))
+      // localCheckpoint, not persist: this plan embeds broadcast
+      // subqueries (the cutoff artifact) under AQE, and the cache
+      // manager failed to serve the persisted relation — every action
+      // re-derived the ~4 s keep chain (probed: three consecutive
+      // counts of the persisted frame each paid 3.7-4.1 s). The eager
+      // checkpoint truncates the lineage so downstream references
+      // read materialized partitions unconditionally.
+      surv.join(keptIds, Seq("doc_id"), "left_semi").select(
+        col("doc_id"), col("text"),
+        TextAnalysis.predictedLang(
+          TextAnalysis.profileScore(col("text"), TextAnalysis.Profiles(0)._2),
+          TextAnalysis.profileScore(col("text"), TextAnalysis.Profiles(1)._2),
+          TextAnalysis.profileScore(col("text"), TextAnalysis.Profiles(2)._2))
+          .as("mix_lang"))
+        .localCheckpoint()
+    }
+    seqPackOf(mixKeepOf(spark, scored, "mix_lang", shares)
+        .select(col("doc_id"), col("text")),
+      budget, nShards, sorted)
+  }
+
   /** Packing efficiency audit: per shard, how many documents and
     * tokens landed there, how many sequences that cuts into, and the
     * fill ratio (tokens / capacity of the cut sequences — the only

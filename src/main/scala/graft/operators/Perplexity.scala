@@ -144,7 +144,7 @@ object Perplexity {
     * [[qualityPerplexityBuckets]] for why), optionally calibrated on
     * a deterministic md5-coin subsample.
     */
-  private def cutsOf(sc: DataFrame, calibFrac: Double): DataFrame = {
+  private[graft] def cutsOf(sc: DataFrame, calibFrac: Double = 1.0): DataFrame = {
     val calib =
       if (calibFrac >= 1.0) sc
       else sc.where(md5Long(concat(lit("pplx:"), col("doc_id").cast("string")), 1, 8)

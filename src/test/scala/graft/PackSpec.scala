@@ -14,6 +14,27 @@ class PackSpec extends SparkSpec {
 
   private val budget = Pack.DefaultSeqTokens
 
+  test("pipeline_trainprep_scored: kept set is curated, non-tail, and laid out validly") {
+    import graft.operators.{Curate, Perplexity}
+    val packed = Pack.trainPrepScored(spark, sfDir).collect()
+    assert(packed.nonEmpty)
+    // layout: one row per doc, in-range offsets
+    assert(packed.map(_.getAs[Long]("doc_id")).distinct.length === packed.length)
+    assert(packed.forall { r =>
+      val off = r.getAs[Long]("tok_offset")
+      off >= 0 && off < budget && r.getAs[Long]("seq_id") >= 0
+    })
+    // every packed doc survived curation AND escaped the tail tercile
+    val surv = Curate.survivors(spark, sfDir)
+    val sc = Perplexity.scoreAgainst(Perplexity.modelOf(spark, surv), surv)
+    val cuts = Perplexity.cutsOf(sc).head()
+    val keptOk = sc.collect()
+      .filter(_.getAs[Double]("xent") <= cuts.getAs[Double]("c2"))
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(packed.forall(r => keptOk(r.getAs[Long]("doc_id"))),
+      "a packed doc is in the dropped tail tercile or unscoreable")
+  }
+
   test("sequence_pack: a total, contiguous, zero-padding layout") {
     val docs = Tables.documents(spark, sfDir)
     val pack = Pack.seqPack(spark, sfDir).collect()
