@@ -78,6 +78,7 @@ object SparkEntry {
     "quality_perplexity" -> ((s, d) => Perplexity.qualityPerplexity(s, d)),
     "quality_perplexity_buckets" -> ((s, d) => Perplexity.qualityPerplexityBuckets(s, d)),
     "quality_perplexity_apply" -> ((s, d) => Perplexity.qualityPerplexityApply(s, d)),
+    "quality_perplexity_ref" -> ((s, d) => Perplexity.qualityPerplexityRef(s, d)),
     "token_count"     -> (TextAnalysis.tokenCount _),
     "doc_fingerprint" -> (TextAnalysis.docFingerprint _),
     "multimodal_meta" -> (TextAnalysis.multimodalMeta _),
@@ -1441,6 +1442,30 @@ object SparkEntry {
     "quality_perplexity" -> ("WITH " + pplxScoredCte +
       """
         |SELECT doc_id, n_bigrams, xent FROM scr ORDER BY doc_id""".stripMargin),
+    // Reference-trained scoring (Perplexity.qualityPerplexityRef): LM
+    // over the md5-coin half, LEFT-join smoothing floors for the other
+    // half's novel bigrams/prefixes — the smoothing branch under the gate.
+    "quality_perplexity_ref" ->
+      """WITH rtk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE CAST(('0x' || substr(md5('pplxref:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS DOUBLE)
+        |      / 4294967296.0 < 0.05
+        |    AND len(string_split(text, ' ')) >= 2),
+        |rbgr AS (SELECT t[i] AS w1, t[i+1] AS w2
+        |  FROM rtk, LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i) ii),
+        |rbig AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM rbgr GROUP BY w1, w2),
+        |runi AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM rbig GROUP BY w1),
+        |rvoc AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v
+        |  FROM (SELECT unnest(t) AS tok FROM rtk)),
+        |atk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |abgr AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+        |  FROM atk, LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i) ii),
+        |scr AS (SELECT abgr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |    floor((-SUM(ln((coalesce(c12, 0) + 1.0) / (coalesce(c1, 0) + v)))
+        |      / COUNT(*)) * 10000.0 + 0.5)/10000.0 AS xent
+        |  FROM abgr LEFT JOIN rbig USING (w1, w2) LEFT JOIN runi USING (w1), rvoc
+        |  GROUP BY abgr.doc_id)
+        |SELECT doc_id, n_bigrams, xent FROM scr ORDER BY doc_id""".stripMargin,
     // Head/middle/tail perplexity terciles; cutoffs via quantile_cont
     // = Spark's exact interpolated percentile (value_percentiles parity).
     "quality_perplexity_buckets" -> ("WITH " + pplxScoredCte +

@@ -132,6 +132,28 @@ object Perplexity {
   def qualityPerplexity(spark: SparkSession, dir: String): DataFrame =
     scoredOf(spark, dir).orderBy(col("doc_id"))
 
+  /** Gate query: the REFERENCE-TRAINED shape (CCNet's actual
+    * deployment) — the LM is trained on a deterministic md5-coin half
+    * of the corpus and scores EVERY document, so the other half's
+    * novel bigrams exercise the left-join smoothing floor (c12 = 0,
+    * and c1 = 0 for novel prefixes) against the DuckDB oracle, not
+    * just the hand-computed spec. The coin (not id arithmetic) picks
+    * the reference so replication rungs cannot split a spelling. The
+    * 0.05 default is chosen to make the gate NON-vacuous on this
+    * corpus: at 0.5 only 4 of 26,665 scored bigrams hit the floor
+    * (the synthetic vocabulary is small); at 0.05 it is 7,041 novel
+    * bigrams plus a novel prefix — both smoothing branches land
+    * under the hash-exact compare.
+    */
+  def qualityPerplexityRef(spark: SparkSession, dir: String,
+      refFrac: Double = 0.05): DataFrame = {
+    val corpus = Tables.documents(spark, dir)
+    val ref = corpus.where(
+      md5Long(concat(lit("pplxref:"), col("doc_id").cast("string")), 1, 8)
+        .cast("double") / 4294967296.0 < refFrac)
+    scoreAgainst(modelOf(spark, ref), corpus).orderBy(col("doc_id"))
+  }
+
   /** THE bucket spelling — shared by the buckets query, the apply
     * gate, and the streaming scorer (streaming/PplxStream) so the
     * keep/drop boundary can never drift between them.

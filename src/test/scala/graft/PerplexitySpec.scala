@@ -51,6 +51,18 @@ class PerplexitySpec extends SparkSpec {
     assert(got(10L) === ((1L, r4(-math.log(1.0 / 2)))))
   }
 
+  test("reference-trained gate query diverges from self-trained where the model is blind") {
+    val self = Perplexity.qualityPerplexity(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("xent")).toMap
+    val ref = Perplexity.qualityPerplexityRef(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("xent")).toMap
+    // same scoreable population, but the tiny reference model must
+    // score differently (novel bigrams take the smoothing floor) —
+    // proves the ref path is not accidentally the self-trained path
+    assert(ref.keySet === self.keySet)
+    assert(ref.count { case (id, x) => x != self(id) } > 0)
+  }
+
   test("buckets partition the scoreable corpus into ordered terciles") {
     val docs = Tables.documents(spark, sfDir)
     val scoreable = docs
