@@ -1,4 +1,6 @@
 package graft
+import org.apache.spark.SparkContext
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
 /** Throughput surface: every SparkEntry query timed over `Passes`
@@ -11,17 +13,75 @@ import org.apache.spark.sql.SparkSession
   * from real regressions (SURVEY.md §8).
   *
   * STAGING-REBUILD-PROOF medians: a pass in which a query's staged
-  * artifact (re)built (DfCache.stagingRebuilds moved while it ran)
-  * measures the build, not steady state — such passes are excluded
-  * from that query's median, an extra pass is run if any warm pass
-  * was contaminated, and the (query → passes) rebuild map rides the
-  * JSON as `staging_rebuilds` so the attribution is in the artifact
-  * itself instead of a next-round adjudication.
+  * artifact (re)built (DfCache.stagingRebuilds moved while it ran) or
+  * a session memo cold-computed (DfCache.memoComputes moved — the
+  * curate chain, a staged read's per-JVM persist wrap) measures the
+  * build, not steady state — such passes are excluded from that
+  * query's median, an extra pass is run if any warm pass was
+  * contaminated, and the (query → passes) rebuild/memo maps ride the
+  * JSON as `staging_rebuilds` / `memo_computes` so the attribution is
+  * in the artifact itself instead of a next-round adjudication.
+  *
+  * TASK-METRIC RECEIPTS: per query, the executor task metrics of its
+  * last clean pass ride the JSON as `task_metrics` —
+  * `[run_ms, gc_ms, shuffle_read_mb, shuffle_write_mb, spill_mem_mb,
+  * spill_disk_mb]`, summed over tasks — so a rung-to-rung delta is
+  * adjudicable from the artifact alone: flat run_ms with grown wall
+  * time is box/IO state, grown run_ms with spill bytes is the
+  * engine, grown gc_ms is memory pressure. (Input BYTES are omitted
+  * deliberately: the vectorized parquet reader's data-page reads
+  * bypass the Hadoop FS statistics callback in this setup, so
+  * inputMetrics.bytesRead counts only footer reads — probed at
+  * 17.8 KB for a full 10.8 MB lineitem scan, a receipt that would
+  * mislead.)
   */
 object Bench {
   val Passes = 3
 
-  private def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
+  /** Median with the two middle elements AVERAGED for even-length
+    * input — with the conditional extra pass (or a pass excluded per
+    * query), sample counts vary per query, and upper-middle selection
+    * would bias even-count medians slightly upward vs 3-pass queries
+    * in the same artifact.
+    */
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.length % 2 == 1) s(s.length / 2)
+    else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+  }
+
+  /** Per-task executor metrics, summed across every task that ended
+    * since startup — Bench diffs snapshots around each timed query.
+    * Listener delivery is asynchronous; [[drain]] empties the bus
+    * before each snapshot so deltas attribute to the right query.
+    */
+  private final class TaskMetricsAgg extends SparkListener {
+    private val acc = Array.fill(6)(new java.util.concurrent.atomic.AtomicLong())
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        acc(0).addAndGet(m.executorRunTime)
+        acc(1).addAndGet(m.jvmGCTime)
+        acc(2).addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        acc(3).addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        acc(4).addAndGet(m.memoryBytesSpilled)
+        acc(5).addAndGet(m.diskBytesSpilled)
+      }
+    }
+    def snapshot: Array[Long] = acc.map(_.get)
+  }
+
+  /** Flush the async listener bus so TaskMetricsAgg has seen every
+    * task of the just-finished query. `listenerBus` is private[spark]
+    * (bench-only instrumentation, so reflection over a forked Spark
+    * accessor); any failure degrades to a short sleep — metrics are
+    * receipts, never a correctness dependency.
+    */
+  private def drain(sc: SparkContext): Unit =
+    try {
+      val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+      bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+    } catch { case _: Throwable => Thread.sleep(50) }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -34,6 +94,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val metrics = new TaskMetricsAgg
+    spark.sparkContext.addSparkListener(metrics)
     // absorb JVM/codegen warm-up on the BENCH dataset so per-query
     // timings are comparable (entry()'s hardcoded sf0.001 path may not
     // exist on this machine)
@@ -54,14 +116,23 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    // rebuilt(pass)(name): a staged artifact was (re)built DURING this
-    // query in this pass — that timing measures the build, not the
-    // steady-state path, and is excluded from the median below
+    // rebuilt(pass)(name): a staged artifact was (re)built during this
+    // query in this pass; memoed(pass)(name): a session memo
+    // cold-computed during it. Either way that timing measures a
+    // build, not the steady-state path, and is excluded from the
+    // median below.
     val rebuilt = scala.collection.mutable.ArrayBuffer[Set[String]]()
+    val memoed = scala.collection.mutable.ArrayBuffer[Set[String]]()
+    val passMetrics = scala.collection.mutable.ArrayBuffer[Map[String, Array[Long]]]()
     def runPass(): Map[String, Double] = {
       val rb = scala.collection.mutable.HashSet[String]()
+      val mm = scala.collection.mutable.HashSet[String]()
+      val pm = scala.collection.mutable.HashMap[String, Array[Long]]()
       val times = names.map { name =>
+        drain(spark.sparkContext)
         val r0 = DfCache.stagingRebuilds
+        val m0 = DfCache.memoComputes
+        val s0 = metrics.snapshot
         val t0 = System.nanoTime()
         try { SparkEntry.queries(name)(spark, sfDir).count() }
         catch {
@@ -73,28 +144,39 @@ object Bench {
               String.valueOf(e.getMessage).replaceAll("[\\p{Cntrl}\"\\\\]", " ").take(120))
         }
         val t = (System.nanoTime() - t0) / 1e9
+        drain(spark.sparkContext)
         if (DfCache.stagingRebuilds != r0) rb += name
+        if (DfCache.memoComputes != m0) mm += name
+        pm(name) = metrics.snapshot.zip(s0).map { case (a, b) => a - b }
         name -> t
       }.toMap
       rebuilt += rb.toSet
+      memoed += mm.toSet
+      passMetrics += pm.toMap
       times
     }
     var passList = (1 to Passes).map(_ => runPass())
-    // a staging rebuild in any WARM pass (2+) contaminates that pass's
-    // timing for the triggering query; run ONE extra pass so every
-    // query still has >= Passes-1 clean warm samples (r11 verdict #2:
-    // the 3-pass median of a staging-dependent query was contaminated
-    // by construction whenever the rebuild landed in pass 2)
-    if (rebuilt.drop(1).exists(_.nonEmpty)) passList = passList :+ runPass()
+    // a staging rebuild / memo cold-compute in any WARM pass (2+)
+    // contaminates that pass's timing for the triggering query; run
+    // ONE extra pass so every query still has >= Passes-1 clean warm
+    // samples (r11 verdict #2: the 3-pass median of a
+    // staging-dependent query was contaminated by construction
+    // whenever the rebuild landed in pass 2)
+    def dirty(i: Int): Set[String] = rebuilt(i) ++ memoed(i)
+    if ((1 until passList.size).exists(i => dirty(i).nonEmpty))
+      passList = passList :+ runPass()
     val passes: Seq[Map[String, Double]] = passList
-    // median over the passes in which the query did NOT rebuild its
-    // staged artifacts; a query that rebuilt in EVERY pass (staging
-    // disabled / broken) falls back to all passes and is listed in
-    // staging_rebuilds for the reader to judge
+    // median over the passes in which the query did NOT build its
+    // staged artifacts or session memos; a query that built in EVERY
+    // pass (staging disabled / broken, memo evicted per pass) falls
+    // back to all passes and is listed in staging_rebuilds /
+    // memo_computes for the reader to judge
+    def cleanPasses(n: String): Seq[Int] = {
+      val clean = passes.indices.filter(i => !dirty(i).contains(n))
+      if (clean.nonEmpty) clean else passes.indices
+    }
     val med = names.map { n =>
-      val clean = passes.indices.filter(i => !rebuilt(i).contains(n))
-      val use = if (clean.nonEmpty) clean else passes.indices
-      n -> median(use.map(i => passes(i)(n)))
+      n -> median(cleanPasses(n).map(i => passes(i)(n)))
     }
     // ms precision is plenty and halves the line the driver may
     // tail-truncate (r7 lost 23 medians + the totals to truncation)
@@ -127,29 +209,45 @@ object Bench {
         s"\"" + n + "\":" + t
       }
       .mkString("{", ",", "}")
-    // summary fields FIRST: a consumer that cap-sizes the line loses
-    // per-query detail, never the round's totals (r7 verdict #5)...
-    // which (query, pass) timings included a staged-artifact rebuild —
-    // the attribution record that lets a reader see WHY a pass was
-    // excluded from a median without a round of adjudication
-    val rebuildJson = names.filter(n => rebuilt.exists(_.contains(n)))
-      .map { n =>
-        val ps = rebuilt.indices.filter(i => rebuilt(i).contains(n)).map(_ + 1)
-        s"\"" + n + "\":" + ps.mkString("[", ",", "]")
+    // per-query task-metric receipts from the LAST clean pass (steady
+    // state): [run_ms, gc_ms, shuffle_read_mb, shuffle_write_mb,
+    // spill_mem_mb, spill_disk_mb] — what makes a rung delta
+    // adjudicable from the artifact (spill vs box state) without a
+    // rerun
+    def mb(b: Long): String = "%.1f".formatLocal(java.util.Locale.ROOT, b / 1048576.0)
+    val tmJson = names.map { n =>
+        val i = cleanPasses(n).last
+        val m = passMetrics(i).getOrElse(n, Array.fill(6)(0L))
+        s"\"" + n + "\":[" + m(0) + "," + m(1) + "," +
+          m.drop(2).map(mb).mkString(",") + "]"
       }
       .mkString("{", ",", "}")
+    // summary fields FIRST: a consumer that cap-sizes the line loses
+    // per-query detail, never the round's totals (r7 verdict #5)...
+    // which (query, pass) timings included a staged-artifact rebuild /
+    // memo cold-compute — the attribution record that lets a reader
+    // see WHY a pass was excluded from a median without a round of
+    // adjudication
+    def passMap(sets: Seq[Set[String]]): String =
+      names.filter(n => sets.exists(_.contains(n)))
+        .map { n =>
+          val ps = sets.indices.filter(i => sets(i).contains(n)).map(_ + 1)
+          s"\"" + n + "\":" + ps.mkString("[", ",", "]")
+        }
+        .mkString("{", ",", "}")
     val summary =
       s""""metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir",""" +
       s""""passes":${passes.size},"pass_totals":${passTotals.map(f3).mkString("[", ",", "]")},""" +
       s""""cold_total":${f3(passTotals.head)},"warm_total":${f3(warm)},""" +
-      s""""staging_rebuilds":$rebuildJson,"errors":$errJson"""
+      s""""staging_rebuilds":${passMap(rebuilt.toSeq)},"memo_computes":${passMap(memoed.toSeq)},""" +
+      s""""errors":$errJson"""
     // ...AND duplicated LAST: the archiver keeps the line's TAIL, so a
     // head-only summary gets truncated away (r8 verdict #2). With a
     // copy at both ends, either truncation direction preserves the
     // totals; `summary_tail` groups the copy under one key so the
     // object stays valid JSON with distinct keys.
     println(s"""{$summary,"queries":$qs,"cold_queries":$coldQs,""" +
-      s""""cap_audit":$audit,"summary_tail":{$summary}}""")
+      s""""task_metrics":$tmJson,"cap_audit":$audit,"summary_tail":{$summary}}""")
     spark.stop()
   }
 }

@@ -91,12 +91,26 @@ object DfCache {
     }
   }
 
+  /** Monotone count of session-memo COLD COMPUTES this JVM — every
+    * time [[getOrCompute]] actually runs its compute (first use of a
+    * key, or first use after eviction) rather than serving the memo.
+    * The session-memo twin of [[stagingRebuilds]]: Bench snapshots it
+    * around each timed query so a pass in which a query cold-computed
+    * a shared memo (the curate chain, a staged read's per-JVM persist
+    * wrap) is attributed in the bench artifact itself instead of
+    * reading as a steady-state regression — the r12 verdict's
+    * remaining invisible class (trainprep_scored's keep chain).
+    */
+  def memoComputes: Long = memoCount.get
+  private val memoCount = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** Get the cached frame for (session, key), computing (and caching)
     * it on first use. `compute` must return a frame that is already
     * persisted or locally checkpointed.
     */
   def getOrCompute(spark: SparkSession, key: String)(compute: => DataFrame): DataFrame =
-    perSession(spark).computeIfAbsent(key, _ => new Cell(() => compute)).value
+    perSession(spark).computeIfAbsent(key,
+      _ => new Cell(() => { memoCount.incrementAndGet(); compute })).value
 
   /** Drop and unpersist every cached frame of `spark` — call when
     * retiring a session inside a still-running application.

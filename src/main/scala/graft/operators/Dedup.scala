@@ -584,6 +584,19 @@ object Dedup {
     * index the probe hash-joins against. Per batch: the delta-sized
     * probe, two hash joins on doc ids, a scalar coin. Output is
     * delta-sized.
+    *
+    * CONTRACT LIMIT — delta-internal duplication: the probe matches
+    * delta docs against the BASE index only, so two delta docs that
+    * are near-dups of EACH OTHER but match no base doc each get their
+    * own coin and can straddle train/eval — the within-batch analog
+    * of the leak [[datasetSplit]] prevents. This is the standard
+    * incremental-manifest trade (the base manifest is the only frozen
+    * truth); a caller whose delta batches may carry internal
+    * duplication must either run [[datasetSplit]]'s batch clustering
+    * over the delta first (quotient delta-internal groups to one
+    * coin) or fold the batch into the base and re-stage before the
+    * next batch. The gate corpus is safe by construction (every delta
+    * doc near-matches its base original).
     */
   def datasetSplitIncremental(spark: SparkSession, dir: String,
                               evalFrac: Double = SplitEvalFrac): DataFrame = {

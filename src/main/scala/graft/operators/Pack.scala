@@ -249,35 +249,44 @@ object Pack {
                       nShards: Int = DefaultPackShards,
                       shares: Map[String, Double] = Map.empty,
                       sorted: Boolean = true): DataFrame = {
-    // memoize the KEPT survivor frame (scores, cutoffs, keep filter,
-    // stratum assignment folded in): the mix references its corpus
-    // twice (rates build + join) and every un-memoized reference
-    // re-runs the cutoff agg + broadcast + semi-join chain (~4 s at
-    // sf0.1 each — probed stage-by-stage with TrainPrepProbe after
-    // the first cut benched at 25.7 s; with the memo the recurring
-    // pass is the mix/pack tail over a cached frame, ~1 s)
+    // STAGE the KEPT survivor frame (scores, cutoffs, keep filter,
+    // stratum assignment folded in) as a parquet artifact keyed on
+    // the corpus fingerprint — the detect/apply boundary every other
+    // heavy curation stage here uses (the pplx_scored pattern). The
+    // mix references its corpus twice (rates build + join) and every
+    // un-staged reference re-runs the cutoff agg + broadcast +
+    // semi-join chain (~4 s at sf0.1 each — probed stage-by-stage
+    // with TrainPrepProbe after the first cut benched at 25.7 s).
+    // Staging rather than a session memo + localCheckpoint (the r12
+    // shape) because (a) a fresh JVM reads the artifact instead of
+    // recomputing the whole curate→score→keep chain, (b) the rebuild
+    // is visible to Bench's staging_rebuilds exclusion instead of
+    // silently landing in a timed pass, and (c) localCheckpoint
+    // blocks are non-reliable on a real cluster (lost with their
+    // executor) — a parquet stage is the 100 TB shape.
+    val fp = graft.DfCache.inputFingerprint(spark, s"$dir/documents.parquet")
     val scored = graft.DfCache.getOrCompute(spark, s"pplx_surv_kept:$dir") {
-      val surv = Curate.survivors(spark, dir)
-      val sc = Perplexity.scoreAgainst(Perplexity.modelOf(spark, surv), surv)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val keptIds = sc.crossJoin(broadcast(Perplexity.cutsOf(sc)))
-        .where(Perplexity.bucketOf(col("xent"), col("c1"), col("c2")) =!= "tail")
-        .select(col("doc_id"))
-      // localCheckpoint, not persist: this plan embeds broadcast
-      // subqueries (the cutoff artifact) under AQE, and the cache
-      // manager failed to serve the persisted relation — every action
-      // re-derived the ~4 s keep chain (probed: three consecutive
-      // counts of the persisted frame each paid 3.7-4.1 s). The eager
-      // checkpoint truncates the lineage so downstream references
-      // read materialized partitions unconditionally.
-      surv.join(keptIds, Seq("doc_id"), "left_semi").select(
-        col("doc_id"), col("text"),
-        TextAnalysis.predictedLang(
-          TextAnalysis.profileScore(col("text"), TextAnalysis.Profiles(0)._2),
-          TextAnalysis.profileScore(col("text"), TextAnalysis.Profiles(1)._2),
-          TextAnalysis.profileScore(col("text"), TextAnalysis.Profiles(2)._2))
-          .as("mix_lang"))
-        .localCheckpoint()
+      // score table persisted only while the staged write runs; the
+      // build path unpersists it once the artifact is on disk (the
+      // staged-table hit path never evaluates this block at all)
+      var sc: DataFrame = null
+      val out = graft.DfCache.stagedFrame(spark, "pplx_surv_kept", fp) {
+        val surv = Curate.survivors(spark, dir)
+        sc = Perplexity.scoreAgainst(Perplexity.modelOf(spark, surv), surv)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val keptIds = sc.crossJoin(broadcast(Perplexity.cutsOf(sc)))
+          .where(Perplexity.bucketOf(col("xent"), col("c1"), col("c2")) =!= "tail")
+          .select(col("doc_id"))
+        surv.join(keptIds, Seq("doc_id"), "left_semi").select(
+          col("doc_id"), col("text"),
+          TextAnalysis.predictedLang(
+            TextAnalysis.profileScore(col("text"), TextAnalysis.Profiles(0)._2),
+            TextAnalysis.profileScore(col("text"), TextAnalysis.Profiles(1)._2),
+            TextAnalysis.profileScore(col("text"), TextAnalysis.Profiles(2)._2))
+            .as("mix_lang"))
+      }
+      if (sc != null) sc.unpersist()
+      out
     }
     seqPackOf(mixKeepOf(spark, scored, "mix_lang", shares)
         .select(col("doc_id"), col("text")),

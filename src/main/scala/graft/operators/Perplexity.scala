@@ -99,7 +99,17 @@ object Perplexity {
     */
   def scoreAgainst(model: DataFrame, corpus: DataFrame): DataFrame = {
     val prefix = model.groupBy("w1").agg(first("c1").as("p_c1"))
+    // EMPTY-MODEL guard: an empty model frame (e.g. a reference split
+    // that selected no documents) aggregates to one row with NULL v,
+    // which would propagate through log() into NULL xent for EVERY
+    // document — silent garbage downstream. The guard is declarative
+    // and free: evaluated once on the 1-row vocab aggregate, never on
+    // the per-bigram hot path.
     val vdf = model.agg(first("v").as("vv"))
+      .select(when(col("vv").isNull, raise_error(lit(
+          "Perplexity.scoreAgainst: model is empty (no bigrams) — " +
+          "train on a non-empty reference corpus")))
+        .otherwise(col("vv")).as("vv"))
     bigramsOf(corpus)
       .join(model.select("w1", "w2", "c12"), Seq("w1", "w2"), "left")
       .join(prefix, Seq("w1"), "left")

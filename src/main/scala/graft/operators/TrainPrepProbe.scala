@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
   * Pack.trainPrepScored (the SimhashProbe discipline — when a bench
   * median moves, force each pipeline stage and publish receipts
   * instead of guessing). Run:
-  * `graft.TrainPrepProbe <sfDir>` (defaults to sf0.1).
+  * `runMain graft.operators.TrainPrepProbe <sfDir>` (defaults to sf0.1).
   */
 object TrainPrepProbe {
   def main(args: Array[String]): Unit = {
