@@ -79,6 +79,7 @@ object SparkEntry {
     "quality_perplexity_buckets" -> ((s, d) => Perplexity.qualityPerplexityBuckets(s, d)),
     "quality_perplexity_apply" -> ((s, d) => Perplexity.qualityPerplexityApply(s, d)),
     "quality_perplexity_ref" -> ((s, d) => Perplexity.qualityPerplexityRef(s, d)),
+    "quality_perplexity_backoff" -> ((s, d) => Perplexity.qualityPerplexityBackoff(s, d)),
     "token_count"     -> (TextAnalysis.tokenCount _),
     "doc_fingerprint" -> (TextAnalysis.docFingerprint _),
     "multimodal_meta" -> (TextAnalysis.multimodalMeta _),
@@ -1464,6 +1465,39 @@ object SparkEntry {
         |    floor((-SUM(ln((coalesce(c12, 0) + 1.0) / (coalesce(c1, 0) + v)))
         |      / COUNT(*)) * 10000.0 + 0.5)/10000.0 AS xent
         |  FROM abgr LEFT JOIN rbig USING (w1, w2) LEFT JOIN runi USING (w1), rvoc
+        |  GROUP BY abgr.doc_id)
+        |SELECT doc_id, n_bigrams, xent FROM scr ORDER BY doc_id""".stripMargin,
+    // Jelinek-Mercer interpolated bigram<->unigram scorer over the same
+    // md5-coin 5% training split (Perplexity.scoreAgainstInterp):
+    // P = 0.75*c12/c1 + 0.25*(cu+1)/(N+V), unigram backbone = second
+    // tokens of the training bigram stream (derived from the SAME
+    // model artifact). Lambda literals are dyadic so the two engines'
+    // 1-lambda cannot differ by an ulp; operand shapes mirror the
+    // Scala Column expression exactly.
+    "quality_perplexity_backoff" ->
+      """WITH rtk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE CAST(('0x' || substr(md5('pplxref:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS DOUBLE)
+        |      / 4294967296.0 < 0.05
+        |    AND len(string_split(text, ' ')) >= 2),
+        |rbgr AS (SELECT t[i] AS w1, t[i+1] AS w2
+        |  FROM rtk, LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i) ii),
+        |rbig AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM rbgr GROUP BY w1, w2),
+        |runi AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM rbig GROUP BY w1),
+        |runi2 AS (SELECT w2, CAST(SUM(c12) AS BIGINT) AS cu FROM rbig GROUP BY w2),
+        |rsc AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v,
+        |    (SELECT CAST(SUM(c12) AS BIGINT) FROM rbig) AS nn
+        |  FROM (SELECT unnest(t) AS tok FROM rtk)),
+        |atk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |abgr AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+        |  FROM atk, LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i) ii),
+        |scr AS (SELECT abgr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |    floor((-SUM(ln(0.75 * (CASE WHEN c1 IS NOT NULL
+        |        THEN (coalesce(c12, 0) + 0.0) / c1 ELSE 0.0 END)
+        |      + 0.25 * ((coalesce(cu, 0) + 1.0) / (nn + v))))
+        |      / COUNT(*)) * 10000.0 + 0.5)/10000.0 AS xent
+        |  FROM abgr LEFT JOIN rbig USING (w1, w2) LEFT JOIN runi USING (w1)
+        |    LEFT JOIN runi2 USING (w2), rsc
         |  GROUP BY abgr.doc_id)
         |SELECT doc_id, n_bigrams, xent FROM scr ORDER BY doc_id""".stripMargin,
     // Head/middle/tail perplexity terciles; cutoffs via quantile_cont

@@ -97,29 +97,124 @@ object Perplexity {
     * join on the bigram key (the data-sized one), one broadcastable
     * join on the vocab-sized prefix table, one broadcast scalar.
     */
-  def scoreAgainst(model: DataFrame, corpus: DataFrame): DataFrame = {
-    val prefix = model.groupBy("w1").agg(first("c1").as("p_c1"))
-    // EMPTY-MODEL guard: an empty model frame (e.g. a reference split
-    // that selected no documents) aggregates to one row with NULL v,
-    // which would propagate through log() into NULL xent for EVERY
-    // document — silent garbage downstream. The guard is declarative
-    // and free: evaluated once on the 1-row vocab aggregate, never on
-    // the per-bigram hot path.
-    val vdf = model.agg(first("v").as("vv"))
-      .select(when(col("vv").isNull, raise_error(lit(
-          "Perplexity.scoreAgainst: model is empty (no bigrams) — " +
-          "train on a non-empty reference corpus")))
-        .otherwise(col("vv")).as("vv"))
+  def scoreAgainst(model: DataFrame, corpus: DataFrame): DataFrame =
+    rounded(scoreAgainstRaw(model, corpus))
+
+  /** round4 the per-doc mean — the presentation step shared by both
+    * scorers; the raw twin exists so PerplexitySpec can measure how
+    * far every unrounded score sits from a rounding midpoint (the
+    * cross-engine ln-parity receipt).
+    */
+  private def rounded(raw: DataFrame): DataFrame =
+    raw.select(col("doc_id"), col("n_bigrams"),
+      Par.round4(col("xent_raw")).as("xent"))
+
+  /** [[scoreAgainst]] before the round4 presentation step — the value
+    * both engines compute with their own `ln`; PerplexitySpec asserts
+    * its distance to the nearest round4 midpoint is orders of
+    * magnitude above cross-engine FP drift, which is the receipt that
+    * rounding cannot flip a digit between Spark and the oracle.
+    * Measured across sf0.001/sf0.01/sf0.1 + the 8× rung for all
+    * three scorers: minimum midpoint distance 1.59e-10, vs a drift
+    * bound of ~1e-13 (n_bigrams × accumulated ulp through ln and the
+    * differently-ordered sum) — ≥ 3 orders of headroom, spec floor
+    * 1e-11.
+    */
+  private[graft] def scoreAgainstRaw(model: DataFrame, corpus: DataFrame): DataFrame =
     bigramsOf(corpus)
       .join(model.select("w1", "w2", "c12"), Seq("w1", "w2"), "left")
-      .join(prefix, Seq("w1"), "left")
-      .crossJoin(broadcast(vdf))
+      .join(prefixOf(model), Seq("w1"), "left")
+      .crossJoin(broadcast(scalarsOf(model)))
       .select(col("doc_id"),
         log((coalesce(col("c12"), lit(0L)) + 1.0)
           / (coalesce(col("p_c1"), lit(0L)) + col("vv"))).as("lp"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
-        Par.round4((-sum(col("lp"))) / count(lit(1))).as("xent"))
+        ((-sum(col("lp"))) / count(lit(1))).as("xent_raw"))
+
+  private def prefixOf(model: DataFrame): DataFrame =
+    model.groupBy("w1").agg(first("c1").as("p_c1"))
+
+  /** The broadcast scalar row both scorers need: vocabulary size `vv`
+    * and total training-bigram count `nn`, with the EMPTY-MODEL
+    * guard — an empty model frame (e.g. a reference split that
+    * selected no documents) aggregates to one row with NULL v, which
+    * would propagate through log() into NULL xent for EVERY document
+    * — silent garbage downstream. The guard is declarative and free:
+    * evaluated once on the 1-row aggregate, never on the per-bigram
+    * hot path.
+    */
+  private def scalarsOf(model: DataFrame): DataFrame =
+    model.agg(first("v").as("vv0"), sum("c12").as("nn"))
+      .select(when(col("vv0").isNull, raise_error(lit(
+          "Perplexity.scoreAgainst: model is empty (no bigrams) — " +
+          "train on a non-empty reference corpus")))
+        .otherwise(col("vv0")).as("vv"), col("nn"))
+
+  /** Interpolation weight of the bigram estimate in
+    * [[scoreAgainstInterp]]. 0.75 is in the range CCNet-family
+    * pipelines use for Jelinek–Mercer interpolation, and it is DYADIC
+    * (0.75 and 1−0.75 = 0.25 are both exact doubles), so the Spark
+    * and oracle spellings of λ and 1−λ cannot differ by an ulp.
+    */
+  val DefaultInterpLambda = 0.75
+
+  /** Jelinek–Mercer interpolated bigram↔unigram scorer — the backoff
+    * alternative to [[scoreAgainst]]'s add-one smoothing (Wenzek et
+    * al. §3 train Kneser–Ney models; interpolation is the classic
+    * member of the same backoff family that spells as pure rational
+    * arithmetic + one ln, the repo's §6 transcendental budget):
+    *
+    *   `P(w2|w1) = λ·c12/c1 + (1−λ)·(cu(w2)+1)/(N+V)`
+    *
+    * where `cu(w2) = Σ_w1 c12` and `N = Σ c12` — the unigram backbone
+    * is the distribution of SECOND tokens in the training bigram
+    * stream, so the whole interpolated model derives from the SAME
+    * [[modelOf]] artifact (one training pass, two scorers against
+    * it). The unigram term is add-one-floored, so P > 0 even for a
+    * token the model never saw; a novel prefix (c1 null) zeroes the
+    * bigram term instead of dropping the row.
+    *
+    * Why it matters vs add-one: with a realistic vocabulary, add-one
+    * divides by `c1 + V` where `V` dwarfs `c1`, so RARE-BUT-VALID
+    * continuations after uncommon prefixes are crushed toward 1/V and
+    * rank with garbage; interpolation lets the observed conditional
+    * `c12/c1` dominate (λ) and smooths with the unigram prior instead
+    * of the uniform one. PerplexitySpec pins a corpus where the two
+    * scorers ORDER documents differently.
+    *
+    * Plan shape = [[scoreAgainst]] plus ONE more vocabulary-sized
+    * left join (the unigram table) — same linear, no-window scoring
+    * pass.
+    */
+  def scoreAgainstInterp(model: DataFrame, corpus: DataFrame,
+      lambda: Double = DefaultInterpLambda): DataFrame =
+    rounded(scoreAgainstInterpRaw(model, corpus, lambda))
+
+  private[graft] def scoreAgainstInterpRaw(model: DataFrame, corpus: DataFrame,
+      lambda: Double = DefaultInterpLambda): DataFrame = {
+    require(lambda > 0.0 && lambda < 1.0,
+      s"interpolation weight must be in (0,1), got $lambda")
+    val uni = model.groupBy("w2").agg(sum("c12").as("cu"))
+    bigramsOf(corpus)
+      .join(model.select("w1", "w2", "c12"), Seq("w1", "w2"), "left")
+      .join(prefixOf(model), Seq("w1"), "left")
+      .join(uni, Seq("w2"), "left")
+      .crossJoin(broadcast(scalarsOf(model)))
+      .select(col("doc_id"),
+        // operand shapes mirror the oracle SQL exactly — addition of
+        // a double literal forces double division in both engines,
+        // and the λ/1−λ literals are dyadic (see DefaultInterpLambda)
+        log(lit(lambda) *
+            when(col("p_c1").isNotNull,
+              (coalesce(col("c12"), lit(0L)) + lit(0.0)) / col("p_c1"))
+              .otherwise(lit(0.0))
+          + lit(1.0 - lambda) *
+            ((coalesce(col("cu"), lit(0L)) + lit(1.0)) / (col("nn") + col("vv"))))
+          .as("lp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        ((-sum(col("lp"))) / count(lit(1))).as("xent_raw"))
   }
 
   /** Self-perplexity scores of the documents table, staged: the
@@ -168,6 +263,31 @@ object Perplexity {
           md5Long(concat(lit("pplxref:"), col("doc_id").cast("string")), 1, 8)
             .cast("double") / 4294967296.0 < refFrac)
         scoreAgainst(modelOf(spark, ref), corpus)
+      }
+    }.orderBy(col("doc_id"))
+  }
+
+  /** Gate query: the reference-trained shape scored with the
+    * INTERPOLATED backoff model ([[scoreAgainstInterp]]) instead of
+    * add-one — same md5-coin 5% training split as
+    * [[qualityPerplexityRef]] (so both smoothing paths see the same
+    * novel bigrams/prefixes/tokens), same one-artifact staging. The
+    * model-quality step of the CCNet recipe the add-one family
+    * approximates most weakly; kept as a SEPARATE gated query so both
+    * smoothing variants stay under the hash-exact oracle side by
+    * side and a caller picks per corpus.
+    */
+  def qualityPerplexityBackoff(spark: SparkSession, dir: String,
+      refFrac: Double = 0.05,
+      lambda: Double = DefaultInterpLambda): DataFrame = {
+    val fp = DfCache.inputFingerprint(spark, s"$dir/documents.parquet")
+    DfCache.getOrCompute(spark, s"pplx_backoff_scored:$dir:$refFrac:$lambda") {
+      DfCache.stagedFrame(spark, s"pplx_backoff_scored_${refFrac}_$lambda", fp) {
+        val corpus = Tables.documents(spark, dir)
+        val ref = corpus.where(
+          md5Long(concat(lit("pplxref:"), col("doc_id").cast("string")), 1, 8)
+            .cast("double") / 4294967296.0 < refFrac)
+        scoreAgainstInterp(modelOf(spark, ref), corpus, lambda)
       }
     }.orderBy(col("doc_id"))
   }

@@ -93,4 +93,98 @@ class PerplexitySpec extends SparkSpec {
     // still assigned: the scan side never shrinks with calibFrac
     assert(b.map(_.getAs[Long]("n_docs")).sum === scoreable)
   }
+
+  test("interpolated scorer matches a hand computation") {
+    import spark.implicits._
+    // model: c(a,b)=2 c(b,a)=2 c(a,a)=1; c1(a)=3 c1(b)=2; V=2; N=5
+    // unigram backbone cu = counts as SECOND token: cu(a)=3 cu(b)=2
+    val corpus = Seq((1L, "a b a"), (2L, "b a"), (3L, "a a b"))
+      .toDF("doc_id", "text")
+    val got = Perplexity.scoreAgainstInterp(
+        Perplexity.modelOf(spark, corpus), corpus)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("xent"))).toMap
+    def p(c12: Double, c1: Double, cu: Double): Double =
+      0.75 * (c12 / c1) + 0.25 * ((cu + 1.0) / (5.0 + 2.0))
+    val pBA = p(2, 3, 2)   // P(b|a): c12=2 c1(a)=3 cu(b)=2
+    val pAB = p(2, 2, 3)   // P(a|b): c12=2 c1(b)=2 cu(a)=3
+    val pAA = p(1, 3, 3)   // P(a|a): c12=1 c1(a)=3 cu(a)=3
+    assert(got(1L) === ((2L, r4(-(math.log(pBA) + math.log(pAB)) / 2))))
+    assert(got(2L) === ((1L, r4(-math.log(pAB)))))
+    assert(got(3L) === ((2L, r4(-(math.log(pAA) + math.log(pBA)) / 2))))
+  }
+
+  test("interpolation ranks rare-but-valid text above frequent-context noise where add-one cannot") {
+    import spark.implicits._
+    // model: context "of" is frequent with a WEAK continuation "b"
+    // (c12=5, c1=100); context "zq" is rare with a PERFECT
+    // continuation (c12=c1=1); ~100 hapax tokens inflate V so
+    // add-one's uniform floor dominates rare contexts
+    val filler = (1 to 102).map(i => s"u$i").mkString(" ")
+    val model = Perplexity.modelOf(spark,
+      ((1 to 95).map(i => (i.toLong, "of a")) ++
+       (96 to 100).map(i => (i.toLong, "of b")) :+
+       (101L, "zq qz") :+ (102L, filler)).toDF("doc_id", "text"))
+    val crawl = Seq((1L, "of b"), (2L, "zq qz")).toDF("doc_id", "text")
+    def scores(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      df.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("xent")).toMap
+    val addone = scores(Perplexity.scoreAgainst(model, crawl))
+    val interp = scores(Perplexity.scoreAgainstInterp(model, crawl))
+    // add-one: the rare-context doc scores WORSE (higher xent) than
+    // the frequent-context weak continuation...
+    assert(addone(2L) > addone(1L))
+    // ...interpolation flips the order: the observed conditional
+    // dominates, so the rare-but-valid doc scores (much) better
+    assert(interp(2L) < interp(1L))
+  }
+
+  test("empty model fails loudly instead of emitting NULL scores") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val corpus = Seq((1L, "a b")).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Perplexity.scoreAgainst(Perplexity.modelOf(spark, empty), corpus).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) +: msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("model is empty")))
+  }
+
+  test("ln-parity receipt: unrounded scores sit far from every round4 midpoint") {
+    // The repo's FP discipline (SURVEY §6) bars transcendentals from
+    // oracle-compared values unless the round4 snap provably cannot
+    // straddle engines: Spark and DuckDB each compute ln + a
+    // differently-ordered sum, so the raw per-doc means differ by
+    // ~1e-13 (n_bigrams * accumulated ulp). The receipt: across the
+    // gate corpora, measure the minimum distance of any unrounded
+    // xent to the nearest round4 midpoint k+0.5e-4 and assert it is
+    // orders of magnitude above that drift.
+    def margin(df: org.apache.spark.sql.DataFrame): Double =
+      df.select(col("xent_raw")).collect().map { r =>
+        val y = r.getDouble(0) * 10000.0
+        math.abs(y - math.floor(y) - 0.5) / 10000.0
+      }.min
+    val dirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1") ++
+      Seq("target/scale8").filter(d => new java.io.File(d, "documents.parquet").exists())
+    val margins = dirs.flatMap { d =>
+      val corpus = Tables.documents(spark, d)
+      val self = Perplexity.modelOf(spark, corpus)
+      val coin = graft.functions.TextFunctions.md5Long(
+        concat(lit("pplxref:"), col("doc_id").cast("string")), 1, 8)
+        .cast("double") / 4294967296.0
+      val ref = Perplexity.modelOf(spark, corpus.where(coin < 0.05))
+      Seq(
+        s"$d self"    -> margin(Perplexity.scoreAgainstRaw(self, corpus)),
+        s"$d ref"     -> margin(Perplexity.scoreAgainstRaw(ref, corpus)),
+        s"$d backoff" -> margin(Perplexity.scoreAgainstInterpRaw(ref, corpus)))
+    }
+    margins.foreach { case (k, m) => info(f"$k%-40s midpoint margin $m%.3e") }
+    // floor: >= 2 orders above the ~1e-13 cross-engine drift bound.
+    // Observed minima (2026-08, round 13): worst 1.59e-10 at sf0.1
+    // ref; every other (dir, scorer) >= 7.9e-10.
+    margins.foreach { case (k, m) =>
+      assert(m > 1e-11, s"$k: margin $m too close to a rounding midpoint")
+    }
+  }
 }
