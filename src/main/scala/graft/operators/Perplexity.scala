@@ -36,9 +36,11 @@ import graft.sources.Tables
   *     corpus vocabulary, not corpus size.
   *   - scoring = ONE hash join of the bigram stream against the
   *     model (AQE broadcasts it at test scale; at 100 TB it is a
-  *     hash join on the bigram key, with AQE skew split covering
-  *     stopword-prefix skew), then a map-side-combined groupBy
-  *     doc_id. Linear, no self-joins, no windows.
+  *     hash join on the bigram key, with a DETERMINISTIC doc-hash
+  *     salt spreading Zipfian stopword keys — see [[ScoreSaltWidth]]
+  *     for why AQE skew-split alone is not a reliable answer here),
+  *     then a map-side-combined groupBy doc_id. Linear, no
+  *     self-joins, no windows.
   *   - the per-doc score table is staged (DfCache.stagedFrame), the
   *     detect/apply boundary of every other curation stage here.
   *   - bucket cutoffs are an EXACT percentile over one double per
@@ -121,9 +123,10 @@ object Perplexity {
     * 1e-11.
     */
   private[graft] def scoreAgainstRaw(model: DataFrame, corpus: DataFrame): DataFrame =
-    bigramsOf(corpus)
-      .join(model.select("w1", "w2", "c12"), Seq("w1", "w2"), "left")
-      .join(prefixOf(model), Seq("w1"), "left")
+    saltedBigrams(corpus)
+      .join(saltedModel(model.select("w1", "w2", "c12")),
+        Seq("w1", "w2", "salt"), "left")
+      .join(saltedModel(prefixOf(model)), Seq("w1", "salt"), "left")
       .crossJoin(broadcast(scalarsOf(model)))
       .select(col("doc_id"),
         log((coalesce(col("c12"), lit(0L)) + 1.0)
@@ -131,6 +134,36 @@ object Perplexity {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         ((-sum(col("lp"))) / count(lit(1))).as("xent_raw"))
+
+  /** Salt width of the scoring joins. Bigram streams are Zipfian —
+    * one stopword bigram can be percents of a 100 TB stream, and the
+    * scoring joins key on exactly that skewed value. AQE's skew-split
+    * is NOT a reliable mitigation here: OptimizeSkewedJoin only fires
+    * when BOTH join children are dedicated ENSURE_REQUIREMENTS
+    * shuffle stages, and the model side of these joins routinely
+    * reuses its aggregation's (w1,w2) partitioning (no dedicated
+    * exchange → rule silently skips — observed in the flood probe:
+    * identical corpus, split at one broadcast threshold, serialized
+    * 204k records through one task at another). So the skew story is
+    * DETERMINISTIC instead: the corpus side carries a doc-hash salt,
+    * the vocab-bounded model/prefix tables are replicated salt-wide,
+    * and any hot key spreads over [[ScoreSaltWidth]] partitions on
+    * every Spark, every plan shape. Cost: model-side rows × salt —
+    * vocabulary-bounded, orders below the corpus side the join
+    * shuffles anyway (and when the model side is small enough to
+    * broadcast, the salt just widens a broadcast table; no shuffle
+    * exists to skew). ScaleSmokeSpec's stopword-flood test is the
+    * receipt: max per-task shuffle records ≈ total/salt under a
+    * 99%-one-key corpus with broadcasts disabled.
+    */
+  val ScoreSaltWidth = 16
+
+  private def saltedBigrams(corpus: DataFrame): DataFrame =
+    bigramsOf(corpus).withColumn("salt",
+      pmod(xxhash64(col("doc_id")), lit(ScoreSaltWidth.toLong)).cast("int"))
+
+  private def saltedModel(t: DataFrame): DataFrame =
+    t.withColumn("salt", explode(sequence(lit(0), lit(ScoreSaltWidth - 1))))
 
   private def prefixOf(model: DataFrame): DataFrame =
     model.groupBy("w1").agg(first("c1").as("p_c1"))
@@ -196,10 +229,11 @@ object Perplexity {
     require(lambda > 0.0 && lambda < 1.0,
       s"interpolation weight must be in (0,1), got $lambda")
     val uni = model.groupBy("w2").agg(sum("c12").as("cu"))
-    bigramsOf(corpus)
-      .join(model.select("w1", "w2", "c12"), Seq("w1", "w2"), "left")
-      .join(prefixOf(model), Seq("w1"), "left")
-      .join(uni, Seq("w2"), "left")
+    saltedBigrams(corpus)
+      .join(saltedModel(model.select("w1", "w2", "c12")),
+        Seq("w1", "w2", "salt"), "left")
+      .join(saltedModel(prefixOf(model)), Seq("w1", "salt"), "left")
+      .join(saltedModel(uni), Seq("w2", "salt"), "left")
       .crossJoin(broadcast(scalarsOf(model)))
       .select(col("doc_id"),
         // operand shapes mirror the oracle SQL exactly — addition of

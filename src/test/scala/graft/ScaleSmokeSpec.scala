@@ -388,4 +388,84 @@ class ScaleSmokeSpec extends SparkSpec {
       "chain did not collapse to one component")
     assert(rounds <= 12, s"pointer doubling failed: $rounds rounds for diameter $n")
   }
+
+  test("perplexity scoring join spreads a stopword-prefix flood via the deterministic salt") {
+    import spark.implicits._
+    // Bigram streams are Zipfian: one stopword bigram can be percents
+    // of a 100 TB stream, and the scoring joins key on exactly that
+    // value. The probe history here matters: AQE's OptimizeSkewedJoin
+    // only fires when both join children are dedicated
+    // ENSURE_REQUIREMENTS shuffle stages, and the model side of the
+    // scoring join routinely REUSES its aggregation's partitioning —
+    // the same flood split at one broadcast threshold and serialized
+    // 204k records through one task at another. Hence the
+    // deterministic doc-hash salt (Perplexity.ScoreSaltWidth); this
+    // test is its receipt. Flood: 2000 docs of "the"×101 + a unique
+    // tail token, so ~99% of the 204k scored bigrams share the single
+    // key (the,the) and every prefix is "the".
+    val flood = (1 to 2000).map { i =>
+      (i.toLong, (Seq.fill(101)("the") :+ s"u$i").mkString(" "))
+    }.toDF("doc_id", "text").repartition(8).localCheckpoint()
+    val model = graft.operators.Perplexity.modelOf(spark, flood)
+
+    def scores() = graft.operators.Perplexity.scoreAgainst(model, flood)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("xent")).toMap
+
+    // reference run under the DEFAULT plan (vocab-sized model side
+    // broadcasts — no shuffle to skew; the plan small scale picks)
+    val expected = scores()
+
+    // force the 100 TB shape: model too big to broadcast => shuffled
+    // joins on the hot keys; enough reduce partitions that the 16
+    // salted twins of the hot key actually land apart
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.shuffle.partitions",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+    val saved = keys.map(k => k -> spark.conf.getOption(k)).toMap
+    val maxTaskRecords = new java.util.concurrent.atomic.AtomicLong(0)
+    val totalRecords = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) {
+          maxTaskRecords.getAndUpdate(v => math.max(v, m.shuffleReadMetrics.recordsRead))
+          totalRecords.addAndGet(m.shuffleReadMetrics.recordsRead)
+        }
+      }
+    }
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      // 204k copies of one string pair run-length-compress to a few
+      // KB, so AQE's byte-based partition coalescing would merge the
+      // whole salted shuffle back into one task at test scale —
+      // byte-blind here, never at 100 TB where partitions are GBs.
+      // Disable it for the measured run; the salt spread is what is
+      // under test.
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      spark.sparkContext.addSparkListener(listener)
+      val got = scores()
+      // plan change must not change a single score
+      assert(got === expected)
+      // listener bus is async: wait until counts are stable
+      var last = -1L
+      var spins = 0
+      while (totalRecords.get() != last && spins < 30) {
+        last = totalRecords.get(); Thread.sleep(100); spins += 1
+      }
+      // the witness: no task read the whole hot key. Unsalted, each
+      // scoring join serializes >= 200k records through ONE task (the
+      // observed AQE failure mode); salted 16-way, the hot key's
+      // per-task share is ~total/16 + the vocab-sized replicas.
+      assert(totalRecords.get() > 200000L,
+        s"flood did not exercise a shuffled join (total ${totalRecords.get()})")
+      assert(maxTaskRecords.get() < 60000L,
+        s"hot bigram key was not spread: one task read ${maxTaskRecords.get()} records")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      saved.foreach { case (k, v) =>
+        v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+      }
+    }
+  }
 }
