@@ -23,6 +23,25 @@ trait TokenEncoder {
   def tokenize(texts: Seq[String]): Seq[Seq[String]]
 }
 
+/** A [[TokenEncoder]] that can also emit VOCABULARY IDS — the
+  * signature a trainer actually consumes (token streams feed the
+  * embedding lookup as ints, not strings). Contract: for every text,
+  * `tokenizeIds` has exactly the same arity as `tokenize` (element i
+  * is the id of token i), so any layout computed in token units —
+  * sequence packing offsets, budgets, fill ratios — is identical
+  * whichever representation the consumer reads. Unknown symbols map
+  * to [[IdTokenEncoder.UnkId]] rather than being dropped (dropping
+  * would silently shift every later offset).
+  */
+trait IdTokenEncoder extends TokenEncoder {
+  def tokenizeIds(texts: Seq[String]): Seq[Seq[Int]]
+}
+
+object IdTokenEncoder {
+  /** Reserved id for symbols outside the artifact's vocabulary. */
+  val UnkId = 0
+}
+
 /** STUB tokenizer: the whitespace split every oracle-gated query
   * counts in (TextFunctions.tokens = `split(text, " ")`, which keeps
   * trailing empties — `split(" ", -1)` is the row-at-a-time twin).
@@ -53,10 +72,27 @@ object WhitespaceTokenizer extends Tokenizer {
   * mode).
   */
 final class BpeTokenizer(mergesPath: String) extends Tokenizer {
-  def open(): TokenEncoder = new TokenEncoder {
-    private val ranks = BpeModel.load(mergesPath)   // per-partition load
+  def open(): TokenEncoder = new TokenEncoder with IdTokenEncoder {
+    // per-partition artifact load (ranks + vocab in one file read)
+    private val artifact = BpeModel.loadArtifact(mergesPath)
+    private def ranks = artifact.ranks
     def tokenize(texts: Seq[String]): Seq[Seq[String]] =
       texts.map(t => t.split(" ", -1).toSeq.flatMap(encodeWord))
+
+    /** Ids via the artifact's vocab table — same greedy merge walk,
+      * so the arity contract with [[tokenize]] holds by construction.
+      * Requires a v2 artifact (vocab present): silently inventing ids
+      * for a v1 merges-only file would make ids depend on the
+      * scoring corpus instead of the artifact.
+      */
+    def tokenizeIds(texts: Seq[String]): Seq[Seq[Int]] = {
+      require(artifact.vocabIds.nonEmpty,
+        s"$mergesPath is a merges-only (v1) artifact - retrain/rewrite " +
+        "with a vocab table (BpeModel.write with vocab) to emit ids")
+      texts.map(t => t.split(" ", -1).toSeq.flatMap(w =>
+        encodeWord(w).map(s =>
+          artifact.vocabIds.getOrElse(s, IdTokenEncoder.UnkId))))
+    }
 
     private def encodeWord(word: String): Seq[String] = {
       if (word.isEmpty) return Seq("")   // keep whitespace-split arity: an
@@ -92,36 +128,100 @@ final class BpeTokenizer(mergesPath: String) extends Tokenizer {
   }
 }
 
-/** Writer/loader/trainer for the BPE merges artifact: a small binary
-  * file (magic, count, then UTF pair per merge, rank = position).
-  * `train` is a driver-side utility that learns merges greedily from
-  * a sample corpus (most-frequent adjacent pair, lexicographic
-  * tie-break — deterministic); production runs would publish merges
-  * converted from the real trainer's tokenizer artifact instead.
+/** Writer/loader/trainer for the BPE artifact: a small binary file —
+  * v1 `GBP1` is merges-only (magic, count, UTF pair per merge, rank =
+  * position); v2 `GBP2` appends the VOCAB TABLE (count, UTF symbol
+  * per id, position = id) — the deployment shape a trainer consumes,
+  * since an id stream is meaningless without the id↔symbol mapping
+  * frozen inside the same artifact. `train` is a driver-side utility
+  * that learns merges greedily from a sample corpus (most-frequent
+  * adjacent pair, lexicographic tie-break — deterministic);
+  * production runs would publish an artifact converted from the real
+  * trainer's tokenizer instead.
+  *
+  * Vocab id layout (deterministic for a fixed artifact): id 0 is
+  * reserved for `<unk>` ([[IdTokenEncoder.UnkId]]), then the sorted
+  * single-character alphabet (including "" — the empty pre-token the
+  * whitespace-arity contract emits), then one symbol per merge in
+  * rank order. Contiguous 0..V-1, no gaps.
   */
 object BpeModel {
-  private val Magic = 0x47425031   // "GBP1"
+  private val Magic = 0x47425031    // "GBP1" merges only
+  private val Magic2 = 0x47425032   // "GBP2" merges + vocab
 
-  def write(path: String, merges: Seq[(String, String)]): Unit = {
+  /** Loaded artifact: merge ranks + (for v2) the symbol → id table.
+    * `vocabIds` is empty for a v1 file — string tokenization works,
+    * id emission refuses (see BpeTokenizer.tokenizeIds).
+    */
+  final case class Artifact(ranks: Map[(String, String), Int],
+                            vocabIds: Map[String, Int])
+
+  /** Deterministic vocab for `merges` over `alphabet`: <unk>, sorted
+    * alphabet, merge outputs in rank order (duplicates — a merge
+    * output that equals an alphabet symbol — keep their FIRST id so
+    * ids stay contiguous and the mapping stays a function).
+    */
+  def vocabOf(alphabet: Seq[String], merges: Seq[(String, String)]): Seq[String] = {
+    val out = Vector.newBuilder[String]
+    val seen = scala.collection.mutable.HashSet[String]()
+    (("<unk>" +: alphabet.distinct.sorted) ++
+        merges.map { case (a, b) => a + b }).foreach { s =>
+      if (seen.add(s)) out += s
+    }
+    out.result()
+  }
+
+  /** Train merges AND derive the deterministic vocab from the same
+    * sample corpus — the one-call path to a v2 (id-emitting)
+    * artifact: `val (m, v) = trainArtifact(docs, k); write(p, m, v)`.
+    * The alphabet includes "" because the whitespace-arity contract
+    * emits an empty token for an empty pre-token.
+    */
+  def trainArtifact(texts: Seq[String], nMerges: Int): (Seq[(String, String)], Seq[String]) = {
+    val merges = train(texts.iterator, nMerges)
+    val alphabet = "" +: texts.flatMap(_.split(" ", -1).toSeq)
+      .flatMap(_.map(_.toString)).distinct
+    (merges, vocabOf(alphabet, merges))
+  }
+
+  def write(path: String, merges: Seq[(String, String)],
+            vocab: Seq[String] = Nil): Unit = {
     val f = new java.io.File(path)
     Option(f.getParentFile).foreach(_.mkdirs())
     val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
       new java.io.FileOutputStream(f)))
     try {
-      out.writeInt(Magic); out.writeInt(merges.size)
+      out.writeInt(if (vocab.isEmpty) Magic else Magic2)
+      out.writeInt(merges.size)
       merges.foreach { case (a, b) => out.writeUTF(a); out.writeUTF(b) }
+      if (vocab.nonEmpty) {
+        out.writeInt(vocab.size)
+        vocab.foreach(out.writeUTF)
+      }
     } finally out.close()
   }
 
   /** rank map: merge pair → position in the learned order. */
-  def load(path: String): Map[(String, String), Int] = {
+  def load(path: String): Map[(String, String), Int] = loadArtifact(path).ranks
+
+  /** Full artifact: ranks, plus the vocab table when the file is v2. */
+  def loadArtifact(path: String): Artifact = {
     val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
       new java.io.FileInputStream(path)))
     try {
-      require(in.readInt() == Magic, s"$path is not a graft BPE merges file")
+      val magic = in.readInt()
+      require(magic == Magic || magic == Magic2,
+        s"$path is not a graft BPE merges file")
       val n = in.readInt()
       require(n >= 0 && n <= (1 << 24), s"implausible merge count $n in $path")
-      (0 until n).map(i => ((in.readUTF(), in.readUTF()), i)).toMap
+      val ranks = (0 until n).map(i => ((in.readUTF(), in.readUTF()), i)).toMap
+      val vocab =
+        if (magic == Magic2) {
+          val v = in.readInt()
+          require(v >= 0 && v <= (1 << 24), s"implausible vocab size $v in $path")
+          (0 until v).map(i => in.readUTF() -> i).toMap
+        } else Map.empty[String, Int]
+      Artifact(ranks, vocab)
     } finally in.close()
   }
 

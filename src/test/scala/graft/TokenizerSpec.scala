@@ -87,4 +87,48 @@ class TokenizerSpec extends SparkSpec {
       }
     }
   }
+
+  test("id path: v2 artifact emits deterministic ids with the string path's exact layout") {
+    import graft.functions.IdTokenEncoder
+    val sample = docs.orderBy("doc_id").limit(50).select("text")
+      .collect().map(_.getString(0)).toSeq
+    val (merges, vocab) = BpeModel.trainArtifact(sample, 40)
+    // deterministic id layout: <unk>=0, "" and the sorted alphabet
+    // next, merge outputs in rank order; contiguous 0..V-1
+    assert(vocab.head === "<unk>")
+    assert(vocab(1) === "")
+    assert(vocab.distinct === vocab, "vocab ids must be a bijection")
+    val path = java.nio.file.Files.createTempDirectory("bpe").toString + "/model.bin"
+    BpeModel.write(path, merges, vocab)
+
+    val enc = new BpeTokenizer(path).open().asInstanceOf[IdTokenEncoder]
+    val texts = sample.take(10)
+    val strs = enc.tokenize(texts)
+    val ids = enc.tokenizeIds(texts)
+    // arity contract: element i of the id stream IS token i — any
+    // layout computed in token units (packing offsets, budgets) is
+    // identical whichever representation the trainer consumes
+    assert(ids.map(_.length) === strs.map(_.length))
+    // ids are the artifact's vocab positions for exactly the emitted
+    // symbols (every training-corpus symbol is in-vocab, so no <unk>)
+    val idOf = vocab.zipWithIndex.toMap
+    assert(ids === strs.map(_.map(idOf)))
+    assert(ids.flatten.forall(i => i >= 0 && i < vocab.size))
+    // deterministic for a fixed artifact: a second per-partition load
+    // (fresh encoder) reproduces the ids bit-for-bit
+    val enc2 = new BpeTokenizer(path).open().asInstanceOf[IdTokenEncoder]
+    assert(enc2.tokenizeIds(texts) === ids)
+    // a symbol the artifact never saw maps to UnkId, arity preserved
+    val odd = Seq("\u00e9\u00e9 spark")
+    assert(enc.tokenizeIds(odd).head.length === enc.tokenize(odd).head.length)
+    assert(enc.tokenizeIds(odd).head.contains(IdTokenEncoder.UnkId))
+
+    // a merges-only (v1) artifact refuses id emission instead of
+    // inventing corpus-dependent ids
+    val v1 = java.nio.file.Files.createTempDirectory("bpe").toString + "/v1.bin"
+    BpeModel.write(v1, merges)
+    val encV1 = new BpeTokenizer(v1).open().asInstanceOf[IdTokenEncoder]
+    assert(encV1.tokenize(texts) === strs, "v1 string path unchanged")
+    intercept[IllegalArgumentException] { encV1.tokenizeIds(texts) }
+  }
 }
