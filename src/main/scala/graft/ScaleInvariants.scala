@@ -1,0 +1,179 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** ENGINE-ONLY rung checker: replication-arithmetic invariants that
+  * extend the scaling trend past the oracle's resource ceiling.
+  * DuckDB is the binding constraint above 128× (two documented
+  * oracle-side resource deaths at 128×, none engine-side), so this
+  * rung is verified WITHOUT an oracle — against invariants that hold
+  * BY CONSTRUCTION of ScaleGen's replication:
+  *
+  *   - facts replicate with shifted keys, dimensions stay single ⇒
+  *     per-group decimal sums and row counts scale exactly ×mult,
+  *     and (for a power-of-two mult) double-cast sums and averages
+  *     are BIT-equal ×mult / unchanged — scaling a double by 2^k is
+  *     exact, and rounding commutes with it;
+  *   - documents replicate content-identically with doc_id shifted
+  *     by k·10⁷, events with user_id shifted by k·10⁶ ⇒ per-entity
+  *     outputs must contain exactly mult shifted twins of every base
+  *     row.
+  *
+  * These are the same invariants ScaleSmokeSpec pins at 8× in-memory,
+  * applied to the materialized rung through the very SparkEntry
+  * query entries the oracle gate runs. Clearly labeled: this checks
+  * the ENGINE's internal consistency across a 2× data jump, not
+  * cross-engine parity (that is proven through 128× where the oracle
+  * can follow).
+  *
+  * Usage: `runMain graft.ScaleInvariants <baseSfDir> <scaledDir> <mult>`
+  * — prints one JSON line, exits 1 on any violated invariant.
+  */
+object ScaleInvariants {
+
+  def main(args: Array[String]): Unit = {
+    val base = args(0)
+    val scaled = args(1)
+    val mult = args(2).toInt
+    require(mult > 0 && (mult & (mult - 1)) == 0,
+      s"mult must be a power of two for the bit-exact double claims, got $mult")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val results = scala.collection.mutable.LinkedHashMap[String, String]()
+    def check(name: String)(body: => Unit): Unit =
+      try { body; results(name) = "pass" }
+      catch {
+        case e: Throwable =>
+          results(name) = "FAIL: " + String.valueOf(e.getMessage)
+            .replaceAll("[\\p{Cntrl}\"\\\\]", " ").take(160)
+      }
+    def q(name: String, dir: String): DataFrame =
+      SparkEntry.queries(name)(spark, dir)
+    def byKey(df: DataFrame, keys: String*): Map[Seq[Any], Row] =
+      df.collect().map(r => keys.map(k => r.getAs[Any](k)) -> r).toMap
+
+    // q1: per-(flag,status) decimal sums ×mult bit-exact after the
+    // double cast; averages bit-unchanged; counts ×mult
+    check("q1_pricing_sums_x" + mult) {
+      val b = byKey(q("q1_pricing", base), "l_returnflag", "l_linestatus")
+      val s = byKey(q("q1_pricing", scaled), "l_returnflag", "l_linestatus")
+      require(b.keySet == s.keySet, s"group sets differ: ${b.keySet} vs ${s.keySet}")
+      b.foreach { case (k, rb) =>
+        val rs = s(k)
+        Seq("sum_qty", "sum_base_price", "sum_disc_price", "sum_charge").foreach { c =>
+          val exp = rb.getAs[Double](c) * mult
+          val got = rs.getAs[Double](c)
+          require(got == exp, s"$k.$c: $got != $exp (base × $mult)")
+        }
+        Seq("avg_qty", "avg_price").foreach { c =>
+          require(rs.getAs[Double](c) == rb.getAs[Double](c),
+            s"$k.$c changed under replication")
+        }
+        require(rs.getAs[Long]("count_order") == rb.getAs[Long]("count_order") * mult,
+          s"$k.count_order not ×$mult")
+      }
+    }
+
+    // q5: per-nation revenue ×mult bit-exact (facts replicate against
+    // single-copy dims, decimal sum, power-of-two double scaling)
+    check("q5_region_join_revenue_x" + mult) {
+      val b = byKey(q("q5_region_join", base), "n_name")
+      val s = byKey(q("q5_region_join", scaled), "n_name")
+      require(b.keySet == s.keySet, "nation sets differ")
+      b.foreach { case (k, rb) =>
+        val exp = rb.getAs[Double]("revenue") * mult
+        val got = s(k).getAs[Double]("revenue")
+        require(got == exp, s"$k.revenue: $got != $exp")
+      }
+    }
+
+    // contribution_analytics: per-event-type n/total ×mult, avg
+    // bit-unchanged
+    check("contribution_analytics_x" + mult) {
+      val b = byKey(q("contribution_analytics", base), "event_type")
+      val s = byKey(q("contribution_analytics", scaled), "event_type")
+      require(b.keySet == s.keySet, "event_type sets differ")
+      b.foreach { case (k, rb) =>
+        val rs = s(k)
+        require(rs.getAs[Long]("n") == rb.getAs[Long]("n") * mult, s"$k.n not ×$mult")
+        require(rs.getAs[Double]("total_value") == rb.getAs[Double]("total_value") * mult,
+          s"$k.total_value not ×$mult")
+        require(rs.getAs[Double]("avg_value") == rb.getAs[Double]("avg_value"),
+          s"$k.avg_value changed under replication")
+      }
+    }
+
+    // session_stats: every copy replays the same sessions in the same
+    // (single, max-ts-anchored) clock ⇒ all three counters ×mult
+    check("session_stats_x" + mult) {
+      val rb = q("session_stats", base).collect().head
+      val rs = q("session_stats", scaled).collect().head
+      Seq("total_sessions", "active_sessions", "today_sessions").foreach { c =>
+        require(rs.getAs[Long](c) == rb.getAs[Long](c) * mult, s"$c not ×$mult")
+      }
+    }
+
+    // token_vocab: same tokens, counts ×mult (content-identical doc
+    // copies), same deterministic order
+    check("token_vocab_x" + mult) {
+      val b = q("token_vocab", base).collect()
+        .map(r => (r.getAs[String]("token"), r.getAs[Long]("cnt")))
+      val s = q("token_vocab", scaled).collect()
+        .map(r => (r.getAs[String]("token"), r.getAs[Long]("cnt")))
+      require(b.map(_._1).toSeq == s.map(_._1).toSeq, "token order differs")
+      b.zip(s).foreach { case ((t, cb), (_, cs)) =>
+        require(cs == cb * mult, s"$t: $cs != ${cb * mult}")
+      }
+    }
+
+    // token_count: the scaled output must be EXACTLY mult shifted
+    // twins of every base row — doc_id mod the 10⁷ copy offset maps a
+    // twin to its original, n_tok must match, multiplicity must be
+    // mult for every base doc
+    check("token_count_twins_x" + mult) {
+      val cols = Seq("ws_tokens", "bpe_ish_tokens", "chars")
+      val b = q("token_count", base)
+        .select(col("doc_id").as("orig_id") +: cols.map(c => col(c).as(c + "_b")): _*)
+      val s = q("token_count", scaled)
+        .select(pmod(col("doc_id"), lit(10000000L)).as("orig_id") +: cols.map(col): _*)
+      val joined = s.join(b, Seq("orig_id"), "full")
+        .agg(
+          count(lit(1)).as("n"),
+          count(when(cols.map(c => col(c).isNull || col(c + "_b").isNull)
+            .reduce(_ || _), 1)).as("unmatched"),
+          count(when(cols.map(c => col(c) =!= col(c + "_b"))
+            .reduce(_ || _), 1)).as("mismatched"))
+        .collect().head
+      val nBase = q("token_count", base).count()
+      require(joined.getAs[Long]("unmatched") == 0, "unmatched twin rows")
+      require(joined.getAs[Long]("mismatched") == 0, "twin column mismatch")
+      require(joined.getAs[Long]("n") == nBase * mult,
+        s"twin multiplicity: ${joined.getAs[Long]("n")} != ${nBase * mult}")
+    }
+
+    // plain ×mult row-count checks on row-per-entity surfaces
+    Seq("validate_docs", "doc_chunk", "sessionize", "vec_normalize").foreach { name =>
+      check(s"${name}_rows_x" + mult) {
+        val nb = q(name, base).count()
+        val ns = q(name, scaled).count()
+        require(ns == nb * mult, s"$ns != ${nb * mult}")
+      }
+    }
+
+    val failed = results.valuesIterator.count(_ != "pass")
+    val js = results.map { case (k, v) => s"""\"$k\":\"$v\"""" }.mkString("{", ",", "}")
+    println(s"""{"engine_only":true,"base":"$base","scaled":"$scaled","mult":$mult,""" +
+      s""""checks":${results.size},"failed":$failed,"invariants":$js}""")
+    spark.stop()
+    if (failed > 0) sys.exit(1)
+  }
+}

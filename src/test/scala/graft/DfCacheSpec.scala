@@ -113,4 +113,23 @@ class DfCacheSpec extends SparkSpec {
       assert(out.length == 100, "fallback did not serve the computed frame")
     } finally System.clearProperty("graft.staging")
   }
+
+  test("memoComputes counts cold computes only, never memo hits") {
+    import spark.implicits._
+    val key = "memo-count-test:" + System.nanoTime()
+    val before = DfCache.memoComputes
+    val f1 = DfCache.getOrCompute(spark, key)(
+      Seq(1, 2, 3).toDF("v").localCheckpoint())
+    assert(DfCache.memoComputes == before + 1, "cold compute must count")
+    val f2 = DfCache.getOrCompute(spark, key)(
+      fail("memo hit must not recompute"))
+    assert(f2 eq f1)
+    assert(DfCache.memoComputes == before + 1, "a memo hit must not count")
+    DfCache.evictKey(spark, key)
+    DfCache.getOrCompute(spark, key)(
+      Seq(1).toDF("v").localCheckpoint())
+    assert(DfCache.memoComputes == before + 2,
+      "recompute after eviction must count again")
+    DfCache.evictKey(spark, key)
+  }
 }
