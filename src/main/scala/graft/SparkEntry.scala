@@ -80,6 +80,7 @@ object SparkEntry {
     "quality_perplexity_apply" -> ((s, d) => Perplexity.qualityPerplexityApply(s, d)),
     "quality_perplexity_ref" -> ((s, d) => Perplexity.qualityPerplexityRef(s, d)),
     "quality_perplexity_backoff" -> ((s, d) => Perplexity.qualityPerplexityBackoff(s, d)),
+    "quality_perplexity_kn" -> ((s, d) => Perplexity.qualityPerplexityKn(s, d)),
     "token_count"     -> (TextAnalysis.tokenCount _),
     "doc_fingerprint" -> (TextAnalysis.docFingerprint _),
     "multimodal_meta" -> (TextAnalysis.multimodalMeta _),
@@ -1498,6 +1499,41 @@ object SparkEntry {
         |      / COUNT(*)) * 10000.0 + 0.5)/10000.0 AS xent
         |  FROM abgr LEFT JOIN rbig USING (w1, w2) LEFT JOIN runi USING (w1)
         |    LEFT JOIN runi2 USING (w2), rsc
+        |  GROUP BY abgr.doc_id)
+        |SELECT doc_id, n_bigrams, xent FROM scr ORDER BY doc_id""".stripMargin,
+    // Interpolated Kneser-Ney scorer over the same md5-coin 5% split
+    // (Perplexity.scoreAgainstKn): P = max(c12-D,0)/c1 +
+    // D*n1f(w1)/c1 * Pcont(w2), Pcont = (n1b+1)/(ND+V), where n1f/n1b
+    // are distinct-continuation/context counts (model ROW counts per
+    // w1/w2) and ND = distinct bigrams. D=0.75 dyadic; novel prefix
+    // backs off to the continuation prior entirely. Operand shapes
+    // mirror the Scala Column expression exactly.
+    "quality_perplexity_kn" ->
+      """WITH rtk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE CAST(('0x' || substr(md5('pplxref:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS DOUBLE)
+        |      / 4294967296.0 < 0.05
+        |    AND len(string_split(text, ' ')) >= 2),
+        |rbgr AS (SELECT t[i] AS w1, t[i+1] AS w2
+        |  FROM rtk, LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i) ii),
+        |rbig AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM rbgr GROUP BY w1, w2),
+        |rpfx AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+        |    CAST(COUNT(*) AS BIGINT) AS n1f FROM rbig GROUP BY w1),
+        |rcont AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1b FROM rbig GROUP BY w2),
+        |rsc AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM rbig) AS nd
+        |  FROM (SELECT unnest(t) AS tok FROM rtk)),
+        |atk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |abgr AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+        |  FROM atk, LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i) ii),
+        |scr AS (SELECT abgr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |    floor((-SUM(ln(CASE WHEN c1 IS NOT NULL
+        |      THEN greatest(coalesce(c12, 0) - 0.75, 0.0) / c1
+        |         + 0.75 * n1f / c1 * ((coalesce(n1b, 0) + 1.0) / (nd + v))
+        |      ELSE ((coalesce(n1b, 0) + 1.0) / (nd + v)) END))
+        |      / COUNT(*)) * 10000.0 + 0.5)/10000.0 AS xent
+        |  FROM abgr LEFT JOIN rbig USING (w1, w2) LEFT JOIN rpfx USING (w1)
+        |    LEFT JOIN rcont USING (w2), rsc
         |  GROUP BY abgr.doc_id)
         |SELECT doc_id, n_bigrams, xent FROM scr ORDER BY doc_id""".stripMargin,
     // Head/middle/tail perplexity terciles; cutoffs via quantile_cont

@@ -251,6 +251,92 @@ object Perplexity {
         ((-sum(col("lp"))) / count(lit(1))).as("xent_raw"))
   }
 
+  /** Absolute discount of the Kneser–Ney scorer. 0.75 is the
+    * classic Chen–Goodman fixed discount, and it is DYADIC (exact
+    * double), so `c12 − D` is computed on the same bit pattern in
+    * both engines.
+    */
+  val DefaultKnDiscount = 0.75
+
+  /** Interpolated Kneser–Ney bigram scorer — the smoothing family
+    * CCNet's deployed KenLM models actually use (Wenzek et al. §3;
+    * Chen & Goodman 1998, "An Empirical Study of Smoothing Techniques
+    * for Language Modeling" — public literature, not code):
+    *
+    *   `P(w2|w1) = max(c12 − D, 0)/c1 + (D·n1f(w1)/c1) · Pcont(w2)`
+    *   `Pcont(w2) = (n1b(w2) + 1) / (ND + V)`
+    *
+    * where `n1f(w1) = |{w2 : c12 > 0}|` (distinct continuations of
+    * the prefix — the mass discounted away is handed to the backoff
+    * in proportion to how many types it was taken from), `n1b(w2) =
+    * |{w1 : c12 > 0}|` (distinct CONTEXTS w2 follows — the KN
+    * continuation count), and `ND = |distinct bigrams|`. The
+    * continuation prior is the KN signature: a token seen many times
+    * after ONE context (a burst artifact, boilerplate) gets a LOW
+    * prior; a token seen across many distinct contexts gets a high
+    * one — precisely the novelty-vs-template distinction a crawl
+    * curator wants, which neither the uniform (add-one) nor the
+    * frequency (Jelinek–Mercer) prior makes. PerplexitySpec pins a
+    * corpus where KN orders documents differently from BOTH.
+    *
+    * All three derived tables (n1f, n1b, ND) come from the SAME
+    * [[modelOf]] artifact — counting model ROWS per w1 / per w2 /
+    * total — so one training pass still feeds every scorer. The
+    * continuation prior takes an add-one floor (+1 / +V) so a novel
+    * token keeps P > 0 under the left joins, and a novel PREFIX
+    * backs off to the prior entirely (the standard unseen-context
+    * rule). `c12 ≥ 1` in the model, so `max(c12 − D, 0)` only floors
+    * on the null branch; D dyadic keeps the subtraction exact.
+    *
+    * Everything is rational arithmetic + the single ln the family
+    * already budgets (§6); plan shape = [[scoreAgainstInterp]]
+    * exactly (the n1f column rides the existing prefix-table join,
+    * n1b replaces the unigram table — same three left joins + one
+    * broadcast scalar, salted the same way).
+    */
+  def scoreAgainstKn(model: DataFrame, corpus: DataFrame,
+      discount: Double = DefaultKnDiscount): DataFrame =
+    rounded(scoreAgainstKnRaw(model, corpus, discount))
+
+  private[graft] def scoreAgainstKnRaw(model: DataFrame, corpus: DataFrame,
+      discount: Double = DefaultKnDiscount): DataFrame = {
+    require(discount > 0.0 && discount < 1.0,
+      s"KN discount must be in (0,1), got $discount")
+    // n1f rides the prefix aggregation; n1b and ND are row counts of
+    // the model — all vocabulary-bounded
+    val pfx = model.groupBy("w1").agg(first("c1").as("p_c1"),
+      count(lit(1)).as("n1f"))
+    val cont = model.groupBy("w2").agg(count(lit(1)).as("n1b"))
+    val scalars = model
+      .agg(first("v").as("vv0"), count(lit(1)).as("nd"))
+      .select(when(col("vv0").isNull, raise_error(lit(
+          "Perplexity.scoreAgainstKn: model is empty (no bigrams) — " +
+          "train on a non-empty reference corpus")))
+        .otherwise(col("vv0")).as("vv"), col("nd"))
+    saltedBigrams(corpus)
+      .join(saltedModel(model.select("w1", "w2", "c12")),
+        Seq("w1", "w2", "salt"), "left")
+      .join(saltedModel(pfx), Seq("w1", "salt"), "left")
+      .join(saltedModel(cont), Seq("w2", "salt"), "left")
+      .crossJoin(broadcast(scalars))
+      .select(col("doc_id"),
+        // operand shapes mirror the oracle SQL exactly; the
+        // continuation prior is spelled identically on both branches
+        log(when(col("p_c1").isNotNull,
+            greatest(coalesce(col("c12"), lit(0L)) - lit(discount), lit(0.0))
+              / col("p_c1")
+            + lit(discount) * col("n1f") / col("p_c1")
+              * ((coalesce(col("n1b"), lit(0L)) + lit(1.0))
+                 / (col("nd") + col("vv"))))
+          .otherwise(
+            (coalesce(col("n1b"), lit(0L)) + lit(1.0))
+              / (col("nd") + col("vv"))))
+          .as("lp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        ((-sum(col("lp"))) / count(lit(1))).as("xent_raw"))
+  }
+
   /** Self-perplexity scores of the documents table, staged: the
     * score table is the reusable curation artifact (both queries and
     * any downstream keep/drop gate consume it), so it lands in
@@ -322,6 +408,29 @@ object Perplexity {
           md5Long(concat(lit("pplxref:"), col("doc_id").cast("string")), 1, 8)
             .cast("double") / 4294967296.0 < refFrac)
         scoreAgainstInterp(modelOf(spark, ref), corpus, lambda)
+      }
+    }.orderBy(col("doc_id"))
+  }
+
+  /** Gate query: the reference-trained shape scored with the
+    * KNESER–NEY model ([[scoreAgainstKn]]) — same md5-coin 5%
+    * training split and one-artifact staging as the other two
+    * reference-trained variants, so all three smoothing families
+    * (uniform prior / frequency prior / continuation prior) sit
+    * under the hash-exact oracle over the SAME novel
+    * bigrams/prefixes/tokens and a caller picks per corpus.
+    */
+  def qualityPerplexityKn(spark: SparkSession, dir: String,
+      refFrac: Double = 0.05,
+      discount: Double = DefaultKnDiscount): DataFrame = {
+    val fp = DfCache.inputFingerprint(spark, s"$dir/documents.parquet")
+    DfCache.getOrCompute(spark, s"pplx_kn_scored:$dir:$refFrac:$discount") {
+      DfCache.stagedFrame(spark, s"pplx_kn_scored_${refFrac}_$discount", fp) {
+        val corpus = Tables.documents(spark, dir)
+        val ref = corpus.where(
+          md5Long(concat(lit("pplxref:"), col("doc_id").cast("string")), 1, 8)
+            .cast("double") / 4294967296.0 < refFrac)
+        scoreAgainstKn(modelOf(spark, ref), corpus, discount)
       }
     }.orderBy(col("doc_id"))
   }

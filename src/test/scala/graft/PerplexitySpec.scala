@@ -138,6 +138,52 @@ class PerplexitySpec extends SparkSpec {
     assert(interp(2L) < interp(1L))
   }
 
+  test("Kneser-Ney scorer matches a hand computation") {
+    import spark.implicits._
+    // model: c(a,b)=2 c(b,a)=2 c(a,a)=1; c1(a)=3 c1(b)=2
+    // n1f(a)=2 n1f(b)=1; n1b(a)=2 n1b(b)=1; ND=3; V=2
+    val corpus = Seq((1L, "a b a"), (2L, "b a"), (3L, "a a b"))
+      .toDF("doc_id", "text")
+    val got = Perplexity.scoreAgainstKn(
+        Perplexity.modelOf(spark, corpus), corpus)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("xent"))).toMap
+    // operand shapes mirror the Column expression so the doubles agree
+    def p(c12: Double, c1: Double, n1f: Double, n1b: Double): Double =
+      math.max(c12 - 0.75, 0.0) / c1 +
+        0.75 * n1f / c1 * ((n1b + 1.0) / (3.0 + 2.0))
+    val pBA = p(2, 3, 2, 1)   // P(b|a)
+    val pAB = p(2, 2, 1, 2)   // P(a|b)
+    val pAA = p(1, 3, 2, 2)   // P(a|a)
+    assert(got(1L) === ((2L, r4(-(math.log(pBA) + math.log(pAB)) / 2))))
+    assert(got(2L) === ((1L, r4(-math.log(pAB)))))
+    assert(got(3L) === ((2L, r4(-(math.log(pAA) + math.log(pBA)) / 2))))
+  }
+
+  test("KN continuation prior orders what both other priors cannot") {
+    import spark.implicits._
+    // x: frequent (cu=6) but ALWAYS after the same context (n1b=1) —
+    // a burst/boilerplate artifact. y: rarer (cu=5) but follows FIVE
+    // distinct contexts (n1b=5) — genuinely productive vocabulary.
+    // The crawl uses a NOVEL prefix so every scorer is on its prior.
+    val model = Perplexity.modelOf(spark,
+      (Seq((1L, "q x q x q x q x q x q x")) ++
+       Seq("a", "b", "c", "d", "e").zipWithIndex.map {
+         case (ctx, i) => ((i + 2).toLong, s"$ctx y") }).toDF("doc_id", "text"))
+    val crawl = Seq((1L, "zz x"), (2L, "zz y")).toDF("doc_id", "text")
+    def scores(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      df.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("xent")).toMap
+    val addone = scores(Perplexity.scoreAgainst(model, crawl))
+    val interp = scores(Perplexity.scoreAgainstInterp(model, crawl))
+    val kn = scores(Perplexity.scoreAgainstKn(model, crawl))
+    // add-one's uniform prior sees no difference at all
+    assert(addone(1L) == addone(2L))
+    // the frequency prior prefers the burst token...
+    assert(interp(1L) < interp(2L))
+    // ...the continuation prior flips it: productive beats burst
+    assert(kn(2L) < kn(1L))
+  }
+
   test("empty model fails loudly instead of emitting NULL scores") {
     import spark.implicits._
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
@@ -177,7 +223,8 @@ class PerplexitySpec extends SparkSpec {
       Seq(
         s"$d self"    -> margin(Perplexity.scoreAgainstRaw(self, corpus)),
         s"$d ref"     -> margin(Perplexity.scoreAgainstRaw(ref, corpus)),
-        s"$d backoff" -> margin(Perplexity.scoreAgainstInterpRaw(ref, corpus)))
+        s"$d backoff" -> margin(Perplexity.scoreAgainstInterpRaw(ref, corpus)),
+        s"$d kn"      -> margin(Perplexity.scoreAgainstKnRaw(ref, corpus)))
     }
     margins.foreach { case (k, m) => info(f"$k%-40s midpoint margin $m%.3e") }
     // floor: >= 2 orders above the ~1e-13 cross-engine drift bound.
