@@ -1343,14 +1343,33 @@ object SparkEntry {
           |    row_number() OVER (PARTITION BY b_id ORDER BY jaccard DESC, a_id) AS rk
           |  FROM jac WHERE jaccard >= 0.8),
           |bs AS (SELECT d.doc_id, COALESCE(k.cluster_id, d.doc_id) AS group_id
-          |  FROM corpus d LEFT JOIN clus k ON k.doc_id = d.doc_id)
+          |  FROM corpus d LEFT JOIN clus k ON k.doc_id = d.doc_id),
+          |nov AS (SELECT dl.doc_id, dl.text FROM delta dl
+          |  LEFT JOIN (SELECT * FROM best WHERE rk = 1) bb ON bb.doc_id = dl.doc_id
+          |  WHERE bb.doc_id IS NULL),
+          |ngrp AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS r FROM nov),
+          |nreps AS (SELECT n.doc_id, n.text FROM nov n
+          |  JOIN (SELECT DISTINCT r FROM ngrp) rr ON n.doc_id = rr.r),
+          |npairs AS (WITH """.stripMargin + postingCte("nreps") +
+        ",\n" + minhashStagesSql + ",\n" + jaccardTail +
+        """
+          |),
+          |nrp AS (SELECT a_id, b_id FROM npairs WHERE jaccard >= 0.8),
+          |nedges AS (SELECT a_id AS a, b_id AS b FROM nrp
+          |  UNION ALL SELECT b_id AS a, a_id AS b FROM nrp),
+          |nreach AS (SELECT a, b FROM nedges
+          |  UNION SELECT r.a, e.b FROM nreach r JOIN nedges e ON r.b = e.a),
+          |nrepc AS (SELECT a AS r, least(a, MIN(b)) AS cl FROM nreach GROUP BY a),
+          |ngroups AS (SELECT g.doc_id, coalesce(rc.cl, g.r) AS dgroup
+          |  FROM ngrp g LEFT JOIN nrepc rc ON rc.r = g.r)
           |SELECT dl.doc_id, b.match_id,
-          |  COALESCE(bs.group_id, dl.doc_id) AS group_id,
-          |  CASE WHEN CAST(('0x' || substr(md5(CAST(COALESCE(bs.group_id, dl.doc_id) AS VARCHAR)), 1, 8))::BIGINT AS DOUBLE)
+          |  COALESCE(bs.group_id, ng.dgroup, dl.doc_id) AS group_id,
+          |  CASE WHEN CAST(('0x' || substr(md5(CAST(COALESCE(bs.group_id, ng.dgroup, dl.doc_id) AS VARCHAR)), 1, 8))::BIGINT AS DOUBLE)
           |      / 4294967296.0 < """.stripMargin + Dedup.SplitEvalFrac +
         """ THEN 'eval' ELSE 'train' END AS split
           |FROM delta dl LEFT JOIN (SELECT * FROM best WHERE rk = 1) b ON b.doc_id = dl.doc_id
           |  LEFT JOIN bs ON bs.doc_id = b.match_id
+          |  LEFT JOIN ngroups ng ON ng.doc_id = dl.doc_id
           |ORDER BY dl.doc_id""".stripMargin),
     "dedup_clusters_grouped" ->
       (clustersQuotientSqlOver(groupedCorpusSql) +

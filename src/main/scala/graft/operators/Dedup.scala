@@ -585,18 +585,20 @@ object Dedup {
     * probe, two hash joins on doc ids, a scalar coin. Output is
     * delta-sized.
     *
-    * CONTRACT LIMIT — delta-internal duplication: the probe matches
-    * delta docs against the BASE index only, so two delta docs that
-    * are near-dups of EACH OTHER but match no base doc each get their
-    * own coin and can straddle train/eval — the within-batch analog
-    * of the leak [[datasetSplit]] prevents. This is the standard
-    * incremental-manifest trade (the base manifest is the only frozen
-    * truth); a caller whose delta batches may carry internal
-    * duplication must either run [[datasetSplit]]'s batch clustering
-    * over the delta first (quotient delta-internal groups to one
-    * coin) or fold the batch into the base and re-stage before the
-    * next batch. The gate corpus is safe by construction (every delta
-    * doc near-matches its base original).
+    * DELTA-INTERNAL duplication is quotiented too (round 13): the
+    * probe matches delta docs against the BASE index only, so two
+    * delta docs that are near-dups of EACH OTHER but match no base
+    * doc would each get their own coin and could straddle train/eval
+    * — the within-batch analog of the leak [[datasetSplit]]
+    * prevents. The NOVEL remainder of the batch (docs with no base
+    * match) therefore goes through the same exact-content quotient +
+    * band join + rep-graph components as the batch split, and every
+    * within-batch group shares one coin. The one remaining (and
+    * irreducible) bridge case is a novel doc that near-matches a
+    * MATCHED delta doc: the matched doc's side is frozen by the base
+    * manifest it inherits, so chaining through it could contradict
+    * another member's inherited side — that doc keeps its own coin,
+    * the frozen-manifest trade documented above.
     */
   def datasetSplitIncremental(spark: SparkSession, dir: String,
                               evalFrac: Double = SplitEvalFrac): DataFrame = {
@@ -605,25 +607,82 @@ object Dedup {
     // replicated ladder rung (where ScaleGen's id shifts push clone
     // replicas past CopyIdOffset) both sides of the oracle stay on
     // one spelling instead of diverging on what "the base" means
-    val baseAsg = corpusWithDups(spark, dir, perturb = true)
+    val full = corpusWithDups(spark, dir, perturb = true)
+    val baseAsg = full
       .where(col("doc_id") < CopyIdOffset).select(col("doc_id"))
       .join(baseClustersCached(spark, dir), Seq("doc_id"), "left")
       .select(col("doc_id").as("match_id"),
         coalesce(col("cluster_id"), col("doc_id")).as("base_group"))
     val matches = neardupIncremental(spark, dir)
       .select(col("doc_id"), col("match_id"))
-    val delta = corpusWithDups(spark, dir, perturb = true)
-      .where(col("doc_id") >= CopyIdOffset).select(col("doc_id"))
+    val delta = full.where(col("doc_id") >= CopyIdOffset).select(col("doc_id"))
+    val novel = full.where(col("doc_id") >= CopyIdOffset)
+      .join(matches.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("text"))
+    val deltaGroups = deltaInternalGroups(spark, dir, novel)
     val asg = delta.join(matches, Seq("doc_id"), "left")
       .join(baseAsg, Seq("match_id"), "left")
+      .join(deltaGroups, Seq("doc_id"), "left")
       .select(col("doc_id"), col("match_id"),
-        coalesce(col("base_group"), col("doc_id")).as("group_id"))
+        coalesce(col("base_group"), col("delta_group"), col("doc_id"))
+          .as("group_id"))
     val coin =
       md5Long(col("group_id").cast("string"), 1, 8).cast("double") / 4294967296.0
     asg.select(col("doc_id"), col("match_id"), col("group_id"),
       when(coin < evalFrac, "eval").otherwise("train").as("split"))
       .orderBy(col("doc_id"))
   }
+
+  /** Within-batch near-dup groups of the NOVEL delta docs (those
+    * with no base match) — the delta-internal quotient
+    * [[datasetSplitIncremental]] coins on: exact dups share their
+    * content rep ([[quotientOf]]), near-dup components share their
+    * component minimum (the same rep-graph contraction + pointer-
+    * doubling closure as the batch split, so a replicated rung's
+    * clone groups never expand into clone² band candidates). Output
+    * is (doc_id, delta_group) for every novel doc. Per-batch state
+    * like the other delta frames (session memo, novel-batch-sized —
+    * empty on any corpus whose delta docs all match base, which the
+    * `members.isEmpty` probe short-circuits without building the
+    * band join at all).
+    */
+  private[graft] def deltaInternalGroups(spark: SparkSession, dir: String,
+      novel: DataFrame): DataFrame =
+    DfCache.getOrCompute(spark, s"split_delta_groups:$dir") {
+      val members = cachedPosting(quotientOf(novel))
+      val out =
+        if (members.isEmpty)
+          members.select(col("doc_id"), col("rep_id").as("delta_group"))
+        else {
+          val pairs8 = minhashPairsOf(novel, Some(members))(_.localCheckpoint())
+            .where(col("jaccard") >= 0.8).select(col("a_id"), col("b_id"))
+          val isRep = members.where(col("doc_id") === col("rep_id"))
+            .select(col("doc_id"))
+          val repEdges = pairs8
+            .join(isRep.withColumnRenamed("doc_id", "a_id"), Seq("a_id"), "left_semi")
+            .join(isRep.withColumnRenamed("doc_id", "b_id"), Seq("b_id"), "left_semi")
+            .select(col("a_id"), col("b_id"))
+          // a batch whose only near-dups are exact (within-group)
+          // pairs has NO rep edges — skip the fixpoint rather than
+          // run pointer doubling over an empty graph (the empty
+          // localCheckpoint rounds also confuse the block manager
+          // with release-vs-reuse races on degenerate plans)
+          val repComp =
+            if (repEdges.isEmpty)
+              repEdges.select(col("a_id").as("doc_id"),
+                col("b_id").as("cluster_id"))
+            else componentsWithRounds(repEdges,
+              sys.props.get("graft.components.checkpointDir"))._1
+          members
+            .join(repComp.select(col("doc_id").as("rep_id"), col("cluster_id")),
+              Seq("rep_id"), "left")
+            .select(col("doc_id"),
+              coalesce(col("cluster_id"), col("rep_id")).as("delta_group"))
+        }
+      val got = out.localCheckpoint()
+      members.unpersist()
+      got
+    }
 
   /** INCREMENTAL near-dup detection: a small DELTA of new documents
     * probed against the PERSISTED MinHash band index of the
