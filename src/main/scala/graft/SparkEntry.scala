@@ -1339,12 +1339,12 @@ object SparkEntry {
           |jac AS (SELECT a_id, b_id,
           |    floor((CAST(inter AS DOUBLE)/(ca.n + cb.n - inter)) * 10000.0 + 0.5) / 10000.0 AS jaccard
           |  FROM itr JOIN cnt ca ON ca.doc_id = a_id JOIN cnt cb ON cb.doc_id = b_id),
-          |best AS (SELECT b_id AS doc_id, a_id AS match_id, jaccard,
+          |best AS MATERIALIZED (SELECT b_id AS doc_id, a_id AS match_id, jaccard,
           |    row_number() OVER (PARTITION BY b_id ORDER BY jaccard DESC, a_id) AS rk
           |  FROM jac WHERE jaccard >= 0.8),
           |bs AS (SELECT d.doc_id, COALESCE(k.cluster_id, d.doc_id) AS group_id
           |  FROM corpus d LEFT JOIN clus k ON k.doc_id = d.doc_id),
-          |nov AS (SELECT dl.doc_id, dl.text FROM delta dl
+          |nov AS MATERIALIZED (SELECT dl.doc_id, dl.text FROM delta dl
           |  LEFT JOIN (SELECT * FROM best WHERE rk = 1) bb ON bb.doc_id = dl.doc_id
           |  WHERE bb.doc_id IS NULL),
           |ngrp AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS r FROM nov),
