@@ -45,9 +45,18 @@ object PplxStream {
     * Delivery is at-least-once: scores are a pure function of
     * (model, text), so re-delivery re-publishes identical rows and
     * any idempotent sink (or dedup on doc_id downstream) absorbs it.
+    *
+    * `scorer` picks the smoothing family — [[Perplexity.scoreAgainst]]
+    * (add-one, the default), [[Perplexity.scoreAgainstInterp]] or
+    * [[Perplexity.scoreAgainstKn]] — all three consume the same
+    * frozen [[Perplexity.modelOf]] artifact and are batch-local
+    * per-doc folds, so the epoch-frozen argument is scorer-agnostic
+    * (PplxStreamSpec proves stream ≡ batch for the KN pick too).
     */
   def scoreSink(docs: DataFrame, model: DataFrame,
-      cuts: Option[DataFrame] = None)(publish: DataFrame => Unit)
+      cuts: Option[DataFrame] = None,
+      scorer: (DataFrame, DataFrame) => DataFrame =
+        Perplexity.scoreAgainst(_, _))(publish: DataFrame => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[Row] = {
     require(docs.columns.contains("doc_id") && docs.columns.contains("text"),
       s"stream must carry (doc_id, text), got ${docs.columns.mkString(",")}")
@@ -59,7 +68,7 @@ object PplxStream {
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
-          val scored = Perplexity.scoreAgainst(model, batch)
+          val scored = scorer(model, batch)
           publish(cuts.fold(scored)(c => scored.crossJoin(broadcast(c))
             .select(col("doc_id"), col("n_bigrams"), col("xent"),
               Perplexity.bucketOf(col("xent"), col("c1"), col("c2")).as("bucket"))))

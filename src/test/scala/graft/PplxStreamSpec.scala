@@ -22,12 +22,15 @@ class PplxStreamSpec extends SparkSpec {
 
   private def runStream(batches: Seq[Seq[PplxDoc]],
       model: org.apache.spark.sql.DataFrame,
-      cuts: Option[org.apache.spark.sql.DataFrame] = None): Seq[Row] = {
+      cuts: Option[org.apache.spark.sql.DataFrame] = None,
+      scorer: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)
+        => org.apache.spark.sql.DataFrame = Perplexity.scoreAgainst(_, _))
+      : Seq[Row] = {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     val input = MemoryStream[PplxDoc]
     val out = scala.collection.mutable.ArrayBuffer[Row]()
-    val query = PplxStream.scoreSink(input.toDF(), model, cuts) { scored =>
+    val query = PplxStream.scoreSink(input.toDF(), model, cuts, scorer) { scored =>
       out.synchronized { out ++= scored.collect() }
     }.start()
     try {
@@ -64,6 +67,27 @@ class PplxStreamSpec extends SparkSpec {
     // rows but never changes a score or a bucket
     val replayed = runStream(Seq(docs, docs), model, Some(cuts))
     assert(replayed.distinct === once.distinct)
+  }
+
+  test("the scorer seam: a KN-scored stream equals the KN batch scorer") {
+    import spark.implicits._
+    val corpus = Tables.documents(spark, sfDir)
+    val coin = graft.functions.TextFunctions.md5Long(
+      org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit("pplxref:"),
+        org.apache.spark.sql.functions.col("doc_id").cast("string")), 1, 8)
+      .cast("double") / 4294967296.0
+    val model = Perplexity.modelOf(spark, corpus.where(coin < 0.05))
+      .localCheckpoint()
+    val docs = corpus.select("doc_id", "text").as[PplxDoc]
+      .collect().toSeq.sortBy(_.doc_id).take(200)
+    val batch = Perplexity.scoreAgainstKn(model,
+        docs.toDF().select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("text")))
+      .orderBy("doc_id").collect().toSeq
+    val third = (docs.length + 2) / 3
+    assert(runStream(docs.grouped(third).toSeq, model,
+      scorer = Perplexity.scoreAgainstKn(_, _)) === batch)
   }
 
   test("malformed inputs fail loudly") {
