@@ -649,39 +649,42 @@ object Dedup {
   private[graft] def deltaInternalGroups(spark: SparkSession, dir: String,
       novel: DataFrame): DataFrame =
     DfCache.getOrCompute(spark, s"split_delta_groups:$dir") {
-      val members = cachedPosting(quotientOf(novel))
-      val out =
-        if (members.isEmpty)
-          members.select(col("doc_id"), col("rep_id").as("delta_group"))
-        else {
-          val pairs8 = minhashPairsOf(novel, Some(members))(_.localCheckpoint())
-            .where(col("jaccard") >= 0.8).select(col("a_id"), col("b_id"))
-          val isRep = members.where(col("doc_id") === col("rep_id"))
-            .select(col("doc_id"))
-          val repEdges = pairs8
-            .join(isRep.withColumnRenamed("doc_id", "a_id"), Seq("a_id"), "left_semi")
-            .join(isRep.withColumnRenamed("doc_id", "b_id"), Seq("b_id"), "left_semi")
-            .select(col("a_id"), col("b_id"))
-          // a batch whose only near-dups are exact (within-group)
-          // pairs has NO rep edges — skip the fixpoint rather than
-          // run pointer doubling over an empty graph (the empty
-          // localCheckpoint rounds also confuse the block manager
-          // with release-vs-reuse races on degenerate plans)
-          val repComp =
-            if (repEdges.isEmpty)
-              repEdges.select(col("a_id").as("doc_id"),
-                col("b_id").as("cluster_id"))
-            else componentsWithRounds(repEdges,
-              sys.props.get("graft.components.checkpointDir"))._1
-          members
-            .join(repComp.select(col("doc_id").as("rep_id"), col("cluster_id")),
-              Seq("rep_id"), "left")
-            .select(col("doc_id"),
-              coalesce(col("cluster_id"), col("rep_id")).as("delta_group"))
-        }
-      val got = out.localCheckpoint()
-      members.unpersist()
-      got
+      // probe novelty BEFORE the quotient: a batch whose every doc
+      // matched base (the steady-state recrawl) pays one anti-join
+      // scan here instead of the content-hash window shuffle below
+      if (novel.isEmpty)
+        novel.select(col("doc_id"), col("doc_id").as("delta_group"))
+          .localCheckpoint()
+      else {
+        val members = cachedPosting(quotientOf(novel))
+        val pairs8 = minhashPairsOf(novel, Some(members))(_.localCheckpoint())
+          .where(col("jaccard") >= 0.8).select(col("a_id"), col("b_id"))
+        val isRep = members.where(col("doc_id") === col("rep_id"))
+          .select(col("doc_id"))
+        val repEdges = pairs8
+          .join(isRep.withColumnRenamed("doc_id", "a_id"), Seq("a_id"), "left_semi")
+          .join(isRep.withColumnRenamed("doc_id", "b_id"), Seq("b_id"), "left_semi")
+          .select(col("a_id"), col("b_id"))
+        // a batch whose only near-dups are exact (within-group)
+        // pairs has NO rep edges — skip the fixpoint rather than
+        // run pointer doubling over an empty graph (the empty
+        // localCheckpoint rounds also confuse the block manager
+        // with release-vs-reuse races on degenerate plans)
+        val repComp =
+          if (repEdges.isEmpty)
+            repEdges.select(col("a_id").as("doc_id"),
+              col("b_id").as("cluster_id"))
+          else componentsWithRounds(repEdges,
+            sys.props.get("graft.components.checkpointDir"))._1
+        val got = members
+          .join(repComp.select(col("doc_id").as("rep_id"), col("cluster_id")),
+            Seq("rep_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("cluster_id"), col("rep_id")).as("delta_group"))
+          .localCheckpoint()
+        members.unpersist()
+        got
+      }
     }
 
   /** INCREMENTAL near-dup detection: a small DELTA of new documents
