@@ -81,6 +81,7 @@ object SparkEntry {
     "quality_perplexity_ref" -> ((s, d) => Perplexity.qualityPerplexityRef(s, d)),
     "quality_perplexity_backoff" -> ((s, d) => Perplexity.qualityPerplexityBackoff(s, d)),
     "quality_perplexity_kn" -> ((s, d) => Perplexity.qualityPerplexityKn(s, d)),
+    "quality_perplexity_kn3" -> ((s, d) => Perplexity.qualityPerplexityKn3(s, d)),
     "token_count"     -> (TextAnalysis.tokenCount _),
     "doc_fingerprint" -> (TextAnalysis.docFingerprint _),
     "multimodal_meta" -> (TextAnalysis.multimodalMeta _),
@@ -1555,6 +1556,56 @@ object SparkEntry {
         |    LEFT JOIN rcont USING (w2), rsc
         |  GROUP BY abgr.doc_id)
         |SELECT doc_id, n_bigrams, xent FROM scr ORDER BY doc_id""".stripMargin,
+    // TRIGRAM interpolated Kneser-Ney over the same md5-coin 5% split
+    // (Perplexity.scoreAgainstKn3): two backoff levels with
+    // continuation counts at each — P3 = max(c123-D,0)/c12 +
+    // D*n1f12/c12*P2; P2 = max(n1b23-D,0)/nmid + D*n1fmid/nmid*P1;
+    // P1 = (n1b3+1)/(ND+V). Every quantity is a row count of the
+    // trigram table; the P2/P1 subtrees are spelled VERBATIM in both
+    // CASE branches to mirror the reused Column trees exactly.
+    // Population: docs with >= 3 tokens.
+    "quality_perplexity_kn3" ->
+      """WITH rtk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE CAST(('0x' || substr(md5('pplxref:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS DOUBLE)
+        |      / 4294967296.0 < 0.05
+        |    AND len(string_split(text, ' ')) >= 3),
+        |rtgr AS (SELECT t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3
+        |  FROM rtk, LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS i) ii),
+        |rtri AS (SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS c123
+        |  FROM rtgr GROUP BY w1, w2, w3),
+        |rp12 AS (SELECT w1, w2, CAST(SUM(c123) AS BIGINT) AS c12,
+        |    CAST(COUNT(*) AS BIGINT) AS n1f12 FROM rtri GROUP BY w1, w2),
+        |rmid AS (SELECT w2, w3, CAST(COUNT(*) AS BIGINT) AS n1b23
+        |  FROM rtri GROUP BY w2, w3),
+        |rmidp AS (SELECT w2, CAST(SUM(n1b23) AS BIGINT) AS nmid,
+        |    CAST(COUNT(*) AS BIGINT) AS n1fmid FROM rmid GROUP BY w2),
+        |rcont AS (SELECT w3, CAST(COUNT(*) AS BIGINT) AS n1b3
+        |  FROM rtri GROUP BY w3),
+        |rsc AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM rtri) AS nd
+        |  FROM (SELECT unnest(t) AS tok FROM rtk)),
+        |atk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |atgr AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3
+        |  FROM atk, LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS i) ii),
+        |scr AS (SELECT atgr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+        |    floor((-SUM(ln(CASE WHEN c12 IS NOT NULL
+        |      THEN greatest(coalesce(c123, 0) - 0.75, 0.0) / c12
+        |         + 0.75 * n1f12 / c12 *
+        |           (CASE WHEN nmid IS NOT NULL
+        |              THEN greatest(coalesce(n1b23, 0) - 0.75, 0.0) / nmid
+        |                 + 0.75 * n1fmid / nmid * ((coalesce(n1b3, 0) + 1.0) / (nd + v))
+        |              ELSE ((coalesce(n1b3, 0) + 1.0) / (nd + v)) END)
+        |      ELSE (CASE WHEN nmid IS NOT NULL
+        |              THEN greatest(coalesce(n1b23, 0) - 0.75, 0.0) / nmid
+        |                 + 0.75 * n1fmid / nmid * ((coalesce(n1b3, 0) + 1.0) / (nd + v))
+        |              ELSE ((coalesce(n1b3, 0) + 1.0) / (nd + v)) END) END))
+        |      / COUNT(*)) * 10000.0 + 0.5)/10000.0 AS xent
+        |  FROM atgr LEFT JOIN rtri USING (w1, w2, w3) LEFT JOIN rp12 USING (w1, w2)
+        |    LEFT JOIN rmid USING (w2, w3) LEFT JOIN rmidp USING (w2)
+        |    LEFT JOIN rcont USING (w3), rsc
+        |  GROUP BY atgr.doc_id)
+        |SELECT doc_id, n_trigrams, xent FROM scr ORDER BY doc_id""".stripMargin,
     // Head/middle/tail perplexity terciles; cutoffs via quantile_cont
     // = Spark's exact interpolated percentile (value_percentiles parity).
     "quality_perplexity_buckets" -> ("WITH " + pplxScoredCte +

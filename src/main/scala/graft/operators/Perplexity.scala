@@ -412,6 +412,149 @@ object Perplexity {
     }.orderBy(col("doc_id"))
   }
 
+  /** Documents with ≥ 3 whitespace tokens — the corpus a TRIGRAM
+    * model can see (one order stricter than [[tokenized]]).
+    */
+  private def tokenized3(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .where(size(col("toks")) >= 3)
+
+  /** Consecutive-token trigrams, one row per position. */
+  private def trigramsOf(docs: DataFrame): DataFrame =
+    tokenized3(docs).select(col("doc_id"), explode(zip_with(
+        zip_with(
+          slice(col("toks"), lit(1), size(col("toks")) - 2),
+          slice(col("toks"), lit(2), size(col("toks")) - 2),
+          (a, b) => struct(a.as("w1"), b.as("w2"))),
+        slice(col("toks"), lit(3), size(col("toks")) - 2),
+        (p, c) => struct(p.getField("w1").as("w1"),
+          p.getField("w2").as("w2"), c.as("w3")))).as("tg"))
+      .select(col("doc_id"), col("tg.w1").as("w1"),
+        col("tg.w2").as("w2"), col("tg.w3").as("w3"))
+
+  /** Trigram count model over `corpus`: one row per distinct trigram
+    * with its count `c123`, plus the corpus vocabulary size `v` as a
+    * broadcast-scalar column — the single artifact every derived
+    * table of [[scoreAgainstKn3]] is a row count of (the same
+    * one-training-pass contract as [[modelOf]]).
+    */
+  def modelOf3(spark: SparkSession, corpus: DataFrame): DataFrame = {
+    val tri = trigramsOf(corpus)
+      .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c123"))
+    val voc = tokenized3(corpus)
+      .select(explode(col("toks")).as("tok"))
+      .agg(count_distinct(col("tok")).as("v"))
+    tri.crossJoin(broadcast(voc))
+  }
+
+  /** TRIGRAM interpolated Kneser–Ney scorer — one order up from
+    * [[scoreAgainstKn]], the canonical step toward the 5-gram KenLM
+    * models CCNet deploys (Wenzek et al. §3; Chen & Goodman 1998).
+    * Two backoff levels, continuation counts at each:
+    *
+    *   P3(w3|w1w2) = max(c123−D,0)/c12 + D·n1f12/c12 · P2(w3|w2)
+    *   P2(w3|w2)   = max(n1b23−D,0)/nmid + D·n1fmid/nmid · P1(w3)
+    *   P1(w3)      = (n1b3 + 1) / (ND + V)
+    *
+    * where every quantity is a ROW COUNT of the [[modelOf3]] trigram
+    * table: `c12 = Σ_w3 c123` and `n1f12 = |{w3}|` per (w1,w2);
+    * `n1b23 = |{w1 : c123>0}|` per (w2,w3) (the mid-level KN
+    * continuation count — HOW MANY contexts a bigram completes, not
+    * how often); `nmid = Σ_w3 n1b23` and `n1fmid = |{w3}|` per w2;
+    * `n1b3 = |{(w1,w2)}|` per w3; `ND = |distinct trigrams|`. A novel
+    * (w1,w2) prefix backs off to P2, a novel middle token to P1, and
+    * the unigram floor keeps P > 0 for a token the model never saw —
+    * so the left joins never drop a row (the smoothing contract of
+    * the whole family). Dyadic D keeps the discounts bit-exact; the
+    * inner P2/P1 expressions are SHARED Column trees reused in both
+    * branches, and the oracle SQL spells them verbatim twice, so the
+    * float ops are identical in both engines by construction.
+    *
+    * Plan shape: the trigram stream (corpus-sized, doc-hash salted)
+    * LEFT JOINs five vocabulary-bounded model tables (each replicated
+    * salt-wide like the bigram scorers) + one broadcast scalar, then
+    * one map-side-combined groupBy doc_id. Linear, no windows, no
+    * self-joins — the same 100 TB shape as [[scoreAgainstRaw]] with
+    * two more small joins.
+    */
+  def scoreAgainstKn3(model3: DataFrame, corpus: DataFrame,
+      discount: Double = DefaultKnDiscount): DataFrame =
+    rounded3(scoreAgainstKn3Raw(model3, corpus, discount))
+
+  private def rounded3(raw: DataFrame): DataFrame =
+    raw.select(col("doc_id"), col("n_trigrams"),
+      Par.round4(col("xent_raw")).as("xent"))
+
+  private[graft] def scoreAgainstKn3Raw(model3: DataFrame, corpus: DataFrame,
+      discount: Double = DefaultKnDiscount): DataFrame = {
+    require(discount > 0.0 && discount < 1.0,
+      s"KN discount must be in (0,1), got $discount")
+    val tri = model3.select("w1", "w2", "w3", "c123")
+    val p12 = tri.groupBy("w1", "w2")
+      .agg(sum("c123").as("c12"), count(lit(1)).as("n1f12"))
+    val mid = tri.groupBy("w2", "w3").agg(count(lit(1)).as("n1b23"))
+    val midp = mid.groupBy("w2")
+      .agg(sum("n1b23").as("nmid"), count(lit(1)).as("n1fmid"))
+    val cont = tri.groupBy("w3").agg(count(lit(1)).as("n1b3"))
+    val scalars = model3
+      .agg(first("v").as("vv0"), count(lit(1)).as("nd"))
+      .select(when(col("vv0").isNull, raise_error(lit(
+          "Perplexity.scoreAgainstKn3: model is empty (no trigrams) — " +
+          "train on a non-empty reference corpus")))
+        .otherwise(col("vv0")).as("vv"), col("nd"))
+    // the shared backoff trees — reused Column instances, so both
+    // branches of every CASE evaluate the IDENTICAL float expression
+    val p1 = (coalesce(col("n1b3"), lit(0L)) + lit(1.0)) /
+      (col("nd") + col("vv"))
+    val p2 = when(col("nmid").isNotNull,
+        greatest(coalesce(col("n1b23"), lit(0L)) - lit(discount), lit(0.0))
+          / col("nmid")
+        + lit(discount) * col("n1fmid") / col("nmid") * p1)
+      .otherwise(p1)
+    val p3 = when(col("c12").isNotNull,
+        greatest(coalesce(col("c123"), lit(0L)) - lit(discount), lit(0.0))
+          / col("c12")
+        + lit(discount) * col("n1f12") / col("c12") * p2)
+      .otherwise(p2)
+    saltedTrigrams(corpus)
+      .join(saltedModel(tri), Seq("w1", "w2", "w3", "salt"), "left")
+      .join(saltedModel(p12), Seq("w1", "w2", "salt"), "left")
+      .join(saltedModel(mid), Seq("w2", "w3", "salt"), "left")
+      .join(saltedModel(midp), Seq("w2", "salt"), "left")
+      .join(saltedModel(cont), Seq("w3", "salt"), "left")
+      .crossJoin(broadcast(scalars))
+      .select(col("doc_id"), log(p3).as("lp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trigrams"),
+        ((-sum(col("lp"))) / count(lit(1))).as("xent_raw"))
+  }
+
+  private def saltedTrigrams(corpus: DataFrame): DataFrame =
+    trigramsOf(corpus).withColumn("salt",
+      pmod(xxhash64(col("doc_id")), lit(ScoreSaltWidth.toLong)).cast("int"))
+
+  /** Gate query: the reference-trained TRIGRAM KN shape — same
+    * md5-coin 5% training split and staging as the bigram variants,
+    * so the whole smoothing ladder (add-one / JM / KN / trigram-KN)
+    * scores the same corpus under the same oracle discipline. The
+    * scoreable population is docs with ≥ 3 tokens (one order
+    * stricter), which the oracle mirrors.
+    */
+  def qualityPerplexityKn3(spark: SparkSession, dir: String,
+      refFrac: Double = 0.05,
+      discount: Double = DefaultKnDiscount): DataFrame = {
+    val fp = DfCache.inputFingerprint(spark, s"$dir/documents.parquet")
+    DfCache.getOrCompute(spark, s"pplx_kn3_scored:$dir:$refFrac:$discount") {
+      DfCache.stagedFrame(spark, s"pplx_kn3_scored_${refFrac}_$discount", fp) {
+        val corpus = Tables.documents(spark, dir)
+        val ref = corpus.where(
+          md5Long(concat(lit("pplxref:"), col("doc_id").cast("string")), 1, 8)
+            .cast("double") / 4294967296.0 < refFrac)
+        scoreAgainstKn3(modelOf3(spark, ref), corpus, discount)
+      }
+    }.orderBy(col("doc_id"))
+  }
+
   /** Gate query: the reference-trained shape scored with the
     * KNESER–NEY model ([[scoreAgainstKn]]) — same md5-coin 5%
     * training split and one-artifact staging as the other two

@@ -184,6 +184,51 @@ class PerplexitySpec extends SparkSpec {
     assert(kn(2L) < kn(1L))
   }
 
+  test("trigram Kneser-Ney scorer matches a hand computation") {
+    import spark.implicits._
+    // trigrams: (a,b,a):1 from doc1, (b,a,b):2 (doc1+doc2); ND=2, V=2
+    // rp12: (a,b)->(c12=1,n1f12=1), (b,a)->(2,1)
+    // rmid: (b,a)->1, (a,b)->1; rmidp: a->(1,1), b->(1,1)
+    // rcont: a->1, b->1
+    val corpus = Seq((1L, "a b a b"), (2L, "b a b")).toDF("doc_id", "text")
+    val got = Perplexity.scoreAgainstKn3(
+        Perplexity.modelOf3(spark, corpus), corpus)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_trigrams"), r.getAs[Double]("xent"))).toMap
+    def p1(n1b3: Double): Double = (n1b3 + 1.0) / (2.0 + 2.0)
+    def p2(n1b23: Double, nmid: Double, n1fmid: Double, n1b3: Double): Double =
+      math.max(n1b23 - 0.75, 0.0) / nmid + 0.75 * n1fmid / nmid * p1(n1b3)
+    def p3(c123: Double, c12: Double, n1f12: Double, pp2: Double): Double =
+      math.max(c123 - 0.75, 0.0) / c12 + 0.75 * n1f12 / c12 * pp2
+    val pABA = p3(1, 1, 1, p2(1, 1, 1, 1))   // P3(a|a,b)
+    val pBAB = p3(2, 2, 1, p2(1, 1, 1, 1))   // P3(b|b,a)
+    assert(got(1L) === ((2L, r4(-(math.log(pABA) + math.log(pBAB)) / 2))))
+    assert(got(2L) === ((1L, r4(-math.log(pBAB)))))
+  }
+
+  test("trigram KN separates contexts every bigram scorer must conflate") {
+    import spark.implicits._
+    // model: "p q r" x10 and "s q t" x10 — the BIGRAM statistics of
+    // (q,r) and (q,t) are identical (count 10, one predecessor), so
+    // every bigram-order scorer scores "p q r" and "p q t" equally.
+    // The trigram (p,q,r) is attested; (p,q,t) is a cross-over the
+    // corpus never produced — only a trigram context can see that.
+    val model = ((1 to 10).map(i => (i.toLong, "p q r")) ++
+      (1 to 10).map(i => (i.toLong + 10, "s q t"))).toDF("doc_id", "text")
+    val crawl = Seq((1L, "p q r"), (2L, "p q t")).toDF("doc_id", "text")
+    def scores(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      df.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("xent")).toMap
+    val bi = Perplexity.modelOf(spark, model)
+    assert(scores(Perplexity.scoreAgainst(bi, crawl))(1L) ==
+      scores(Perplexity.scoreAgainst(bi, crawl))(2L))
+    assert(scores(Perplexity.scoreAgainstKn(bi, crawl))(1L) ==
+      scores(Perplexity.scoreAgainstKn(bi, crawl))(2L))
+    val kn3 = scores(Perplexity.scoreAgainstKn3(
+      Perplexity.modelOf3(spark, model), crawl))
+    assert(kn3(1L) < kn3(2L),
+      "the attested trigram must score strictly better than the cross-over")
+  }
+
   test("empty model fails loudly instead of emitting NULL scores") {
     import spark.implicits._
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
@@ -220,11 +265,13 @@ class PerplexitySpec extends SparkSpec {
         concat(lit("pplxref:"), col("doc_id").cast("string")), 1, 8)
         .cast("double") / 4294967296.0
       val ref = Perplexity.modelOf(spark, corpus.where(coin < 0.05))
+      val ref3 = Perplexity.modelOf3(spark, corpus.where(coin < 0.05))
       Seq(
         s"$d self"    -> margin(Perplexity.scoreAgainstRaw(self, corpus)),
         s"$d ref"     -> margin(Perplexity.scoreAgainstRaw(ref, corpus)),
         s"$d backoff" -> margin(Perplexity.scoreAgainstInterpRaw(ref, corpus)),
-        s"$d kn"      -> margin(Perplexity.scoreAgainstKnRaw(ref, corpus)))
+        s"$d kn"      -> margin(Perplexity.scoreAgainstKnRaw(ref, corpus)),
+        s"$d kn3"     -> margin(Perplexity.scoreAgainstKn3Raw(ref3, corpus)))
     }
     margins.foreach { case (k, m) => info(f"$k%-40s midpoint margin $m%.3e") }
     // floor: >= 2 orders above the ~1e-13 cross-engine drift bound.
