@@ -248,7 +248,17 @@ object Pack {
                       budget: Int = DefaultSeqTokens,
                       nShards: Int = DefaultPackShards,
                       shares: Map[String, Double] = Map.empty,
-                      sorted: Boolean = true): DataFrame = {
+                      sorted: Boolean = true,
+                      // the smoothing family of the perplexity-keep
+                      // stage — any Perplexity scorer over the same
+                      // modelOf artifact (scoreAgainst / Interp / Kn);
+                      // scorerTag keys the staged artifact so two
+                      // scorers never share a kept-frame stage
+                      scorer: (DataFrame, DataFrame) => DataFrame =
+                        Perplexity.scoreAgainst(_, _),
+                      scorerTag: String = "addone"): DataFrame = {
+    require(scorerTag.matches("[A-Za-z0-9_-]+"),
+      s"scorerTag must be a plain label, got '$scorerTag'")
     // STAGE the KEPT survivor frame (scores, cutoffs, keep filter,
     // stratum assignment folded in) as a parquet artifact keyed on
     // the corpus fingerprint — the detect/apply boundary every other
@@ -265,14 +275,17 @@ object Pack {
     // blocks are non-reliable on a real cluster (lost with their
     // executor) — a parquet stage is the 100 TB shape.
     val fp = graft.DfCache.inputFingerprint(spark, s"$dir/documents.parquet")
-    val scored = graft.DfCache.getOrCompute(spark, s"pplx_surv_kept:$dir") {
+    val stageName =
+      if (scorerTag == "addone") "pplx_surv_kept"   // r12 artifact name kept stable
+      else s"pplx_surv_kept_$scorerTag"
+    val scored = graft.DfCache.getOrCompute(spark, s"$stageName:$dir") {
       // score table persisted only while the staged write runs; the
       // build path unpersists it once the artifact is on disk (the
       // staged-table hit path never evaluates this block at all)
       var sc: DataFrame = null
-      val out = graft.DfCache.stagedFrame(spark, "pplx_surv_kept", fp) {
+      val out = graft.DfCache.stagedFrame(spark, stageName, fp) {
         val surv = Curate.survivors(spark, dir)
-        sc = Perplexity.scoreAgainst(Perplexity.modelOf(spark, surv), surv)
+        sc = scorer(Perplexity.modelOf(spark, surv), surv)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val keptIds = sc.crossJoin(broadcast(Perplexity.cutsOf(sc)))
           .where(Perplexity.bucketOf(col("xent"), col("c1"), col("c2")) =!= "tail")

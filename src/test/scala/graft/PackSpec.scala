@@ -35,6 +35,28 @@ class PackSpec extends SparkSpec {
       "a packed doc is in the dropped tail tercile or unscoreable")
   }
 
+  test("trainPrepScored scorer seam: the KN keep-gate stages separately and holds the same invariants") {
+    import graft.operators.{Curate, Perplexity}
+    val packed = Pack.trainPrepScored(spark, sfDir,
+        scorer = Perplexity.scoreAgainstKn(_, _), scorerTag = "kn")
+      .collect()
+    assert(packed.nonEmpty)
+    assert(packed.map(_.getAs[Long]("doc_id")).distinct.length === packed.length)
+    // kept ⊆ KN-scored non-tail survivors — the same keep contract,
+    // under the KN ranking (cutoffs recomputed over KN scores)
+    val surv = Curate.survivors(spark, sfDir)
+    val sc = Perplexity.scoreAgainstKn(Perplexity.modelOf(spark, surv), surv)
+    val cuts = Perplexity.cutsOf(sc).head()
+    val keptOk = sc.collect()
+      .filter(_.getAs[Double]("xent") <= cuts.getAs[Double]("c2"))
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(packed.forall(r => keptOk(r.getAs[Long]("doc_id"))),
+      "a KN-packed doc is in the KN tail tercile or unscoreable")
+    // a tag that could corrupt the staging path is rejected loudly
+    intercept[IllegalArgumentException](
+      Pack.trainPrepScored(spark, sfDir, scorerTag = "../evil"))
+  }
+
   test("sequence_pack: a total, contiguous, zero-padding layout") {
     val docs = Tables.documents(spark, sfDir)
     val pack = Pack.seqPack(spark, sfDir).collect()
