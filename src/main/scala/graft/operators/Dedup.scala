@@ -619,7 +619,11 @@ object Dedup {
     val novel = full.where(col("doc_id") >= CopyIdOffset)
       .join(matches.select(col("doc_id")), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("text"))
-    val deltaGroups = deltaInternalGroups(spark, dir, novel)
+    // the memo key lives HERE, where `novel` is derived from `dir` —
+    // deltaInternalGroups itself is pure in its input frame, so a
+    // caller with a different batch can never be served a stale memo
+    val deltaGroups = DfCache.getOrCompute(spark, s"split_delta_groups:$dir")(
+      deltaInternalGroups(spark, novel))
     val asg = delta.join(matches, Seq("doc_id"), "left")
       .join(baseAsg, Seq("match_id"), "left")
       .join(deltaGroups, Seq("doc_id"), "left")
@@ -637,34 +641,36 @@ object Dedup {
     * with no base match) — the delta-internal quotient
     * [[datasetSplitIncremental]] coins on: exact dups share their
     * content rep ([[quotientOf]]), near-dup components share their
-    * component minimum (the same rep-graph contraction + pointer-
-    * doubling closure as the batch split, so a replicated rung's
-    * clone groups never expand into clone² band candidates). Output
-    * is (doc_id, delta_group) for every novel doc. Per-batch state
-    * like the other delta frames (session memo, novel-batch-sized —
-    * empty on any corpus whose delta docs all match base, which the
-    * `members.isEmpty` probe short-circuits without building the
-    * band join at all).
+    * component minimum. The band/verify pipeline runs on the REP SET
+    * with an identity quotient — [[minhashPairsOf]] degenerates to
+    * the plain rep-level build (empty `within`, trivial `cross`), so
+    * a clone-flooded batch never materializes its clique expansion
+    * only to contract it again. Unlike `clustersOf` (which assigns
+    * only pair-bearing docs — its callers coalesce the rest), the
+    * output here covers EVERY novel doc, because isolated docs still
+    * need their content-rep group id for the coin. Returns a
+    * MATERIALIZED (doc_id, delta_group) frame; pure in `novel` — the
+    * caller owns any memoization, keyed on whatever derived the
+    * batch. A batch whose every doc matched base (the steady-state
+    * recrawl) short-circuits on one `novel.isEmpty` probe, before
+    * the quotient's content-hash shuffle exists at all.
     */
-  private[graft] def deltaInternalGroups(spark: SparkSession, dir: String,
-      novel: DataFrame): DataFrame =
-    DfCache.getOrCompute(spark, s"split_delta_groups:$dir") {
-      // probe novelty BEFORE the quotient: a batch whose every doc
-      // matched base (the steady-state recrawl) pays one anti-join
-      // scan here instead of the content-hash window shuffle below
+  private[graft] def deltaInternalGroups(spark: SparkSession,
+      novel0: DataFrame): DataFrame = {
+    val novel = novel0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
       if (novel.isEmpty)
         novel.select(col("doc_id"), col("doc_id").as("delta_group"))
           .localCheckpoint()
       else {
         val members = cachedPosting(quotientOf(novel))
-        val pairs8 = minhashPairsOf(novel, Some(members))(_.localCheckpoint())
+        val reps = novel.join(
+          members.where(col("doc_id") === col("rep_id")).select(col("doc_id")),
+          Seq("doc_id"), "left_semi")
+        val idMembers = reps.select(col("doc_id"),
+          col("doc_id").as("rep_id"))
+        val repEdges = minhashPairsOf(reps, Some(idMembers))(_.localCheckpoint())
           .where(col("jaccard") >= 0.8).select(col("a_id"), col("b_id"))
-        val isRep = members.where(col("doc_id") === col("rep_id"))
-          .select(col("doc_id"))
-        val repEdges = pairs8
-          .join(isRep.withColumnRenamed("doc_id", "a_id"), Seq("a_id"), "left_semi")
-          .join(isRep.withColumnRenamed("doc_id", "b_id"), Seq("b_id"), "left_semi")
-          .select(col("a_id"), col("b_id"))
         // a batch whose only near-dups are exact (within-group)
         // pairs has NO rep edges — skip the fixpoint rather than
         // run pointer doubling over an empty graph (the empty
@@ -685,7 +691,8 @@ object Dedup {
         members.unpersist()
         got
       }
-    }
+    } finally novel.unpersist()
+  }
 
   /** INCREMENTAL near-dup detection: a small DELTA of new documents
     * probed against the PERSISTED MinHash band index of the

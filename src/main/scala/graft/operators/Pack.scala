@@ -250,15 +250,12 @@ object Pack {
                       shares: Map[String, Double] = Map.empty,
                       sorted: Boolean = true,
                       // the smoothing family of the perplexity-keep
-                      // stage — any Perplexity scorer over the same
-                      // modelOf artifact (scoreAgainst / Interp / Kn);
-                      // scorerTag keys the staged artifact so two
-                      // scorers never share a kept-frame stage
-                      scorer: (DataFrame, DataFrame) => DataFrame =
-                        Perplexity.scoreAgainst(_, _),
-                      scorerTag: String = "addone"): DataFrame = {
-    require(scorerTag.matches("[A-Za-z0-9_-]+"),
-      s"scorerTag must be a plain label, got '$scorerTag'")
+                      // stage — a NAMED Perplexity.Scorer, whose tag
+                      // keys the staged kept-frame artifact, so the
+                      // function and the artifact name can never be
+                      // mismatched (Scorer.AddOne / .interp() / .kn())
+                      scorer: Perplexity.Scorer =
+                        Perplexity.Scorer.AddOne): DataFrame = {
     // STAGE the KEPT survivor frame (scores, cutoffs, keep filter,
     // stratum assignment folded in) as a parquet artifact keyed on
     // the corpus fingerprint — the detect/apply boundary every other
@@ -276,30 +273,33 @@ object Pack {
     // executor) — a parquet stage is the 100 TB shape.
     val fp = graft.DfCache.inputFingerprint(spark, s"$dir/documents.parquet")
     val stageName =
-      if (scorerTag == "addone") "pplx_surv_kept"   // r12 artifact name kept stable
-      else s"pplx_surv_kept_$scorerTag"
+      if (scorer.tag == "addone") "pplx_surv_kept"   // r12 artifact name kept stable
+      else s"pplx_surv_kept_${scorer.tag}"
     val scored = graft.DfCache.getOrCompute(spark, s"$stageName:$dir") {
       // score table persisted only while the staged write runs; the
-      // build path unpersists it once the artifact is on disk (the
-      // staged-table hit path never evaluates this block at all)
+      // build path unpersists it once the artifact is on disk — in a
+      // finally, so a failed write can't pin the score table for the
+      // session (the staged-table hit path never evaluates this block)
       var sc: DataFrame = null
-      val out = graft.DfCache.stagedFrame(spark, stageName, fp) {
-        val surv = Curate.survivors(spark, dir)
-        sc = scorer(Perplexity.modelOf(spark, surv), surv)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val keptIds = sc.crossJoin(broadcast(Perplexity.cutsOf(sc)))
-          .where(Perplexity.bucketOf(col("xent"), col("c1"), col("c2")) =!= "tail")
-          .select(col("doc_id"))
-        surv.join(keptIds, Seq("doc_id"), "left_semi").select(
-          col("doc_id"), col("text"),
-          TextAnalysis.predictedLang(
-            TextAnalysis.profileScore(col("text"), TextAnalysis.Profiles(0)._2),
-            TextAnalysis.profileScore(col("text"), TextAnalysis.Profiles(1)._2),
-            TextAnalysis.profileScore(col("text"), TextAnalysis.Profiles(2)._2))
-            .as("mix_lang"))
+      try {
+        graft.DfCache.stagedFrame(spark, stageName, fp) {
+          val surv = Curate.survivors(spark, dir)
+          sc = scorer.score(Perplexity.modelOf(spark, surv), surv)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val keptIds = sc.crossJoin(broadcast(Perplexity.cutsOf(sc)))
+            .where(Perplexity.bucketOf(col("xent"), col("c1"), col("c2")) =!= "tail")
+            .select(col("doc_id"))
+          surv.join(keptIds, Seq("doc_id"), "left_semi").select(
+            col("doc_id"), col("text"),
+            TextAnalysis.predictedLang(
+              TextAnalysis.profileScore(col("text"), TextAnalysis.Profiles(0)._2),
+              TextAnalysis.profileScore(col("text"), TextAnalysis.Profiles(1)._2),
+              TextAnalysis.profileScore(col("text"), TextAnalysis.Profiles(2)._2))
+              .as("mix_lang"))
+        }
+      } finally {
+        if (sc != null) sc.unpersist()
       }
-      if (sc != null) sc.unpersist()
-      out
     }
     seqPackOf(mixKeepOf(spark, scored, "mix_lang", shares)
         .select(col("doc_id"), col("text")),

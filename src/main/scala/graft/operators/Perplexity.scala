@@ -578,6 +578,27 @@ object Perplexity {
     }.orderBy(col("doc_id"))
   }
 
+  /** A NAMED scoring family, for seams that stage per-scorer
+    * artifacts (Pack.trainPrepScored): the tag travels WITH the
+    * function and encodes its parameters, so an artifact key built
+    * from it can never serve one family's output to another — the
+    * collision a free-floating (function, label) parameter pair
+    * invites. The tag is path-safe by construction (no separators).
+    */
+  final case class Scorer(tag: String,
+      score: (DataFrame, DataFrame) => DataFrame) {
+    require(tag.matches("[A-Za-z0-9._-]+"),
+      s"scorer tag must be a plain label, got '$tag'")
+  }
+
+  object Scorer {
+    val AddOne: Scorer = Scorer("addone", scoreAgainst(_, _))
+    def interp(lambda: Double = DefaultInterpLambda): Scorer =
+      Scorer(s"interp_$lambda", scoreAgainstInterp(_, _, lambda))
+    def kn(discount: Double = DefaultKnDiscount): Scorer =
+      Scorer(s"kn_$discount", scoreAgainstKn(_, _, discount))
+  }
+
   /** THE bucket spelling — shared by the buckets query, the apply
     * gate, and the streaming scorer (streaming/PplxStream) so the
     * keep/drop boundary can never drift between them.

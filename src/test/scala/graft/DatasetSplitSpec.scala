@@ -122,8 +122,7 @@ class DatasetSplitSpec extends SparkSpec {
       (100010L, "short exact dup text"), (100011L, "short exact dup text"),
       (100020L, "alone in the batch nothing like it"))
       .toDF("doc_id", "text")
-    val got = Dedup.deltaInternalGroups(spark,
-        "spec:" + System.nanoTime(), novel)
+    val got = Dedup.deltaInternalGroups(spark, novel)
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("delta_group"))
       .toMap
     assert(got.keySet == Set(100001L, 100002L, 100003L, 100010L, 100011L, 100020L))

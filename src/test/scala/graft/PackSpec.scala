@@ -38,7 +38,7 @@ class PackSpec extends SparkSpec {
   test("trainPrepScored scorer seam: the KN keep-gate stages separately and holds the same invariants") {
     import graft.operators.{Curate, Perplexity}
     val packed = Pack.trainPrepScored(spark, sfDir,
-        scorer = Perplexity.scoreAgainstKn(_, _), scorerTag = "kn")
+        scorer = Perplexity.Scorer.kn())
       .collect()
     assert(packed.nonEmpty)
     assert(packed.map(_.getAs[Long]("doc_id")).distinct.length === packed.length)
@@ -52,9 +52,13 @@ class PackSpec extends SparkSpec {
       .map(_.getAs[Long]("doc_id")).toSet
     assert(packed.forall(r => keptOk(r.getAs[Long]("doc_id"))),
       "a KN-packed doc is in the KN tail tercile or unscoreable")
-    // a tag that could corrupt the staging path is rejected loudly
+    // a tag that could corrupt the staging path is rejected at
+    // Scorer construction — before any artifact name exists
     intercept[IllegalArgumentException](
-      Pack.trainPrepScored(spark, sfDir, scorerTag = "../evil"))
+      Perplexity.Scorer("../evil", Perplexity.scoreAgainst(_, _)))
+    // the tag travels WITH the function: the default artifact name
+    // only ever holds add-one output, the KN call stages separately
+    assert(Perplexity.Scorer.kn().tag != Perplexity.Scorer.AddOne.tag)
   }
 
   test("sequence_pack: a total, contiguous, zero-padding layout") {
