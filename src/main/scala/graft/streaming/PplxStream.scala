@@ -69,9 +69,13 @@ object PplxStream {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
           val scored = scorer(model, batch)
+          // append the frozen bucket to WHATEVER the scorer emitted —
+          // the count column is n_bigrams or n_trigrams depending on
+          // the family, and hardcoding one would break the other
           publish(cuts.fold(scored)(c => scored.crossJoin(broadcast(c))
-            .select(col("doc_id"), col("n_bigrams"), col("xent"),
-              Perplexity.bucketOf(col("xent"), col("c1"), col("c2")).as("bucket"))))
+            .select(scored.columns.map(col) :+
+              Perplexity.bucketOf(col("xent"), col("c1"), col("c2"))
+                .as("bucket"): _*)))
         }
       }
   }
