@@ -110,6 +110,25 @@ class DatasetSplitSpec extends SparkSpec {
     } finally System.clearProperty("graft.staging")
   }
 
+  test("incremental split survives a corpus with an EMPTY delta") {
+    import spark.implicits._
+    // no doc_id divisible by 7 -> corpusWithDups injects no copies ->
+    // the delta side is empty end to end (probe, quotient, split)
+    val docs = Seq(1L, 2L, 3L, 4L)
+      .map(id => (id, s"plain text number $id with several words here",
+        "en", "synthetic", 40L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_emptydelta").toString
+    val stagingRoot = java.nio.file.Files.createTempDirectory("graft_emptydelta_st").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    System.setProperty("graft.staging", stagingRoot)
+    try {
+      assert(Dedup.datasetSplitIncremental(spark, tmp).count() == 0L)
+      // the batch split still covers the whole (all-base) corpus
+      assert(Dedup.datasetSplit(spark, tmp).count() == 4L)
+    } finally System.clearProperty("graft.staging")
+  }
+
   test("delta-internal quotient groups near-dup components, not just exact dups") {
     import spark.implicits._
     // three 40-token texts differing only in the LAST token: pairwise
