@@ -19,11 +19,14 @@ object Audit {
 
   /** One row per capped stage: stage, cap, unit (what's counted),
     * candidates (uncapped volume the stage saw), emitted (survivors),
-    * dropped (the difference — the coverage the cap cost).
+    * dropped (the difference — the coverage the cap cost). Rows with
+    * cap = 0 are MEASUREMENT rows (no bound exists; the split bridge
+    * audit) — `dropped` there counts an exposure, not a truncation.
     */
   def capAudit(spark: SparkSession, dir: String): DataFrame =
     Dedup.capAudit(spark, dir)
       .unionByName(VectorSearch.capAudit(spark, dir))
+      .unionByName(Dedup.splitBridgeAudit(spark, dir))
       .withColumn("dropped", col("candidates") - col("emitted"))
       .orderBy(col("stage"))
 

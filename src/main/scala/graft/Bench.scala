@@ -23,9 +23,12 @@ import org.apache.spark.sql.SparkSession
   * in the artifact itself instead of a next-round adjudication.
   *
   * TASK-METRIC RECEIPTS: per query, the executor task metrics of its
-  * last clean pass ride the JSON as `task_metrics` —
+  * last clean WARM pass (falling back to the cold pass only when no
+  * warm pass was clean) ride the JSON as `task_metrics` —
   * `[run_ms, gc_ms, shuffle_read_mb, shuffle_write_mb, spill_mem_mb,
-  * spill_disk_mb]`, summed over tasks — so a rung-to-rung delta is
+  * spill_disk_mb, pass]`, summed over tasks, with the 1-based pass
+  * index last so a cold-pass receipt is distinguishable in the
+  * artifact — so a rung-to-rung delta is
   * adjudicable from the artifact alone: flat run_ms with grown wall
   * time is box/IO state, grown run_ms with spill bytes is the
   * engine, grown gc_ms is memory pressure. (Input BYTES are omitted
@@ -34,6 +37,15 @@ import org.apache.spark.sql.SparkSession
   * inputMetrics.bytesRead counts only footer reads — probed at
   * 17.8 KB for a full 10.8 MB lineitem scan, a receipt that would
   * mislead.)
+  *
+  * PER-PASS PER-QUERY TIMES: `query_passes` carries each query's raw
+  * per-pass wall-time vector (what the median is computed FROM, minus
+  * exclusions) — so a rung median inflated by ONE box-noise pass
+  * (page-cache saturation, a background flush) is adjudicable from
+  * the artifact alone: passes like [120, 66, 5] indict the box, a
+  * monotone [6, 6, 6]→[12, 12, 12] rung step indicts the plan
+  * (r13 verdict #2: the 256× spikes needed prose adjudication
+  * because only pass TOTALS were published).
   */
 object Bench {
   val Passes = 3
@@ -209,17 +221,30 @@ object Bench {
         s"\"" + n + "\":" + t
       }
       .mkString("{", ",", "}")
-    // per-query task-metric receipts from the LAST clean pass (steady
-    // state): [run_ms, gc_ms, shuffle_read_mb, shuffle_write_mb,
-    // spill_mem_mb, spill_disk_mb] — what makes a rung delta
-    // adjudicable from the artifact (spill vs box state) without a
-    // rerun
+    // per-query task-metric receipts from the last clean WARM pass
+    // (pass 1 only when every warm pass was contaminated — the 1-based
+    // pass index rides as the array's LAST element so a cold-pass
+    // receipt is distinguishable): [run_ms, gc_ms, shuffle_read_mb,
+    // shuffle_write_mb, spill_mem_mb, spill_disk_mb, pass] — what
+    // makes a rung delta adjudicable from the artifact (spill vs box
+    // state) without a rerun
     def mb(b: Long): String = "%.1f".formatLocal(java.util.Locale.ROOT, b / 1048576.0)
     val tmJson = names.map { n =>
-        val i = cleanPasses(n).last
+        val cp = cleanPasses(n)
+        val i = cp.filter(_ > 0).lastOption.getOrElse(cp.last)
         val m = passMetrics(i).getOrElse(n, Array.fill(6)(0L))
         s"\"" + n + "\":[" + m(0) + "," + m(1) + "," +
-          m.drop(2).map(mb).mkString(",") + "]"
+          m.drop(2).map(mb).mkString(",") + "," + (i + 1) + "]"
+      }
+      .mkString("{", ",", "}")
+    // per-pass per-query raw wall times (same order as pass_totals);
+    // a query's excluded passes are still SHOWN here — staging_rebuilds
+    // / memo_computes say which indices the median skipped
+    val passQs = names.map { n =>
+        val v =
+          if (errors.contains(n)) passes.indices.map(_ => "-1.0")
+          else passes.indices.map(i => f3(passes(i)(n)))
+        s"\"" + n + "\":" + v.mkString("[", ",", "]")
       }
       .mkString("{", ",", "}")
     // summary fields FIRST: a consumer that cap-sizes the line loses
@@ -247,6 +272,7 @@ object Bench {
     // totals; `summary_tail` groups the copy under one key so the
     // object stays valid JSON with distinct keys.
     println(s"""{$summary,"queries":$qs,"cold_queries":$coldQs,""" +
+      s""""query_passes":$passQs,""" +
       s""""task_metrics":$tmJson,"cap_audit":$audit,"summary_tail":{$summary}}""")
     spark.stop()
   }

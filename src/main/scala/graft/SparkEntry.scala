@@ -82,6 +82,7 @@ object SparkEntry {
     "quality_perplexity_backoff" -> ((s, d) => Perplexity.qualityPerplexityBackoff(s, d)),
     "quality_perplexity_kn" -> ((s, d) => Perplexity.qualityPerplexityKn(s, d)),
     "quality_perplexity_kn3" -> ((s, d) => Perplexity.qualityPerplexityKn3(s, d)),
+    "quality_perplexity_kn5" -> ((s, d) => Perplexity.qualityPerplexityKn5(s, d)),
     "token_count"     -> (TextAnalysis.tokenCount _),
     "doc_fingerprint" -> (TextAnalysis.docFingerprint _),
     "multimodal_meta" -> (TextAnalysis.multimodalMeta _),
@@ -625,6 +626,27 @@ object SparkEntry {
       |  GROUP BY bgr.doc_id)""".stripMargin
 
   private val pplxScoredCte = pplxScoredCteOver("documents")
+
+  /** 5-gram KN backoff subtrees for the kn5 oracle, composed so every
+    * CASE branch spells the IDENTICAL lower-order subtree — the same
+    * verbatim-reuse discipline the kn3 oracle hand-spells, which at
+    * four backoff levels (P4 appears 2x, P3 4x, P2 8x, P1 16x) only a
+    * composed string keeps honest. Mirrors Perplexity.scoreAgainstKn5's
+    * shared Column trees operand for operand.
+    */
+  private val kn5P1 = "((coalesce(n1b5, 0) + 1.0) / (nd + v))"
+  private val kn5P2 = s"(CASE WHEN nmid2 IS NOT NULL THEN " +
+    s"greatest(coalesce(n1b452, 0) - 0.75, 0.0) / nmid2 + " +
+    s"0.75 * n1f2 / nmid2 * $kn5P1 ELSE $kn5P1 END)"
+  private val kn5P3 = s"(CASE WHEN nmid3 IS NOT NULL THEN " +
+    s"greatest(coalesce(n1b345, 0) - 0.75, 0.0) / nmid3 + " +
+    s"0.75 * n1f3 / nmid3 * $kn5P2 ELSE $kn5P2 END)"
+  private val kn5P4 = s"(CASE WHEN nmid4 IS NOT NULL THEN " +
+    s"greatest(coalesce(n1b45, 0) - 0.75, 0.0) / nmid4 + " +
+    s"0.75 * n1f4 / nmid4 * $kn5P3 ELSE $kn5P3 END)"
+  private val kn5P5 = s"(CASE WHEN c1234 IS NOT NULL THEN " +
+    s"greatest(coalesce(c12345, 0) - 0.75, 0.0) / c1234 + " +
+    s"0.75 * n1f1234 / c1234 * $kn5P4 ELSE $kn5P4 END)"
 
   /** Candidate-pair Jaccard over `posting` (itr/cnt CTEs shared by
     * the dedup oracles).
@@ -1606,6 +1628,55 @@ object SparkEntry {
         |    LEFT JOIN rcont USING (w3), rsc
         |  GROUP BY atgr.doc_id)
         |SELECT doc_id, n_trigrams, xent FROM scr ORDER BY doc_id""".stripMargin,
+    // 5-GRAM interpolated Kneser-Ney over the same md5-coin 5% split
+    // (Perplexity.scoreAgainstKn5): four backoff levels; every
+    // quantity is a row count of the 5-gram type table rg (rg rows
+    // are DISTINCT 5-grams, so COUNT(*) grouped by a suffix counts
+    // its distinct full left contexts). The P4..P1 subtrees are
+    // composed strings (kn5P*) so every branch spells the identical
+    // lower tree. Population: docs with >= 5 tokens.
+    "quality_perplexity_kn5" ->
+      ("""WITH rtk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE CAST(('0x' || substr(md5('pplxref:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS DOUBLE)
+        |      / 4294967296.0 < 0.05
+        |    AND len(string_split(text, ' ')) >= 5),
+        |rfgr AS (SELECT t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3, t[i+3] AS w4, t[i+4] AS w5
+        |  FROM rtk, LATERAL (SELECT unnest(generate_series(1, len(t)-4)) AS i) ii),
+        |rg AS MATERIALIZED (SELECT w1, w2, w3, w4, w5, CAST(COUNT(*) AS BIGINT) AS c12345
+        |  FROM rfgr GROUP BY w1, w2, w3, w4, w5),
+        |rtop AS (SELECT w1, w2, w3, w4, CAST(SUM(c12345) AS BIGINT) AS c1234,
+        |    CAST(COUNT(*) AS BIGINT) AS n1f1234 FROM rg GROUP BY w1, w2, w3, w4),
+        |rt4 AS MATERIALIZED (SELECT w2, w3, w4, w5, CAST(COUNT(*) AS BIGINT) AS n1b45
+        |  FROM rg GROUP BY w2, w3, w4, w5),
+        |rt4p AS (SELECT w2, w3, w4, CAST(SUM(n1b45) AS BIGINT) AS nmid4,
+        |    CAST(COUNT(*) AS BIGINT) AS n1f4 FROM rt4 GROUP BY w2, w3, w4),
+        |rt3 AS MATERIALIZED (SELECT w3, w4, w5, CAST(COUNT(*) AS BIGINT) AS n1b345
+        |  FROM rg GROUP BY w3, w4, w5),
+        |rt3p AS (SELECT w3, w4, CAST(SUM(n1b345) AS BIGINT) AS nmid3,
+        |    CAST(COUNT(*) AS BIGINT) AS n1f3 FROM rt3 GROUP BY w3, w4),
+        |rt2 AS MATERIALIZED (SELECT w4, w5, CAST(COUNT(*) AS BIGINT) AS n1b452
+        |  FROM rg GROUP BY w4, w5),
+        |rt2p AS (SELECT w4, CAST(SUM(n1b452) AS BIGINT) AS nmid2,
+        |    CAST(COUNT(*) AS BIGINT) AS n1f2 FROM rt2 GROUP BY w4),
+        |rt1 AS (SELECT w5, CAST(COUNT(*) AS BIGINT) AS n1b5 FROM rg GROUP BY w5),
+        |rsc AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM rg) AS nd
+        |  FROM (SELECT unnest(t) AS tok FROM rtk)),
+        |atk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 5),
+        |afgr AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3, t[i+3] AS w4, t[i+4] AS w5
+        |  FROM atk, LATERAL (SELECT unnest(generate_series(1, len(t)-4)) AS i) ii),
+        |scr AS (SELECT afgr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_5grams,
+        |    floor((-SUM(ln(""".stripMargin + kn5P5 + """)))
+        |      / COUNT(*) * 10000.0 + 0.5)/10000.0 AS xent
+        |  FROM afgr LEFT JOIN rg USING (w1, w2, w3, w4, w5)
+        |    LEFT JOIN rtop USING (w1, w2, w3, w4)
+        |    LEFT JOIN rt4 USING (w2, w3, w4, w5) LEFT JOIN rt4p USING (w2, w3, w4)
+        |    LEFT JOIN rt3 USING (w3, w4, w5) LEFT JOIN rt3p USING (w3, w4)
+        |    LEFT JOIN rt2 USING (w4, w5) LEFT JOIN rt2p USING (w4)
+        |    LEFT JOIN rt1 USING (w5), rsc
+        |  GROUP BY afgr.doc_id)
+        |SELECT doc_id, n_5grams, xent FROM scr ORDER BY doc_id""".stripMargin),
     // Head/middle/tail perplexity terciles; cutoffs via quantile_cont
     // = Spark's exact interpolated percentile (value_percentiles parity).
     "quality_perplexity_buckets" -> ("WITH " + pplxScoredCte +
@@ -2096,13 +2167,46 @@ object SparkEntry {
          |""".stripMargin + textEmbBody +
         """
           |SELECT q_id, doc_id, cos, rk FROM tr WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin),
+    // quotient + capped spelling (VectorSearch.embeddingExpandedPairsOf,
+    // round 14): exact-content groups contract to their min-vec_id rep,
+    // the rep-level (label, code) block join is build-side capped at
+    // EmbBucketCap (the out-of-cap probe orientation keeps each pair
+    // once), within-group members pair at cosine exactly 1.0 charged to
+    // their min side (min side in slate), and cross lifts pair the two
+    // groups' first-EmbBucketCap slates at the reps' cosine. The Spark
+    // side emits the dominance-TRIMMED subset of these semantics; the
+    // oracle spells them untrimmed — final outputs provably identical.
     "dedup_embedding" -> (vecCte + ",\n" + lshCodesCte +
       """,
-        |s AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |grp AS (SELECT vec_id, MIN(vec_id) OVER (PARTITION BY md5(CAST(emb AS VARCHAR))) AS r,
+        |    row_number() OVER (PARTITION BY md5(CAST(emb AS VARCHAR)) ORDER BY vec_id) AS grk
+        |  FROM nc),
+        |reps AS (SELECT nc.* FROM nc JOIN (SELECT DISTINCT r FROM grp) rr ON nc.vec_id = rr.r),
+        |branked AS MATERIALIZED (SELECT label, code, vec_id, emb, nrm,
+        |    row_number() OVER (PARTITION BY label, code ORDER BY vec_id) AS brk FROM reps),
+        |ebcap AS (SELECT * FROM branked WHERE brk <= """.stripMargin +
+      VectorSearch.EmbBucketCap + """),
+        |rpair AS MATERIALIZED (SELECT least(a.vec_id, b.vec_id) AS a_id,
+        |    greatest(a.vec_id, b.vec_id) AS b_id,
         |    floor((list_dot_product(a.emb, b.emb)/(a.nrm*b.nrm)) * 10000.0 + 0.5)/10000.0 AS cos
-        |  FROM nc a JOIN nc b ON a.label = b.label AND a.code = b.code AND a.vec_id < b.vec_id),
+        |  FROM branked a JOIN ebcap b ON a.label = b.label AND a.code = b.code
+        |    AND a.vec_id <> b.vec_id
+        |  WHERE (a.brk > """.stripMargin + VectorSearch.EmbBucketCap +
+      """ OR a.vec_id < b.vec_id)),
+        |ewithin AS (SELECT least(a.vec_id, b.vec_id) AS a_id,
+        |    greatest(a.vec_id, b.vec_id) AS b_id, CAST(1.0 AS DOUBLE) AS cos
+        |  FROM grp a JOIN grp b ON a.r = b.r AND a.vec_id <> b.vec_id
+        |    AND b.grk <= """.stripMargin + VectorSearch.EmbBucketCap + """
+        |  WHERE (a.grk > """.stripMargin + VectorSearch.EmbBucketCap +
+      """ OR a.vec_id < b.vec_id)),
+        |ecross AS (SELECT least(ma.vec_id, mb.vec_id) AS a_id,
+        |    greatest(ma.vec_id, mb.vec_id) AS b_id, c.cos
+        |  FROM rpair c JOIN grp ma ON ma.r = c.a_id JOIN grp mb ON mb.r = c.b_id
+        |  WHERE ma.grk <= """.stripMargin + VectorSearch.EmbBucketCap +
+      """ AND mb.grk <= """.stripMargin + VectorSearch.EmbBucketCap + """),
+        |cand AS (SELECT * FROM ewithin UNION ALL SELECT * FROM ecross),
         |capped AS (SELECT a_id, b_id, cos,
-        |  row_number() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id) AS prk FROM s)
+        |  row_number() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id) AS prk FROM cand)
         |SELECT a_id, b_id, cos FROM capped WHERE prk <= 8
         |ORDER BY cos DESC, a_id, b_id LIMIT 20""".stripMargin),
     "keyword_search" -> ("WITH " + queriesCte + ",\n" + keywordBody +

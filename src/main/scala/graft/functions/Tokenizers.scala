@@ -219,7 +219,13 @@ object BpeModel {
         if (magic == Magic2) {
           val v = in.readInt()
           require(v >= 0 && v <= (1 << 24), s"implausible vocab size $v in $path")
-          (0 until v).map(i => in.readUTF() -> i).toMap
+          val ids = (0 until v).map(i => in.readUTF() -> i).toMap
+          // toMap keeps the LAST id for a duplicate symbol, which would
+          // silently break the first-id contract — fail loudly on a
+          // malformed (e.g. hand-converted) artifact instead
+          require(ids.size == v,
+            s"$path vocab has ${v - ids.size} duplicate symbol(s)")
+          ids
         } else Map.empty[String, Int]
       Artifact(ranks, vocab)
     } finally in.close()

@@ -223,7 +223,7 @@ object Dedup {
     * signature doc-level, so expansion skips them (eligibility =
     * rep has ≥ 1 posting row), keeping the no-pair behavior exact.
     */
-  private[operators] def minhashPairsOf(corpus: DataFrame,
+  private[graft] def minhashPairsOf(corpus: DataFrame,
       membersOpt: Option[DataFrame] = None)(
       materialize: DataFrame => DataFrame): DataFrame = {
     // A caller with a session-cached quotient passes it in; otherwise
@@ -608,11 +608,6 @@ object Dedup {
     // replicas past CopyIdOffset) both sides of the oracle stay on
     // one spelling instead of diverging on what "the base" means
     val full = corpusWithDups(spark, dir, perturb = true)
-    val baseAsg = full
-      .where(col("doc_id") < CopyIdOffset).select(col("doc_id"))
-      .join(baseClustersCached(spark, dir), Seq("doc_id"), "left")
-      .select(col("doc_id").as("match_id"),
-        coalesce(col("cluster_id"), col("doc_id")).as("base_group"))
     val matches = neardupIncremental(spark, dir)
       .select(col("doc_id"), col("match_id"))
     val delta = full.where(col("doc_id") >= CopyIdOffset).select(col("doc_id"))
@@ -624,6 +619,33 @@ object Dedup {
     // caller with a different batch can never be served a stale memo
     val deltaGroups = DfCache.getOrCompute(spark, s"split_delta_groups:$dir")(
       deltaInternalGroups(spark, novel))
+    splitAssignOf(delta, matches, splitBaseManifest(spark, dir), deltaGroups,
+      evalFrac)
+      .orderBy(col("doc_id"))
+  }
+
+  /** The FROZEN base-side manifest [[datasetSplitIncremental]] (and
+    * its streaming twin) inherit sides from: every base doc's group
+    * id (its base-only cluster, or itself when unclustered). At
+    * 100 TB this is the committed artifact a split owner publishes
+    * once per corpus version.
+    */
+  private[graft] def splitBaseManifest(spark: SparkSession, dir: String): DataFrame =
+    corpusWithDups(spark, dir, perturb = true)
+      .where(col("doc_id") < CopyIdOffset).select(col("doc_id"))
+      .join(baseClustersCached(spark, dir), Seq("doc_id"), "left")
+      .select(col("doc_id").as("match_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("base_group"))
+
+  /** The assignment tail shared verbatim by [[datasetSplitIncremental]]
+    * and streaming.SplitStream (same-spelling twin discipline, the
+    * MixStream pattern): three doc-id hash joins and the
+    * deterministic group coin — stateless given the frozen manifest,
+    * so replays are idempotent by construction.
+    */
+  private[graft] def splitAssignOf(delta: DataFrame, matches: DataFrame,
+      baseAsg: DataFrame, deltaGroups: DataFrame,
+      evalFrac: Double): DataFrame = {
     val asg = delta.join(matches, Seq("doc_id"), "left")
       .join(baseAsg, Seq("match_id"), "left")
       .join(deltaGroups, Seq("doc_id"), "left")
@@ -634,7 +656,53 @@ object Dedup {
       md5Long(col("group_id").cast("string"), 1, 8).cast("double") / 4294967296.0
     asg.select(col("doc_id"), col("match_id"), col("group_id"),
       when(coin < evalFrac, "eval").otherwise("train").as("split"))
-      .orderBy(col("doc_id"))
+  }
+
+  /** Straddle-exposure audit of [[datasetSplitIncremental]]'s one
+    * irreducible bridge case (r13 verdict: documented, now measured):
+    * a NOVEL delta doc (own coin) that near-matches a MATCHED delta
+    * doc whose side is frozen by the base manifest — its coin may
+    * contradict the neighbor's inherited side, and the frozen-manifest
+    * contract accepts that rather than relabel committed groups.
+    * Derived entirely from the STAGED full-corpus pair set (the
+    * delta–delta pairs [[minhashPairs]] already verified) — no new
+    * pair build; two semi-joins per audit.
+    *
+    * Columns follow the capAudit contract with cap = 0 — a
+    * MEASUREMENT row, not a bound: candidates = novel docs in the
+    * batch, emitted = novel docs with no frozen-side neighbor (coin
+    * freely assignable), dropped = the bridge docs, i.e. the batch's
+    * straddle exposure a manifest owner reads before committing.
+    */
+  def splitBridgeAudit(spark: SparkSession, dir: String): DataFrame = {
+    val full = corpusWithDups(spark, dir, perturb = true)
+    val delta = full.where(col("doc_id") >= CopyIdOffset).select(col("doc_id"))
+    val matched = neardupIncremental(spark, dir).select(col("doc_id"))
+    val novel = delta.join(matched, Seq("doc_id"), "left_anti")
+    splitBridgeAuditOf(novel, matched,
+      minhashPairs(spark, dir).where(col("jaccard") >= 0.8))
+  }
+
+  /** The audit body over explicit (doc_id) novel/matched sets and a
+    * verified ≥-threshold pair frame — the seam the bridge-planting
+    * spec drives (DatasetSplitIncrementalSpec).
+    */
+  private[graft] def splitBridgeAuditOf(novel: DataFrame, matched: DataFrame,
+      pairs: DataFrame): DataFrame = {
+    val bridge = pairs
+      .join(novel.select(col("doc_id").as("a_id")), Seq("a_id"), "left_semi")
+      .join(matched.select(col("doc_id").as("b_id")), Seq("b_id"), "left_semi")
+      .select(col("a_id").as("doc_id"))
+      .unionAll(pairs
+        .join(novel.select(col("doc_id").as("b_id")), Seq("b_id"), "left_semi")
+        .join(matched.select(col("doc_id").as("a_id")), Seq("a_id"), "left_semi")
+        .select(col("b_id").as("doc_id")))
+      .distinct()
+    novel.agg(count(lit(1)).as("n"))
+      .crossJoin(bridge.agg(count(lit(1)).as("b")))
+      .select(lit("dataset_split_incremental.bridge").as("stage"),
+        lit(0L).as("cap"), lit("novel_docs").as("unit"),
+        col("n").as("candidates"), (col("n") - col("b")).as("emitted"))
   }
 
   /** Within-batch near-dup groups of the NOVEL delta docs (those
@@ -663,33 +731,36 @@ object Dedup {
         novel.select(col("doc_id"), col("doc_id").as("delta_group"))
           .localCheckpoint()
       else {
+        // unpersist in finally, mirroring novel's handling: a throw in
+        // the pair build / fixpoint / checkpoint must not leak the
+        // cached posting for the rest of the session
         val members = cachedPosting(quotientOf(novel))
-        val reps = novel.join(
-          members.where(col("doc_id") === col("rep_id")).select(col("doc_id")),
-          Seq("doc_id"), "left_semi")
-        val idMembers = reps.select(col("doc_id"),
-          col("doc_id").as("rep_id"))
-        val repEdges = minhashPairsOf(reps, Some(idMembers))(_.localCheckpoint())
-          .where(col("jaccard") >= 0.8).select(col("a_id"), col("b_id"))
-        // a batch whose only near-dups are exact (within-group)
-        // pairs has NO rep edges — skip the fixpoint rather than
-        // run pointer doubling over an empty graph (the empty
-        // localCheckpoint rounds also confuse the block manager
-        // with release-vs-reuse races on degenerate plans)
-        val repComp =
-          if (repEdges.isEmpty)
-            repEdges.select(col("a_id").as("doc_id"),
-              col("b_id").as("cluster_id"))
-          else componentsWithRounds(repEdges,
-            sys.props.get("graft.components.checkpointDir"))._1
-        val got = members
-          .join(repComp.select(col("doc_id").as("rep_id"), col("cluster_id")),
-            Seq("rep_id"), "left")
-          .select(col("doc_id"),
-            coalesce(col("cluster_id"), col("rep_id")).as("delta_group"))
-          .localCheckpoint()
-        members.unpersist()
-        got
+        try {
+          val reps = novel.join(
+            members.where(col("doc_id") === col("rep_id")).select(col("doc_id")),
+            Seq("doc_id"), "left_semi")
+          val idMembers = reps.select(col("doc_id"),
+            col("doc_id").as("rep_id"))
+          val repEdges = minhashPairsOf(reps, Some(idMembers))(_.localCheckpoint())
+            .where(col("jaccard") >= 0.8).select(col("a_id"), col("b_id"))
+          // a batch whose only near-dups are exact (within-group)
+          // pairs has NO rep edges — skip the fixpoint rather than
+          // run pointer doubling over an empty graph (the empty
+          // localCheckpoint rounds also confuse the block manager
+          // with release-vs-reuse races on degenerate plans)
+          val repComp =
+            if (repEdges.isEmpty)
+              repEdges.select(col("a_id").as("doc_id"),
+                col("b_id").as("cluster_id"))
+            else componentsWithRounds(repEdges,
+              sys.props.get("graft.components.checkpointDir"))._1
+          members
+            .join(repComp.select(col("doc_id").as("rep_id"), col("cluster_id")),
+              Seq("rep_id"), "left")
+            .select(col("doc_id"),
+              coalesce(col("cluster_id"), col("rep_id")).as("delta_group"))
+            .localCheckpoint()
+        } finally members.unpersist()
       }
     } finally novel.unpersist()
   }
@@ -756,7 +827,7 @@ object Dedup {
     * `base_rep_posting` / `base_rep_banded` form the persisted index,
     * `delta_members` / `delta_rep_posting` the per-batch state.
     */
-  private[operators] def neardupIncrementalOf(base: DataFrame, delta: DataFrame,
+  private[graft] def neardupIncrementalOf(base: DataFrame, delta: DataFrame,
       threshold: Double,
       mat: (String, DataFrame) => DataFrame = (_, df) => cachedPosting(df)): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,

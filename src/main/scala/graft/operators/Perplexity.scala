@@ -555,6 +555,171 @@ object Perplexity {
     }.orderBy(col("doc_id"))
   }
 
+  private def tokenized5(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .where(size(col("toks")) >= 5)
+
+  /** Consecutive-token 5-grams, one row per position — the
+    * sequence + element_at spelling (four nested zip_with levels
+    * would bury the field plumbing; the oracle mirrors this index
+    * form directly with generate_series).
+    */
+  private def fivegramsOf(docs: DataFrame): DataFrame =
+    tokenized5(docs)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(1), size(col("toks")) - 4)).as("i"))
+      .select(col("doc_id"),
+        element_at(col("toks"), col("i")).as("w1"),
+        element_at(col("toks"), col("i") + 1).as("w2"),
+        element_at(col("toks"), col("i") + 2).as("w3"),
+        element_at(col("toks"), col("i") + 3).as("w4"),
+        element_at(col("toks"), col("i") + 4).as("w5"))
+
+  /** 5-gram count model over `corpus`: one row per distinct 5-gram
+    * with its count `c12345`, plus the vocabulary size `v` — the
+    * single artifact every derived table of [[scoreAgainstKn5]] is a
+    * row count of (the [[modelOf]]/[[modelOf3]] one-training-pass
+    * contract, two orders up).
+    */
+  def modelOf5(spark: SparkSession, corpus: DataFrame): DataFrame = {
+    val fg = fivegramsOf(corpus)
+      .groupBy("w1", "w2", "w3", "w4", "w5").agg(count(lit(1)).as("c12345"))
+    val voc = tokenized5(corpus)
+      .select(explode(col("toks")).as("tok"))
+      .agg(count_distinct(col("tok")).as("v"))
+    fg.crossJoin(broadcast(voc))
+  }
+
+  /** 5-GRAM interpolated Kneser–Ney scorer — the deployed CCNet/KenLM
+    * order (Wenzek et al. §3 train 5-gram models; Chen & Goodman
+    * 1998), completing the smoothing family two orders above
+    * [[scoreAgainstKn3]]. Four backoff levels, continuation counts at
+    * each, every quantity a ROW COUNT of the [[modelOf5]] type table
+    * `g` (house convention, the kn3 recipe generalized):
+    *
+    *   P5(w5|w1..w4) = max(c12345−D,0)/c1234 + D·n1f1234/c1234 · P4
+    *   P4(w5|w2w3w4) = max(n1b45−D,0)/nmid4 + D·n1f4/nmid4 · P3
+    *   P3(w5|w3w4)   = max(n1b345−D,0)/nmid3 + D·n1f3/nmid3 · P2
+    *   P2(w5|w4)     = max(n1b45_2−D,0)/nmid2 + D·n1f2/nmid2 · P1
+    *   P1(w5)        = (n1b5 + 1) / (ND + V)
+    *
+    * where per (w1..w4): `c1234 = Σ c12345`, `n1f1234 = |{w5}|`; the
+    * level-k continuation count of a k-suffix is its count of
+    * distinct full left contexts in `g` (`n1b45 = |{w1}|` per
+    * (w2..w5), `n1b345 = |{(w1,w2)}|` per (w3,w4,w5), `n1b45_2 =
+    * |{(w1,w2,w3)}|` per (w4,w5), `n1b5 = |{(w1..w4)}|` per w5 — each
+    * is a COUNT(*) of `g` grouped by the suffix, because `g` rows are
+    * distinct 5-grams); each level's normalizer `nmid_k = Σ n1b` and
+    * fan-out `n1f_k = |{w5}|` come from that level's own table
+    * grouped by its context; `ND = |g|`. A novel context at any level
+    * backs off one level down, and the unigram floor keeps P > 0 —
+    * the left joins never drop a row. Dyadic D; the P4/P3/P2/P1
+    * subtrees are SHARED Column instances reused across branches, and
+    * the oracle spells the identical subtree in every branch, so the
+    * float trees match by construction.
+    *
+    * Plan shape: the salted 5-gram stream LEFT JOINs nine
+    * vocabulary-bounded model tables (each replicated salt-wide) +
+    * one broadcast scalar, then one map-side-combined groupBy doc_id
+    * — linear, no windows, no self-joins; the same 100 TB shape as
+    * the bigram scorers with four more small joins.
+    */
+  def scoreAgainstKn5(model5: DataFrame, corpus: DataFrame,
+      discount: Double = DefaultKnDiscount): DataFrame =
+    rounded5(scoreAgainstKn5Raw(model5, corpus, discount))
+
+  private def rounded5(raw: DataFrame): DataFrame =
+    raw.select(col("doc_id"), col("n_5grams"),
+      Par.round4(col("xent_raw")).as("xent"))
+
+  private[graft] def scoreAgainstKn5Raw(model5: DataFrame, corpus: DataFrame,
+      discount: Double = DefaultKnDiscount): DataFrame = {
+    require(discount > 0.0 && discount < 1.0,
+      s"KN discount must be in (0,1), got $discount")
+    val g = model5.select("w1", "w2", "w3", "w4", "w5", "c12345")
+    val top = g.groupBy("w1", "w2", "w3", "w4")
+      .agg(sum("c12345").as("c1234"), count(lit(1)).as("n1f1234"))
+    val t4 = g.groupBy("w2", "w3", "w4", "w5").agg(count(lit(1)).as("n1b45"))
+    val t4p = t4.groupBy("w2", "w3", "w4")
+      .agg(sum("n1b45").as("nmid4"), count(lit(1)).as("n1f4"))
+    val t3 = g.groupBy("w3", "w4", "w5").agg(count(lit(1)).as("n1b345"))
+    val t3p = t3.groupBy("w3", "w4")
+      .agg(sum("n1b345").as("nmid3"), count(lit(1)).as("n1f3"))
+    val t2 = g.groupBy("w4", "w5").agg(count(lit(1)).as("n1b452"))
+    val t2p = t2.groupBy("w4")
+      .agg(sum("n1b452").as("nmid2"), count(lit(1)).as("n1f2"))
+    val t1 = g.groupBy("w5").agg(count(lit(1)).as("n1b5"))
+    val scalars = model5
+      .agg(first("v").as("vv0"), count(lit(1)).as("nd"))
+      .select(when(col("vv0").isNull, raise_error(lit(
+          "Perplexity.scoreAgainstKn5: model is empty (no 5-grams) — " +
+          "train on a non-empty reference corpus")))
+        .otherwise(col("vv0")).as("vv"), col("nd"))
+    // shared backoff trees — one Column instance per level
+    val p1 = (coalesce(col("n1b5"), lit(0L)) + lit(1.0)) /
+      (col("nd") + col("vv"))
+    val p2 = when(col("nmid2").isNotNull,
+        greatest(coalesce(col("n1b452"), lit(0L)) - lit(discount), lit(0.0))
+          / col("nmid2")
+        + lit(discount) * col("n1f2") / col("nmid2") * p1)
+      .otherwise(p1)
+    val p3 = when(col("nmid3").isNotNull,
+        greatest(coalesce(col("n1b345"), lit(0L)) - lit(discount), lit(0.0))
+          / col("nmid3")
+        + lit(discount) * col("n1f3") / col("nmid3") * p2)
+      .otherwise(p2)
+    val p4 = when(col("nmid4").isNotNull,
+        greatest(coalesce(col("n1b45"), lit(0L)) - lit(discount), lit(0.0))
+          / col("nmid4")
+        + lit(discount) * col("n1f4") / col("nmid4") * p3)
+      .otherwise(p3)
+    val p5 = when(col("c1234").isNotNull,
+        greatest(coalesce(col("c12345"), lit(0L)) - lit(discount), lit(0.0))
+          / col("c1234")
+        + lit(discount) * col("n1f1234") / col("c1234") * p4)
+      .otherwise(p4)
+    saltedFivegrams(corpus)
+      .join(saltedModel(g), Seq("w1", "w2", "w3", "w4", "w5", "salt"), "left")
+      .join(saltedModel(top), Seq("w1", "w2", "w3", "w4", "salt"), "left")
+      .join(saltedModel(t4), Seq("w2", "w3", "w4", "w5", "salt"), "left")
+      .join(saltedModel(t4p), Seq("w2", "w3", "w4", "salt"), "left")
+      .join(saltedModel(t3), Seq("w3", "w4", "w5", "salt"), "left")
+      .join(saltedModel(t3p), Seq("w3", "w4", "salt"), "left")
+      .join(saltedModel(t2), Seq("w4", "w5", "salt"), "left")
+      .join(saltedModel(t2p), Seq("w4", "salt"), "left")
+      .join(saltedModel(t1), Seq("w5", "salt"), "left")
+      .crossJoin(broadcast(scalars))
+      .select(col("doc_id"), log(p5).as("lp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_5grams"),
+        ((-sum(col("lp"))) / count(lit(1))).as("xent_raw"))
+  }
+
+  private def saltedFivegrams(corpus: DataFrame): DataFrame =
+    fivegramsOf(corpus).withColumn("salt",
+      pmod(xxhash64(col("doc_id")), lit(ScoreSaltWidth.toLong)).cast("int"))
+
+  /** Gate query: the reference-trained 5-GRAM KN shape — same
+    * md5-coin 5% training split and staging as the rest of the
+    * ladder; scoreable population is docs with ≥ 5 tokens, which the
+    * oracle mirrors. With this the family spans add-one / JM / KN /
+    * KN3 / KN5 — the full deployed-CCNet order under the hash gate.
+    */
+  def qualityPerplexityKn5(spark: SparkSession, dir: String,
+      refFrac: Double = 0.05,
+      discount: Double = DefaultKnDiscount): DataFrame = {
+    val fp = DfCache.inputFingerprint(spark, s"$dir/documents.parquet")
+    DfCache.getOrCompute(spark, s"pplx_kn5_scored:$dir:$refFrac:$discount") {
+      DfCache.stagedFrame(spark, s"pplx_kn5_scored_${refFrac}_$discount", fp) {
+        val corpus = Tables.documents(spark, dir)
+        val ref = corpus.where(
+          md5Long(concat(lit("pplxref:"), col("doc_id").cast("string")), 1, 8)
+            .cast("double") / 4294967296.0 < refFrac)
+        scoreAgainstKn5(modelOf5(spark, ref), corpus, discount)
+      }
+    }.orderBy(col("doc_id"))
+  }
+
   /** Gate query: the reference-trained shape scored with the
     * KNESER–NEY model ([[scoreAgainstKn]]) — same md5-coin 5%
     * training split and one-artifact staging as the other two

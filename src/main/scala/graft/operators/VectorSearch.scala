@@ -902,46 +902,154 @@ object VectorSearch {
 
   val PairCap = 8
 
-  /** Embedding near-dup candidate pairs over a (vec_id, label, emb)
-    * frame, bounded two ways against the hot-bucket blow-up a 100 TB
-    * corpus guarantees: (1) blocking on (`label`, LSH sign code) —
-    * the coarse quantizer bucket plus the 6-bit code splits a hot
-    * label into up to 64 sub-buckets while true near-dups (cosine ≈ 1
-    * ⇒ same side of every hyperplane) still collide; (2) a per-vector
-    * partner cap via the map-side-combining TopKAgg, so emitted pairs
-    * are ≤ PairCap·n (linear) no matter how dense a bucket is —
-    * identical-content floods are the exact-dedup stage's job, which
-    * runs first in the pipeline.
+  /** Build-side occupancy cap of a (label, code) block in the
+    * REP-level pair join, and the member-slate size carrying a
+    * group's share of cross-group lifts — the embedding twins of
+    * [[Dedup.SimhashBucketCap]]'s two roles. Both are audited
+    * ([[capAudit]]) and mirrored exactly by the oracle.
     */
-  /** Pre-cap blocked pair stream (each in-bucket pair exactly once,
-    * with cosine) — split from the capped tail so the cap audit can
-    * count what [[PairCap]] drops.
+  val EmbBucketCap = 64
+
+  /** Exact-content quotient of an embedding corpus: (vec_id, rep_id,
+    * grk) where rep_id is the minimum vec_id sharing the identical
+    * embedding (md5 of the JSON spelling — injective on doubles) and
+    * grk the member's rank within its group (vec_id order). The same
+    * contraction the dedup family applies before MinHash/SimHash
+    * (Dedup.quotientOf, the r11 treatment): identical content ⇒
+    * identical embedding ⇒ the same (label, code) block and cosine
+    * exactly 1.0 after round4, so a boilerplate-heavy corpus (every
+    * crawl is clone-heavy by construction) otherwise pays Σ group²
+    * inside the blocked self-join BEFORE the partner cap can trim
+    * output — the join INTERMEDIATE, not the result, was the
+    * unbounded stage.
     */
-  private[operators] def embeddingBlockedPairs(v: DataFrame): DataFrame = {
+  private[graft] def embMembersOf(v: DataFrame): DataFrame = {
+    val gw = Window.partitionBy(col("h"))
+    v.select(col("vec_id"), md5(to_json(col("emb"))).as("h"))
+      .withColumn("rep_id", min(col("vec_id")).over(gw))
+      .withColumn("grk", row_number().over(gw.orderBy(col("vec_id"))))
+      .select(col("vec_id"), col("rep_id"), col("grk"))
+  }
+
+  /** The quotient of the corpus at `dir`, cached per (session, dir)
+    * like Dedup.minhashMembers — one window pass however many
+    * consumers (query, audit) run.
+    */
+  private[graft] def embMembers(spark: SparkSession, dir: String): DataFrame =
+    graft.DfCache.getOrCompute(spark, s"emb_members:$dir")(
+      embMembersOf(codedVectors(spark, dir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Bucket-capped (label, code) block join over group
+    * REPRESENTATIVES — each in-cap rep pair exactly once, with its
+    * cosine. The probe side carries its OWN bucket rank so the
+    * once-per-pair rule is a map-side filter
+    * ([[Dedup.simhashCandidates]]'s shape): `a<b` when both sit
+    * inside the cap, the (out-of-cap → in-cap) orientation otherwise.
+    * Join INTERMEDIATE ≤ Σ_buckets bucket·min(bucket, cap)
+    * ≤ 2·cap·n_reps rows BY CONSTRUCTION — and n_reps counts DISTINCT
+    * embeddings, so a clone flood cannot grow it at all.
+    */
+  private[graft] def embeddingRepPairs(reps: DataFrame,
+      bucketCap: Int = EmbBucketCap): DataFrame = {
+    val bw = Window.partitionBy(col("label"), col("code")).orderBy(col("vec_id"))
+    val ranked = reps.withColumn("brk", row_number().over(bw))
+    val bcap = ranked.where(col("brk") <= bucketCap)
+      .select(col("label"), col("code"), col("vec_id").as("b_id"),
+        col("emb").as("b_emb"))
+    ranked.select(col("label"), col("code"), col("vec_id").as("a_id"),
+        col("emb").as("a_emb"), col("brk").as("a_brk"))
+      .join(bcap, Seq("label", "code"))
+      .where(col("a_id") =!= col("b_id"))
+      .where(col("a_brk") > bucketCap || col("a_id") < col("b_id"))
+      .select(least(col("a_id"), col("b_id")).as("a_id"),
+        greatest(col("a_id"), col("b_id")).as("b_id"),
+        V.cosine4(col("a_emb"), col("b_emb")).as("cos"))
+  }
+
+  /** The qualifying pair stream of [[dedupEmbedding]], quotient-
+    * expanded with the dominance trim (the r11 simhash recipe,
+    * [[Dedup.simhashExpandedQualifyingOf]] — see its scaladoc for the
+    * full argument; only the deltas are noted here):
+    *  - WITHIN a group, members pair at cosine exactly 1.0 (identical
+    *    vectors; round4 collapses the ≤ 2-ulp norm noise in both
+    *    engines). Pairs charge to their min side, so semantically a
+    *    slate member pairs with every group successor; the trim emits
+    *    only its next [[PairCap]] successors — same-cos smaller-id
+    *    dominance makes the rest unreachable in its TopK list.
+    *  - ACROSS groups, a rep pair found by [[embeddingRepPairs]]
+    *    lifts to slate × slate combos at the reps' cosine (identical
+    *    members ⇒ every member combo has the rep pair's exact
+    *    double); the trim keeps each member's first PairCap
+    *    greater-id partners per edge.
+    * Unlike simhash there is no signature-eligibility filter (every
+    * vector has a code) and no both-halves `distinct` (one blocking
+    * key per vector ⇒ each pair surfaces exactly once). Stream volume
+    * ≤ PairCap·n + 2·cap·PairCap·|edges|; [[dedupEmbedding]]'s output
+    * is bit-identical to the untrimmed capped semantics the oracle
+    * spells (ScaleSmokeSpec asserts both the bound and the equality).
+    */
+  private[graft] def embeddingExpandedPairsOf(members: DataFrame,
+      coded: DataFrame): DataFrame = {
+    val cap = EmbBucketCap
+    val pk = PairCap
+    val reps = coded.join(
+      members.where(col("vec_id") === col("rep_id")).select(col("vec_id")),
+      Seq("vec_id"), "left_semi")
+    val repQ = embeddingRepPairs(reps)
+    val gw = Window.partitionBy(col("rep_id")).orderBy(col("vec_id"))
+    val ranked = members.withColumn("nxt",
+      array((1 to pk).map(i => lead(col("vec_id"), i).over(gw)): _*))
+    val slate = ranked.where(col("grk") <= cap)
+    val within = slate
+      .select(col("vec_id").as("a_id"),
+        explode(filter(col("nxt"), x => x.isNotNull)).as("b_id"))
+      .select(col("a_id"), col("b_id"), lit(1.0).as("cos"))
+    val slates = slate.groupBy(col("rep_id"))
+      .agg(sort_array(collect_list(col("vec_id"))).as("slate"))
+    val crossE = repQ
+      .join(slates.select(col("rep_id").as("a_id"), col("slate").as("sa")),
+        Seq("a_id"))
+      .join(slates.select(col("rep_id").as("b_id"), col("slate").as("sb")),
+        Seq("b_id"))
+    def half(mine: String, theirs: String): DataFrame = crossE
+      .select(col("cos"), explode(col(mine)).as("m"), col(theirs).as("othr"))
+      .select(col("m").as("a_id"),
+        explode(slice(filter(col("othr"), x => x > col("m")), 1, pk)).as("b_id"),
+        col("cos"))
+      .select(col("a_id"), col("b_id"), col("cos"))
+    within.unionAll(half("sa", "sb")).unionAll(half("sb", "sa"))
+  }
+
+  /** Partner-capped candidate pairs over any (vec_id, label, emb[,
+    * code]) frame — quotient built inline; the (spark, dir) query
+    * path goes through [[embMembers]]' cached quotient instead.
+    */
+  private[graft] def embeddingDupCandidates(v: DataFrame): DataFrame = {
     // a frame from the coded index skips the per-execution code build
     val coded =
       if (v.columns.contains("code")) v
       else v.withColumn("code", lshCode(col("emb")))
-    val a = coded.select(col("label"), col("code"), col("vec_id").as("a_id"), col("emb").as("a_emb"))
-    val b = coded.select(col("label"), col("code"), col("vec_id").as("b_id"), col("emb").as("b_emb"))
-    a.join(b, Seq("label", "code"))
-      .where(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"),
-        V.cosine4(col("a_emb"), col("b_emb")).as("cos"))
+    embeddingDupCandidatesOf(embMembersOf(coded), coded)
   }
 
-  private[graft] def embeddingDupCandidates(v: DataFrame): DataFrame =
-    embeddingBlockedPairs(v)
+  private def embeddingDupCandidatesOf(members: DataFrame,
+      coded: DataFrame): DataFrame =
+    embeddingExpandedPairsOf(members, coded)
       .groupBy(col("a_id"))
       .agg(graft.functions.TopK.topK(PairCap)(col("cos"), col("b_id")).as("top"))
       .select(col("a_id"), explode(col("top")).as("hit"))
       .select(col("a_id"), col("hit.id").as("b_id"), col("hit.score").as("cos"))
 
   /** Embedding-cosine near-duplicate report: top-20 bounded candidate
-    * pairs by cosine — SURVEY.md §2.F `dedup_embedding`.
+    * pairs by cosine — SURVEY.md §2.F `dedup_embedding`. Three
+    * bounded stages, each audited: exact-content quotient (clone
+    * floods contract to one rep), bucket-capped rep block join on
+    * (label, LSH sign code) (≤ 2·cap·n_reps intermediate), slate
+    * expansion + per-vector partner cap (≤ PairCap·n output).
     */
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame =
-    embeddingDupCandidates(codedVectors(spark, dir))
+    embeddingDupCandidatesOf(embMembers(spark, dir), codedVectors(spark, dir))
       .orderBy(col("cos").desc, col("a_id"), col("b_id"))
       .limit(20)
 
@@ -991,16 +1099,36 @@ object VectorSearch {
       .orderBy(col("label"), col("srk"))
   }
 
-  /** "No silent caps": what [[PairCap]] dropped from the blocked
-    * embedding pair stream on this corpus — see Dedup.capAudit for
-    * the column contract.
+  /** "No silent caps": what the three [[dedupEmbedding]] bounds
+    * actually dropped on this corpus — see Dedup.capAudit for the
+    * column contract. `pair_cap` counts the expanded qualifying
+    * stream vs [[PairCap]] (like simhash's partner_cap row);
+    * `bucket_cap` counts rep-level (label, code) block occupants vs
+    * [[EmbBucketCap]]; `group_cap` counts exact-content group members
+    * vs the slate size (the quotient twin of the bucket row).
     */
-  def capAudit(spark: SparkSession, dir: String): DataFrame =
-    embeddingBlockedPairs(codedVectors(spark, dir))
-      .groupBy(col("a_id")).agg(count(lit(1)).as("c"))
-      .agg(coalesce(sum(col("c")), lit(0L)).as("candidates"),
-        coalesce(sum(least(col("c"), lit(PairCap.toLong))), lit(0L)).as("emitted"))
-      .select(lit("dedup_embedding.pair_cap").as("stage"),
-        lit(PairCap.toLong).as("cap"), lit("blocked_pairs").as("unit"),
-        col("candidates"), col("emitted"))
+  def capAudit(spark: SparkSession, dir: String): DataFrame = {
+    def summarize(perKey: DataFrame, stage: String, cap: Long, unit: String): DataFrame =
+      perKey
+        .agg(coalesce(sum(col("c")), lit(0L)).as("candidates"),
+          coalesce(sum(least(col("c"), lit(cap))), lit(0L)).as("emitted"))
+        .select(lit(stage).as("stage"), lit(cap).as("cap"),
+          lit(unit).as("unit"), col("candidates"), col("emitted"))
+    val members = embMembers(spark, dir)
+    val coded = codedVectors(spark, dir)
+    val reps = coded.join(
+      members.where(col("vec_id") === col("rep_id")).select(col("vec_id")),
+      Seq("vec_id"), "left_semi")
+    val pair = summarize(
+      embeddingExpandedPairsOf(members, coded)
+        .groupBy(col("a_id")).agg(count(lit(1)).as("c")),
+      "dedup_embedding.pair_cap", PairCap.toLong, "blocked_pairs")
+    val bucket = summarize(
+      reps.groupBy(col("label"), col("code")).agg(count(lit(1)).as("c")),
+      "dedup_embedding.bucket_cap", EmbBucketCap.toLong, "bucket_occupants")
+    val group = summarize(
+      members.groupBy(col("rep_id")).agg(count(lit(1)).as("c")),
+      "dedup_embedding.group_cap", EmbBucketCap.toLong, "group_members")
+    pair.unionByName(bucket).unionByName(group)
+  }
 }

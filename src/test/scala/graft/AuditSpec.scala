@@ -19,9 +19,11 @@ class AuditSpec extends SparkSpec {
     assert(rows.keySet == Set("dedup_simhash.partner_cap",
       "dedup_simhash.bucket_cap", "dedup_simhash.group_cap",
       "ngram_jaccard.bucket_cap", "ngram_jaccard.verify_budget",
-      "dedup_embedding.pair_cap"))
+      "dedup_embedding.pair_cap", "dedup_embedding.bucket_cap",
+      "dedup_embedding.group_cap", "dataset_split_incremental.bridge"))
     rows.foreach { case (stage, (cap, cand, emitted, dropped)) =>
-      assert(cap > 0 && cand >= 0 && emitted >= 0, s"$stage: negative counts")
+      // cap = 0 marks a measurement row (the bridge audit has no bound)
+      assert(cap >= 0 && cand >= 0 && emitted >= 0, s"$stage: negative counts")
       assert(emitted <= cand, s"$stage: emitted > candidates")
       assert(dropped == cand - emitted, s"$stage: dropped != candidates - emitted")
     }

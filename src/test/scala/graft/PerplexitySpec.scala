@@ -229,6 +229,29 @@ class PerplexitySpec extends SparkSpec {
       "the attested trigram must score strictly better than the cross-over")
   }
 
+  test("5-gram KN separates contexts the trigram order must conflate") {
+    import spark.implicits._
+    // model: "a b c d e" x10 and "z b c d f" x10 — the TRIGRAM
+    // statistics of the crawls below are identical position for
+    // position ((c,d,e) and (c,d,f) both attested 10x under the same
+    // (c,d) prefix, symmetric lower orders), so kn3 must score them
+    // equally. Only an order-4+ context sees that (a,b,c,d) -> e is
+    // attested while -> f is a cross-over the corpus never produced.
+    val model = ((1 to 10).map(i => (i.toLong, "a b c d e")) ++
+      (1 to 10).map(i => (i.toLong + 10, "z b c d f"))).toDF("doc_id", "text")
+    val crawl = Seq((1L, "a b c d e"), (2L, "a b c d f")).toDF("doc_id", "text")
+    def scores(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      df.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("xent")).toMap
+    val kn3 = scores(Perplexity.scoreAgainstKn3(
+      Perplexity.modelOf3(spark, model), crawl))
+    assert(kn3(1L) == kn3(2L),
+      "corpus not trigram-symmetric — the separation below would be vacuous")
+    val kn5 = scores(Perplexity.scoreAgainstKn5(
+      Perplexity.modelOf5(spark, model), crawl))
+    assert(kn5(1L) < kn5(2L),
+      "the attested 5-gram must score strictly better than the cross-over")
+  }
+
   test("empty model fails loudly instead of emitting NULL scores") {
     import spark.implicits._
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
@@ -266,12 +289,14 @@ class PerplexitySpec extends SparkSpec {
         .cast("double") / 4294967296.0
       val ref = Perplexity.modelOf(spark, corpus.where(coin < 0.05))
       val ref3 = Perplexity.modelOf3(spark, corpus.where(coin < 0.05))
+      val ref5 = Perplexity.modelOf5(spark, corpus.where(coin < 0.05))
       Seq(
         s"$d self"    -> margin(Perplexity.scoreAgainstRaw(self, corpus)),
         s"$d ref"     -> margin(Perplexity.scoreAgainstRaw(ref, corpus)),
         s"$d backoff" -> margin(Perplexity.scoreAgainstInterpRaw(ref, corpus)),
         s"$d kn"      -> margin(Perplexity.scoreAgainstKnRaw(ref, corpus)),
-        s"$d kn3"     -> margin(Perplexity.scoreAgainstKn3Raw(ref3, corpus)))
+        s"$d kn3"     -> margin(Perplexity.scoreAgainstKn3Raw(ref3, corpus)),
+        s"$d kn5"     -> margin(Perplexity.scoreAgainstKn5Raw(ref5, corpus)))
     }
     margins.foreach { case (k, m) => info(f"$k%-40s midpoint margin $m%.3e") }
     // floor: >= 2 orders above the ~1e-13 cross-engine drift bound.

@@ -205,6 +205,138 @@ class ScaleSmokeSpec extends SparkSpec {
         s"missing=${(naive -- trimmed).take(3)} extra=${(trimmed -- naive).take(3)}")
   }
 
+  test("embedding clone flood: quotient contracts the blocked join; expansion bounded and trim-exact") {
+    import spark.implicits._
+    val cap = VectorSearch.EmbBucketCap
+    val pk = VectorSearch.PairCap
+    // two near-identical vectors (same label + LSH code, cosine < 1)
+    // each cloned far past the slate cap — the ScaleGen-replication /
+    // boilerplate-crawl shape that made the doc-level blocked self-join
+    // pay ~ (2n)^2 in ONE bucket before the partner cap could trim
+    val n = 200L
+    val va = Array.tabulate(8)(d => 1.0 + d)
+    val vb = va.clone(); vb(7) += 0.5  // big enough that round4(cos) < 1.0
+    val corpus = (
+      (0L until n).map(i => (i, "hot", va)) ++
+      (10000L until (10000L + n)).map(i => (i, "hot", vb)) ++
+      Seq((50000L, "cold", Array.tabulate(8)(d => -1.0 - d)))
+    ).toDF("vec_id", "label", "emb")
+    val coded = corpus.withColumn("code",
+      graft.operators.VectorSearch.lshCode(col("emb"))).localCheckpoint()
+    // precondition: the two templates really collide in one bucket
+    val codes = coded.where(col("label") === "hot")
+      .select(col("code")).distinct().collect()
+    assume(codes.length == 1, "perturbation flipped an LSH plane — shrink it")
+    val members = VectorSearch.embMembersOf(coded).localCheckpoint()
+    // quotient: 401 vectors -> 3 reps; the rep-level block join sees
+    // ONE edge, not ~80k in-bucket combos
+    val reps = coded.join(
+      members.where(col("vec_id") === col("rep_id")).select(col("vec_id")),
+      Seq("vec_id"), "left_semi")
+    assert(reps.count() == 3)
+    val repQ = VectorSearch.embeddingRepPairs(reps).collect()
+    assert(repQ.length == 1, s"expected one rep edge, got ${repQ.length}")
+    assert(repQ.head.getAs[Double]("cos") < 1.0,
+      "templates collapsed to cosine 1.0 — the edge no longer exercises the cross path")
+    // expansion stream volume: <= pk per slate member (within) +
+    // 2*cap*pk for the single edge — group size n never appears
+    val q = VectorSearch.embeddingExpandedPairsOf(members, coded).collect()
+    val cross = q.filter(_.getAs[Double]("cos") < 1.0)
+    val within = q.length - cross.length
+    assert(cross.nonEmpty && cross.length <= 2 * cap * pk,
+      s"cross expansion ${cross.length} rows for one edge (bound ${2 * cap * pk})")
+    assert(within <= pk.toLong * 2 * cap,
+      s"within expansion $within exceeded pk per slate member")
+    // EXACTNESS of the dominance trim: partner-capped output must be
+    // row-identical to the UNTRIMMED capped semantics the oracle
+    // spells (every member vs its group's slate at cos 1.0; full
+    // slate x slate per rep edge at the reps' cosine)
+    def capped(pairs: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      pairs.groupBy(col("a_id"))
+        .agg(graft.functions.TopK.topK(pk)(col("cos"), col("b_id")).as("top"))
+        .select(col("a_id"), explode(col("top")).as("hit"))
+        .select(col("a_id"), col("hit.id").as("b_id"), col("hit.score").as("cos"))
+        .collect()
+        .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+          r.getAs[Double]("cos"))).toSet
+    val slate = members.where(col("grk") <= cap)
+      .select(col("rep_id"), col("vec_id").as("b_id"))
+    val naiveWithin = members
+      .select(col("rep_id"), col("vec_id").as("a_id"), col("grk").as("a_grk"))
+      .join(slate, Seq("rep_id"))
+      .where(col("a_id") =!= col("b_id"))
+      .where(col("a_grk") > cap || col("a_id") < col("b_id"))
+      .select(least(col("a_id"), col("b_id")).as("a_id"),
+        greatest(col("a_id"), col("b_id")).as("b_id"), lit(1.0).as("cos"))
+    val naiveCross = VectorSearch.embeddingRepPairs(reps)
+      .join(slate.select(col("rep_id").as("a_id"), col("b_id").as("ma")), Seq("a_id"))
+      .join(slate.select(col("rep_id").as("b_id"), col("b_id").as("mb")), Seq("b_id"))
+      .select(least(col("ma"), col("mb")).as("a_id"),
+        greatest(col("ma"), col("mb")).as("b_id"), col("cos"))
+    val naive = capped(naiveWithin.unionAll(naiveCross))
+    val trimmed = capped(VectorSearch.embeddingExpandedPairsOf(members, coded))
+    assert(trimmed == naive,
+      s"dominance trim changed the partner-capped output: " +
+        s"missing=${(naive -- trimmed).take(3)} extra=${(trimmed -- naive).take(3)}")
+  }
+
+  test("embedding rep join INTERMEDIATE stays <= 2*cap*n when one bucket holds all reps") {
+    import spark.implicits._
+    // n DISTINCT vectors in one (label, code) bucket — the quotient is
+    // the identity here, so only the build-side bucket cap stands
+    // between the rep join and n^2; mirrors the simhash JOIN
+    // INTERMEDIATE test one family over
+    val n = 4096
+    val cap = 16
+    val reps = (0 until n).map { i =>
+      (i.toLong, "hot", Array.tabulate(8)(d => 1.0 + d + i * 1e-9), 7L)
+    }.toDF("vec_id", "label", "emb", "code")
+    val pairs = VectorSearch.embeddingRepPairs(reps, cap)
+    assert(pairs.count() <= 2L * cap * n,
+      s"rep join exceeded 2*cap*n = ${2L * cap * n}")
+    val sample = pairs.limit(5000).collect()
+    assert(sample.nonEmpty)
+    assert(sample.forall(r => r.getAs[Long]("a_id") < r.getAs[Long]("b_id")))
+    assert(sample.length == sample.map(r =>
+      (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).distinct.length,
+      "a rep pair surfaced twice")
+  }
+
+  test("quotiented dedup_embedding equals the doc-level spelling where no cap binds") {
+    import spark.implicits._
+    // mixed corpus: clone groups of 5 and 3 plus singletons, two
+    // buckets — groups and buckets all under the caps, so the capped
+    // semantics ARE the doc-level semantics and the outputs must be
+    // row-identical (incl. within-group literal cos 1.0 == the
+    // doc-level round4 of identical vectors)
+    val va = Array.tabulate(8)(d => 1.0 + d)
+    val vb = { val v = va.clone(); v(7) += 0.5; v }  // cross pairs at cos < 1.0
+    val vc = Array.tabulate(8)(d => -1.0 - d)
+    val rows =
+      (0L until 5L).map(i => (i, "hot", va)) ++
+      (100L until 103L).map(i => (i, "hot", vb)) ++
+      Seq((200L, "cold", vc), (201L, "cold", vc.map(_ * 2.0)))
+    val coded = rows.toDF("vec_id", "label", "emb")
+      .withColumn("code", graft.operators.VectorSearch.lshCode(col("emb"))).localCheckpoint()
+    def collectPairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[Double]("cos"))).toSet
+    // the pre-r14 doc-level spelling, inline: full blocked self-join,
+    // then the same partner cap
+    val a = coded.select(col("label"), col("code"), col("vec_id").as("a_id"), col("emb").as("a_emb"))
+    val b = coded.select(col("label"), col("code"), col("vec_id").as("b_id"), col("emb").as("b_emb"))
+    val docLevel = a.join(b, Seq("label", "code"))
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        graft.functions.VectorFunctions.cosine4(col("a_emb"), col("b_emb")).as("cos"))
+      .groupBy(col("a_id"))
+      .agg(graft.functions.TopK.topK(VectorSearch.PairCap)(col("cos"), col("b_id")).as("top"))
+      .select(col("a_id"), explode(col("top")).as("hit"))
+      .select(col("a_id"), col("hit.id").as("b_id"), col("hit.score").as("cos"))
+    assert(collectPairs(VectorSearch.embeddingDupCandidates(coded)) ==
+      collectPairs(docLevel))
+  }
+
   test("ngram_jaccard relative window still finds candidates under 8x replication") {
     import spark.implicits._
     import graft.functions.TextFunctions.shinglePosting
