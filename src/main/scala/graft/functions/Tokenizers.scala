@@ -231,6 +231,48 @@ object BpeModel {
     } finally in.close()
   }
 
+  /** Train a v2 artifact from a DETERMINISTIC md5-coin sample of a
+    * DataFrame corpus — the honest 100 TB tokenizer-training shape: a
+    * production tokenizer trains on a bounded sample (GPT-2/SentencePiece
+    * practice), never the full corpus, and the driver-side trainer
+    * below bounds what this helper may collect. The coin is the
+    * repo-standard md5(doc_id) spelling, so the sample (hence the
+    * artifact) is reproducible regardless of partitioning; the scan
+    * prunes to the text column and the filter pushes to the coin
+    * expression — the only driver-side bytes are the SAMPLED texts.
+    *
+    * @param corpus     (doc_id, text) frame
+    * @param sampleFrac fraction of docs to collect for training
+    * @param maxDocs    hard collect() bound — fail loudly instead of
+    *                   OOMing the driver when the fraction was sized
+    *                   for a smaller corpus
+    */
+  def trainArtifactSampled(corpus: org.apache.spark.sql.DataFrame,
+      nMerges: Int, sampleFrac: Double,
+      maxDocs: Long = 1000000L): (Seq[(String, String)], Seq[String]) = {
+    require(sampleFrac > 0.0 && sampleFrac <= 1.0,
+      s"sampleFrac must be in (0, 1], got $sampleFrac")
+    import org.apache.spark.sql.functions._
+    val coin = TextFunctions.md5Long(
+        concat(lit("bpetrain:"), col("doc_id").cast("string")), 1, 8)
+      .cast("double") / 4294967296.0
+    val sampled = corpus.where(coin < sampleFrac)
+      .orderBy(col("doc_id")).select(col("text"))
+    val n = sampled.count()
+    require(n <= maxDocs,
+      s"BPE training sample has $n docs (> maxDocs = $maxDocs) — " +
+        "lower sampleFrac; the trainer is driver-side by design")
+    trainArtifact(sampled.collect().map(_.getString(0)).toSeq, nMerges)
+  }
+
+  /** DRIVER-SIDE by design: one pass over an in-memory sample builds
+    * word frequencies, then `nMerges` greedy rounds over the evolving
+    * symbol sequences — memory and time are bounded by the SAMPLE's
+    * distinct words, not the corpus ([[trainArtifactSampled]] is the
+    * corpus-scale entry and enforces the bound). Distributing the
+    * pair-count rounds would shuffle the whole corpus `nMerges`
+    * times to produce an artifact a sample determines just as well.
+    */
   def train(texts: Iterator[String], nMerges: Int): Seq[(String, String)] = {
     require(nMerges >= 0, s"nMerges must be non-negative, got $nMerges")
     // word frequencies once; each word as its evolving symbol sequence

@@ -131,4 +131,31 @@ class TokenizerSpec extends SparkSpec {
     assert(encV1.tokenize(texts) === strs, "v1 string path unchanged")
     intercept[IllegalArgumentException] { encV1.tokenizeIds(texts) }
   }
+
+  test("sampled DataFrame training: deterministic coin, equals seq-trained on the same sample, bound enforced") {
+    import org.apache.spark.sql.functions._
+    val corpus = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    val (m1, v1) = BpeModel.trainArtifactSampled(corpus, nMerges = 24,
+      sampleFrac = 0.2)
+    // reproducible: the md5 coin doesn't care about partitioning
+    val (m2, v2) = BpeModel.trainArtifactSampled(corpus.repartition(7),
+      nMerges = 24, sampleFrac = 0.2)
+    assert(m1 === m2 && v1 === v2, "sampled training not deterministic")
+    // equals the driver-side trainer fed the same doc_id-ordered sample
+    val coin = graft.functions.TextFunctions.md5Long(
+        concat(lit("bpetrain:"), col("doc_id").cast("string")), 1, 8)
+      .cast("double") / 4294967296.0
+    val sample = corpus.where(coin < 0.2).orderBy(col("doc_id"))
+      .select(col("text")).collect().map(_.getString(0)).toSeq
+    assert(sample.nonEmpty && sample.size < corpus.count(),
+      "coin sampled nothing (or everything) — fraction check is vacuous")
+    assert((m1, v1) === BpeModel.trainArtifact(sample, 24))
+    // the driver-side bound fails loudly instead of collecting a corpus
+    val e = intercept[IllegalArgumentException] {
+      BpeModel.trainArtifactSampled(corpus, nMerges = 4, sampleFrac = 1.0,
+        maxDocs = 3L)
+    }
+    assert(e.getMessage.contains("maxDocs"))
+  }
 }
