@@ -284,7 +284,13 @@ object Pack {
       try {
         graft.DfCache.stagedFrame(spark, stageName, fp) {
           val surv = Curate.survivors(spark, dir)
-          sc = scorer.score(Perplexity.modelOf(spark, surv), surv)
+          // the scorer carries its OWN model builder (bigram families
+          // share modelOf; kn3/kn5 bring modelOf3/modelOf5) — one
+          // spelling for all five smoothing families. Higher orders
+          // score only docs long enough for their n-gram (>= n
+          // tokens), so the inner keep-join drops shorter survivors
+          // with the tail: a caller picking kn5 asks for exactly that.
+          sc = scorer.score(scorer.train(spark, surv), surv)
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           val keptIds = sc.crossJoin(broadcast(Perplexity.cutsOf(sc)))
             .where(Perplexity.bucketOf(col("xent"), col("c1"), col("c2")) =!= "tail")

@@ -749,9 +749,17 @@ object Perplexity {
     * from it can never serve one family's output to another — the
     * collision a free-floating (function, label) parameter pair
     * invites. The tag is path-safe by construction (no separators).
+    *
+    * `train` builds the family's model artifact from a reference
+    * corpus (round 14): the bigram families share [[modelOf]], the
+    * higher orders carry [[modelOf3]]/[[modelOf5]] — so a consumer
+    * like trainPrepScored stays one spelling across ALL five
+    * smoothing families instead of special-casing artifact types,
+    * and a scorer can never be handed another order's model.
     */
   final case class Scorer(tag: String,
-      score: (DataFrame, DataFrame) => DataFrame) {
+      score: (DataFrame, DataFrame) => DataFrame,
+      train: (SparkSession, DataFrame) => DataFrame = modelOf _) {
     require(tag.matches("[A-Za-z0-9._-]+"),
       s"scorer tag must be a plain label, got '$tag'")
   }
@@ -762,6 +770,10 @@ object Perplexity {
       Scorer(s"interp_$lambda", scoreAgainstInterp(_, _, lambda))
     def kn(discount: Double = DefaultKnDiscount): Scorer =
       Scorer(s"kn_$discount", scoreAgainstKn(_, _, discount))
+    def kn3(discount: Double = DefaultKnDiscount): Scorer =
+      Scorer(s"kn3_$discount", scoreAgainstKn3(_, _, discount), modelOf3 _)
+    def kn5(discount: Double = DefaultKnDiscount): Scorer =
+      Scorer(s"kn5_$discount", scoreAgainstKn5(_, _, discount), modelOf5 _)
   }
 
   /** THE bucket spelling — shared by the buckets query, the apply

@@ -61,6 +61,28 @@ class PackSpec extends SparkSpec {
     assert(Perplexity.Scorer.kn().tag != Perplexity.Scorer.AddOne.tag)
   }
 
+  test("trainPrepScored with the 5-gram KN scorer: the scorer's own model builder drives the keep gate") {
+    import graft.operators.{Curate, Perplexity}
+    val packed = Pack.trainPrepScored(spark, sfDir,
+        scorer = Perplexity.Scorer.kn5())
+      .collect()
+    assert(packed.nonEmpty)
+    assert(packed.map(_.getAs[Long]("doc_id")).distinct.length === packed.length)
+    // kept ⊆ kn5-scored non-tail survivors, under the kn5 ranking AND
+    // the kn5 scoreable population (>= 5 tokens — shorter survivors
+    // drop with the tail, the higher-order keep contract)
+    val surv = Curate.survivors(spark, sfDir)
+    val sc = Perplexity.scoreAgainstKn5(Perplexity.modelOf5(spark, surv), surv)
+    val cuts = Perplexity.cutsOf(sc).head()
+    val keptOk = sc.collect()
+      .filter(_.getAs[Double]("xent") <= cuts.getAs[Double]("c2"))
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(packed.forall(r => keptOk(r.getAs[Long]("doc_id"))),
+      "a kn5-packed doc is in the kn5 tail tercile or below the 5-gram floor")
+    // distinct family => distinct staged artifact
+    assert(Perplexity.Scorer.kn5().tag != Perplexity.Scorer.kn().tag)
+  }
+
   test("sequence_pack: a total, contiguous, zero-padding layout") {
     val docs = Tables.documents(spark, sfDir)
     val pack = Pack.seqPack(spark, sfDir).collect()

@@ -52,6 +52,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("label"), "knn_brute scan reads pruned column label")
   }
 
+  test("dedup_embedding: hash joins only, partner cap is a partial agg, no cartesian") {
+    val plan = finalPlan(VectorSearch.dedupEmbedding(spark, sfDir))
+    assert(!plan.contains("CartesianProduct"),
+      s"quotiented pair build produced a cartesian:\n$plan")
+    // rep block join + slate joins are hash-based on their keys;
+    // a corpus-sized sort-merge join here would mean the (label,
+    // code) bucket key got lost
+    assert(!plan.contains("SortMergeJoin"),
+      s"pair build fell back to a corpus sort-merge join:\n$plan")
+    // the partner cap is the map-side-combining TopKAgg, not a
+    // window over the full pair stream
+    assert(plan.contains("ObjectHashAggregate"), s"TopKAgg missing:\n$plan")
+    assert(plan.toLowerCase.contains("partial_topk"),
+      s"no partial aggregation for the partner cap:\n$plan")
+  }
+
   test("keyword_search: top-k runs as a partial aggregate, not a per-query window") {
     val plan = finalPlan(KeywordSearch.keywordSearch(spark, sfDir))
     assert(!plan.contains("Window"),
