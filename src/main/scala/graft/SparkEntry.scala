@@ -61,6 +61,7 @@ object SparkEntry {
     "jsonl_ingest"    -> ((s, d) => graft.sources.Formats.jsonlIngest(s, d)),
     // §2.F LLM-data-pipeline operators
     "dedup_exact"     -> (Dedup.dedupExact _),
+    "dedup_paragraph" -> (Dedup.dedupParagraph _),
     "dedup_apply"     -> (Dedup.dedupApply _),
     "dedup_clusters"  -> (Dedup.dedupClusters _),
     "neardup_apply"   -> (Dedup.neardupApply _),
@@ -91,6 +92,8 @@ object SparkEntry {
     "clean_text"      -> (TextAnalysis.cleanText _),
     "pii_scrub"       -> (TextAnalysis.piiScrub _),
     "repetition_score" -> (TextAnalysis.repetitionScore _),
+    "gopher_quality"  -> (TextAnalysis.gopherQuality _),
+    "gopher_filter"   -> (TextAnalysis.gopherFilter _),
     "stratified_balance" -> ((s, d) => TextAnalysis.stratifiedBalance(s, d)),
     "contamination_check" -> ((s, d) => Dedup.contaminationCheck(s, d)),
     "corpus_curate"   -> ((s, d) => Curate.corpusCurate(s, d)),
@@ -100,6 +103,7 @@ object SparkEntry {
     "pack_stats"      -> ((s, d) => Pack.packStats(s, d)),
     "dataset_mix"     -> ((s, d) => Pack.datasetMix(s, d)),
     "dataset_mix_epochs" -> ((s, d) => Pack.datasetMixEpochs(s, d)),
+    "dataset_mix_temperature" -> ((s, d) => Pack.datasetMixTemperature(s, d)),
     "pipeline_trainprep" -> ((s, d) => Pack.trainPrep(s, d)),
     "pipeline_trainprep_mixed" -> ((s, d) => Pack.trainPrepMixed(s, d)),
     "pipeline_trainprep_scored" -> ((s, d) => Pack.trainPrepScored(s, d)),
@@ -604,6 +608,76 @@ object SparkEntry {
        |    substr(md5(concat(t[i], ' ', t[i+1], ' ', t[i+2])), 1, 16) AS s
        |  FROM tk, LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS i) ii
        |  WHERE len(t) >= 3 AND concat(t[i], ' ', t[i+1], ' ', t[i+2]) <> '')""".stripMargin
+
+  /** One Gopher top-n-gram "mass" CTE pair (all-occurrence n-grams →
+    * max count·length per doc) — oracle twin of
+    * TextAnalysis.topGramMass's narrow run-length fold (the oracle
+    * spells the naive explode+groupBy; same semantics, different
+    * plan).
+    */
+  private def gopherMassCte(n: Int): String = {
+    val gram = (0 until n).map(j => s"t[i+$j]").mkString("concat(", ", ' ', ", ")")
+    s"""g$n AS (SELECT doc_id, $gram AS g
+       |  FROM gtk, LATERAL (SELECT unnest(generate_series(1, len(t)-${n - 1})) AS i) ii
+       |  WHERE len(t) >= $n AND $gram <> ''),
+       |m$n AS (SELECT doc_id, max(c * length(g)) AS mass
+       |  FROM (SELECT doc_id, g, count(*) AS c FROM g$n GROUP BY 1, 2) GROUP BY 1)""".stripMargin
+  }
+
+  /** Gopher rule metrics + keep verdict over `documents` — oracle twin
+    * of TextAnalysis.gopherMetricsOf; shared by gopher_quality and
+    * gopher_filter (thresholds: TextAnalysis.GopherMinWords etc.).
+    */
+  private val gopherCteSql =
+    """WITH gtk AS (SELECT doc_id, lang, n_chars, length(text) AS chars,
+      |    string_split(text, ' ') AS t FROM documents),
+      |""".stripMargin +
+      Seq(2, 3, 4).map(gopherMassCte).mkString(",\n") + ",\n" +
+      """d5 AS (SELECT doc_id, CASE WHEN len(t) >= 5 THEN
+      |    len(list_distinct([concat(t[i], ' ', t[i+1], ' ', t[i+2], ' ', t[i+3], ' ', t[i+4])
+      |      for i in generate_series(1, len(t)-4)])) ELSE 0 END AS nd FROM gtk),
+      |gq AS (SELECT gtk.doc_id, lang, n_chars,
+      |  CAST(len(t) AS BIGINT) AS n_words,
+      |  floor(((chars - (len(t)-1)) / CAST(len(t) AS DOUBLE)) * 10000.0 + 0.5)/10000.0 AS mean_word_len,
+      |  CAST(len(list_intersect(list_distinct(t), ['a','the','data','table','row','value'])) AS BIGINT) AS n_stop,
+      |  CASE WHEN chars = 0 THEN 0.0 ELSE floor((coalesce(m2.mass, 0)/CAST(chars AS DOUBLE))*10000.0+0.5)/10000.0 END AS top2_frac,
+      |  CASE WHEN chars = 0 THEN 0.0 ELSE floor((coalesce(m3.mass, 0)/CAST(chars AS DOUBLE))*10000.0+0.5)/10000.0 END AS top3_frac,
+      |  CASE WHEN chars = 0 THEN 0.0 ELSE floor((coalesce(m4.mass, 0)/CAST(chars AS DOUBLE))*10000.0+0.5)/10000.0 END AS top4_frac,
+      |  CASE WHEN len(t) < 5 THEN 0.0 ELSE floor((1.0 - CAST(d5.nd AS DOUBLE)/(len(t)-4))*10000.0+0.5)/10000.0 END AS dup5_frac
+      |FROM gtk LEFT JOIN m2 ON gtk.doc_id = m2.doc_id LEFT JOIN m3 ON gtk.doc_id = m3.doc_id
+      |  LEFT JOIN m4 ON gtk.doc_id = m4.doc_id LEFT JOIN d5 ON gtk.doc_id = d5.doc_id),
+      |gk AS (SELECT *,
+      |  n_words BETWEEN 20 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
+      |  AND n_stop >= 2 AND top2_frac <= 0.20 AND top3_frac <= 0.18
+      |  AND top4_frac <= 0.16 AND dup5_frac <= 0.15 AS keep FROM gq)""".stripMargin
+
+  /** Paragraph-dedup corpus + winner/rebuild chain — oracle twin of
+    * Dedup.dedupParagraph (32-word blocks; copy of every 7th doc with
+    * its first block reversed).
+    */
+  private val dedupParagraphSql =
+    """WITH pc AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id,
+      |    array_to_string(list_concat(list_reverse(t[1:32]), t[33:len(t)]), ' ') AS text
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      |  WHERE doc_id % 7 = 0),
+      |ptk AS (SELECT doc_id, string_split(text, ' ') AS t FROM pc WHERE length(text) > 0),
+      |p AS (SELECT doc_id, i AS para_idx,
+      |    array_to_string(t[i*32+1 : least((i+1)*32, len(t))], ' ') AS para_text
+      |  FROM ptk, LATERAL (SELECT unnest(generate_series(0, (len(t)-1)//32)) AS i) ii),
+      |w AS (SELECT doc_id, para_idx, para_text,
+      |    row_number() OVER (PARTITION BY md5(para_text) ORDER BY doc_id, para_idx) AS rk
+      |  FROM p),
+      |k AS (SELECT doc_id, count(*) AS n_kept,
+      |    string_agg(para_text, ' ' ORDER BY para_idx) AS kept_text
+      |  FROM w WHERE rk = 1 GROUP BY doc_id),
+      |tot AS (SELECT doc_id, 1 + (len(t)-1)//32 AS n_paras FROM ptk)
+      |SELECT tot.doc_id, CAST(tot.n_paras AS BIGINT) AS n_paras,
+      |  CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+      |  coalesce(k.kept_text, '') AS kept_text
+      |FROM tot LEFT JOIN k ON tot.doc_id = k.doc_id ORDER BY tot.doc_id""".stripMargin
 
   /** Per-doc bigram-LM cross-entropy (oracle twin of
     * Perplexity.scoreAgainst over a self-trained Perplexity.modelOf):
@@ -1781,6 +1855,15 @@ object SparkEntry {
         |    ELSE floor((1.0 - CAST(coalesce(dc.n_distinct, 0) AS DOUBLE)/t.n_shingles)
         |      * 10000.0 + 0.5)/10000.0 END AS rep_ratio
         |FROM t LEFT JOIN dc ON t.doc_id = dc.doc_id ORDER BY t.doc_id""".stripMargin),
+    "gopher_quality" -> (gopherCteSql +
+      """
+        |SELECT doc_id, n_words, mean_word_len, n_stop, top2_frac, top3_frac,
+        |  top4_frac, dup5_frac, keep
+        |FROM gk ORDER BY doc_id""".stripMargin),
+    "gopher_filter" -> (gopherCteSql +
+      """
+        |SELECT doc_id, lang, n_chars FROM gk WHERE keep ORDER BY doc_id""".stripMargin),
+    "dedup_paragraph" -> dedupParagraphSql,
     "corpus_curate" -> curateSql,
     "curate_apply" -> (curateChainSql +
       """
@@ -1942,6 +2025,19 @@ object SparkEntry {
     // Uniform-over-language target mixture via downsampling only:
     // capacity T = min_s n_s/w_s, keep-rate w_s*T/n_s, deterministic
     // md5 coin salted 'mix:' (Pack.datasetMix).
+    // Temperature mix (Pack.datasetMixTemperature): rate_s =
+    // sqrt(n_min/n_s) (α = 1/2) — sqrt is correctly rounded in IEEE,
+    // so the keep decision is bit-identical across engines.
+    "dataset_mix_temperature" ->
+      """WITH cnt AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+        |r AS (SELECT lang,
+        |    sqrt(CAST((SELECT MIN(n) FROM cnt) AS DOUBLE) / CAST(n AS DOUBLE)) AS rate
+        |  FROM cnt)
+        |SELECT d.doc_id, d.lang, floor(r.rate * 10000.0 + 0.5)/10000.0 AS rate
+        |FROM documents d JOIN r USING (lang)
+        |WHERE CAST(('0x' || substr(md5('mixt:' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT AS DOUBLE)
+        |  / 4294967296.0 < r.rate
+        |ORDER BY d.doc_id""".stripMargin,
     "dataset_mix" ->
       """WITH cnt AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
         |k AS (SELECT COUNT(*) AS k FROM cnt),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -101,6 +101,94 @@ object Dedup {
         .agg(min(col("doc_id")).as("doc_id"))
         .select(col("doc_id")),
       Seq("doc_id"), "left_semi")
+
+  /** Words per paragraph block in [[dedupParagraph]]. */
+  val ParaWords = 32
+
+  /** Paragraph corpus for [[dedupParagraph]]: documents plus, for
+    * every 7th doc, a copy (at doc_id + [[CopyIdOffset]]) whose FIRST
+    * [[ParaWords]]-word block is reversed and whose remaining words
+    * are verbatim — the "swapped boilerplate header" shape. Block
+    * boundaries are word-aligned, so every copy block beyond the
+    * first equals an original block exactly: the gated output
+    * exercises PARTIAL per-block removal, which an exact copy (it
+    * would just vanish whole) cannot.
+    */
+  private def paraCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val withToks = base.select(col("doc_id"), tokens(col("text")).as("toks"))
+    base.unionAll(
+      withToks.where(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + CopyIdOffset).as("doc_id"),
+          concat_ws(" ", concat(
+            reverse(slice(col("toks"), 1, ParaWords)),
+            slice(col("toks"), lit(ParaWords + 1), size(col("toks"))))).as("text")))
+  }
+
+  /** Non-overlapping [[ParaWords]]-word blocks of a MATERIALIZED token
+    * column (the HOF-inlining trap of TextFunctions.shinglePosting
+    * applies: an inlined `split` here would re-tokenize per block).
+    */
+  private def paraBlocksOf(toks: Column): Column =
+    when(size(toks) > 0,
+      transform(
+        // Column `/` is DOUBLE division — cast back for sequence()
+        sequence(lit(0), ((size(toks) - 1) / ParaWords).cast("int")),
+        i => concat_ws(" ", slice(toks, i * ParaWords + 1, lit(ParaWords)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Corpus-wide exact PARAGRAPH dedup — the block-granularity form of
+    * exact-substring dedup (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better"): split every document into
+    * non-overlapping [[ParaWords]]-word blocks, keep each distinct
+    * block's FIRST occurrence corpus-wide (order = (doc_id,
+    * para_idx)), and reassemble documents from their surviving blocks.
+    * Catches cross-document boilerplate (shared headers, quoted
+    * passages) that doc-level exact dedup misses because the
+    * surrounding text differs.
+    *
+    * Scale: the winner per distinct block is a map-side-combined
+    * min-struct aggregate keyed on the block hash (partial before the
+    * exchange; struct min plans as SortAggregate) — a boilerplate
+    * block with millions of copies partial-aggregates to ONE row per
+    * map partition, so no join and no hot reducer key ever carries the
+    * multiplicity (the winner-join spelling would send every copy of
+    * the hot block to a single partition). Reassembly shuffles only
+    * SURVIVING blocks on doc_id — bounded by the doc's own size.
+    */
+  def dedupParagraph(spark: SparkSession, dir: String): DataFrame =
+    dedupParagraphOf(paraCorpus(spark, dir))
+
+  /** [[dedupParagraph]]'s core over ANY (doc_id, text) corpus. */
+  private[graft] def dedupParagraphOf(corpus: DataFrame): DataFrame = {
+    val paras = corpus
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        posexplode(paraBlocksOf(col("toks"))).as(Seq("para_idx", "para_text")))
+      .withColumn("para_idx", col("para_idx").cast("long"))
+    val winners = paras
+      .groupBy(md5(col("para_text")).as("h"))
+      .agg(min(struct(col("doc_id"), col("para_idx"), col("para_text"))).as("w"))
+      .select(col("w.doc_id").as("doc_id"), col("w.para_idx").as("para_idx"),
+        col("w.para_text").as("para_text"))
+    val rebuilt = winners.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("para_idx"), col("para_text")))),
+          p => p("para_text")), " ").as("kept_text"))
+    corpus
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      // block COUNT is pure arithmetic — don't materialize the block
+      // strings a second time just to size() them
+      .select(col("doc_id"),
+        when(size(col("toks")) > 0,
+          ((size(col("toks")) - 1) / ParaWords).cast("long") + 1L)
+          .otherwise(0L).as("n_paras"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_kept")).na.fill("", Seq("kept_text"))
+      .select(col("doc_id"), col("n_paras"), col("n_kept"), col("kept_text"))
+      .orderBy(col("doc_id"))
+  }
 
   /** Deterministic content-hash sampling: a row is kept iff the md5
     * of its id falls under the per-stratum rate. Unlike rand()-based

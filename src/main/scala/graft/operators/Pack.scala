@@ -356,6 +356,50 @@ object Pack {
         .select(col("doc_id"), col(stratum), Par.round4(col("rate")).as("rate")),
       sorted, "doc_id")
 
+  /** TEMPERATURE-weighted keep rates over a stratum — the multilingual
+    * sampler of XLM (Lample & Conneau 2019, α = 0.5; the same family
+    * as mC4/XLM-R's α = 0.3): expected kept counts ∝ n_s^α, so
+    * high-resource strata are downsampled SOFTLY (sqrt-proportional)
+    * instead of cut to the smallest stratum as [[mixRatesOf]]'s
+    * uniform-share mix does. Under downsampling-only the smallest
+    * stratum is kept whole and every other keeps `(n_min/n_s)^(1-α)`.
+    *
+    * α is FIXED at 1/2: the rate is then one IEEE sqrt of an exact
+    * integer ratio — correctly rounded in every IEEE engine, so the
+    * DuckDB oracle reproduces each keep decision bit-for-bit. A
+    * general pow() carries no such guarantee (libm powers differ by
+    * ULPs across engines), which would make the coin comparison
+    * engine-dependent exactly at the boundary. Like [[mixRatesOf]],
+    * this |strata|-row table is the epoch-boundary artifact a
+    * streaming deployment freezes and hands to MixStream.mixApply.
+    */
+  def mixTemperatureRatesOf(spark: SparkSession, corpus: DataFrame,
+      stratum: String): DataFrame =
+    corpus.groupBy(col(stratum)).agg(count(lit(1)).as("n"))
+      .withColumn("nmin", min(col("n")).over(Window.partitionBy()))
+      .select(col(stratum),
+        sqrt(col("nmin").cast("double") / col("n").cast("double")).as("rate"))
+
+  /** [[datasetMix]]'s temperature variant: keep each stratum at its
+    * [[mixTemperatureRatesOf]] rate via the deterministic md5 coin
+    * (salt `mixt:` — decorrelated from the uniform mix's `mix:` coin,
+    * so composing the two samplers never reuses randomness). Same
+    * scale shape as [[datasetMix]]: the rates are a broadcast
+    * |strata|-row table, the corpus side is a scan + filter, no
+    * shuffle.
+    */
+  def datasetMixTemperature(spark: SparkSession, dir: String,
+                            stratum: String = "lang",
+                            sorted: Boolean = true): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    presented(
+      docs.join(broadcast(mixTemperatureRatesOf(spark, docs, stratum)), stratum)
+        .where(uniform(col("doc_id"), "mixt:").cast("double") / 4294967296.0
+          < col("rate"))
+        .select(col("doc_id"), col(stratum), Par.round4(col("rate")).as("rate")),
+      sorted, "doc_id")
+  }
+
   /** The downsampling-mix core over ANY corpus carrying `stratum`:
     * returns the kept rows (every input column) plus their stratum's
     * keep `rate` — the composable form [[datasetMix]] presents and

@@ -335,4 +335,130 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("token"))
       .limit(topN)
   }
+
+  // --- Gopher / MassiveText quality rules ------------------------------
+
+  /** Gopher-rule thresholds (Rae et al. 2021 "Scaling Language Models:
+    * Methods, Analysis & Insights from Training Gopher", Table A1),
+    * adapted to this corpus's word-fraction spellings: the word-count
+    * floor is lowered from Gopher's 50 to 20 (the synthetic docs are
+    * 10–110 words), the stopword rule uses [[Stopwords]] in place of
+    * Gopher's 8-word english list, and the duplicate-n-gram rule is a
+    * token-fraction (1 − distinct/total 5-grams) rather than Gopher's
+    * overlap-free character fraction — a deterministic spelling both
+    * engines reproduce exactly.
+    */
+  val GopherMinWords       = 20
+  val GopherMaxWords       = 100000
+  val GopherMinMeanWordLen = 3.0
+  val GopherMaxMeanWordLen = 10.0
+  val GopherMinStopwords   = 2
+  /** Max fraction of characters inside the most frequent word-n-gram
+    * (count × gram length / doc chars; overlapping occurrences all
+    * count, as in Gopher, so the raw ratio may exceed 1 on degenerate
+    * repetition).
+    */
+  val GopherTopGramMax: Map[Int, Double] = Map(2 -> 0.20, 3 -> 0.18, 4 -> 0.16)
+  /** Max repeated-5-gram token fraction (1 − distinct/total). */
+  val GopherDupGramMax = 0.15
+
+  /** Word n-gram list WITH duplicates (one entry per occurrence) —
+    * the multiset the Gopher repetition metrics count over;
+    * TextFunctions.shingles is its distinct twin. `toks` must be a
+    * MATERIALIZED column (not an inlined `split`): HOF lambdas
+    * re-evaluate inlined expressions per element, which would turn
+    * this linear scan quadratic (TextFunctions.shinglePosting's
+    * scaladoc documents the same trap).
+    */
+  private def gramsOf(toks: Column, n: Int): Column = {
+    val grams = transform(
+      sequence(lit(0), size(toks) - n),
+      i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))
+    // sequence(0, negative) counts DOWN in Spark — guard short docs
+    when(size(toks) >= n, filter(grams, g => g =!= ""))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Largest n-gram "mass" (occurrence count × gram length, maximized
+    * over the doc's distinct n-grams) — computed per ROW as a
+    * run-length fold over the SORTED n-gram multiset, so the whole
+    * metric is one narrow pass: the corpus-sized (doc_id, gram)
+    * exchange the naive two-level groupBy spelling would shuffle
+    * never exists. O(L log L) per doc for the sort, O(L) for the
+    * fold; no shuffle at any scale.
+    */
+  private def topGramMass(toks: Column, n: Int): Column = {
+    val sorted = array_sort(gramsOf(toks, n))
+    val init = struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best"))
+    aggregate(sorted, init,
+      (acc, g) => {
+        val run = when(g === acc("prev"), acc("run") + 1L).otherwise(lit(1L))
+        // mass grows monotonically within a run, so folding best at
+        // every step (not just at run boundaries) loses nothing
+        struct(g.as("prev"), run.as("run"),
+          greatest(acc("best"), run * length(g).cast("long")).as("best"))
+      },
+      acc => acc("best"))
+  }
+
+  /** Per-doc Gopher rule metrics + keep verdict over ANY (doc_id,
+    * text, lang, n_chars) frame — the composable core [[gopherQuality]]
+    * presents and [[gopherFilter]] applies. Entirely narrow (the one
+    * `toks` projection feeds every metric), so the operator is a
+    * single linear scan at any corpus size.
+    */
+  private[graft] def gopherMetricsOf(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), col("lang"), col("n_chars"),
+      length(col("text")).cast("long").as("chars"),
+      tokens(col("text")).as("toks"))
+    val words = size(col("toks")).cast("long")
+    val mwl = Par.round4(
+      (col("chars") - (words - 1)).cast("double") / words.cast("double"))
+    val nStop = size(array_intersect(array_distinct(col("toks")),
+      array(Stopwords.map(lit): _*))).cast("long")
+    def frac(mass: Column): Column =
+      when(col("chars") === 0, 0.0)
+        .otherwise(Par.round4(mass.cast("double") / col("chars").cast("double")))
+    val dup5 = when(words < 5, 0.0).otherwise(Par.round4(lit(1.0)
+      - size(array_distinct(gramsOf(col("toks"), 5))).cast("double")
+        / (words - 4).cast("double")))
+    val m = base.select(col("doc_id"), col("lang"), col("n_chars"),
+      words.as("n_words"), mwl.as("mean_word_len"), nStop.as("n_stop"),
+      frac(topGramMass(col("toks"), 2)).as("top2_frac"),
+      frac(topGramMass(col("toks"), 3)).as("top3_frac"),
+      frac(topGramMass(col("toks"), 4)).as("top4_frac"),
+      dup5.as("dup5_frac"))
+    m.withColumn("keep",
+      col("n_words").between(GopherMinWords, GopherMaxWords)
+        && col("mean_word_len").between(GopherMinMeanWordLen, GopherMaxMeanWordLen)
+        && col("n_stop") >= GopherMinStopwords
+        && col("top2_frac") <= GopherTopGramMax(2)
+        && col("top3_frac") <= GopherTopGramMax(3)
+        && col("top4_frac") <= GopherTopGramMax(4)
+        && col("dup5_frac") <= GopherDupGramMax)
+  }
+
+  /** Gopher/MassiveText document-quality rule report (Rae et al. 2021,
+    * Table A1): per-doc word count, mean word length, stopword
+    * presence, top-{2,3,4}-gram character fractions, repeated-5-gram
+    * fraction, and the conjunctive keep verdict. The reference's
+    * quality gate is a single composite score (core/views.py);
+    * this is the rule-per-dimension form a pretraining cleaner audits.
+    * One narrow pass, no shuffle except the presentation sort.
+    */
+  def gopherQuality(spark: SparkSession, dir: String): DataFrame =
+    gopherMetricsOf(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+        col("n_stop"), col("top2_frac"), col("top3_frac"),
+        col("top4_frac"), col("dup5_frac"), col("keep"))
+      .orderBy(col("doc_id"))
+
+  /** [[gopherQuality]]'s apply form: the surviving corpus (the docs a
+    * MassiveText-style cleaner passes to the next pipeline stage).
+    */
+  def gopherFilter(spark: SparkSession, dir: String): DataFrame =
+    gopherMetricsOf(Tables.documents(spark, dir))
+      .where(col("keep"))
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
 }

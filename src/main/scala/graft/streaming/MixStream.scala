@@ -46,18 +46,24 @@ object MixStream {
     *                table, from Pack.datasetMix's rate build or an
     *                explicit policy
     * @param stratum the stratum column name in both frames
+    * @param salt    coin salt — must match the batch operator whose
+    *                rates these are: `mix:` for Pack.datasetMix
+    *                (default), `mixt:` for the temperature mixer
+    *                Pack.datasetMixTemperature, so either family's
+    *                epoch-frozen rates replay stream-side with the
+    *                exact batch keep set
     */
   def mixApply(spark: SparkSession, docs: DataFrame, rates: DataFrame,
-               stratum: String = "lang"): DataFrame = {
+               stratum: String = "lang", salt: String = "mix:"): DataFrame = {
     require(docs.columns.contains(stratum),
       s"stream is missing stratum column '$stratum'")
     require(rates.columns.toSet == Set(stratum, "rate"),
       s"rates must be exactly ($stratum, rate), got ${rates.columns.mkString(",")}")
     docs
       .join(broadcast(rates), stratum)
-      // the SAME salted coin as Pack.datasetMix — a doc kept by the
-      // batch mixer under these rates is kept here, and vice versa
-      .where(md5Long(concat(lit("mix:"), col("doc_id").cast("string")), 1, 8)
+      // the SAME salted coin as the batch mixer — a doc kept by the
+      // batch operator under these rates is kept here, and vice versa
+      .where(md5Long(concat(lit(salt), col("doc_id").cast("string")), 1, 8)
         .cast("double") / 4294967296.0 < col("rate"))
   }
 }

@@ -309,4 +309,33 @@ class PackSpec extends SparkSpec {
     }
     intercept[IllegalArgumentException](TextAnalysis.tokenVocab(spark, sfDir, topN = 0))
   }
+
+  test("dataset_mix_temperature: exact sqrt rates, smallest stratum whole, stream parity") {
+    val docs = Tables.documents(spark, sfDir)
+    val counts = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nmin = counts.values.min
+    val rates = Pack.mixTemperatureRatesOf(spark, docs, "lang").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rates.keySet == counts.keySet)
+    // bit-exact: one IEEE division + one IEEE sqrt, both correctly rounded
+    counts.foreach { case (l, n) =>
+      assert(rates(l) == math.sqrt(nmin.toDouble / n.toDouble), s"rate for $l")
+    }
+    assert(rates(counts.minBy(_._2)._1) == 1.0)
+    // soft cut: every temperature rate ≥ the uniform mix's equal-cut
+    // rate for the same stratum (sqrt(x) ≥ x on [0,1])
+    val uniformRates = Pack.mixRatesOf(spark, docs, "lang").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    counts.keys.foreach(l => assert(rates(l) >= uniformRates(l) - 1e-12))
+    // keep decision reproduces through the streaming applier under the
+    // mixt: salt — the epoch-frozen-rates deployment path
+    val batch = Pack.datasetMixTemperature(spark, sfDir).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    val stream = graft.streaming.MixStream.mixApply(spark, docs,
+        Pack.mixTemperatureRatesOf(spark, docs, "lang"), "lang", salt = "mixt:")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(batch == stream)
+    assert(batch.nonEmpty && batch.size < counts.values.sum)
+  }
 }

@@ -304,4 +304,30 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("partial_sum") || plan.contains("HashAggregate"),
       s"no partial aggregation:\n$plan")
   }
+
+  test("gopher_quality: one narrow pass — no aggregate, no join, only the presentation sort") {
+    val plan = finalPlan(TextAnalysis.gopherQuality(spark, sfDir))
+    assert(!plan.contains("Join"), s"join in a per-row metric pass:\n$plan")
+    assert(!plan.contains("Aggregate"),
+      s"aggregate in a per-row metric pass (the run-length fold should be narrow):\n$plan")
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 2,   // range exchange (+ AQE echo) for the output sort only
+      s"expected only the presentation sort exchange, got $exchanges:\n$plan")
+  }
+
+  test("dedup_paragraph: winner agg is partial before its exchange; no cartesian") {
+    val plan = finalPlan(Dedup.dedupParagraph(spark, sfDir))
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+    // the min-struct winner and the collect_list rebuild must both
+    // partial-aggregate map-side — that is the clone-flood bound
+    assert(plan.contains("partial_min"), s"winner agg not map-side partial:\n$plan")
+    assert(plan.contains("partial_collect_list"), s"rebuild not map-side partial:\n$plan")
+  }
+
+  test("dataset_mix_temperature: rates broadcast, corpus side never reshuffled") {
+    val plan = finalPlan(graft.operators.Pack.datasetMixTemperature(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), s"rates not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus reshuffled for the rate join:\n$plan")
+  }
 }

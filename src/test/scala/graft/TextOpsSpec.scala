@@ -198,4 +198,77 @@ class TextOpsSpec extends SparkSpec {
       assert(r.getAs[Boolean]("contaminated") == (ov >= 0.5))
     }
   }
+
+  test("gopher_quality matches an independent per-doc recomputation") {
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val stop = TextAnalysis.Stopwords.toSet
+    val texts = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val out = TextAnalysis.gopherQuality(spark, sfDir).collect()
+    assert(out.length == texts.size)
+    var kept = 0
+    out.foreach { r =>
+      val t = texts(r.getAs[Long]("doc_id")).split(" ", -1)
+      val text = texts(r.getAs[Long]("doc_id"))
+      val (words, chars) = (t.length, text.length)
+      val mwl = r4((chars - (words - 1)).toDouble / words)
+      val nStop = t.distinct.count(stop)
+      def topMass(n: Int): Long =
+        if (words < n) 0L
+        else (0 to words - n).map(i => t.slice(i, i + n).mkString(" "))
+          .filter(_.nonEmpty)
+          .groupBy(identity).map { case (g, occ) => occ.size.toLong * g.length }
+          .foldLeft(0L)(math.max)
+      def frac(m: Long) = if (chars == 0) 0.0 else r4(m.toDouble / chars)
+      val dup5 =
+        if (words < 5) 0.0
+        else {
+          val g = (0 to words - 5).map(i => t.slice(i, i + 5).mkString(" "))
+          r4(1.0 - g.distinct.size.toDouble / (words - 4))
+        }
+      assert(r.getAs[Long]("n_words") == words)
+      assert(r.getAs[Double]("mean_word_len") == mwl)
+      assert(r.getAs[Long]("n_stop") == nStop)
+      assert(r.getAs[Double]("top2_frac") == frac(topMass(2)))
+      assert(r.getAs[Double]("top3_frac") == frac(topMass(3)))
+      assert(r.getAs[Double]("top4_frac") == frac(topMass(4)))
+      assert(r.getAs[Double]("dup5_frac") == dup5)
+      val keep = words >= TextAnalysis.GopherMinWords &&
+        words <= TextAnalysis.GopherMaxWords &&
+        mwl >= TextAnalysis.GopherMinMeanWordLen &&
+        mwl <= TextAnalysis.GopherMaxMeanWordLen &&
+        nStop >= TextAnalysis.GopherMinStopwords &&
+        frac(topMass(2)) <= TextAnalysis.GopherTopGramMax(2) &&
+        frac(topMass(3)) <= TextAnalysis.GopherTopGramMax(3) &&
+        frac(topMass(4)) <= TextAnalysis.GopherTopGramMax(4) &&
+        dup5 <= TextAnalysis.GopherDupGramMax
+      assert(r.getAs[Boolean]("keep") == keep)
+      if (keep) kept += 1
+    }
+    // the rule set must discriminate on this corpus, not rubber-stamp
+    assert(kept > 0 && kept < out.length)
+    val filtered = TextAnalysis.gopherFilter(spark, sfDir).collect()
+    assert(filtered.length == kept)
+  }
+
+  test("gopher rules catch planted degenerate docs") {
+    import spark.implicits._
+    val healthy = ((1 to 25).map(i => s"word$i") ++ Seq("the", "a", "data")).mkString(" ")
+    val repeated = (Seq("the", "a") ++ Seq.fill(40)(Seq("spam", "ham")).flatten
+      ++ (1 to 10).map(i => s"word$i")).mkString(" ")
+    val noStops = (1 to 30).map(i => s"word$i").mkString(" ")
+    val docs = Seq(
+      (1L, healthy), (2L, "alpha beta gamma"), (3L, repeated), (4L, noStops))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val m = TextAnalysis.gopherMetricsOf(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(m(1L).getAs[Boolean]("keep"))
+    assert(!m(2L).getAs[Boolean]("keep") && m(2L).getAs[Long]("n_words") < 20)
+    assert(!m(3L).getAs[Boolean]("keep") && m(3L).getAs[Double]("top2_frac") > 0.20
+      && m(3L).getAs[Double]("dup5_frac") > 0.15)
+    assert(!m(4L).getAs[Boolean]("keep") && m(4L).getAs[Long]("n_stop") == 0)
+  }
 }
