@@ -370,7 +370,7 @@ object TextAnalysis {
     * this linear scan quadratic (TextFunctions.shinglePosting's
     * scaladoc documents the same trap).
     */
-  private def gramsOf(toks: Column, n: Int): Column = {
+  private[graft] def gramsOf(toks: Column, n: Int): Column = {
     val grams = transform(
       sequence(lit(0), size(toks) - n),
       i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))
@@ -380,14 +380,14 @@ object TextAnalysis {
   }
 
   /** Largest n-gram "mass" (occurrence count × gram length, maximized
-    * over the doc's distinct n-grams) — computed per ROW as a
-    * run-length fold over the SORTED n-gram multiset, so the whole
-    * metric is one narrow pass: the corpus-sized (doc_id, gram)
-    * exchange the naive two-level groupBy spelling would shuffle
-    * never exists. O(L log L) per doc for the sort, O(L) for the
-    * fold; no shuffle at any scale.
+    * over the doc's distinct n-grams) — the HOF spelling (run-length
+    * fold over the SORTED n-gram multiset), kept as the independent
+    * parity oracle for the native plans.GopherGramStats expression
+    * (GopherExprSpec): interpreted HOF lambdas cost ~ms per doc,
+    * which benched gopher_filter at 14 s on sf0.1; the production
+    * path is the one-pass native expression below.
     */
-  private def topGramMass(toks: Column, n: Int): Column = {
+  private[graft] def topGramMassHof(toks: Column, n: Int): Column = {
     val sorted = array_sort(gramsOf(toks, n))
     val init = struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best"))
     aggregate(sorted, init,
@@ -404,13 +404,17 @@ object TextAnalysis {
   /** Per-doc Gopher rule metrics + keep verdict over ANY (doc_id,
     * text, lang, n_chars) frame — the composable core [[gopherQuality]]
     * presents and [[gopherFilter]] applies. Entirely narrow (the one
-    * `toks` projection feeds every metric), so the operator is a
-    * single linear scan at any corpus size.
+    * `toks` projection feeds every metric, the four gram statistics
+    * are ONE native O(L) expression — plans.GopherGramStats), so the
+    * operator is a single linear scan at any corpus size.
     */
   private[graft] def gopherMetricsOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftBridge
     val base = docs.select(col("doc_id"), col("lang"), col("n_chars"),
       length(col("text")).cast("long").as("chars"),
       tokens(col("text")).as("toks"))
+      .withColumn("gs", graftBridge.columnOf(
+        graft.plans.GopherGramStats(graftBridge.expressionOf(col("toks")))))
     val words = size(col("toks")).cast("long")
     val mwl = Par.round4(
       (col("chars") - (words - 1)).cast("double") / words.cast("double"))
@@ -420,13 +424,12 @@ object TextAnalysis {
       when(col("chars") === 0, 0.0)
         .otherwise(Par.round4(mass.cast("double") / col("chars").cast("double")))
     val dup5 = when(words < 5, 0.0).otherwise(Par.round4(lit(1.0)
-      - size(array_distinct(gramsOf(col("toks"), 5))).cast("double")
-        / (words - 4).cast("double")))
+      - col("gs.d5").cast("double") / (words - 4).cast("double")))
     val m = base.select(col("doc_id"), col("lang"), col("n_chars"),
       words.as("n_words"), mwl.as("mean_word_len"), nStop.as("n_stop"),
-      frac(topGramMass(col("toks"), 2)).as("top2_frac"),
-      frac(topGramMass(col("toks"), 3)).as("top3_frac"),
-      frac(topGramMass(col("toks"), 4)).as("top4_frac"),
+      frac(col("gs.top2")).as("top2_frac"),
+      frac(col("gs.top3")).as("top3_frac"),
+      frac(col("gs.top4")).as("top4_frac"),
       dup5.as("dup5_frac"))
     m.withColumn("keep",
       col("n_words").between(GopherMinWords, GopherMaxWords)
