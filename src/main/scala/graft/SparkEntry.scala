@@ -84,6 +84,8 @@ object SparkEntry {
     "quality_perplexity_kn" -> ((s, d) => Perplexity.qualityPerplexityKn(s, d)),
     "quality_perplexity_kn3" -> ((s, d) => Perplexity.qualityPerplexityKn3(s, d)),
     "quality_perplexity_kn5" -> ((s, d) => Perplexity.qualityPerplexityKn5(s, d)),
+    "dsir_score"      -> ((s, d) => Perplexity.dsirScore(s, d)),
+    "dsir_select"     -> ((s, d) => Perplexity.dsirSelect(s, d)),
     "token_count"     -> (TextAnalysis.tokenCount _),
     "doc_fingerprint" -> (TextAnalysis.docFingerprint _),
     "multimodal_meta" -> (TextAnalysis.multimodalMeta _),
@@ -700,6 +702,35 @@ object SparkEntry {
       |  GROUP BY bgr.doc_id)""".stripMargin
 
   private val pplxScoredCte = pplxScoredCteOver("documents")
+
+  /** DSIR importance score (Perplexity.dsirScoreOf): self-trained
+    * xent (the pplxScoredCte chain, verbatim) minus target-trained
+    * xent (the quality_perplexity_ref LEFT-join chain over the
+    * `dsir:`-coin quarter), both ROUNDED before the difference —
+    * mirroring the Scala side's difference-of-presented-values
+    * parity design. `bgr` (the corpus bigram stream) is reused for
+    * the target-side scoring pass.
+    */
+  private val dsirScoreSql =
+    "WITH " + pplxScoredCte + ",\n" +
+      """ttk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE CAST(('0x' || substr(md5('dsir:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS DOUBLE)
+        |      / 4294967296.0 < 0.25
+        |    AND len(string_split(text, ' ')) >= 2),
+        |tbgr AS (SELECT t[i] AS w1, t[i+1] AS w2
+        |  FROM ttk, LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i) ii),
+        |tbig AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12t FROM tbgr GROUP BY w1, w2),
+        |tuni AS (SELECT w1, CAST(SUM(c12t) AS BIGINT) AS c1t FROM tbig GROUP BY w1),
+        |tvoc AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS vt
+        |  FROM (SELECT unnest(t) AS tok FROM ttk)),
+        |tscr AS (SELECT bgr.doc_id,
+        |    floor((-SUM(ln((coalesce(c12t, 0) + 1.0) / (coalesce(c1t, 0) + vt)))
+        |      / COUNT(*)) * 10000.0 + 0.5)/10000.0 AS xent_t
+        |  FROM bgr LEFT JOIN tbig USING (w1, w2) LEFT JOIN tuni USING (w1), tvoc
+        |  GROUP BY bgr.doc_id),
+        |dsr AS (SELECT scr.doc_id, scr.n_bigrams,
+        |    floor((scr.xent - tscr.xent_t) * 10000.0 + 0.5)/10000.0 AS log_ratio
+        |  FROM scr JOIN tscr USING (doc_id))""".stripMargin
 
   /** 5-gram KN backoff subtrees for the kn5 oracle, composed so every
     * CASE branch spells the IDENTICAL lower-order subtree — the same
@@ -1560,6 +1591,13 @@ object SparkEntry {
     "quality_perplexity" -> ("WITH " + pplxScoredCte +
       """
         |SELECT doc_id, n_bigrams, xent FROM scr ORDER BY doc_id""".stripMargin),
+    "dsir_score" -> (dsirScoreSql +
+      """
+        |SELECT doc_id, n_bigrams, log_ratio FROM dsr ORDER BY doc_id""".stripMargin),
+    "dsir_select" -> (dsirScoreSql +
+      """
+        |SELECT doc_id, n_bigrams, log_ratio FROM dsr
+        |ORDER BY log_ratio DESC, doc_id LIMIT 100""".stripMargin),
     // Reference-trained scoring (Perplexity.qualityPerplexityRef): LM
     // over the md5-coin half, LEFT-join smoothing floors for the other
     // half's novel bigrams/prefixes — the smoothing branch under the gate.

@@ -845,4 +845,89 @@ object Perplexity {
       .select(col("doc_id"), col("n_bigrams"), col("xent"))
       .orderBy(col("doc_id"))
   }
+
+  // --- DSIR importance scoring ----------------------------------------
+
+  /** Coin fraction of the corpus that plays the TARGET distribution
+    * in [[dsirScore]]'s gate query (a stand-in — real deployments
+    * pass a curated target corpus through [[dsirScoreOf]]'s seam).
+    */
+  val DefaultDsirTargetFrac = 0.25
+
+  /** Selection size of [[dsirSelect]]. */
+  val DefaultDsirK = 100
+
+  /** DSIR importance score (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling") over ANY
+    * target/corpus pair: per-document mean bigram log-likelihood
+    * ratio `log p_target − log p_raw` = `xent_raw − xent_target`,
+    * length-normalized, positive = more target-like. The raw model
+    * is self-trained on the scored corpus; both passes reuse
+    * [[scoreAgainst]]'s salted LEFT-join smoothing floors (the
+    * target model is the small one, so novel-bigram floors do the
+    * real work here).
+    *
+    * Parity design: the difference is taken over the two ROUNDED
+    * [[scoreAgainst]] presentation values on purpose. Each operand
+    * is individually hash-gated, so both engines subtract the SAME
+    * two doubles — bit-identical by construction, no new ln-parity
+    * analysis — and a difference of two 4-decimal values sits
+    * ≥ 5e-5 − ulp from every round4 midpoint, so the presented
+    * `log_ratio` cannot flip a digit either (DsirSpec measures the
+    * actual margin). The ~1e-4 quantization this costs is noise at
+    * selection granularity.
+    *
+    * `target` must have at least one scoreable (≥ 2-token) document
+    * or every score is null (an empty model has no vocabulary).
+    * Scale: two model builds (vocab-bounded tables) + two linear
+    * scoring scans + one doc_id join of two doc-sized frames.
+    */
+  private[graft] def dsirScoreOf(spark: SparkSession, target: DataFrame,
+      corpus: DataFrame): DataFrame = {
+    val self = scoreAgainst(modelOf(spark, corpus), corpus)
+    val tgt = scoreAgainst(modelOf(spark, target), corpus)
+      .select(col("doc_id"), col("xent").as("xent_t"))
+    self.join(tgt, Seq("doc_id"))
+      .select(col("doc_id"), col("n_bigrams"),
+        Par.round4(col("xent") - col("xent_t")).as("log_ratio"))
+  }
+
+  /** Staged DSIR score table — the detect/apply boundary, keyed on
+    * (corpus fingerprint, targetFrac) like the other score tables.
+    */
+  private def dsirScoredOf(spark: SparkSession, dir: String,
+      targetFrac: Double): DataFrame = {
+    val fp = DfCache.inputFingerprint(spark, s"$dir/documents.parquet")
+    DfCache.getOrCompute(spark, s"dsir_scored:$dir:$targetFrac") {
+      DfCache.stagedFrame(spark, s"dsir_scored_$targetFrac", fp) {
+        val corpus = Tables.documents(spark, dir)
+        val target = corpus.where(
+          md5Long(concat(lit("dsir:"), col("doc_id").cast("string")), 1, 8)
+            .cast("double") / 4294967296.0 < targetFrac)
+        dsirScoreOf(spark, target, corpus)
+      }
+    }
+  }
+
+  /** Gate query: (doc_id, n_bigrams, log_ratio) per scoreable doc. */
+  def dsirScore(spark: SparkSession, dir: String,
+      targetFrac: Double = DefaultDsirTargetFrac): DataFrame =
+    dsirScoredOf(spark, dir, targetFrac).orderBy(col("doc_id"))
+
+  /** Gate query: DSIR's selection step — the k most target-like
+    * documents under the deterministic (log_ratio DESC, doc_id)
+    * total order. The paper samples with Gumbel noise; the
+    * deterministic order is the auditable variant (the same
+    * determinism-over-sampling call as Dedup.deterministicSample),
+    * and a caller wanting stochastic resampling seeds a coin column
+    * upstream of the same sort.
+    */
+  def dsirSelect(spark: SparkSession, dir: String,
+      targetFrac: Double = DefaultDsirTargetFrac,
+      k: Int = DefaultDsirK): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    dsirScoredOf(spark, dir, targetFrac)
+      .orderBy(col("log_ratio").desc, col("doc_id"))
+      .limit(k)
+  }
 }
