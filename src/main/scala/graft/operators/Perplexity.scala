@@ -883,9 +883,20 @@ object Perplexity {
     * scoring scans + one doc_id join of two doc-sized frames.
     */
   private[graft] def dsirScoreOf(spark: SparkSession, target: DataFrame,
+      corpus: DataFrame): DataFrame =
+    dsirScoreAgainst(modelOf(spark, corpus), modelOf(spark, target), corpus)
+
+  /** The DSIR score over two FROZEN model artifacts — the seam a real
+    * deployment uses (both models trained offline at the epoch
+    * boundary; CCNet ships its LM the same way) and the one spelling
+    * shared with the streaming twin (streaming/DsirStream), so batch
+    * and stream ratios cannot drift. Per-doc fold is batch-local:
+    * scoring any subset of `corpus` gives that subset's exact rows.
+    */
+  def dsirScoreAgainst(rawModel: DataFrame, targetModel: DataFrame,
       corpus: DataFrame): DataFrame = {
-    val self = scoreAgainst(modelOf(spark, corpus), corpus)
-    val tgt = scoreAgainst(modelOf(spark, target), corpus)
+    val self = scoreAgainst(rawModel, corpus)
+    val tgt = scoreAgainst(targetModel, corpus)
       .select(col("doc_id"), col("xent").as("xent_t"))
     self.join(tgt, Seq("doc_id"))
       .select(col("doc_id"), col("n_bigrams"),
