@@ -132,6 +132,9 @@ object SparkEntry {
     "knn_text"        -> (VectorSearch.knnText _),
     "image_search"    -> ((s, d) => Multimodal.imageSearch(s, d)),
     "dedup_embedding" -> (VectorSearch.dedupEmbedding _),
+    "semdedup"        -> (VectorSearch.semDedup _),
+    "semdedup_apply"  -> (VectorSearch.semDedupApply _),
+    "proto_select"    -> (VectorSearch.protoSelect _),
     // §2.C keyword + hybrid search
     "keyword_search"    -> ((s, d) => KeywordSearch.keywordSearch(s, d)),
     "keyword_bm25"      -> ((s, d) => KeywordSearch.keywordBm25(s, d)),
@@ -327,6 +330,51 @@ object SparkEntry {
          |  FROM kcent${i - 1} k LEFT JOIN kcm$i m USING (label))""".stripMargin
     }.mkString(",\n")
     init + ",\n" + iters + ",\n" + assignCte("kasF", "kcent3")
+  }
+
+  /** SemDeDup + prototype-prune chain — oracle twin of
+    * VectorSearch.semDedup / semDedupApply / protoSelect over the
+    * final k-means assignment (kasF/kcent3): winning-centroid cosine
+    * (kx), exact-content quotient (sgrp — same md5-string partition
+    * argument as dedup_embedding's grp), rep-level block join with
+    * the CLUSTER as the whole blocking key, build side capped at
+    * EmbBucketCap in vec_id order (squal keeps only pairs at round4
+    * cosine ≥ SemTau), then the domination rule: x drops iff some
+    * candidate partner has (lower ccos) or (equal ccos, smaller id) —
+    * non-rep members drop via grk > 1 (always dominated by their own
+    * rep at cosine exactly 1.0). `srep` is the full report; the
+    * proto queries splice the per-cluster ⌊n/4⌋ most-prototypical
+    * prune on top as a naive row_number (same semantics as Spark's
+    * histogram-cutoff plan).
+    */
+  private val semCte: String = {
+    val cap = VectorSearch.EmbBucketCap
+    s"""kx AS MATERIALIZED (SELECT a.vec_id, a.emb, a.nrm, a.label,
+       |    floor((list_dot_product(a.emb, k.c_emb)
+       |      /(a.nrm * sqrt(list_sum(list_transform(k.c_emb, x -> x*x))))) * 10000.0 + 0.5)/10000.0 AS ccos
+       |  FROM kasF a JOIN kcent3 k USING (label)),
+       |sgrp AS MATERIALIZED (SELECT vec_id,
+       |    MIN(vec_id) OVER (PARTITION BY md5(CAST(emb AS VARCHAR))) AS r,
+       |    row_number() OVER (PARTITION BY md5(CAST(emb AS VARCHAR)) ORDER BY vec_id) AS grk
+       |  FROM kx),
+       |sreps AS (SELECT kx.* FROM kx JOIN (SELECT DISTINCT r FROM sgrp) rr ON kx.vec_id = rr.r),
+       |sbr AS MATERIALIZED (SELECT label, vec_id, emb, nrm, ccos,
+       |    row_number() OVER (PARTITION BY label ORDER BY vec_id) AS brk FROM sreps),
+       |sbcap AS (SELECT * FROM sbr WHERE brk <= $cap),
+       |squal AS MATERIALIZED (SELECT least(a.vec_id, b.vec_id) AS a_id,
+       |    greatest(a.vec_id, b.vec_id) AS b_id
+       |  FROM sbr a JOIN sbcap b ON a.label = b.label AND a.vec_id <> b.vec_id
+       |  WHERE (a.brk > $cap OR a.vec_id < b.vec_id)
+       |    AND floor((list_dot_product(a.emb, b.emb)/(a.nrm*b.nrm)) * 10000.0 + 0.5)/10000.0 >= ${VectorSearch.SemTau}),
+       |sdir AS (SELECT a_id AS x, b_id AS p FROM squal
+       |  UNION ALL SELECT b_id AS x, a_id AS p FROM squal),
+       |sdrop AS (SELECT DISTINCT d.x AS vec_id
+       |  FROM sdir d JOIN kx xx ON xx.vec_id = d.x JOIN kx pp ON pp.vec_id = d.p
+       |  WHERE pp.ccos < xx.ccos OR (pp.ccos = xx.ccos AND pp.vec_id < xx.vec_id)),
+       |srep AS (SELECT kx.vec_id, kx.label, kx.ccos,
+       |    (g.grk = 1 AND sd.vec_id IS NULL) AS keep
+       |  FROM kx JOIN sgrp g ON g.vec_id = kx.vec_id
+       |  LEFT JOIN sdrop sd ON sd.vec_id = kx.vec_id)""".stripMargin
   }
 
   /** Product-quantization codebooks + codes — oracle twin of
@@ -2343,6 +2391,26 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id) AS prk FROM cand)
         |SELECT a_id, b_id, cos FROM capped WHERE prk <= 8
         |ORDER BY cos DESC, a_id, b_id LIMIT 20""".stripMargin),
+    // SemDeDup domination report / apply / D4 prototype prune — the
+    // shared semCte chain over the unrolled k-means assignment; the
+    // proto query spells the naive per-cluster row_number (Spark runs
+    // the histogram-cutoff plan, same semantics)
+    "semdedup" -> (vecCte + ",\n" + kmeansCte + ",\n" + semCte +
+      """
+        |SELECT vec_id, label, ccos, keep FROM srep ORDER BY vec_id""".stripMargin),
+    "semdedup_apply" -> (vecCte + ",\n" + kmeansCte + ",\n" + semCte +
+      """
+        |SELECT vec_id, label, ccos FROM srep WHERE keep ORDER BY vec_id""".stripMargin),
+    "proto_select" -> (vecCte + ",\n" + kmeansCte + ",\n" + semCte +
+      """,
+        |pkept AS (SELECT vec_id, label, ccos FROM srep WHERE keep),
+        |pcnt AS (SELECT label, COUNT(*) AS tot FROM pkept GROUP BY label),
+        |prnk AS (SELECT k.vec_id, k.label, k.ccos,
+        |    row_number() OVER (PARTITION BY k.label ORDER BY k.ccos DESC, k.vec_id DESC) AS rk,
+        |    p.tot
+        |  FROM pkept k JOIN pcnt p USING (label))
+        |SELECT vec_id, label, ccos FROM prnk WHERE rk > floor(tot/4.0)
+        |ORDER BY label, vec_id""".stripMargin),
     "keyword_search" -> ("WITH " + queriesCte + ",\n" + keywordBody +
       """
         |SELECT q_id, doc_id, score, rating, rk FROM kr WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin),

@@ -1099,6 +1099,214 @@ object VectorSearch {
       .orderBy(col("label"), col("srk"))
   }
 
+  // ----- SemDeDup + prototype pruning (SURVEY.md §2.F semdedup /
+  // semdedup_apply / proto_select) -------------------------------------
+
+  /** Pair-cosine threshold of [[semDedup]] — chosen so the rule
+    * discriminates on the synthetic corpus (the within-cluster cosine
+    * tail sits at q99.9 ≈ 0.35–0.37 across SFs; real-text SemDeDup
+    * deployments run ε ≈ 0.96 on contrastive embeddings, but this
+    * corpus is near-orthogonal noise by construction). 0.35 = 7/20 is
+    * exact in decimal, and both engines compare the SAME doubles: the
+    * round4 cosine is floor(c·10⁴+0.5)/10⁴ — at the boundary k=3500
+    * that division and the literal 0.35 round to the identical IEEE
+    * double, so the ≥ comparison can never disagree by a ULP.
+    */
+  val SemTau = 0.35
+
+  /** Cluster assignment of the embedding corpus (vec_id ≥ NQueries)
+    * against the deterministic [[kmeansCentroids]], KEEPING the
+    * winning parity-rounded centroid cosine — `ccos` is SemDeDup's
+    * within-group keep priority (Abbas et al. 2023 keep the example
+    * with LOW similarity to the centroid) and SSL-prototypes'
+    * prototypicality metric (Sorscher et al. 2022), so one assignment
+    * pass serves both stages. Cached per (session, dir) like
+    * [[embMembers]]: one corpus × broadcast-⩽k scan however many of
+    * the three queries run.
+    */
+  private[graft] def semClusters(spark: SparkSession, dir: String): DataFrame =
+    graft.DfCache.getOrCompute(spark, s"sem_clusters:$dir")(
+      assignClustersCos(
+        vectors(spark, dir).where(col("vec_id") >= NQueries)
+          .select(col("vec_id"), col("emb")),
+        kmeansCentroids(spark, dir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** [[assignClusters]] keeping the winning cosine (same window, same
+    * tie-break — the two spellings cannot drift because assignClusters
+    * IS this minus the `ccos` column).
+    */
+  private[graft] def assignClustersCos(corpus: DataFrame, cent: DataFrame): DataFrame =
+    corpus.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("emb"), col("label"),
+        V.cosine4(col("emb"), col("c_emb")).as("ccos"))
+      .withColumn("ark", rank("ccos", "label", "vec_id"))
+      .where(col("ark") === 1)
+      .select(col("vec_id"), col("label"), col("emb"), col("ccos"))
+
+  /** Exact-content quotient of the clustered corpus — [[embMembersOf]]
+    * over [[semClusters]], cached for the report/apply/prune trio.
+    */
+  private[graft] def semMembers(spark: SparkSession, dir: String): DataFrame =
+    graft.DfCache.getOrCompute(spark, s"sem_members:$dir")(
+      embMembersOf(semClusters(spark, dir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Rep-level qualifying SemDeDup pairs: the [[embeddingRepPairs]]
+    * block join with the CLUSTER as the whole blocking key (code
+    * pinned to 0 — SemDeDup's candidate scope is the k-means cell
+    * itself, per the paper), build side capped at [[EmbBucketCap]]
+    * reps per cluster in vec_id order, filtered to cosine ≥
+    * [[SemTau]]. Join INTERMEDIATE ≤ cap·n_reps BY CONSTRUCTION, and
+    * n_reps counts DISTINCT embeddings — the ScaleGen clone ladder
+    * (exact copies at every rung) cannot grow it at all.
+    */
+  private[graft] def semQualifyingPairsOf(cl: DataFrame,
+      members: DataFrame): DataFrame = {
+    val reps = cl
+      .join(members.where(col("vec_id") === col("rep_id")).select(col("vec_id")),
+        Seq("vec_id"), "left_semi")
+      .withColumn("code", lit(0L))
+    embeddingRepPairs(reps).where(col("cos") >= SemTau)
+  }
+
+  /** SemDeDup (Abbas et al. 2023) as a DOMINATION rule — semantic
+    * near-duplicate pruning over the embedding corpus: cluster with
+    * the deterministic k-means quantizer, then inside each cluster
+    * drop every vector that has a τ-close candidate partner with
+    * better keep priority, where priority = LOWER centroid cosine
+    * (keep the cell's least-prototypical witness, the paper's rule),
+    * ties to the smaller vec_id. Candidate pairs are the capped
+    * rep-level block join of [[semQualifyingPairs]] plus, implicitly,
+    * every exact-content member against its own group rep (identical
+    * vectors ⇒ cosine exactly 1.0 ≥ τ, identical ccos, smaller-id rep
+    * wins) — so the quotient is EXACT for the keep set: a non-rep
+    * member is always dominated by its rep, and a member can never
+    * dominate a vector its rep does not (same cosine to everything,
+    * strictly worse priority). No slate expansion is needed at all —
+    * domination only asks EXISTENCE of a better τ-close partner, so
+    * the whole query is: quotient → capped rep pairs → one
+    * directed-edge priority filter → distinct. Report: every corpus
+    * vector with its cluster, centroid cosine and keep verdict.
+    *
+    * Reference: the pipeline dedups retrieval chunks by cosine
+    * (core/utils.py:240 near-identical suppression); this is the
+    * corpus-curation form at training-data scale.
+    */
+  def semDedup(spark: SparkSession, dir: String): DataFrame =
+    semReport(spark, dir)
+      .select(col("vec_id"), col("label"), col("ccos"), col("keep"))
+      .orderBy(col("vec_id"))
+
+  /** [[semDedup]]'s apply form: the surviving corpus. */
+  def semDedupApply(spark: SparkSession, dir: String): DataFrame =
+    semReport(spark, dir).where(col("keep"))
+      .select(col("vec_id"), col("label"), col("ccos"))
+      .orderBy(col("vec_id"))
+
+  private def semReport(spark: SparkSession, dir: String): DataFrame =
+    semReportOf(semClusters(spark, dir), semMembers(spark, dir))
+
+  /** The domination report over any clustered (vec_id, label, emb,
+    * ccos) frame + its quotient — the frame-level seam the spec's
+    * planted corpora exercise directly.
+    */
+  private[graft] def semReportOf(cl: DataFrame, members: DataFrame): DataFrame = {
+    val qual = semQualifyingPairsOf(cl, members)
+    val pri = cl.select(col("vec_id"), col("ccos"))
+    val directed = qual.select(col("a_id").as("x"), col("b_id").as("p"))
+      .unionAll(qual.select(col("b_id").as("x"), col("a_id").as("p")))
+    val dropped = directed
+      .join(pri.select(col("vec_id").as("x"), col("ccos").as("xc")), Seq("x"))
+      .join(pri.select(col("vec_id").as("p"), col("ccos").as("pc")), Seq("p"))
+      .where(col("pc") < col("xc")
+        || (col("pc") === col("xc") && col("p") < col("x")))
+      .select(col("x").as("vec_id"))
+      .distinct()
+      .withColumn("dom", lit(true))
+    cl.join(members, Seq("vec_id"))
+      .join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("label"), col("ccos"),
+        (col("grk") === 1 && col("dom").isNull).as("keep"))
+  }
+
+  /** Prototype-pruning stage of D4 (Tirumala et al. 2023 = SemDeDup
+    * then SSL-prototypes): from the [[semDedup]] survivors, drop the
+    * ⌊n/4⌋ MOST prototypical per cluster — highest centroid cosine
+    * first, ties to the larger vec_id — and keep the rest. Scale
+    * shape: `ccos` is round4 (≤ 20,001 distinct values), so the
+    * per-cluster order statistic is a HISTOGRAM cutoff, not a corpus
+    * sort — a (label, ccos) count aggregate (≤ k·20,001 rows), a
+    * cumulative window over that tiny frame, then one corpus filter;
+    * only the boundary tie band (audited: `proto_select.tie_band`)
+    * needs a row_number, partitioned by (label, ccos) so it never
+    * funnels the corpus through k reducers (the diversity_sample
+    * scaladoc's warning, applied). The oracle spells the naive
+    * per-cluster row_number — same semantics, different plan, the
+    * gopher precedent.
+    */
+  def protoSelect(spark: SparkSession, dir: String): DataFrame =
+    protoSelectOf(semReport(spark, dir).where(col("keep"))
+      .select(col("vec_id"), col("label"), col("ccos")))
+
+  /** The histogram-cutoff prune over any (vec_id, label, ccos)
+    * survivor frame — the frame-level seam the spec's tie-band
+    * corpora exercise directly.
+    */
+  private[graft] def protoSelectOf(kept: DataFrame): DataFrame = {
+    val (survivors, bands) = protoBands(kept)
+    val full = survivors.join(bands, Seq("label", "ccos"))
+    // bands with cum <= dropN are dropped whole; bands with
+    // prev >= dropN are kept whole; only the one straddling band ranks
+    val boundary = full.where(col("prev") < col("dropN") && col("dropN") < col("cum"))
+    val tw = Window.partitionBy(col("label"), col("ccos"))
+      .orderBy(col("vec_id").desc)
+    val boundaryKept = boundary
+      .withColumn("trk", row_number().over(tw).cast("long"))
+      .where(col("trk") > col("dropN") - col("prev"))
+      .select(col("vec_id"), col("label"), col("ccos"))
+    val clearKept = full.where(col("prev") >= col("dropN"))
+      .select(col("vec_id"), col("label"), col("ccos"))
+    clearKept.unionByName(boundaryKept)
+      .orderBy(col("label"), col("vec_id"))
+  }
+
+  /** Shared histogram scaffolding of [[protoSelect]] and its audit
+    * row: per-(cluster, ccos) counts with the cumulative-from-top
+    * (`cum`), previous-cumulative (`prev`) and per-cluster drop
+    * budget ⌊total/4⌋ (`dropN`) columns. n/4.0 is an exponent shift —
+    * exact in IEEE for any count < 2⁵², so floor matches DuckDB
+    * bit-for-bit.
+    */
+  private def protoBands(kept: DataFrame): (DataFrame, DataFrame) = {
+    val hist = kept.groupBy(col("label"), col("ccos"))
+      .agg(count(lit(1)).as("cnt"))
+    val cw = Window.partitionBy(col("label")).orderBy(col("ccos").desc)
+    val tw = Window.partitionBy(col("label"))
+    val bands = hist
+      .withColumn("cum", sum(col("cnt")).over(cw))
+      .withColumn("prev", col("cum") - col("cnt"))
+      .withColumn("dropN", floor(sum(col("cnt")).over(tw).cast("double") / 4.0))
+    (kept, bands)
+  }
+
+  /** Boundary tie-band occupancy of [[protoSelect]] — a cap-0
+    * MEASUREMENT row (the splitBridgeAudit convention): candidates =
+    * rows sharing the cutoff (label, ccos) band, emitted = the rows
+    * the row_number actually had to rank. A flood here (a corpus
+    * whose survivors all share one round4 ccos) is the one input that
+    * makes the histogram design degrade to the naive sort; the audit
+    * makes it visible instead of silent.
+    */
+  private def protoTieBand(spark: SparkSession, dir: String): DataFrame = {
+    val kept = semReport(spark, dir).where(col("keep"))
+      .select(col("vec_id"), col("label"), col("ccos"))
+    val (survivors, bands) = protoBands(kept)
+    survivors.join(bands, Seq("label", "ccos"))
+      .where(col("prev") < col("dropN") && col("dropN") < col("cum"))
+      .groupBy(col("label"), col("ccos")).agg(count(lit(1)).as("c"))
+  }
+
   /** "No silent caps": what the three [[dedupEmbedding]] bounds
     * actually dropped on this corpus — see Dedup.capAudit for the
     * column contract. `pair_cap` counts the expanded qualifying
@@ -1106,6 +1314,9 @@ object VectorSearch {
     * `bucket_cap` counts rep-level (label, code) block occupants vs
     * [[EmbBucketCap]]; `group_cap` counts exact-content group members
     * vs the slate size (the quotient twin of the bucket row).
+    * `semdedup.bucket_cap` is the SemDeDup twin of the bucket row
+    * (blocks = whole k-means cells); `proto_select.tie_band` is the
+    * cutoff-band measurement row.
     */
   def capAudit(spark: SparkSession, dir: String): DataFrame = {
     def summarize(perKey: DataFrame, stage: String, cap: Long, unit: String): DataFrame =
@@ -1129,6 +1340,19 @@ object VectorSearch {
     val group = summarize(
       members.groupBy(col("rep_id")).agg(count(lit(1)).as("c")),
       "dedup_embedding.group_cap", EmbBucketCap.toLong, "group_members")
+    val semM = semMembers(spark, dir)
+    val semReps = semClusters(spark, dir).join(
+      semM.where(col("vec_id") === col("rep_id")).select(col("vec_id")),
+      Seq("vec_id"), "left_semi")
+    val semBucket = summarize(
+      semReps.groupBy(col("label")).agg(count(lit(1)).as("c")),
+      "semdedup.bucket_cap", EmbBucketCap.toLong, "cell_rep_occupants")
+    // semdedup has no group/slate cap: the quotient is EXACT for the
+    // domination keep set (members are dominated by their rep at any
+    // group size), so the only bound to audit is the cell build cap.
+    val tie = summarize(protoTieBand(spark, dir),
+      "proto_select.tie_band", 0L, "cutoff_band_rows")
     pair.unionByName(bucket).unionByName(group)
+      .unionByName(semBucket).unionByName(tie)
   }
 }

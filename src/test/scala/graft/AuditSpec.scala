@@ -20,7 +20,8 @@ class AuditSpec extends SparkSpec {
       "dedup_simhash.bucket_cap", "dedup_simhash.group_cap",
       "ngram_jaccard.bucket_cap", "ngram_jaccard.verify_budget",
       "dedup_embedding.pair_cap", "dedup_embedding.bucket_cap",
-      "dedup_embedding.group_cap", "dataset_split_incremental.bridge"))
+      "dedup_embedding.group_cap", "dataset_split_incremental.bridge",
+      "semdedup.bucket_cap", "proto_select.tie_band"))
     rows.foreach { case (stage, (cap, cand, emitted, dropped)) =>
       // cap = 0 marks a measurement row (the bridge audit has no bound)
       assert(cap >= 0 && cand >= 0 && emitted >= 0, s"$stage: negative counts")

@@ -330,4 +330,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"),
       s"corpus reshuffled for the rate join:\n$plan")
   }
+
+  test("semdedup: quotient + capped cell join — hash joins only, no cartesian") {
+    val plan = finalPlan(VectorSearch.semDedup(spark, sfDir))
+    assert(!plan.contains("CartesianProduct"), s"cartesian in semdedup:\n$plan")
+    // the only nested-loop anywhere under this query is the <= k-row
+    // centroid broadcast inside the (cached) cluster assignment; every
+    // data-sized join — rep pairs, priorities, report — is hash-based
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin")
+      || plan.contains("ShuffledHashJoin"), s"no hash join found:\n$plan")
+  }
+
+  test("proto_select: histogram cutoff, no cartesian, corpus filtered not resorted") {
+    val plan = finalPlan(VectorSearch.protoSelect(spark, sfDir))
+    assert(!plan.contains("CartesianProduct"), s"cartesian in proto_select:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin")
+      || plan.contains("BroadcastHashJoin"),
+      s"band join degenerated to a nested loop:\n$plan")
+  }
 }
