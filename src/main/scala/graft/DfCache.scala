@@ -122,6 +122,29 @@ object DfCache {
     })
   }
 
+  /** [[getOrCompute]] for VERSIONED artifacts (an epoch-frozen
+    * survivor index, a rotated split manifest): caches under
+    * `prefix:tag`, and on the first computation of a NEW tag evicts
+    * every other `prefix:` entry first — a long-lived streaming
+    * session that re-freezes its index each epoch releases the
+    * previous epoch's blocks instead of pinning them for the
+    * application lifetime. Callers that interleave two live tags pay
+    * a recompute per switch; rotation is the intended pattern.
+    */
+  def getOrComputeRotating(spark: SparkSession, prefix: String, tag: String)(
+      compute: => DataFrame): DataFrame = {
+    val key = s"$prefix:$tag"
+    val m = perSession(spark)
+    if (!m.containsKey(key)) {
+      val it = m.keySet().iterator()
+      while (it.hasNext) {
+        val k = it.next()
+        if (k != key && k.startsWith(prefix + ":")) evictKey(spark, k)
+      }
+    }
+    getOrCompute(spark, key)(compute)
+  }
+
   /** Drop and unpersist one cached frame. */
   def evictKey(spark: SparkSession, key: String): Unit = {
     val m = cache.synchronized(cache.get(spark))

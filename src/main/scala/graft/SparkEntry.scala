@@ -705,29 +705,32 @@ object SparkEntry {
     * Dedup.dedupParagraph (32-word blocks; copy of every 7th doc with
     * its first block reversed).
     */
-  private val dedupParagraphSql =
-    """WITH pc AS (
+  private val dedupParagraphSql = {
+    val pw = Dedup.ParaWords
+    val off = Dedup.CopyIdOffset
+    s"""WITH pc AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
-      |  SELECT doc_id + 100000 AS doc_id,
-      |    array_to_string(list_concat(list_reverse(t[1:32]), t[33:len(t)]), ' ') AS text
+      |  SELECT doc_id + $off AS doc_id,
+      |    array_to_string(list_concat(list_reverse(t[1:$pw]), t[${pw + 1}:len(t)]), ' ') AS text
       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
       |  WHERE doc_id % 7 = 0),
       |ptk AS (SELECT doc_id, string_split(text, ' ') AS t FROM pc WHERE length(text) > 0),
       |p AS (SELECT doc_id, i AS para_idx,
-      |    array_to_string(t[i*32+1 : least((i+1)*32, len(t))], ' ') AS para_text
-      |  FROM ptk, LATERAL (SELECT unnest(generate_series(0, (len(t)-1)//32)) AS i) ii),
+      |    array_to_string(t[i*$pw+1 : least((i+1)*$pw, len(t))], ' ') AS para_text
+      |  FROM ptk, LATERAL (SELECT unnest(generate_series(0, (len(t)-1)//$pw)) AS i) ii),
       |w AS (SELECT doc_id, para_idx, para_text,
       |    row_number() OVER (PARTITION BY md5(para_text) ORDER BY doc_id, para_idx) AS rk
       |  FROM p),
       |k AS (SELECT doc_id, count(*) AS n_kept,
       |    string_agg(para_text, ' ' ORDER BY para_idx) AS kept_text
       |  FROM w WHERE rk = 1 GROUP BY doc_id),
-      |tot AS (SELECT doc_id, 1 + (len(t)-1)//32 AS n_paras FROM ptk)
+      |tot AS (SELECT doc_id, 1 + (len(t)-1)//$pw AS n_paras FROM ptk)
       |SELECT tot.doc_id, CAST(tot.n_paras AS BIGINT) AS n_paras,
       |  CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
       |  coalesce(k.kept_text, '') AS kept_text
       |FROM tot LEFT JOIN k ON tot.doc_id = k.doc_id ORDER BY tot.doc_id""".stripMargin
+  }
 
   /** Per-doc bigram-LM cross-entropy (oracle twin of
     * Perplexity.scoreAgainst over a self-trained Perplexity.modelOf):

@@ -128,14 +128,16 @@ object Dedup {
   /** Non-overlapping [[ParaWords]]-word blocks of a MATERIALIZED token
     * column (the HOF-inlining trap of TextFunctions.shinglePosting
     * applies: an inlined `split` here would re-tokenize per block).
+    * Callers guarantee a non-empty source text ([[dedupParagraphOf]]
+    * filters), so `toks` is never empty — `split` returns [""] for
+    * "", which a size() guard here could not distinguish from a real
+    * one-token doc anyway.
     */
   private def paraBlocksOf(toks: Column): Column =
-    when(size(toks) > 0,
-      transform(
-        // Column `/` is DOUBLE division — cast back for sequence()
-        sequence(lit(0), ((size(toks) - 1) / ParaWords).cast("int")),
-        i => concat_ws(" ", slice(toks, i * ParaWords + 1, lit(ParaWords)))))
-      .otherwise(array().cast("array<string>"))
+    transform(
+      // Column `/` is DOUBLE division — cast back for sequence()
+      sequence(lit(0), ((size(toks) - 1) / ParaWords).cast("int")),
+      i => concat_ws(" ", slice(toks, i * ParaWords + 1, lit(ParaWords))))
 
   /** Corpus-wide exact PARAGRAPH dedup — the block-granularity form of
     * exact-substring dedup (Lee et al. 2022, "Deduplicating Training
@@ -159,8 +161,15 @@ object Dedup {
   def dedupParagraph(spark: SparkSession, dir: String): DataFrame =
     dedupParagraphOf(paraCorpus(spark, dir))
 
-  /** [[dedupParagraph]]'s core over ANY (doc_id, text) corpus. */
-  private[graft] def dedupParagraphOf(corpus: DataFrame): DataFrame = {
+  /** [[dedupParagraph]]'s core over ANY (doc_id, text) corpus.
+    * Empty-text documents are EXCLUDED from the report (they have no
+    * blocks; the oracle's `length(text) > 0` filter is this same
+    * rule) — `split("", " ")` returns [""], so without the filter an
+    * empty doc would wrongly report one empty paragraph and push an
+    * "" block into the corpus-wide winner aggregate.
+    */
+  private[graft] def dedupParagraphOf(corpus0: DataFrame): DataFrame = {
+    val corpus = corpus0.where(length(col("text")) > 0)
     val paras = corpus
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"),
@@ -181,9 +190,7 @@ object Dedup {
       // block COUNT is pure arithmetic — don't materialize the block
       // strings a second time just to size() them
       .select(col("doc_id"),
-        when(size(col("toks")) > 0,
-          ((size(col("toks")) - 1) / ParaWords).cast("long") + 1L)
-          .otherwise(0L).as("n_paras"))
+        (((size(col("toks")) - 1) / ParaWords).cast("long") + 1L).as("n_paras"))
       .join(rebuilt, Seq("doc_id"), "left")
       .na.fill(0L, Seq("n_kept")).na.fill("", Seq("kept_text"))
       .select(col("doc_id"), col("n_paras"), col("n_kept"), col("kept_text"))
@@ -809,10 +816,14 @@ object Dedup {
     * caller owns any memoization, keyed on whatever derived the
     * batch. A batch whose every doc matched base (the steady-state
     * recrawl) short-circuits on one `novel.isEmpty` probe, before
-    * the quotient's content-hash shuffle exists at all.
+    * the quotient's content-hash shuffle exists at all. `threshold`
+    * must be the SAME jaccard floor the caller's base matcher used —
+    * a coin group built under a different near-dup definition than
+    * the match step would split sides inconsistently with the
+    * requested leakage contract.
     */
   private[graft] def deltaInternalGroups(spark: SparkSession,
-      novel0: DataFrame): DataFrame = {
+      novel0: DataFrame, threshold: Double = 0.8): DataFrame = {
     val novel = novel0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       if (novel.isEmpty)
@@ -830,7 +841,7 @@ object Dedup {
           val idMembers = reps.select(col("doc_id"),
             col("doc_id").as("rep_id"))
           val repEdges = minhashPairsOf(reps, Some(idMembers))(_.localCheckpoint())
-            .where(col("jaccard") >= 0.8).select(col("a_id"), col("b_id"))
+            .where(col("jaccard") >= threshold).select(col("a_id"), col("b_id"))
           // a batch whose only near-dups are exact (within-group)
           // pairs has NO rep edges — skip the fixpoint rather than
           // run pointer doubling over an empty graph (the empty

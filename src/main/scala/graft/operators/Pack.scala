@@ -373,8 +373,7 @@ object Pack {
     * this |strata|-row table is the epoch-boundary artifact a
     * streaming deployment freezes and hands to MixStream.mixApply.
     */
-  def mixTemperatureRatesOf(spark: SparkSession, corpus: DataFrame,
-      stratum: String): DataFrame =
+  def mixTemperatureRatesOf(corpus: DataFrame, stratum: String): DataFrame =
     corpus.groupBy(col(stratum)).agg(count(lit(1)).as("n"))
       .withColumn("nmin", min(col("n")).over(Window.partitionBy()))
       .select(col(stratum),
@@ -393,7 +392,7 @@ object Pack {
                             sorted: Boolean = true): DataFrame = {
     val docs = Tables.documents(spark, dir)
     presented(
-      docs.join(broadcast(mixTemperatureRatesOf(spark, docs, stratum)), stratum)
+      docs.join(broadcast(mixTemperatureRatesOf(docs, stratum)), stratum)
         .where(uniform(col("doc_id"), "mixt:").cast("double") / 4294967296.0
           < col("rate"))
         .select(col("doc_id"), col(stratum), Par.round4(col("rate")).as("rate")),

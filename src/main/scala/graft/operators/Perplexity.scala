@@ -877,10 +877,13 @@ object Perplexity {
     * actual margin). The ~1e-4 quantization this costs is noise at
     * selection granularity.
     *
-    * `target` must have at least one scoreable (≥ 2-token) document
-    * or every score is null (an empty model has no vocabulary).
-    * Scale: two model builds (vocab-bounded tables) + two linear
-    * scoring scans + one doc_id join of two doc-sized frames.
+    * `target` must have at least one scoreable (≥ 2-token) document:
+    * [[scoreAgainst]] fails LOUDLY on an empty model (scalarsOf's
+    * raise_error — an empty vocabulary has no smoothing floor to
+    * stand on), so an untrainable target kills the job instead of
+    * silently scoring everything against nothing. Scale: two model
+    * builds (vocab-bounded tables) + two linear scoring scans + one
+    * doc_id join of two doc-sized frames.
     */
   private[graft] def dsirScoreOf(spark: SparkSession, target: DataFrame,
       corpus: DataFrame): DataFrame =

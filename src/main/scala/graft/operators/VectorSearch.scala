@@ -1254,11 +1254,10 @@ object VectorSearch {
     * corpora exercise directly.
     */
   private[graft] def protoSelectOf(kept: DataFrame): DataFrame = {
-    val (survivors, bands) = protoBands(kept)
-    val full = survivors.join(bands, Seq("label", "ccos"))
+    val full = kept.join(protoBands(kept), Seq("label", "ccos"))
     // bands with cum <= dropN are dropped whole; bands with
     // prev >= dropN are kept whole; only the one straddling band ranks
-    val boundary = full.where(col("prev") < col("dropN") && col("dropN") < col("cum"))
+    val boundary = full.where(protoStraddles)
     val tw = Window.partitionBy(col("label"), col("ccos"))
       .orderBy(col("vec_id").desc)
     val boundaryKept = boundary
@@ -1271,6 +1270,13 @@ object VectorSearch {
       .orderBy(col("label"), col("vec_id"))
   }
 
+  /** The cutoff-straddling-band predicate, shared by [[protoSelectOf]]
+    * and the tie-band audit so the audit can never drift from the
+    * band the operator actually ranks.
+    */
+  private def protoStraddles: org.apache.spark.sql.Column =
+    col("prev") < col("dropN") && col("dropN") < col("cum")
+
   /** Shared histogram scaffolding of [[protoSelect]] and its audit
     * row: per-(cluster, ccos) counts with the cumulative-from-top
     * (`cum`), previous-cumulative (`prev`) and per-cluster drop
@@ -1278,16 +1284,15 @@ object VectorSearch {
     * exact in IEEE for any count < 2⁵², so floor matches DuckDB
     * bit-for-bit.
     */
-  private def protoBands(kept: DataFrame): (DataFrame, DataFrame) = {
+  private def protoBands(kept: DataFrame): DataFrame = {
     val hist = kept.groupBy(col("label"), col("ccos"))
       .agg(count(lit(1)).as("cnt"))
     val cw = Window.partitionBy(col("label")).orderBy(col("ccos").desc)
     val tw = Window.partitionBy(col("label"))
-    val bands = hist
+    hist
       .withColumn("cum", sum(col("cnt")).over(cw))
       .withColumn("prev", col("cum") - col("cnt"))
       .withColumn("dropN", floor(sum(col("cnt")).over(tw).cast("double") / 4.0))
-    (kept, bands)
   }
 
   /** Boundary tie-band occupancy of [[protoSelect]] — a cap-0
@@ -1301,9 +1306,8 @@ object VectorSearch {
   private def protoTieBand(spark: SparkSession, dir: String): DataFrame = {
     val kept = semReport(spark, dir).where(col("keep"))
       .select(col("vec_id"), col("label"), col("ccos"))
-    val (survivors, bands) = protoBands(kept)
-    survivors.join(bands, Seq("label", "ccos"))
-      .where(col("prev") < col("dropN") && col("dropN") < col("cum"))
+    kept.join(protoBands(kept), Seq("label", "ccos"))
+      .where(protoStraddles)
       .groupBy(col("label"), col("ccos")).agg(count(lit(1)).as("c"))
   }
 
@@ -1350,8 +1354,15 @@ object VectorSearch {
     // semdedup has no group/slate cap: the quotient is EXACT for the
     // domination keep set (members are dominated by their rep at any
     // group size), so the only bound to audit is the cell build cap.
-    val tie = summarize(protoTieBand(spark, dir),
-      "proto_select.tie_band", 0L, "cutoff_band_rows")
+    // tie_band is a cap-0 MEASUREMENT row, not a bound: every band
+    // row IS ranked (nothing is silently dropped), so emitted =
+    // candidates — summarize's least(c, cap) spelling would publish
+    // emitted = 0 and read as "all dropped".
+    val tie = protoTieBand(spark, dir)
+      .agg(coalesce(sum(col("c")), lit(0L)).as("candidates"))
+      .select(lit("proto_select.tie_band").as("stage"), lit(0L).as("cap"),
+        lit("cutoff_band_rows").as("unit"), col("candidates"),
+        col("candidates").as("emitted"))
     pair.unionByName(bucket).unionByName(group)
       .unionByName(semBucket).unionByName(tie)
   }

@@ -71,8 +71,9 @@ object SemDedupStream {
     val within = VectorSearch.semReportOf(cl, members)
     // frozen side: one capped slice per (session, index version) —
     // EmbBucketCap reps per cell in vec_id order, the build-cap
-    // contract applied to the committed index
-    val idx = graft.DfCache.getOrCompute(spark, s"semstream_idx:$indexKey") {
+    // contract applied to the committed index; ROTATING so an epoch
+    // that re-freezes the index releases the previous slice's blocks
+    val idx = graft.DfCache.getOrComputeRotating(spark, "semstream_idx", indexKey) {
       val bw = Window.partitionBy(col("label")).orderBy(col("vec_id"))
       keptIndex
         .withColumn("brk", row_number().over(bw))

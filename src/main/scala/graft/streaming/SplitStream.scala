@@ -61,9 +61,11 @@ object SplitStream {
              threshold: Double = 0.8): DataFrame = {
     val matches = Dedup.neardupIncrementalOf(base, batch, threshold,
         mat = (slot, df) => slot match {
-          // the persisted index: once per (session, manifest version)
+          // the persisted index: once per (session, manifest
+          // version), ROTATING so a manifest rotation releases the
+          // previous version's blocks instead of pinning them
           case "base_rep_posting" | "base_rep_banded" =>
-            graft.DfCache.getOrCompute(spark, s"split_stream_$slot:$indexKey")(
+            graft.DfCache.getOrComputeRotating(spark, s"split_stream_$slot", indexKey)(
               df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
           // per-batch frames: eagerly materialized, released with the
           // batch (no session persist to leak across a long stream)
@@ -73,7 +75,10 @@ object SplitStream {
     val novel = batch
       .join(matches.select(col("doc_id")), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("text"))
-    val deltaGroups = Dedup.deltaInternalGroups(spark, novel)
+    // the SAME jaccard floor as the matcher above — a coin group
+    // built under a different near-dup definition would split sides
+    // inconsistently with the requested leakage contract
+    val deltaGroups = Dedup.deltaInternalGroups(spark, novel, threshold)
     Dedup.splitAssignOf(batch.select(col("doc_id")), matches, baseAsg,
       deltaGroups, evalFrac)
   }

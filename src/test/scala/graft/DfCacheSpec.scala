@@ -132,4 +132,27 @@ class DfCacheSpec extends SparkSpec {
       "recompute after eviction must count again")
     DfCache.evictKey(spark, key)
   }
+
+  test("getOrComputeRotating evicts the previous epoch's entry under the prefix") {
+    import spark.implicits._
+    val prefix = "rotate-test-" + System.nanoTime()
+    val v1 = DfCache.getOrComputeRotating(spark, prefix, "v1")(
+      Seq(1).toDF("v").persist())
+    // same tag: memo hit, nothing evicted
+    val v1again = DfCache.getOrComputeRotating(spark, prefix, "v1")(
+      fail("memo hit must not recompute"))
+    assert(v1again eq v1)
+    // new tag: v1's cell is evicted and its frame unpersisted
+    val v2 = DfCache.getOrComputeRotating(spark, prefix, "v2")(
+      Seq(2).toDF("v").persist())
+    assert(v1.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "rotation must unpersist the previous epoch's frame")
+    val recomputed = DfCache.getOrComputeRotating(spark, prefix, "v1")(
+      Seq(3).toDF("v").persist())
+    assert(recomputed.collect().head.getInt(0) == 3,
+      "a rotated-out tag recomputes instead of serving stale blocks")
+    DfCache.evictKey(spark, s"$prefix:v1")
+    DfCache.evictKey(spark, s"$prefix:v2")
+    val _ = v2
+  }
 }

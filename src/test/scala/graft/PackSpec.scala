@@ -315,7 +315,7 @@ class PackSpec extends SparkSpec {
     val counts = docs.groupBy("lang").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val nmin = counts.values.min
-    val rates = Pack.mixTemperatureRatesOf(spark, docs, "lang").collect()
+    val rates = Pack.mixTemperatureRatesOf(docs, "lang").collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(rates.keySet == counts.keySet)
     // bit-exact: one IEEE division + one IEEE sqrt, both correctly rounded
@@ -333,7 +333,7 @@ class PackSpec extends SparkSpec {
     val batch = Pack.datasetMixTemperature(spark, sfDir).collect()
       .map(_.getAs[Long]("doc_id")).toSet
     val stream = graft.streaming.MixStream.mixApply(spark, docs,
-        Pack.mixTemperatureRatesOf(spark, docs, "lang"), "lang", salt = "mixt:")
+        Pack.mixTemperatureRatesOf(docs, "lang"), "lang", salt = "mixt:")
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(batch == stream)
     assert(batch.nonEmpty && batch.size < counts.values.sum)

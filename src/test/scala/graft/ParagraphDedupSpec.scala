@@ -33,6 +33,18 @@ class ParagraphDedupSpec extends SparkSpec {
       out(3L).getAs[String]("kept_text") == "")
   }
 
+  test("empty-text docs are excluded, not reported as one empty paragraph") {
+    // split("", " ") returns [""], so without the explicit filter an
+    // empty doc would report n_paras = 1 and push an "" block into
+    // the winner aggregate (and diverge from the oracle's
+    // length(text) > 0 rule)
+    val out = Dedup.dedupParagraphOf(corpus(1L -> "", 2L -> ba))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(!out.contains(1L), "empty doc must not appear in the report")
+    assert(out(2L).getAs[Long]("n_paras") == 1 &&
+      out(2L).getAs[Long]("n_kept") == 1)
+  }
+
   test("intra-document repeated block keeps only its first copy") {
     val r = Dedup.dedupParagraphOf(corpus(7L -> s"$ba $ba $bb")).collect().head
     assert(r.getAs[Long]("n_paras") == 3)
