@@ -1204,8 +1204,19 @@ object VectorSearch {
       .select(col("vec_id"), col("label"), col("ccos"))
       .orderBy(col("vec_id"))
 
+  /** The domination report, memoized per (session, dir) like
+    * [[semClusters]]: `protoSelectOf` references its survivor frame
+    * FOUR times (histogram build, band join, boundary and clear
+    * branches), and without the persist each reference re-ran the
+    * whole qualifying-pair + domination chain — proto_select benched
+    * 5.5 s at the 8× rung while semdedup itself took 0.24 s. One
+    * computed report now serves all three queries and the tie-band
+    * audit.
+    */
   private def semReport(spark: SparkSession, dir: String): DataFrame =
-    semReportOf(semClusters(spark, dir), semMembers(spark, dir))
+    graft.DfCache.getOrCompute(spark, s"sem_report:$dir")(
+      semReportOf(semClusters(spark, dir), semMembers(spark, dir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** The domination report over any clustered (vec_id, label, emb,
     * ccos) frame + its quotient — the frame-level seam the spec's
