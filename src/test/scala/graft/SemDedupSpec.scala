@@ -109,6 +109,26 @@ class SemDedupSpec extends SparkSpec {
     assert(Seq(20L, 21L, 22L).forall(i => got.contains((i, 1L))))
   }
 
+  test("degenerate inputs: empty corpus, singleton, all-identical flood") {
+    // empty clustered frame -> empty report, empty prune
+    val empty = clustered(Seq.empty)
+    assert(VectorSearch.semReportOf(empty, VectorSearch.embMembersOf(empty))
+      .collect().isEmpty)
+    assert(VectorSearch.protoSelectOf(
+      Seq.empty[(Long, Long, Double)].toDF("vec_id", "label", "ccos"))
+      .collect().isEmpty)
+    // singleton corpus: kept, and a 1-row cluster has dropN = 0
+    val one = clustered(Seq((10L, 0L, Seq(0.6, 0.8), 0.5)))
+    assert(reportMap(one) == Map(10L -> true))
+    assert(VectorSearch.protoSelectOf(
+      Seq((10L, 0L, 0.5)).toDF("vec_id", "label", "ccos"))
+      .collect().map(_.getLong(0)).toSeq == Seq(10L))
+    // the whole corpus one exact-content group: exactly one keeper
+    val flood = clustered((0 until 500).map(i => (10L + i, 0L, Seq(0.6, 0.8), 0.5)))
+    val keep = reportMap(flood)
+    assert(keep.values.count(identity) == 1 && keep(10L))
+  }
+
   test("gated corpus: rules discriminate and the three queries are consistent") {
     val rep = VectorSearch.semDedup(spark, sfDir).collect()
     val n = rep.length

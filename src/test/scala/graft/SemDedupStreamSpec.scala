@@ -90,6 +90,12 @@ class SemDedupStreamSpec extends SparkSpec {
     assert(got == Map(20L -> false, 21L -> true))
   }
 
+  test("an empty micro-batch yields an empty verdict frame, not a failure") {
+    val empty = Seq.empty[SemVec].toDF()
+    assert(SemDedupStream.detect(spark, empty, handCent, frozenF,
+      "spec-emptybatch").collect().isEmpty)
+  }
+
   test("re-delivery reproduces byte-identical verdicts") {
     val batch = Seq(SemVec(10L, unit(20)), SemVec(11L, unit(40))).toDF()
     val once = rowsOf(SemDedupStream.detect(spark, batch, handCent,
