@@ -139,7 +139,19 @@ object DfCache {
       val it = m.keySet().iterator()
       while (it.hasNext) {
         val k = it.next()
-        if (k != key && k.startsWith(prefix + ":")) evictKey(spark, k)
+        if (k != key && k.startsWith(prefix + ":")) {
+          val c = m.remove(k)
+          if (c != null) {
+            // value, NOT peek: a cell whose compute is mid-flight has
+            // no frame yet — peek would miss it and the frame it is
+            // about to persist would leak untracked forever. Waiting
+            // out the in-flight build (value is the compute's own
+            // synchronization) lets us unpersist what it produces;
+            // the racing creator still gets its frame back, it just
+            // loses the cache level — the benign side of the race.
+            try c.value.unpersist() catch { case _: Throwable => () }
+          }
+        }
       }
     }
     getOrCompute(spark, key)(compute)

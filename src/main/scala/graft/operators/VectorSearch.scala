@@ -191,11 +191,7 @@ object VectorSearch {
     * against a driver-side argmax.
     */
   private[graft] def assignClusters(corpus: DataFrame, cent: DataFrame): DataFrame =
-    corpus.crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("emb"), col("label"),
-        V.cosine4(col("emb"), col("c_emb")).as("cos"))
-      .withColumn("ark", rank("cos", "label", "vec_id"))
-      .where(col("ark") === 1)
+    assignClustersCos(corpus, cent)
       .select(col("vec_id"), col("label"), col("emb"))
 
   /** IVF search over the k-means index: corpus relabeled by its final
@@ -1132,9 +1128,10 @@ object VectorSearch {
         kmeansCentroids(spark, dir))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
-  /** [[assignClusters]] keeping the winning cosine (same window, same
-    * tie-break — the two spellings cannot drift because assignClusters
-    * IS this minus the `ccos` column).
+  /** [[assignClusters]] keeping the winning cosine — the ONE
+    * assignment spelling (assignClusters delegates here and drops
+    * `ccos`, so the IVF/k-means and SemDeDup assignments cannot
+    * drift BY CONSTRUCTION, not by convention).
     */
   private[graft] def assignClustersCos(corpus: DataFrame, cent: DataFrame): DataFrame =
     corpus.crossJoin(broadcast(cent))

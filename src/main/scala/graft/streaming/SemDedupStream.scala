@@ -65,9 +65,14 @@ object SemDedupStream {
     */
   def detect(spark: SparkSession, batch: DataFrame, cent: DataFrame,
              keptIndex: DataFrame, indexKey: String): DataFrame = {
+    // per-batch frames: eagerly materialized, released with the batch
+    // (the SplitStream/CurateStream convention) — cl fans out to the
+    // quotient, the rep probe, both priority joins and the report,
+    // and members to three branches; without the checkpoint every
+    // branch would re-run the assignment crossJoin + window
     val cl = VectorSearch.assignClustersCos(
-      batch.select(col("vec_id"), col("emb")), cent)
-    val members = VectorSearch.embMembersOf(cl)
+      batch.select(col("vec_id"), col("emb")), cent).localCheckpoint()
+    val members = VectorSearch.embMembersOf(cl).localCheckpoint()
     val within = VectorSearch.semReportOf(cl, members)
     // frozen side: one capped slice per (session, index version) —
     // EmbBucketCap reps per cell in vec_id order, the build-cap

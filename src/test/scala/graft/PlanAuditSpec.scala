@@ -187,50 +187,63 @@ class PlanAuditSpec extends SparkSpec {
       s"expected <= 3 parquet scans (queries + corpus + staged centroids), saw $parquetScans:\n$plan")
   }
 
+  private def flattenPlan(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    p match {
+      case a: AdaptiveSparkPlanExec => a +: flattenPlan(a.executedPlan)
+      case q: QueryStageExec        => q +: flattenPlan(q.plan)
+      case o                        => o +: o.children.flatMap(flattenPlan)
+    }
+  }
+
+  private def rowsOfPlan(p: org.apache.spark.sql.execution.SparkPlan): Option[Long] = {
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    p.metrics.get("numOutputRows").map(_.value).orElse {
+      val kids = p match {
+        case q: QueryStageExec => Seq(q.plan)
+        case o                 => o.children
+      }
+      kids.view.flatMap(rowsOfPlan).headOption
+    }
+  }
+
+  /** Every BNLJ in the executed plan of `df`, paired with its
+    * build-side row count (the guard both BNLJ tests share).
+    */
+  private def bnljBuildRows(df: DataFrame): Seq[Long] = {
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    df.collect()
+    flattenPlan(df.queryExecution.executedPlan)
+      .collect { case j: BroadcastNestedLoopJoinExec => j }
+      .map { j =>
+        val side = j.buildSide match {
+          case BuildLeft  => j.left
+          case BuildRight => j.right
+        }
+        rowsOfPlan(side).getOrElse(
+          fail(s"no numOutputRows metric on a BNLJ build side:\n${j.treeString}"))
+      }
+  }
+
   test("every BroadcastNestedLoopJoin in headliner plans builds a <=1-row side") {
     // the engine's BNLJ-Cross nodes are all SCALAR combiners (a
     // one-row aggregate broadcast against a frame); a regression that
     // introduces a REAL cartesian — a multi-row build side — must
     // fail here, not surface as a ladder blow-up
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
-    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
-    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
-      case a: AdaptiveSparkPlanExec => a +: flatten(a.executedPlan)
-      case q: QueryStageExec        => q +: flatten(q.plan)
-      case o                        => o +: o.children.flatMap(flatten)
-    }
-    def rowsOf(p: SparkPlan): Option[Long] =
-      p.metrics.get("numOutputRows").map(_.value).orElse {
-        val kids = p match {
-          case q: QueryStageExec => Seq(q.plan)
-          case o                 => o.children
-        }
-        kids.view.flatMap(rowsOf).headOption
-      }
     // the BNLJ carriers among the PLANS.md headliners, plus the
     // scalar-combining analytics
     val guarded = Seq("corpus_curate", "curate_apply", "hybrid_rrf",
       "ask_batch", "dashboard_stats", "session_stats", "funnel")
     var seen = 0
     guarded.foreach { name =>
-      val df = SparkEntry.queries(name)(spark, sfDir)
-      df.collect()
-      flatten(df.queryExecution.executedPlan)
-        .collect { case j: BroadcastNestedLoopJoinExec => j }
-        .foreach { j =>
-          seen += 1
-          val side = j.buildSide match {
-            case BuildLeft  => j.left
-            case BuildRight => j.right
-          }
-          val n = rowsOf(side).getOrElse(
-            fail(s"$name: no numOutputRows metric on the BNLJ build side"))
-          assert(n <= 1L,
-            s"$name: BroadcastNestedLoopJoin builds $n rows — a real " +
-              s"cartesian, not a scalar combine:\n${j.treeString}")
-        }
+      bnljBuildRows(SparkEntry.queries(name)(spark, sfDir)).foreach { n =>
+        seen += 1
+        assert(n <= 1L,
+          s"$name: BroadcastNestedLoopJoin builds $n rows — a real " +
+            "cartesian, not a scalar combine")
+      }
     }
     assert(seen > 0, "guard is vacuous: no BNLJ found in any guarded plan")
   }
@@ -341,11 +354,17 @@ class PlanAuditSpec extends SparkSpec {
       || plan.contains("ShuffledHashJoin"), s"no hash join found:\n$plan")
   }
 
-  test("proto_select: histogram cutoff, no cartesian, corpus filtered not resorted") {
-    val plan = finalPlan(VectorSearch.protoSelect(spark, sfDir))
+  test("proto_select: no cartesian; any nested loop is the <=k-row centroid broadcast") {
+    val df = VectorSearch.protoSelect(spark, sfDir)
+    val plan = finalPlan(df)
     assert(!plan.contains("CartesianProduct"), s"cartesian in proto_select:\n$plan")
-    assert(!plan.contains("BroadcastNestedLoopJoin")
-      || plan.contains("BroadcastHashJoin"),
-      s"band join degenerated to a nested loop:\n$plan")
+    // a (label, ccos) band join that degenerated to a nested loop
+    // would surface here as a BNLJ with a band-histogram-sized build;
+    // the only legitimate BNLJ under this query is the cluster
+    // assignment's centroid broadcast (<= KmClusters rows)
+    bnljBuildRows(df).foreach { n =>
+      assert(n <= VectorSearch.KmClusters.toLong,
+        s"proto_select: BNLJ builds $n rows — bigger than the centroid table")
+    }
   }
 }
