@@ -160,6 +160,32 @@ object ScaleInvariants {
         s"twin multiplicity: ${joined.getAs[Long]("n")} != ${nBase * mult}")
     }
 
+    // gopher_quality: every metric is a pure CONTENT function (one
+    // native GopherGramStats pass per doc, round4-deterministic), so
+    // the scaled report must be exactly mult shifted twins of every
+    // base row — same metrics, same keep verdict, multiplicity mult
+    check("gopher_quality_twins_x" + mult) {
+      val cols = Seq("n_words", "mean_word_len", "n_stop", "top2_frac",
+        "top3_frac", "top4_frac", "dup5_frac", "keep")
+      val b = q("gopher_quality", base)
+        .select(col("doc_id").as("orig_id") +: cols.map(c => col(c).as(c + "_b")): _*)
+      val s = q("gopher_quality", scaled)
+        .select(pmod(col("doc_id"), lit(10000000L)).as("orig_id") +: cols.map(col): _*)
+      val joined = s.join(b, Seq("orig_id"), "full")
+        .agg(
+          count(lit(1)).as("n"),
+          count(when(cols.map(c => col(c).isNull || col(c + "_b").isNull)
+            .reduce(_ || _), 1)).as("unmatched"),
+          count(when(cols.map(c => col(c) =!= col(c + "_b"))
+            .reduce(_ || _), 1)).as("mismatched"))
+        .collect().head
+      val nBase = q("gopher_quality", base).count()
+      require(joined.getAs[Long]("unmatched") == 0, "unmatched twin rows")
+      require(joined.getAs[Long]("mismatched") == 0, "twin metric mismatch")
+      require(joined.getAs[Long]("n") == nBase * mult,
+        s"twin multiplicity: ${joined.getAs[Long]("n")} != ${nBase * mult}")
+    }
+
     // plain ×mult row-count checks on row-per-entity surfaces
     Seq("validate_docs", "doc_chunk", "sessionize", "vec_normalize").foreach { name =>
       check(s"${name}_rows_x" + mult) {
