@@ -141,21 +141,49 @@ object DfCache {
         val k = it.next()
         if (k != key && k.startsWith(prefix + ":")) {
           val c = m.remove(k)
-          if (c != null) {
-            // value, NOT peek: a cell whose compute is mid-flight has
-            // no frame yet — peek would miss it and the frame it is
-            // about to persist would leak untracked forever. Waiting
-            // out the in-flight build (value is the compute's own
-            // synchronization) lets us unpersist what it produces;
+          if (c != null) c.peek match {
+            // computed cell: unpersist inline, nothing can block
+            case Some(df) =>
+              try df.unpersist()
+              catch { case scala.util.control.NonFatal(_) => () }
+            // mid-flight cell: its frame doesn't exist yet — peek
+            // would leak whatever the foreign compute is about to
+            // persist, but waiting on c.value HERE would block the
+            // rotating caller on a possibly minutes-long foreign
+            // build. Defer the wait+unpersist to the cleaner thread;
             // the racing creator still gets its frame back, it just
             // loses the cache level — the benign side of the race.
-            try c.value.unpersist() catch { case _: Throwable => () }
+            case None => deferUnpersist(c)
           }
         }
       }
     }
     getOrCompute(spark, key)(compute)
   }
+
+  /** Single daemon cleaner for evicted cells whose compute is still
+    * in flight: Cell.value is the compute's own synchronization, so
+    * the wait happens here instead of on the evicting caller's
+    * thread. NonFatal failures are dropped (the block is best-effort
+    * cache hygiene); an interrupt re-asserts the thread's flag.
+    */
+  private lazy val cleaner = {
+    val ex = java.util.concurrent.Executors.newSingleThreadExecutor { r =>
+      val t = new Thread(r, "graft-dfcache-cleaner")
+      t.setDaemon(true)
+      t
+    }
+    ex
+  }
+
+  private def deferUnpersist(c: Cell): Unit =
+    cleaner.execute { () =>
+      try c.value.unpersist()
+      catch {
+        case _: InterruptedException => Thread.currentThread().interrupt()
+        case scala.util.control.NonFatal(_) => ()
+      }
+    }
 
   /** Drop and unpersist one cached frame. */
   def evictKey(spark: SparkSession, key: String): Unit = {

@@ -1102,11 +1102,16 @@ object VectorSearch {
     * discriminates on the synthetic corpus (the within-cluster cosine
     * tail sits at q99.9 ≈ 0.35–0.37 across SFs; real-text SemDeDup
     * deployments run ε ≈ 0.96 on contrastive embeddings, but this
-    * corpus is near-orthogonal noise by construction). 0.35 = 7/20 is
-    * exact in decimal, and both engines compare the SAME doubles: the
-    * round4 cosine is floor(c·10⁴+0.5)/10⁴ — at the boundary k=3500
-    * that division and the literal 0.35 round to the identical IEEE
-    * double, so the ≥ comparison can never disagree by a ULP.
+    * corpus is near-orthogonal noise by construction). Boundary
+    * parity holds because BOTH engines spell the rounding as the
+    * identical floor(c·10⁴+0.5)/10⁴ expression (Par.round4 via
+    * cosine4 / Par.sql in the oracle — Spark's decimal-string
+    * `round(c,4)` is never used here): same IEEE ops on the same
+    * inputs yield the same k/10⁴ value on each side, and the literal
+    * 0.35 and the division 3500/10⁴ parse/round to the same double.
+    * If either side ever switched rounding spellings this argument
+    * would no longer hold (the two spellings differ near .00005
+    * boundaries); the gates pin the parity empirically as well.
     */
   val SemTau = 0.35
 

@@ -77,8 +77,18 @@ object SemDedupStream {
     // frozen side: one capped slice per (session, index version) —
     // EmbBucketCap reps per cell in vec_id order, the build-cap
     // contract applied to the committed index; ROTATING so an epoch
-    // that re-freezes the index releases the previous slice's blocks
-    val idx = graft.DfCache.getOrComputeRotating(spark, "semstream_idx", indexKey) {
+    // that re-freezes the index releases the previous slice's blocks.
+    // The tag folds in keptIndex's ANALYZED-PLAN semantic hash: a
+    // caller that re-freezes the index (new lineage — a new parquet
+    // snapshot read, a different filter) but reuses indexKey gets a
+    // fresh slice instead of silently serving the previous epoch's
+    // verdicts. (A same-path re-read whose files changed still needs
+    // a new indexKey — lineage can't see file contents; that residual
+    // requirement is the documented epoch contract.)
+    val lineageTag = java.lang.Integer.toHexString(
+      keptIndex.queryExecution.analyzed.semanticHash())
+    val idx = graft.DfCache.getOrComputeRotating(spark, "semstream_idx",
+      s"$indexKey-$lineageTag") {
       val bw = Window.partitionBy(col("label")).orderBy(col("vec_id"))
       keptIndex
         .withColumn("brk", row_number().over(bw))
