@@ -96,6 +96,8 @@ object SparkEntry {
     "repetition_score" -> (TextAnalysis.repetitionScore _),
     "gopher_quality"  -> (TextAnalysis.gopherQuality _),
     "gopher_filter"   -> (TextAnalysis.gopherFilter _),
+    "c4_line_stats"   -> (TextAnalysis.c4LineStats _),
+    "c4_filter"       -> (TextAnalysis.c4Filter _),
     "stratified_balance" -> ((s, d) => TextAnalysis.stratifiedBalance(s, d)),
     "contamination_check" -> ((s, d) => Dedup.contaminationCheck(s, d)),
     "corpus_curate"   -> ((s, d) => Curate.corpusCurate(s, d)),
@@ -700,6 +702,45 @@ object SparkEntry {
       |  n_words BETWEEN 20 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
       |  AND n_stop >= 2 AND top2_frac <= 0.20 AND top3_frac <= 0.18
       |  AND top4_frac <= 0.16 AND dup5_frac <= 0.15 AS keep FROM gq)""".stripMargin
+
+  /** C4 derived-lines corpus + per-doc line-rule metrics — oracle twin
+    * of TextAnalysis.c4DerivedCorpus + c4MetricsOf, shared by
+    * c4_line_stats and c4_filter (parameters: TextAnalysis.C4LineWords
+    * etc. — interpolated so the two sides cannot drift).
+    */
+  private val c4CteSql = {
+    val lw = TextAnalysis.C4LineWords
+    val mw = TextAnalysis.C4MinLineWords
+    val mk = TextAnalysis.C4MinKeptLines
+    s"""WITH ctk AS (SELECT doc_id, string_split(text, ' ') AS t
+       |  FROM documents WHERE length(text) > 0),
+       |cl AS (SELECT doc_id, i, concat(
+       |    CASE WHEN doc_id % 23 = 0 AND i = 0 THEN 'lorem ipsum ' ELSE '' END,
+       |    array_to_string(CASE WHEN (doc_id*5 + i) % 9 = 0
+       |      THEN t[i*$lw+1 : least(i*$lw+2, len(t))]
+       |      ELSE t[i*$lw+1 : least((i+1)*$lw, len(t))] END, ' '),
+       |    CASE WHEN (doc_id*3 + i) % 13 = 0 THEN ' javascript' ELSE '' END,
+       |    CASE WHEN (doc_id*11 + i) % 29 = 0 THEN ' {' ELSE '' END,
+       |    CASE WHEN (doc_id + i) % 4 <> 3 THEN '.' ELSE '' END) AS line
+       |  FROM ctk, LATERAL (SELECT unnest(generate_series(0, (len(t)-1)//$lw)) AS i) ii),
+       |cv AS (SELECT doc_id, i, line,
+       |    regexp_matches(line, '[.!?"]$$') AS term,
+       |    len(string_split(line, ' ')) AS lwords,
+       |    contains(line, 'javascript') AS js FROM cl),
+       |cma AS (SELECT doc_id,
+       |    CAST(COUNT(*) AS BIGINT) AS n_lines,
+       |    CAST(coalesce(SUM(CASE WHEN term AND lwords >= $mw AND NOT js THEN 1 END), 0) AS BIGINT) AS n_kept,
+       |    CAST(coalesce(SUM(CASE WHEN lwords < $mw THEN 1 END), 0) AS BIGINT) AS n_short,
+       |    CAST(coalesce(SUM(CASE WHEN NOT term THEN 1 END), 0) AS BIGINT) AS n_noterm,
+       |    CAST(coalesce(SUM(CASE WHEN js THEN 1 END), 0) AS BIGINT) AS n_js,
+       |    bool_or(contains(line, 'lorem ipsum')) AS has_lorem,
+       |    bool_or(contains(line, '{')) AS has_brace,
+       |    coalesce(string_agg(line, chr(10) ORDER BY i)
+       |      FILTER (WHERE term AND lwords >= $mw AND NOT js), '') AS clean_text
+       |  FROM cv GROUP BY doc_id),
+       |cm AS (SELECT *, n_kept >= $mk AND NOT has_lorem AND NOT has_brace AS keep
+       |  FROM cma)""".stripMargin
+  }
 
   /** Paragraph-dedup corpus + winner/rebuild chain — oracle twin of
     * Dedup.dedupParagraph (32-word blocks; copy of every 7th doc with
@@ -1952,6 +1993,14 @@ object SparkEntry {
     "gopher_filter" -> (gopherCteSql +
       """
         |SELECT doc_id, lang, n_chars FROM gk WHERE keep ORDER BY doc_id""".stripMargin),
+    "c4_line_stats" -> (c4CteSql +
+      """
+        |SELECT doc_id, n_lines, n_kept, n_short, n_noterm, n_js, has_lorem,
+        |  has_brace, keep
+        |FROM cm ORDER BY doc_id""".stripMargin),
+    "c4_filter" -> (c4CteSql +
+      """
+        |SELECT doc_id, clean_text, n_kept FROM cm WHERE keep ORDER BY doc_id""".stripMargin),
     "dedup_paragraph" -> dedupParagraphSql,
     "corpus_curate" -> curateSql,
     "curate_apply" -> (curateChainSql +

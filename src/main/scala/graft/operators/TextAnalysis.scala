@@ -464,4 +464,114 @@ object TextAnalysis {
       .where(col("keep"))
       .select(col("doc_id"), col("lang"), col("n_chars"))
       .orderBy(col("doc_id"))
+
+  // --- C4 / FineWeb line-level quality rules ---------------------------
+
+  /** C4 rule parameters (Raffel et al. 2020 "Exploring the Limits of
+    * Transfer Learning with a Unified Text-to-Text Transformer",
+    * §2.2), adapted to this corpus's scale: the sentence floor drops
+    * from C4's 5 to 3 (the synthetic docs are 10–110 words ⇒ 1–10
+    * derived lines of [[C4LineWords]] words).
+    */
+  val C4LineWords    = 12
+  val C4MinLineWords = 3
+  val C4MinKeptLines = 3
+  /** C4's terminal-punctuation line gate: . ! ? or a closing quote. */
+  val C4TerminalRe = "[.!?\"]$"
+
+  /** The derived-lines gate corpus for the C4 family. The synthetic
+    * documents have no newlines or punctuation, so a naive C4 port is
+    * degenerate (every doc is one unpunctuated line and nothing
+    * survives); like [[piiScrub]]'s injected contacts and
+    * Dedup.dedupParagraph's planted copies, the GATED queries derive a
+    * deterministic line structure in their own corpus prep — mirrored
+    * exactly in the DuckDB oracle — while the operator itself
+    * ([[c4MetricsOf]]) stays pure over any (doc_id, text-with-newlines)
+    * frame. Per doc: words split into [[C4LineWords]]-word lines, then
+    * per (doc_id, line_idx) coins plant the features each C4 rule
+    * fires on — a 2-word degenerate line (id·5+i ≡ 0 mod 9), a
+    * "lorem ipsum" prefix on line 0 (id ≡ 0 mod 23), an appended
+    * "javascript" token (id·3+i ≡ 0 mod 13), an appended "{" token
+    * (id·11+i ≡ 0 mod 29), and terminal punctuation on 3 of 4 lines
+    * (id+i ≢ 3 mod 4). One narrow pass — the line array never leaves
+    * its row.
+    */
+  private[graft] def c4DerivedCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val lw = C4LineWords
+    val base = Tables.documents(spark, dir)
+      .where(length(col("text")) > 0)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+    val id = col("doc_id")
+    val lines = transform(
+      sequence(lit(0), ((size(col("t")) - 1) / lw).cast("int")),
+      i => {
+        val words = when((id * 5 + i) % 9 === 0,
+          slice(col("t"), i * lw + 1, lit(2)))
+          .otherwise(slice(col("t"), i * lw + 1, lit(lw)))
+        concat(
+          when(id % 23 === 0 && i === 0, "lorem ipsum ").otherwise(""),
+          concat_ws(" ", words),
+          when((id * 3 + i) % 13 === 0, " javascript").otherwise(""),
+          when((id * 11 + i) % 29 === 0, " {").otherwise(""),
+          when((id + i) % 4 =!= 3, ".").otherwise(""))
+      })
+    base.select(col("doc_id"), array_join(lines, "\n").as("text"))
+  }
+
+  /** Per-doc C4 line-rule metrics + verdicts over ANY (doc_id, text)
+    * frame whose text carries newline-separated lines — the composable
+    * core [[c4LineStats]] reports and [[c4Filter]] applies. Line rules
+    * (Raffel et al. 2020 §2.2): keep a line iff it ends in terminal
+    * punctuation, has ≥ [[C4MinLineWords]] words, and does not mention
+    * "javascript". Page rules: drop the page if fewer than
+    * [[C4MinKeptLines]] lines survive, if "lorem ipsum" appears, or if
+    * it contains a curly brace. Entirely narrow — the split-lines
+    * array is consumed by per-row HOFs, so the operator is a single
+    * linear scan with no shuffle at any corpus size (the
+    * gopher_quality plan shape).
+    */
+  private[graft] def c4MetricsOf(docs: DataFrame): DataFrame = {
+    def lineWords(l: Column): Column = size(split(l, " "))
+    def terminal(l: Column): Column = l.rlike(C4TerminalRe)
+    def hasJs(l: Column): Column = l.contains("javascript")
+    def lineKeep(l: Column): Column =
+      terminal(l) && lineWords(l) >= C4MinLineWords && !hasJs(l)
+    val base = docs.select(col("doc_id"), col("text"),
+      split(col("text"), "\n").as("ls"))
+    val kept = filter(col("ls"), l => lineKeep(l))
+    base.select(col("doc_id"),
+        size(col("ls")).cast("long").as("n_lines"),
+        size(kept).cast("long").as("n_kept"),
+        size(filter(col("ls"), l => lineWords(l) < C4MinLineWords))
+          .cast("long").as("n_short"),
+        size(filter(col("ls"), l => !terminal(l))).cast("long").as("n_noterm"),
+        size(filter(col("ls"), l => hasJs(l))).cast("long").as("n_js"),
+        col("text").contains("lorem ipsum").as("has_lorem"),
+        col("text").contains("{").as("has_brace"),
+        array_join(kept, "\n").as("clean_text"))
+      .withColumn("keep",
+        col("n_kept") >= C4MinKeptLines && !col("has_lorem") && !col("has_brace"))
+  }
+
+  /** C4 line-rule audit report over the derived-lines gate corpus:
+    * per-doc line counts, per-rule violation counts, page-rule flags
+    * and the keep verdict — the per-rule form a curation run audits
+    * before committing to thresholds.
+    */
+  def c4LineStats(spark: SparkSession, dir: String): DataFrame =
+    c4MetricsOf(c4DerivedCorpus(spark, dir))
+      .select(col("doc_id"), col("n_lines"), col("n_kept"), col("n_short"),
+        col("n_noterm"), col("n_js"), col("has_lorem"), col("has_brace"),
+        col("keep"))
+      .orderBy(col("doc_id"))
+
+  /** [[c4LineStats]]'s apply form: surviving pages with their
+    * line-filtered text (kept lines re-joined), the corpus a C4-style
+    * cleaner hands to the next stage.
+    */
+  def c4Filter(spark: SparkSession, dir: String): DataFrame =
+    c4MetricsOf(c4DerivedCorpus(spark, dir))
+      .where(col("keep"))
+      .select(col("doc_id"), col("clean_text"), col("n_kept"))
+      .orderBy(col("doc_id"))
 }
