@@ -215,6 +215,16 @@ object DfCache {
   def stagingPath(key: String, fingerprint: String): String =
     s"$stagingRoot/v$StagingVersion/${sanitize(key)}_$fingerprint"
 
+  /** Glob over every fingerprint of `keyPrefix` under the CURRENT
+    * staging version — for oracle SQL that must locate a staged
+    * artifact without knowing the input fingerprint (the reader
+    * disambiguates by a content column; see Pack.seqPackBpe). The
+    * default root is an absolute path, so the glob is runnable from
+    * any working directory.
+    */
+  private[graft] def stagingGlob(keyPrefix: String): String =
+    s"$stagingRoot/v$StagingVersion/${sanitize(keyPrefix)}_*"
+
   /** Fingerprint of the input files a staged computation depends on
     * (name/length/mtime of every file under each path) — part of the
     * staging path, so regenerated input data invalidates the staged

@@ -104,6 +104,7 @@ object SparkEntry {
     "curate_apply"    -> ((s, d) => Curate.curateApply(s, d)),
     "token_vocab"     -> ((s, d) => TextAnalysis.tokenVocab(s, d)),
     "sequence_pack"   -> ((s, d) => Pack.seqPack(s, d)),
+    "sequence_pack_bpe" -> ((s, d) => Pack.seqPackBpe(s, d)),
     "pack_stats"      -> ((s, d) => Pack.packStats(s, d)),
     "dataset_mix"     -> ((s, d) => Pack.datasetMix(s, d)),
     "dataset_mix_epochs" -> ((s, d) => Pack.datasetMixEpochs(s, d)),
@@ -2148,6 +2149,36 @@ object SparkEntry {
         |SELECT doc_id, shard, start_tok // 256 AS seq_id,
         |  start_tok % 256 AS tok_offset, n_tok
         |FROM c ORDER BY doc_id""".stripMargin,
+    // sequence_pack in BPE units: the oracle takes the per-doc counts
+    // from the STAGED (doc_id, n_tok, corpus_key) table the Spark query
+    // builds through the BpeTokenizer seam (Pack.bpeCounted — no BPE in
+    // DuckDB) and replays the ENTIRE layout from them; the staging glob
+    // is content-addressed (Pack.corpusContentKey, recomputed here from
+    // the documents view with the identical spelling), so every SF/rung
+    // selects exactly its own corpus's counts. The LEFT JOIN from
+    // documents makes a counts table missing any doc fail loudly as a
+    // NULL row instead of shrinking the diff.
+    "sequence_pack_bpe" -> {
+      val glob = graft.DfCache.stagingGlob(Pack.bpeCountsKeyPrefix)
+      s"""WITH ck AS (SELECT CAST(COUNT(*) AS VARCHAR) || '-' ||
+         |    CAST(SUM(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 8))::BIGINT) AS VARCHAR) || '-' ||
+         |    CAST(SUM(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 9, 8))::BIGINT) AS VARCHAR) AS k
+         |  FROM documents),
+         |stg AS (SELECT doc_id, n_tok
+         |  FROM read_parquet('$glob/*.parquet', union_by_name=true)
+         |  WHERE corpus_key = (SELECT k FROM ck)),
+         |t AS (SELECT d.doc_id,
+         |    ('0x' || substr(md5('pack:' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % ${Pack.DefaultPackShards} AS shard,
+         |    CAST(stg.n_tok AS BIGINT) AS n_tok
+         |  FROM documents d LEFT JOIN stg ON d.doc_id = stg.doc_id),
+         |c AS (SELECT doc_id, shard, n_tok,
+         |    CAST(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS BIGINT) AS start_tok
+         |  FROM t)
+         |SELECT doc_id, shard, start_tok // ${Pack.DefaultSeqTokens} AS seq_id,
+         |  start_tok % ${Pack.DefaultSeqTokens} AS tok_offset, n_tok
+         |FROM c ORDER BY doc_id""".stripMargin
+    },
     "pack_stats" ->
       """WITH t AS (SELECT
         |    ('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 32 AS shard,

@@ -157,9 +157,23 @@ object Pack {
                   tokenizer: graft.functions.Tokenizer,
                   budget: Int = DefaultSeqTokens,
                   nShards: Int = DefaultPackShards,
-                  sorted: Boolean = true): DataFrame = {
+                  sorted: Boolean = true): DataFrame =
+    packLayout(tokenCounts(spark, corpus, tokenizer)
+        .select(col("doc_id"),
+          (uniform(col("doc_id"), "pack:") % nShards).as("shard"),
+          col("n_tok")),
+      budget, nShards, sorted)
+
+  /** (doc_id, n_tok) through the tokenizer seam — the counting body
+    * shared by [[seqPackWith]] and the staged [[seqPackBpe]] counts
+    * artifact: per-partition open(), batched tokenize, one long per
+    * doc (never the token strings — the layout only needs counts, so
+    * the shuffle stays O(docs), not O(tokens)).
+    */
+  private def tokenCounts(spark: SparkSession, corpus: DataFrame,
+      tokenizer: graft.functions.Tokenizer): DataFrame = {
     import spark.implicits._
-    val counted = corpus.select(col("doc_id"), col("text")).as[(Long, String)]
+    corpus.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
         val enc = tokenizer.open()   // per-partition artifact load
         it.grouped(tokenizer.batchSize).flatMap { batch =>
@@ -171,11 +185,98 @@ object Pack {
         }
       }
       .toDF("doc_id", "n_tok")
-      .select(col("doc_id"),
-        (uniform(col("doc_id"), "pack:") % nShards).as("shard"),
-        col("n_tok"))
-    packLayout(counted, budget, nShards, sorted)
   }
+
+  // --- BPE-tokenized packing under the oracle gate --------------------
+
+  /** Merges learned for the gated [[seqPackBpe]] artifact, and the
+    * deterministic md5-coin fraction of docs sampled to train it
+    * (BpeModel.trainArtifactSampled — driver-side by design, like any
+    * real tokenizer training run).
+    */
+  val BpeArtifactMerges = 48   // ~31-word synthetic vocab: 107 merges
+                               // would re-merge EVERY word back to one
+                               // symbol (fertility exactly 1 — a gate
+                               // indistinguishable from whitespace);
+                               // 48 fully merges only the frequent
+                               // head, the tail stays multi-symbol
+  val BpeSampleFrac     = 0.25
+
+  /** Staging-key tag for the BPE artifacts: embeds the merge count so
+    * a parameter change can never serve a stale counts table (and the
+    * oracle's glob, which carries the same tag, never matches one).
+    */
+  private def bpeStageTag = s"${BpeArtifactMerges}m"
+
+  /** The counts-table key prefix the oracle's staging glob carries
+    * (SparkEntry's sequence_pack_bpe SQL) — one definition with the
+    * writer above.
+    */
+  private[graft] def bpeCountsKeyPrefix = s"bpe_counts_$bpeStageTag"
+
+  /** Content-derived identity of a (doc_id, text) corpus, computable
+    * IDENTICALLY in DuckDB (count + two order-independent sums of
+    * 32-bit md5 prefixes over doc_id:text): the address the staged
+    * BPE counts table carries, so the static oracle SQL can select
+    * its own corpus's counts out of the staging glob — different SFs
+    * and rungs stage under different keys and can never serve each
+    * other's counts. Sums of < 2^32 values over < 2^20 docs stay well
+    * inside long range on both engines.
+    */
+  private[graft] def corpusContentKey(docs: DataFrame): String = {
+    def h(start: Int) = md5Long(
+      concat(col("doc_id").cast("string"), lit(":"), col("text")), start, 8)
+    val r = docs.agg(count(lit(1)).cast("long"),
+      sum(h(1)).cast("long"), sum(h(9)).cast("long")).head()
+    s"${r.getLong(0)}-${r.getLong(1)}-${r.getLong(2)}"
+  }
+
+  /** The staged (doc_id, n_tok, corpus_key) BPE counts table behind
+    * [[seqPackBpe]] — built once per corpus: train the v2
+    * frozen-vocab artifact from a deterministic sample, count every
+    * doc through the BpeTokenizer seam, stage as parquet. A fresh JVM
+    * (the warm bench pass, the oracle's DuckDB read) consumes the
+    * staged table instead of re-encoding the corpus; the oracle
+    * replays the layout from these counts (no BPE in DuckDB), which
+    * is exactly the split a production gate runs — the encoder is
+    * pinned by determinism/arity/fertility specs, the layout math by
+    * the hash-exact DuckDB diff.
+    */
+  private[graft] def bpeCounted(spark: SparkSession, dir: String): DataFrame =
+    graft.DfCache.getOrCompute(spark, s"bpe_counts:$dir") {
+      val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      val fp = graft.DfCache.inputFingerprint(spark, s"$dir/documents.parquet")
+      val ck = corpusContentKey(docs)
+      val artDir = graft.DfCache.publishStaged(spark,
+        s"bpe_artifact_${bpeStageTag}_$ck", fp, "_SUCCESS") { tmp =>
+        val (m, v) = graft.functions.BpeModel.trainArtifactSampled(
+          docs, BpeArtifactMerges, BpeSampleFrac)
+        graft.functions.BpeModel.write(
+          new java.io.File(tmp, "merges.gbp").getPath, m, v)
+      }
+      graft.DfCache.stagedFrame(spark, s"bpe_counts_${bpeStageTag}_$ck", fp) {
+        tokenCounts(spark, docs,
+          new graft.functions.BpeTokenizer(s"$artDir/merges.gbp"))
+          .withColumn("corpus_key", lit(ck))
+      }
+    }
+
+  /** [[seqPack]] in BPE-token units under the full oracle gate: the
+    * packing layout a real trainer runs — counts from a frozen v2 BPE
+    * artifact (fertility > 1 vs whitespace), layout math identical to
+    * sequence_pack ([[packLayout]], one spelling). The per-doc counts
+    * ride the output (`n_tok`), so the result is self-describing the
+    * way the whitespace query is.
+    */
+  def seqPackBpe(spark: SparkSession, dir: String,
+                 budget: Int = DefaultSeqTokens,
+                 nShards: Int = DefaultPackShards,
+                 sorted: Boolean = true): DataFrame =
+    packLayout(bpeCounted(spark, dir)
+        .select(col("doc_id"),
+          (uniform(col("doc_id"), "pack:") % nShards).as("shard"),
+          col("n_tok")),
+      budget, nShards, sorted)
 
   /** Curate → pack, end to end: the seven-gate curation funnel's
     * survivors (operators/Curate) laid out as training sequences —
