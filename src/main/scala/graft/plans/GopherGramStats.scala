@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, StructField, StructType}
@@ -26,9 +26,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * unicode code points (UTF8String.numChars = Spark `length` =
   * DuckDB `length`). GopherExprSpec pins value-parity with the HOF
   * form on the real corpus and on adversarial token arrays.
+  *
+  * CODEGEN (r15): participates in whole-stage codegen via a generated
+  * call into [[GopherGramStats.compute]] — the former CodegenFallback
+  * re-evaluated the CHILD (the `split` building the token array)
+  * through the interpreted path per row, boxing every token twice on
+  * the curation path's hottest expression; now the child's tokens ride
+  * the codegen'd projection and only the O(L) hash-map pass leaves
+  * generated code.
   */
 case class GopherGramStats(child: Expression)
-    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+    extends UnaryExpression with ImplicitCastInputTypes {
 
   override def inputTypes: Seq[ArrayType] = Seq(ArrayType(StringType))
 
@@ -40,10 +48,26 @@ case class GopherGramStats(child: Expression)
 
   override def prettyName: String = "gopher_gram_stats"
 
+  override def nullSafeEval(input: Any): Any =
+    GopherGramStats.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.GopherGramStats$$.MODULE$$.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object GopherGramStats {
+
   private val Space = UTF8String.fromString(" ")
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  /** The one-pass gram-stats body — shared by the interpreted eval and
+    * the generated code (called per row from whole-stage codegen, so
+    * it allocates only what the row's own gram maps need).
+    */
+  def compute(arr: ArrayData): InternalRow = {
     val n = arr.numElements()
     val toks = new Array[UTF8String](n)
     var i = 0
@@ -102,7 +126,4 @@ case class GopherGramStats(child: Expression)
     }
     seen.size().toLong
   }
-
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
 }

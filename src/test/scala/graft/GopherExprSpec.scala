@@ -59,4 +59,22 @@ class GopherExprSpec extends SparkSpec {
       .map { case (r, i) => (i.toLong, r) }.toDF("id", "toks")
     assertParity(df)
   }
+
+  test("doGenCode compiles: gopher metrics run with codegen fallback disabled") {
+    // whole-stage codegen failures (e.g. a Janino error in the
+    // generated compute call) normally fall back SILENTLY to the
+    // interpreted path — disabling the fallback turns one into a test
+    // failure, proving the expression genuinely participates
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val out = graft.operators.TextAnalysis.gopherQuality(spark, sfDir).collect()
+      assert(out.length > 0)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+        case None => spark.conf.unset("spark.sql.codegen.fallback")
+      }
+    }
+  }
 }
