@@ -294,6 +294,74 @@ object ChunkIndex {
         if (!batch.isEmpty) upsert(batch.sparkSession, outPath, batch)
       }
 
+  /** Target data-file size [[compact]] coalesces toward — partitions
+    * are rewritten into ⌈bytes / this⌉ files (≥ 1), the standard lake
+    * compaction contract, so a 100 TB index compacts to executor-
+    * friendly reads instead of a single giant file per partition.
+    */
+  val CompactTargetBytes: Long = 128L * 1024 * 1024
+
+  /** Compact OVER-FRAGMENTED partitions of the persisted index — the
+    * maintenance pass a daily-crawl upsert cadence needs: every MERGE
+    * cycle rewrites its touched partitions with however many files
+    * the write job's task layout produced, so a hot partition's file
+    * count creeps upward and a year of micro-batches is the classic
+    * small-files death (every search probing that bucket opens them
+    * all).
+    *
+    * Manifest-aware and copy-on-write, like [[upsert]]: for each
+    * table, any LIVE partition whose data dir holds more than
+    * `maxFilesPerPartition` data files is re-read (that dir only —
+    * explicit path selection, no discovery) and rewritten under a
+    * fresh write id into ⌈bytes / [[CompactTargetBytes]]⌉ files;
+    * every other partition is carried forward BY REFERENCE — its
+    * files are not read, copied, or renamed (IncrementalSpec-style
+    * byte-identical). One manifest commit publishes the result; a
+    * crash at any point leaves readers on the previous consistent
+    * state, and [[vacuum]] later reclaims the superseded dirs. Row
+    * content is untouched by construction — compaction is pure
+    * layout; ChunkIndexSpec pins search-result identity pre/post.
+    *
+    * Returns the number of partitions rewritten (0 = no commit).
+    */
+  def compact(spark: SparkSession, root: String,
+              maxFilesPerPartition: Int = 8): Int = {
+    require(maxFilesPerPartition > 0,
+      s"maxFilesPerPartition must be positive, got $maxFilesPerPartition")
+    currentManifest(spark, root) match {
+      case None => 0
+      case Some(m) =>
+        val writeId = s"w-${newId()}"
+        var rewritten = 0
+        val newTables = m.tables.map { case (table, mapping) =>
+          val compacted = mapping.map { case (part, rel) =>
+            val dir = new Path(s"$root/$rel")
+            val fs = fsOf(spark, dir)
+            val dataFiles = fs.listStatus(dir)
+              .filter(st => st.isFile && !st.getPath.getName.startsWith("_")
+                && !st.getPath.getName.startsWith("."))
+            if (part == FlatKey || dataFiles.length <= maxFilesPerPartition)
+              part -> rel   // carried forward by reference, untouched
+            else {
+              rewritten += 1
+              val bytes = dataFiles.map(_.getLen).sum
+              val nFiles = math.max(1L,
+                (bytes + CompactTargetBytes - 1) / CompactTargetBytes).toInt
+              val outRel = s"data/$writeId/$table/$PartDirCol=$part"
+              spark.read.parquet(dir.toString)
+                .coalesce(nFiles)
+                .write.mode(SaveMode.Overwrite).parquet(s"$root/$outRel")
+              part -> outRel
+            }
+          }
+          table -> compacted
+        }
+        if (rewritten > 0)
+          commit(spark, root, Manifest(m.seq + 1, newTables, m.params))
+        rewritten
+    }
+  }
+
   /** Build the persisted index for `dir` once per machine (not once
     * per session): the index lands under the fingerprinted staging
     * path, so a fresh JVM — or the correctness/bench driver — reuses

@@ -65,4 +65,72 @@ class ChunkIndexSpec extends SparkSpec {
       assert(hits.nonEmpty && hits.length <= 5)
     } finally System.clearProperty("graft.staging")
   }
+
+  test("compact: fragmented partitions rewritten, others byte-identical, search unchanged") {
+    val out = Files.createTempDirectory("graft_compact_idx").toString
+    ChunkIndex.write(spark, sfDir, out)
+    // fragment a shard the way a daily-crawl cadence does: each MERGE
+    // cycle's rewrite of a touched partition unions the old files'
+    // read splits with the fresh batch, so the touched dir's file
+    // count creeps up one upsert at a time
+    Seq(1000001L, 1000009L, 1000017L).foreach { id =>   // all shard 1
+      val batch = spark.createDataFrame(Seq((id, s"fresh crawl doc $id text")))
+        .toDF("doc_id", "text")
+      ChunkIndex.upsert(spark, out, batch)
+    }
+
+    def fileCount(dir: String): Int = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).count(st => st.isFile
+        && !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
+    }
+    val dirsBefore = Seq("chunks", "embeddings")
+      .map(t => t -> ChunkIndex.partitionDirs(spark, out, t)).toMap
+    val countsBefore = dirsBefore.map { case (t, m) =>
+      t -> m.map { case (p, d) => p -> fileCount(d) } }
+
+    // a no-op threshold: nothing rewritten, no new manifest
+    assert(ChunkIndex.compact(spark, out, maxFilesPerPartition = 10000) === 0)
+    assert(Seq("chunks", "embeddings").forall(t =>
+      ChunkIndex.partitionDirs(spark, out, t) === dirsBefore(t)))
+
+    val searchBefore = ChunkIndex.search(spark, out, "spark batch join", 2, 5).collect()
+    val chunksBefore = ChunkIndex.readChunks(spark, out).collect()
+      .map(_.toString).sorted
+    val embBefore = ChunkIndex.readEmbeddings(spark, out).collect()
+      .map(_.toString).sorted
+
+    // real pass: every partition with > 1 data file is rewritten
+    val expected = countsBefore.values.map(_.count(_._2 > 1)).sum
+    assert(expected > 0, s"test corpus wrote no fragmented partition: $countsBefore")
+    val n = ChunkIndex.compact(spark, out, maxFilesPerPartition = 1)
+    assert(n === expected)
+
+    Seq("chunks", "embeddings").foreach { t =>
+      val after = ChunkIndex.partitionDirs(spark, out, t)
+      assert(after.keySet === dirsBefore(t).keySet)   // pure layout: same partitions
+      after.foreach { case (p, d) =>
+        if (countsBefore(t)(p) <= 1)
+          assert(d === dirsBefore(t)(p), s"untouched $t/$p was rewritten")
+        else {
+          assert(d !== dirsBefore(t)(p), s"fragmented $t/$p not rewritten")
+          assert(fileCount(d) === 1, s"compacted $t/$p still fragmented")
+        }
+      }
+    }
+    // row content and search results are bit-identical
+    assert(ChunkIndex.readChunks(spark, out).collect().map(_.toString).sorted
+      .sameElements(chunksBefore))
+    assert(ChunkIndex.readEmbeddings(spark, out).collect().map(_.toString).sorted
+      .sameElements(embBefore))
+    val searchAfter = ChunkIndex.search(spark, out, "spark batch join", 2, 5).collect()
+    assert(searchAfter.map(_.toString).toSeq === searchBefore.map(_.toString).toSeq)
+
+    // idempotent; and vacuum after compact keeps everything readable
+    assert(ChunkIndex.compact(spark, out, maxFilesPerPartition = 1) === 0)
+    ChunkIndex.vacuum(spark, out)
+    assert(ChunkIndex.readChunks(spark, out).collect().map(_.toString).sorted
+      .sameElements(chunksBefore))
+  }
 }
