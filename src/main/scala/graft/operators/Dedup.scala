@@ -1184,21 +1184,39 @@ object Dedup {
         explode(filter(col("nxt"), x => x.isNotNull)).as("b_id"))
       .select(col("a_id"), col("b_id"), lit(0L).as("hamming"))
     // bounded (≤ cap ids, sorted) slate arrays carry the cross lift;
-    // filter+slice is the same trim against the partner group's slate
+    // filter+slice is the same trim against the partner group's slate.
+    // `g` (full group size) rides along for the saturation trim below.
     val slates = slate.groupBy(col("rep_id"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("slate"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("slate"),
+        max(col("grk")).as("slate_n"))
+      .join(members.groupBy(col("rep_id")).agg(count(lit(1)).as("g")),
+        Seq("rep_id"))
     val crossE = repQ
-      .join(slates.select(col("rep_id").as("a_id"), col("slate").as("sa")),
-        Seq("a_id"))
-      .join(slates.select(col("rep_id").as("b_id"), col("slate").as("sb")),
-        Seq("b_id"))
-    def half(mine: String, theirs: String): DataFrame = crossE
-      .select(col("hamming"), explode(col(mine)).as("m"), col(theirs).as("othr"))
+      .join(slates.select(col("rep_id").as("a_id"), col("slate").as("sa"),
+        col("g").as("ga")), Seq("a_id"))
+      .join(slates.select(col("rep_id").as("b_id"), col("slate").as("sb"),
+        col("g").as("gb")), Seq("b_id"))
+    // SATURATION TRIM (second dominance rule, r15): a slate member at
+    // group rank i with at least pk successors in its own group
+    // (i ≤ g − pk) already holds pk hamming-0 within-candidates, so a
+    // cross candidate at hamming ≥ 1 can never enter its TopK(pk) —
+    // only hamming-0 cross edges, and the ≤ pk unsaturated tail
+    // members of each slate, still need cross rows. On replicated
+    // corpora (clone groups ≫ pk) this collapses the cross stream
+    // from ~2·cap·pk·|edges| to ~0 while [[dedupSimhash]]'s output
+    // stays BIT-IDENTICAL (ScaleSmokeSpec asserts equality against
+    // the untrimmed spelling, which the oracle still spells). The
+    // slate array is sorted by doc_id = group-rank order, so a
+    // member's rank is its posexplode position + 1.
+    def half(mine: String, theirs: String, gmine: String): DataFrame = crossE
+      .select(col("hamming"), posexplode(col(mine)).as(Seq("i", "m")),
+        col(theirs).as("othr"), col(gmine).as("g"))
+      .where(col("hamming") === 0L || (col("i") + 1) > (col("g") - pk))
       .select(col("m").as("a_id"),
         explode(slice(filter(col("othr"), x => x > col("m")), 1, pk)).as("b_id"),
         col("hamming"))
       .select(col("a_id"), col("b_id"), col("hamming"))
-    within.unionAll(half("sa", "sb")).unionAll(half("sb", "sa"))
+    within.unionAll(half("sa", "sb", "ga")).unionAll(half("sb", "sa", "gb"))
   }
 
   /** Capped verified simhash partner pairs of any (doc_id, text)

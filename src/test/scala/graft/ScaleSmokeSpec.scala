@@ -169,7 +169,12 @@ class ScaleSmokeSpec extends SparkSpec {
     assert(cross.length <= 2 * cap * pk,
       s"cross expansion emitted ${cross.length} rows for ONE rep edge " +
         s"(bound: 2*cap*pk = ${2 * cap * pk}) — group size leaked back in")
-    assert(cross.nonEmpty, "cross expansion emitted nothing for a qualifying edge")
+    // r15 saturation trim: every slate member of a 200-member group
+    // has pk hamming-0 successors, so NO hamming>0 cross row can reach
+    // its TopK — the stream must now be empty here, and the capped
+    // OUTPUT equality below proves dropping them changed nothing
+    assert(cross.isEmpty,
+      s"saturated slates should emit no hamming>0 cross rows, got ${cross.length}")
     // within is trimmed to each slate member's next-pk group ids
     val within = q.length - cross.length
     assert(within <= pk.toLong * 2 * cap,
@@ -203,6 +208,45 @@ class ScaleSmokeSpec extends SparkSpec {
     assert(trimmed == naive,
       s"dominance trim changed the partner-capped output: " +
         s"missing=${(naive -- trimmed).take(3)} extra=${(trimmed -- naive).take(3)}")
+
+    // UNSATURATED twin: groups smaller than pk — members lack pk
+    // within-successors, so the saturation rule must KEEP their
+    // hamming>0 cross rows and those pairs genuinely surface in the
+    // capped output (the case the trim is not allowed to touch)
+    val n2 = 5L
+    val corpus2 = (
+      (0L until n2).map(i => (i, boiler)) ++
+      (10000L until (10000L + n2)).map(i => (i, boiler.stripSuffix(" common40")))
+    ).toDF("doc_id", "text")
+    val members2 = corpus2
+      .withColumn("rep_id", when(col("doc_id") < 10000L, lit(0L)).otherwise(lit(10000L)))
+      .select(col("doc_id"), col("rep_id"))
+    val q2 = Dedup.simhashExpandedQualifyingOf(members2, sigs)
+      .select(col("a_id"), col("b_id"), col("hamming")).collect()
+    assert(q2.exists(_.getAs[Long]("hamming") > 0),
+      "unsaturated groups emitted no cross rows — the trim over-prunes")
+    val ranked2 = members2.withColumn("grk", row_number().over(gw))
+    val slate2 = ranked2.where(col("grk") <= cap)
+      .select(col("rep_id"), col("doc_id").as("b_id"))
+    val naiveWithin2 = ranked2
+      .select(col("rep_id"), col("doc_id").as("a_id"), col("grk").as("a_grk"))
+      .join(slate2, Seq("rep_id"))
+      .where(col("a_id") =!= col("b_id"))
+      .where(col("a_grk") > cap || col("a_id") < col("b_id"))
+      .select(least(col("a_id"), col("b_id")).as("a_id"),
+        greatest(col("a_id"), col("b_id")).as("b_id"), lit(0L).as("hamming"))
+    val naiveCross2 = Dedup.simhashQualifying(sigs, cap)
+      .join(slate2.select(col("rep_id").as("a_id"), col("b_id").as("ma")), Seq("a_id"))
+      .join(slate2.select(col("rep_id").as("b_id"), col("b_id").as("mb")), Seq("b_id"))
+      .select(least(col("ma"), col("mb")).as("a_id"),
+        greatest(col("ma"), col("mb")).as("b_id"), col("hamming"))
+    val naive2 = capped(naiveWithin2.unionAll(naiveCross2))
+    val trimmed2 = capped(Dedup.simhashExpandedQualifyingOf(members2, sigs))
+    assert(trimmed2 == naive2,
+      s"unsaturated trim changed the capped output: " +
+        s"missing=${(naive2 -- trimmed2).take(3)} extra=${(trimmed2 -- naive2).take(3)}")
+    assert(trimmed2.exists(_._3 > 0),
+      "no cross pair surfaced for unsaturated groups — corpus degenerate")
   }
 
   test("embedding clone flood: quotient contracts the blocked join; expansion bounded and trim-exact") {
