@@ -930,8 +930,8 @@ object SparkEntry {
     * so quotient-expand ≡ doc-level remains independently gated on
     * real multi-member groups.
     */
-  private[graft] val minhashQuotientPairsSql: String =
-    "WITH " + corpusCte(perturb = true) +
+  private def minhashQuotientPairsSqlOver(corpusSql: String): String =
+    "WITH " + corpusSql +
       """,
         |grp AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS r,
         |    (len(string_split(text, ' ')) >= 3) AS hasp
@@ -952,6 +952,9 @@ object SparkEntry {
         |SELECT a_id, b_id, jaccard
         |FROM (SELECT * FROM within UNION ALL SELECT * FROM crossx)
         |ORDER BY jaccard DESC, a_id, b_id""".stripMargin
+
+  private[graft] val minhashQuotientPairsSql: String =
+    minhashQuotientPairsSqlOver(corpusCte(perturb = true))
 
   /** Top-50 report oracle (dedup_minhash). */
   private val minhashOracle: String = minhashQuotientPairsSql + " LIMIT 50"
@@ -979,14 +982,32 @@ object SparkEntry {
       |  UNION ALL SELECT doc_id + 600000, regexp_extract(text, '^(\S+ \S+)', 1)
       |    FROM documents WHERE doc_id % 10 = 0)""".stripMargin
 
-  /** dedup_minhash_grouped's oracle: the DOC-LEVEL pair build over
-    * the grouped corpus — no quotient on the DuckDB side, so a gate
-    * pass proves the quotient expansion emits exactly the doc-level
-    * pair set on real multi-member groups.
+  /** The grouped corpus's DOC-LEVEL pair build — no quotient on the
+    * DuckDB side. Kept as the EQUIVALENCE ANCHOR for the quotient
+    * spelling below (the dedup_minhash r12 discipline): it is
+    * clone²-infeasible as a gate oracle past the 32× rung, so round
+    * 15 re-proved the two spellings' FULL pair sets EQUAL by DuckDB
+    * diff at sf0.001/sf0.01/sf0.1/8× and switched the gate oracle to
+    * the quotient form, closing the standing ≥64× skip.
     */
-  private val minhashGroupedOracle: String =
+  private[graft] val minhashGroupedDocLevelSql: String =
     "WITH " + groupedCorpusSql + ",\n" + postingCte("corpus") +
-      ",\n" + minhashStagesSql + ",\n" + jaccardTail + " LIMIT 50"
+      ",\n" + minhashStagesSql + ",\n" + jaccardTail
+
+  /** dedup_minhash_grouped's oracle (r15): the quotient-contracted
+    * spelling over the grouped corpus — one rep per distinct text
+    * through posting/minhash/bands/verify, doc-level pairs recovered
+    * by within-clique + cross-lift expansion. On THIS corpus the
+    * quotient is genuinely non-identity (groups of size 2-3, plus an
+    * unshingleable 2-word group exercising the `hasp` eligibility
+    * skip), so the gate still adjudicates the expansion algebra —
+    * now at every rung instead of stopping at 32×.
+    */
+  private[graft] lazy val minhashGroupedQuotientSql: String =
+    minhashQuotientPairsSqlOver(groupedCorpusSql)
+
+  private lazy val minhashGroupedOracle: String =
+    minhashGroupedQuotientSql + " LIMIT 50"
 
   /** Shared component chain for dedup_clusters/neardup_apply,
     * QUOTIENTED by exact-content group BEFORE minhash: bands and
@@ -1542,6 +1563,18 @@ object SparkEntry {
     // base manifest; the full-corpus posting/band chain restricted to
     // base × delta gives each delta doc's best match; matched docs
     // inherit the match's group coin, novel docs their own.
+    // r15 respell: the PROBE side is quotient-contracted too — posting/
+    // minhash/bands/verify run over base reps ∪ delta reps (quotiented
+    // PER SIDE, mirroring Dedup.neardupIncremental's separate base and
+    // delta quotients), the best base match is ranked at rep level
+    // (tie-break equivalence: a base group's members all tie at the
+    // rep's jaccard and the rep IS the group minimum, so the rep-level
+    // min coincides with the doc-level min), and every clone of a
+    // matched delta rep inherits the match (dmatch). The r13 spelling's
+    // doc-level probe (posting over EVERY doc of fullc, clone²
+    // candidates in `inc`) was what exhausted memory+disk at the 128×
+    // rung; spelling equivalence re-proven by full-result DuckDB diff
+    // at sf0.001/sf0.01/sf0.1/8× before the swap (gate addendum).
     "dataset_split_incremental" ->
       (clustersQuotientSqlOver(
         """fullc AS (SELECT doc_id, text FROM documents
@@ -1549,7 +1582,11 @@ object SparkEntry {
           |  FROM documents WHERE doc_id % 7 = 0),
           |corpus AS (SELECT doc_id, text FROM fullc WHERE doc_id < 100000)""".stripMargin) +
         """, delta AS (SELECT doc_id, text FROM fullc WHERE doc_id >= 100000),
-          |""".stripMargin + postingCte("fullc") + ",\n" + minhashStagesSql +
+          |dgrp AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS r FROM delta),
+          |dreps AS (SELECT d.doc_id, d.text FROM delta d
+          |  JOIN (SELECT DISTINCT r FROM dgrp) xx ON d.doc_id = xx.r),
+          |allreps AS (SELECT doc_id, text FROM reps UNION ALL SELECT doc_id, text FROM dreps),
+          |""".stripMargin + postingCte("allreps") + ",\n" + minhashStagesSql +
         """,
           |inc AS (SELECT a_id, b_id FROM cand WHERE a_id < 100000 AND b_id >= 100000),
           |cnt AS (SELECT doc_id, COUNT(*) AS n FROM posting GROUP BY doc_id),
@@ -1560,14 +1597,16 @@ object SparkEntry {
           |jac AS (SELECT a_id, b_id,
           |    floor((CAST(inter AS DOUBLE)/(ca.n + cb.n - inter)) * 10000.0 + 0.5) / 10000.0 AS jaccard
           |  FROM itr JOIN cnt ca ON ca.doc_id = a_id JOIN cnt cb ON cb.doc_id = b_id),
-          |best AS MATERIALIZED (SELECT b_id AS doc_id, a_id AS match_id, jaccard,
+          |rbest AS (SELECT b_id, a_id AS match_id, jaccard,
           |    row_number() OVER (PARTITION BY b_id ORDER BY jaccard DESC, a_id) AS rk
           |  FROM jac WHERE jaccard >= 0.8),
+          |dmatch AS MATERIALIZED (SELECT g.doc_id, rb.match_id, rb.jaccard
+          |  FROM dgrp g JOIN (SELECT * FROM rbest WHERE rk = 1) rb ON rb.b_id = g.r),
           |bs AS (SELECT d.doc_id, COALESCE(k.cluster_id, d.doc_id) AS group_id
           |  FROM corpus d LEFT JOIN clus k ON k.doc_id = d.doc_id),
           |nov AS MATERIALIZED (SELECT dl.doc_id, dl.text FROM delta dl
-          |  LEFT JOIN (SELECT * FROM best WHERE rk = 1) bb ON bb.doc_id = dl.doc_id
-          |  WHERE bb.doc_id IS NULL),
+          |  LEFT JOIN dmatch m ON m.doc_id = dl.doc_id
+          |  WHERE m.doc_id IS NULL),
           |ngrp AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS r FROM nov),
           |nreps AS (SELECT n.doc_id, n.text FROM nov n
           |  JOIN (SELECT DISTINCT r FROM ngrp) rr ON n.doc_id = rr.r),
@@ -1588,7 +1627,7 @@ object SparkEntry {
           |  CASE WHEN CAST(('0x' || substr(md5(CAST(COALESCE(bs.group_id, ng.dgroup, dl.doc_id) AS VARCHAR)), 1, 8))::BIGINT AS DOUBLE)
           |      / 4294967296.0 < """.stripMargin + Dedup.SplitEvalFrac +
         """ THEN 'eval' ELSE 'train' END AS split
-          |FROM delta dl LEFT JOIN (SELECT * FROM best WHERE rk = 1) b ON b.doc_id = dl.doc_id
+          |FROM delta dl LEFT JOIN dmatch b ON b.doc_id = dl.doc_id
           |  LEFT JOIN bs ON bs.doc_id = b.match_id
           |  LEFT JOIN ngroups ng ON ng.doc_id = dl.doc_id
           |ORDER BY dl.doc_id""".stripMargin),

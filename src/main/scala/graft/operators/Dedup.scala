@@ -1016,23 +1016,148 @@ object Dedup {
           DfCache.inputFingerprint(spark, s"$dir/documents.parquet"))(_))
     }
 
-  /** Top-50 near-dup report over the grouped corpus — oracle-checked
-    * against DuckDB's DOC-LEVEL pair build, so every gate run proves
-    * quotient-expand ≡ doc-level on real multi-member groups.
+  /** REP-LEVEL verified pair table of the grouped corpus — the small
+    * staged artifact (≈ |distinct texts|² candidate bound, rung-flat)
+    * every grouped consumer derives from since r15. The FULL
+    * quotient-expanded pair set ([[minhashPairsGrouped]]) is
+    * Θ(Σ group²) — on replicated rungs that is quadratic in clone
+    * multiplicity BY SEMANTICS (every clone pair is a real verified
+    * pair), which is exactly the ×4-per-doubling growth the r14
+    * verdict flagged; nothing the gated queries emit needs it
+    * materialized, so they now expand lazily and boundedly from this
+    * rep table instead.
+    */
+  private[graft] def minhashGroupedRepPairs(spark: SparkSession, dir: String): DataFrame =
+    DfCache.getOrCompute(spark, s"minhash_rep_pairs:g:$dir") {
+      val members = minhashMembersGrouped(spark, dir)
+      val reps = corpusWithGroups(spark, dir).join(
+        members.where(col("doc_id") === col("rep_id")).select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+      val posting = cachedPosting(shinglePosting(reps, col("doc_id"), col("text"), 3))
+      val banded = bandedSigsOf(posting)
+      val cand = banded.select(col("bd"), col("band_key"), col("doc_id").as("a_id"))
+        .join(banded.select(col("bd"), col("band_key"), col("doc_id").as("b_id")),
+          Seq("bd", "band_key"))
+        .where(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"))
+        .distinct()
+      val pairs = DfCache.stagedFrame(spark, s"minhash_rep_pairs:g:$dir",
+        DfCache.inputFingerprint(spark, s"$dir/documents.parquet"))(
+        jaccardOf(cand, posting))
+      posting.unpersist()
+      pairs
+    }
+
+  /** Reps of the grouped corpus that yield ≥ 1 shingle — the
+    * within-clique eligibility set (a group whose text cannot shingle
+    * pairs with nothing at doc level; the expansion must skip it).
+    */
+  private[graft] def minhashGroupedEligibleReps(spark: SparkSession, dir: String): DataFrame =
+    DfCache.getOrCompute(spark, s"minhash_rep_elig:g:$dir")(
+      DfCache.stagedFrame(spark, s"minhash_rep_elig:g:$dir",
+        DfCache.inputFingerprint(spark, s"$dir/documents.parquet")) {
+        val members = minhashMembersGrouped(spark, dir)
+        val reps = corpusWithGroups(spark, dir).join(
+          members.where(col("doc_id") === col("rep_id")).select(col("doc_id")),
+          Seq("doc_id"), "left_semi")
+        shinglePosting(reps, col("doc_id"), col("text"), 3)
+          .select(col("doc_id").as("rep_id")).distinct()
+      })
+
+  /** First-(topN+1) member slates per group, sorted by doc_id (= group
+    * rank) — the bounded carrier of the report expansion below.
+    */
+  private def groupedSlates(spark: SparkSession, dir: String, slateN: Int): DataFrame = {
+    val gw = Window.partitionBy(col("rep_id")).orderBy(col("doc_id"))
+    minhashMembersGrouped(spark, dir)
+      .withColumn("grk", row_number().over(gw))
+      .where(col("grk") <= slateN)
+      .groupBy(col("rep_id"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("sl"))
+  }
+
+  /** Top-50 near-dup report over the grouped corpus — since r15 a
+    * DOMINANCE-TRIMMED expansion of the staged rep pair table: the
+    * global order is (jaccard desc, a_id, b_id) with every pair of one
+    * instance (a group's clique, or one rep edge) carrying the SAME
+    * jaccard, so any pair beyond each instance's first topN+1 member
+    * slate is preceded by ≥ topN same-instance pairs and can never
+    * reach the report. Cost: ≤ C(topN+1, 2) rows per eligible group +
+    * (topN+1)² per rep edge — flat across replication rungs, where the
+    * full expansion is Θ(Σ group²) (QuotientSpec proves top-N equality
+    * with the full expansion; the quotient-respelled oracle adjudicates
+    * it hash-exact at every rung including ≥64×, closing the r14
+    * standing skip).
     */
   def dedupMinhashGrouped(spark: SparkSession, dir: String,
                           topN: Int = 50): DataFrame =
-    minhashPairsGrouped(spark, dir)
+    groupedReportStream(spark, dir, topN)
       .orderBy(col("jaccard").desc, col("a_id"), col("b_id"))
       .limit(topN)
 
-  /** Transitive clustering over the grouped corpus: the rep-graph
-    * closure where reps actually carry members (gn up to 3+), checked
-    * against the oracle's recursive quotient chain.
+  /** The trimmed pre-limit pair stream of [[dedupMinhashGrouped]] —
+    * split out so the cap audit counts exactly what the report sorts.
+    */
+  private[graft] def groupedReportStream(spark: SparkSession, dir: String,
+                                         topN: Int = 50): DataFrame = {
+    val slateN = topN + 1
+    val slates = groupedSlates(spark, dir, slateN)
+    val within = slates
+      .join(minhashGroupedEligibleReps(spark, dir), Seq("rep_id"), "left_semi")
+      .select(posexplode(col("sl")).as(Seq("i", "a_id")), col("sl"))
+      .select(col("a_id"),
+        explode(slice(col("sl"), col("i") + 2, lit(slateN))).as("b_id"))
+      .select(col("a_id"), col("b_id"), lit(1.0).as("jaccard"))
+    val crossx = minhashGroupedRepPairs(spark, dir)
+      .join(slates.select(col("rep_id").as("a_id"), col("sl").as("sa")), Seq("a_id"))
+      .join(slates.select(col("rep_id").as("b_id"), col("sl").as("sb")), Seq("b_id"))
+      .select(col("jaccard"), explode(col("sa")).as("ma"), col("sb"))
+      .select(col("jaccard"), col("ma"), explode(col("sb")).as("mb"))
+      .select(least(col("ma"), col("mb")).as("a_id"),
+        greatest(col("ma"), col("mb")).as("b_id"), col("jaccard"))
+    within.unionAll(crossx)
+  }
+
+  /** Transitive clustering over the grouped corpus — since r15 built
+    * DIRECTLY from the rep pair table: the component closure runs on
+    * the rep graph (≥0.8 edges), and a doc is clustered iff its group
+    * qualifies — a ≥0.8 cross edge touches its rep, or the group is a
+    * multi-member eligible clique (its within pairs sit at jaccard
+    * 1.0). Identical to closing over the full expanded pair set (the
+    * expansion adds no rep-graph edges and no further nodes —
+    * QuotientSpec pins equality against doc-level ground truth), at
+    * rep-table cost instead of Θ(Σ group²).
     */
   def dedupClustersGrouped(spark: SparkSession, dir: String): DataFrame =
-    clustersOf(spark, s"dedup_clusters:g:$dir", s"$dir/documents.parquet",
-      minhashPairsGrouped(spark, dir), minhashMembersGrouped(spark, dir))
+    DfCache.getOrCompute(spark, s"dedup_clusters:g2:$dir")(
+      DfCache.stagedFrame(spark, s"dedup_clusters:g2:$dir",
+        DfCache.inputFingerprint(spark, s"$dir/documents.parquet")) {
+        val members = minhashMembersGrouped(spark, dir)
+        val repPairs8 = minhashGroupedRepPairs(spark, dir)
+          .where(col("jaccard") >= 0.8)
+          .select(col("a_id"), col("b_id"))
+        // empty-edge guard: never run pointer doubling over an empty
+        // graph (degenerate localCheckpoint rounds race the block
+        // manager — the deltaInternalGroups convention)
+        val repComp =
+          if (repPairs8.isEmpty)
+            repPairs8.select(col("a_id").as("doc_id"),
+              col("b_id").as("cluster_id"))
+          else componentsWithRounds(repPairs8,
+            sys.props.get("graft.components.checkpointDir"))._1
+        val gn = members.groupBy(col("rep_id")).agg(count(lit(1)).as("gn"))
+        val qualReps = repPairs8.select(col("a_id").as("rep_id"))
+          .unionAll(repPairs8.select(col("b_id").as("rep_id")))
+          .unionAll(gn.where(col("gn") >= 2)
+            .join(minhashGroupedEligibleReps(spark, dir), Seq("rep_id"), "left_semi")
+            .select(col("rep_id")))
+          .distinct()
+        members.join(qualReps, Seq("rep_id"), "left_semi")
+          .join(repComp.select(col("doc_id").as("rep_id"), col("cluster_id")),
+            Seq("rep_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("cluster_id"), col("rep_id")).as("cluster_id"))
+      })
       .orderBy(col("doc_id"))
 
   /** SimHash near-dup: 32-bit signature from per-bit majority votes
@@ -1553,7 +1678,32 @@ object Dedup {
       ngramRankedPairs(posting, docIds).agg(count(lit(1)).as("c")),
       "ngram_jaccard.verify_budget", ngramVerifyBudget(docIds.count()),
       "candidate_pairs")
+    // grouped-minhash receipts (r15, the r14 "unexplained superlinear"
+    // closure): the full expanded pair set is Θ(Σ g² + Σ ga·gb) — REAL
+    // quadratic-in-clone-multiplicity semantics, computed here
+    // arithmetically as `candidates` — while the report's trimmed
+    // stream (`emitted`) is slate-bounded and rung-flat. The group
+    // row shows where the slate binds.
+    val slateN = 51L
+    val gSizes = minhashMembersGrouped(spark, dir)
+      .groupBy(col("rep_id")).agg(count(lit(1)).as("c"))
+    val mgGroups = summarize(gSizes,
+      "dedup_minhash_grouped.group_slate", slateN, "group_members")
+    val fullWithin = gSizes
+      .join(minhashGroupedEligibleReps(spark, dir), Seq("rep_id"), "left_semi")
+      .agg(coalesce(sum(col("c") * (col("c") - 1) / 2), lit(0.0))
+        .cast("long").as("fw"))
+    val fullCross = minhashGroupedRepPairs(spark, dir)
+      .join(gSizes.select(col("rep_id").as("a_id"), col("c").as("ga")), Seq("a_id"))
+      .join(gSizes.select(col("rep_id").as("b_id"), col("c").as("gb")), Seq("b_id"))
+      .agg(coalesce(sum(col("ga") * col("gb")), lit(0L)).as("fc"))
+    val mgTrim = fullWithin.crossJoin(fullCross)
+      .crossJoin(groupedReportStream(spark, dir).agg(count(lit(1)).as("t")))
+      .select(lit("dedup_minhash_grouped.slate_trim").as("stage"),
+        lit(slateN).as("cap"), lit("expanded_pairs").as("unit"),
+        (col("fw") + col("fc")).as("candidates"), col("t").as("emitted"))
     sim.unionByName(simBucket).unionByName(simGroup)
       .unionByName(bucket).unionByName(verify)
+      .unionByName(mgGroups).unionByName(mgTrim)
   }
 }

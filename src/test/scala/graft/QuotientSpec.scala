@@ -98,6 +98,23 @@ class QuotientSpec extends graft.SparkSpec {
     assert(inc.forall(_._2 < 1000000L), "a non-rep base clone won a tie-break")
   }
 
+  test("trimmed grouped report equals the full expansion's top-50 (r15 slate trim)") {
+    def rows(df: DataFrame): Seq[(Long, Long, Double)] =
+      df.collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[Double]("jaccard"))).toSeq
+    val full = rows(quotientPairs
+      .orderBy(col("jaccard").desc, col("a_id"), col("b_id")).limit(50))
+    val trimmed = rows(Dedup.dedupMinhashGrouped(spark, sfDir))
+    assert(trimmed === full,
+      s"slate-trimmed report diverged from the full expansion's top-50")
+    // and the trimmed stream is a SUBSET of the full pair set (the
+    // trim may only drop pairs, never invent or re-score them)
+    val fullSet = pairSet(quotientPairs)
+    val streamSet = pairSet(Dedup.groupedReportStream(spark, sfDir))
+    assert(streamSet.subsetOf(fullSet),
+      s"trimmed stream invented pairs: ${(streamSet -- fullSet).take(5)}")
+  }
+
   test("quotient closure matches the doc-level component closure") {
     val docComp = Dedup.componentsWithRounds(
       docPairs.where(col("jaccard") >= 0.8).select(col("a_id"), col("b_id")))._1
