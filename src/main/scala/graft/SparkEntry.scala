@@ -98,6 +98,7 @@ object SparkEntry {
     "gopher_filter"   -> (TextAnalysis.gopherFilter _),
     "c4_line_stats"   -> (TextAnalysis.c4LineStats _),
     "c4_filter"       -> (TextAnalysis.c4Filter _),
+    "fineweb_linededup" -> (TextAnalysis.finewebLineDedup _),
     "stratified_balance" -> ((s, d) => TextAnalysis.stratifiedBalance(s, d)),
     "contamination_check" -> ((s, d) => Dedup.contaminationCheck(s, d)),
     "corpus_curate"   -> ((s, d) => Curate.corpusCurate(s, d)),
@@ -709,10 +710,11 @@ object SparkEntry {
     * c4_line_stats and c4_filter (parameters: TextAnalysis.C4LineWords
     * etc. — interpolated so the two sides cannot drift).
     */
-  private val c4CteSql = {
+  /** The derived-lines corpus alone (through `cl`) — shared by the C4
+    * metrics chain and the FineWeb line-dedup oracle.
+    */
+  private val c4LinesCteSql = {
     val lw = TextAnalysis.C4LineWords
-    val mw = TextAnalysis.C4MinLineWords
-    val mk = TextAnalysis.C4MinKeptLines
     s"""WITH ctk AS (SELECT doc_id, string_split(text, ' ') AS t
        |  FROM documents WHERE length(text) > 0),
        |cl AS (SELECT doc_id, i, concat(
@@ -723,7 +725,14 @@ object SparkEntry {
        |    CASE WHEN (doc_id*3 + i) % 13 = 0 THEN ' javascript' ELSE '' END,
        |    CASE WHEN (doc_id*11 + i) % 29 = 0 THEN ' {' ELSE '' END,
        |    CASE WHEN (doc_id + i) % 4 <> 3 THEN '.' ELSE '' END) AS line
-       |  FROM ctk, LATERAL (SELECT unnest(generate_series(0, (len(t)-1)//$lw)) AS i) ii),
+       |  FROM ctk, LATERAL (SELECT unnest(generate_series(0, (len(t)-1)//$lw)) AS i) ii)""".stripMargin
+  }
+
+  private val c4CteSql = {
+    val mw = TextAnalysis.C4MinLineWords
+    val mk = TextAnalysis.C4MinKeptLines
+    c4LinesCteSql +
+    s""",
        |cv AS (SELECT doc_id, i, line,
        |    regexp_matches(line, '[.!?"]$$') AS term,
        |    len(string_split(line, ' ')) AS lwords,
@@ -2041,6 +2050,24 @@ object SparkEntry {
     "c4_filter" -> (c4CteSql +
       """
         |SELECT doc_id, clean_text, n_kept FROM cm WHERE keep ORDER BY doc_id""".stripMargin),
+    // FineWeb line-dedup over the derived-lines corpus + planted
+    // boilerplate (oracle twin of TextAnalysis.finewebLineDedup):
+    // first occurrence per distinct line wins, docs rebuilt from
+    // surviving lines.
+    "fineweb_linededup" -> (c4LinesCteSql +
+      s""",
+         |fl AS (SELECT doc_id, i, CASE WHEN doc_id % 13 = 0 AND i = 0
+         |    THEN '${TextAnalysis.FinewebBoilerplate}' ELSE line END AS line FROM cl),
+         |w AS (SELECT doc_id, i, line,
+         |    row_number() OVER (PARTITION BY md5(line) ORDER BY doc_id, i) AS rk FROM fl),
+         |k AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         |    string_agg(line, chr(10) ORDER BY i) AS kept_text
+         |  FROM w WHERE rk = 1 GROUP BY doc_id),
+         |tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines FROM fl GROUP BY doc_id)
+         |SELECT tot.doc_id, tot.n_lines,
+         |  CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+         |  COALESCE(k.kept_text, '') AS kept_text
+         |FROM tot LEFT JOIN k ON tot.doc_id = k.doc_id ORDER BY tot.doc_id""".stripMargin),
     "dedup_paragraph" -> dedupParagraphSql,
     "corpus_curate" -> curateSql,
     "curate_apply" -> (curateChainSql +

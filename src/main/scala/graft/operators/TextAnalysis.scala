@@ -574,4 +574,61 @@ object TextAnalysis {
       .where(col("keep"))
       .select(col("doc_id"), col("clean_text"), col("n_kept"))
       .orderBy(col("doc_id"))
+
+  /** The boilerplate line the FineWeb-dedup gate corpus plants on
+    * every 13th doc's first line — the cross-document duplicated-line
+    * mass (cookie banners, newsletter prompts) the line-dedup rule
+    * exists to remove. Terminal-punctuated and ≥ 3 words, so it
+    * passes every C4 LINE rule: line-dedup catches what the quality
+    * rules cannot.
+    */
+  val FinewebBoilerplate = "subscribe to the data stream today."
+
+  /** [[c4DerivedCorpus]] with the planted boilerplate line — the gate
+    * corpus of [[finewebLineDedup]] (its own prep, so the c4_* gate
+    * outputs stay untouched).
+    */
+  private[graft] def finewebDerivedCorpus(spark: SparkSession, dir: String): DataFrame =
+    c4DerivedCorpus(spark, dir)
+      .select(col("doc_id"), split(col("text"), "\n").as("ls"))
+      .select(col("doc_id"), array_join(
+        when(col("doc_id") % 13 === 0,
+          concat(array(lit(FinewebBoilerplate)), slice(col("ls"), lit(2), size(col("ls")))))
+          .otherwise(col("ls")), "\n").as("text"))
+
+  /** FineWeb-style corpus-wide exact LINE dedup (Penedo et al. 2024:
+    * duplicated-line removal as a quality signal; C4 §2.2's
+    * three-sentence-span dedup at line grain): every distinct line
+    * keeps its FIRST occurrence corpus-wide (order = (doc_id,
+    * line_idx)) and documents are rebuilt from their surviving lines.
+    * Scale shape is [[Dedup.dedupParagraph]]'s: the winner per
+    * distinct line is a map-side-combined min-struct aggregate on the
+    * line hash — a boilerplate line with millions of copies contracts
+    * to one row per map partition before any exchange, no winner join,
+    * no hot reducer key; rebuild shuffles only surviving lines on
+    * doc_id.
+    */
+  def finewebLineDedup(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = finewebDerivedCorpus(spark, dir)
+    val lines = corpus
+      .select(col("doc_id"), posexplode(split(col("text"), "\n"))
+        .as(Seq("line_idx", "line")))
+      .withColumn("line_idx", col("line_idx").cast("long"))
+    val winners = lines
+      .groupBy(md5(col("line")).as("h"))
+      .agg(min(struct(col("doc_id"), col("line_idx"), col("line"))).as("w"))
+      .select(col("w.doc_id").as("doc_id"), col("w.line_idx").as("line_idx"),
+        col("w.line").as("line"))
+    val rebuilt = winners.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("line_idx"), col("line")))),
+          p => p("line")), "\n").as("kept_text"))
+    corpus
+      .select(col("doc_id"), size(split(col("text"), "\n")).cast("long").as("n_lines"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_kept")).na.fill("", Seq("kept_text"))
+      .select(col("doc_id"), col("n_lines"), col("n_kept"), col("kept_text"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -114,6 +114,49 @@ class C4FilterSpec extends SparkSpec {
     assert(lineViolations === 0)
   }
 
+  test("fineweb_linededup: first occurrence wins, no duplicate line survives") {
+    val out = TextAnalysis.finewebLineDedup(spark, sfDir).collect()
+    val boiler = TextAnalysis.FinewebBoilerplate
+    // the planted boilerplate line survives in exactly ONE doc — the
+    // smallest-id planted doc — and is gone from every other
+    val keepers = out.filter(_.getAs[String]("kept_text").split("\n").contains(boiler))
+    assert(keepers.length === 1, s"boilerplate survived in ${keepers.length} docs")
+    val plantedIds = TextAnalysis.finewebDerivedCorpus(spark, sfDir)
+      .where(col("doc_id") % 13 === 0).select("doc_id")
+      .collect().map(_.getLong(0))
+    assert(keepers.head.getAs[Long]("doc_id") === plantedIds.min)
+    // every planted doc lost its (duplicated) boilerplate line except
+    // the winner — naturally-colliding lines (the 2-word degenerate
+    // coin can repeat across docs) may be lost too, so the assertion
+    // is on the boilerplate specifically, not an exact count
+    val byId = out.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    plantedIds.filterNot(_ == plantedIds.min).foreach { id =>
+      assert(!byId(id).getAs[String]("kept_text").split("\n").contains(boiler),
+        s"doc $id kept the duplicated boilerplate line")
+      assert(byId(id).getAs[Long]("n_kept") < byId(id).getAs[Long]("n_lines"),
+        s"doc $id lost no line at all")
+    }
+    // global invariant: no line is kept twice corpus-wide
+    val keptLines = out.flatMap(_.getAs[String]("kept_text").split("\n")).filter(_.nonEmpty)
+    assert(keptLines.length === keptLines.distinct.length,
+      "a duplicate line survived line-dedup")
+    // kept lines stay in original order within a doc
+    val sample = byId(plantedIds.min)
+    val orig = TextAnalysis.finewebDerivedCorpus(spark, sfDir)
+      .where(col("doc_id") === plantedIds.min).collect().head
+      .getAs[String]("text").split("\n")
+    val kept = sample.getAs[String]("kept_text").split("\n")
+    assert(kept.toSeq === orig.filter(kept.contains).toSeq)
+  }
+
+  test("fineweb_linededup plan: winner aggregate is map-side partial, no winner join") {
+    val df = TextAnalysis.finewebLineDedup(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_min"), s"winner agg not map-side partial:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+  }
+
   test("plan: one narrow pass — no join, no aggregate, only the presentation sort") {
     def finalPlan(df: DataFrame): String = {
       df.collect()
