@@ -21,7 +21,8 @@ class AuditSpec extends SparkSpec {
       "ngram_jaccard.bucket_cap", "ngram_jaccard.verify_budget",
       "dedup_embedding.pair_cap", "dedup_embedding.bucket_cap",
       "dedup_embedding.group_cap", "dataset_split_incremental.bridge",
-      "semdedup.bucket_cap", "proto_select.tie_band"))
+      "semdedup.bucket_cap", "proto_select.tie_band",
+      "dedup_minhash_grouped.group_slate", "dedup_minhash_grouped.slate_trim"))
     rows.foreach { case (stage, (cap, cand, emitted, dropped)) =>
       // cap = 0 marks a measurement row (the bridge audit has no bound)
       assert(cap >= 0 && cand >= 0 && emitted >= 0, s"$stage: negative counts")
