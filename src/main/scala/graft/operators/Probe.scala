@@ -2,7 +2,15 @@ package graft.operators
 
 import org.apache.spark.sql.SparkSession
 
-/** Scratch stage profiler (dev-only; not part of the driver contract). */
+/** Stage-level wall-clock profiler for the simhash pipeline (dev
+  * tool, not part of the driver contract): times the staged inputs,
+  * the qualifying stream, the partner cap, and the full query against
+  * any corpus dir — the instrument that produced the r15 saturation-
+  * trim receipts (qualifying 56.9M → 3.6M rows, ~29 s → ~7 s at the
+  * 256× rung, output row count bit-identical to the r14 artifact).
+  * `runMain graft.operators.Probe <dir>` with SPARK_DRIVER_MEM sized
+  * for the rung.
+  */
 object Probe {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
