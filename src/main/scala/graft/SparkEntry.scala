@@ -44,6 +44,7 @@ object SparkEntry {
     "value_outliers"    -> (Analytics.valueOutliers _),
     "status_transition" -> (Analytics.statusTransition _),
     "session_cleanup"   -> ((s, d) => Analytics.sessionCleanup(s, d)),
+    "session_cleanup_apply" -> ((s, d) => Analytics.sessionCleanupApply(s, d)),
     "q_rollup"          -> (Analytics.qRollup _),
     "pivot_events"      -> (Analytics.pivotEvents _),
     // sketch ops: no oracle (implementations differ) → rows-only check
@@ -62,9 +63,9 @@ object SparkEntry {
     // §2.F LLM-data-pipeline operators
     "dedup_exact"     -> (Dedup.dedupExact _),
     "dedup_paragraph" -> (Dedup.dedupParagraph _),
-    "dedup_apply"     -> (Dedup.dedupApply _),
+    "dedup_apply"     -> ((s, d) => Dedup.dedupApply(s, d)),
     "dedup_clusters"  -> (Dedup.dedupClusters _),
-    "neardup_apply"   -> (Dedup.neardupApply _),
+    "neardup_apply"   -> ((s, d) => Dedup.neardupApply(s, d)),
     "dataset_split"   -> ((s, d) => Dedup.datasetSplit(s, d)),
     "dataset_split_incremental" -> ((s, d) => Dedup.datasetSplitIncremental(s, d)),
     "deterministic_sample" -> ((s, d) => Dedup.deterministicSample(s, d)),
@@ -91,14 +92,14 @@ object SparkEntry {
     "multimodal_meta" -> (TextAnalysis.multimodalMeta _),
     "doc_extract"     -> ((s, d) => Multimodal.docExtract(s, d)),
     "validate_docs"   -> ((s, d) => TextAnalysis.validateDocs(s, d)),
-    "clean_text"      -> (TextAnalysis.cleanText _),
-    "pii_scrub"       -> (TextAnalysis.piiScrub _),
+    "clean_text"      -> ((s, d) => TextAnalysis.cleanText(s, d)),
+    "pii_scrub"       -> ((s, d) => TextAnalysis.piiScrub(s, d)),
     "repetition_score" -> (TextAnalysis.repetitionScore _),
     "gopher_quality"  -> (TextAnalysis.gopherQuality _),
-    "gopher_filter"   -> (TextAnalysis.gopherFilter _),
+    "gopher_filter"   -> ((s, d) => TextAnalysis.gopherFilter(s, d)),
     "c4_line_stats"   -> (TextAnalysis.c4LineStats _),
-    "c4_filter"       -> (TextAnalysis.c4Filter _),
-    "fineweb_linededup" -> (TextAnalysis.finewebLineDedup _),
+    "c4_filter"       -> ((s, d) => TextAnalysis.c4Filter(s, d)),
+    "fineweb_linededup" -> ((s, d) => TextAnalysis.finewebLineDedup(s, d)),
     "stratified_balance" -> ((s, d) => TextAnalysis.stratifiedBalance(s, d)),
     "contamination_check" -> ((s, d) => Dedup.contaminationCheck(s, d)),
     "corpus_curate"   -> ((s, d) => Curate.corpusCurate(s, d)),
@@ -137,7 +138,7 @@ object SparkEntry {
     "image_search"    -> ((s, d) => Multimodal.imageSearch(s, d)),
     "dedup_embedding" -> (VectorSearch.dedupEmbedding _),
     "semdedup"        -> (VectorSearch.semDedup _),
-    "semdedup_apply"  -> (VectorSearch.semDedupApply _),
+    "semdedup_apply"  -> ((s, d) => VectorSearch.semDedupApply(s, d)),
     "proto_select"    -> (VectorSearch.protoSelect _),
     // §2.C keyword + hybrid search
     "keyword_search"    -> ((s, d) => KeywordSearch.keywordSearch(s, d)),
@@ -1243,6 +1244,13 @@ object SparkEntry {
         |SELECT (SELECT COUNT(*) FROM per_session) AS total_before,
         |  (SELECT COUNT(*) FROM doomed) AS deleted,
         |  (SELECT COUNT(*) FROM kept) AS total_after""".stripMargin),
+    "session_cleanup_apply" -> (sessionizeSql +
+      """,
+        |now_t AS (SELECT MAX(epoch_ms(ts)) AS now_ms FROM events)
+        |SELECT p.user_id, p.session_id, p.start_ms, p.end_ms, p.n_events, p.session_value
+        |FROM per_session p, now_t
+        |WHERE NOT (p.end_ms < now_ms - 1800000 AND p.end_ms < now_ms - 86400000)
+        |ORDER BY p.user_id, p.session_id""".stripMargin),
     "live_users" ->
       """SELECT COUNT(DISTINCT user_id) AS live_users
         |FROM events, (SELECT MAX(epoch_ms(ts)) AS now_ms FROM events) n

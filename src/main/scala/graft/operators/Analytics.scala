@@ -146,26 +146,47 @@ object Analytics {
   def sessionCleanup(spark: SparkSession, dir: String,
                      gapMs: Long = SessionGapMs,
                      retentionMs: Long = CleanupRetentionMs): DataFrame = {
-    val sess = sessionize(spark, dir, gapMs)
-      .select(col("user_id"), col("session_id"), col("end_ms"))
-      .localCheckpoint()   // feeds before-count, doomed, and anti-join
     val nowMs = Tables.events(spark, dir).agg(max(col("ts_ms")).as("now_ms"))
     // both reference filters spelled out (is_active='inactive' AND
     // logout_time < cutoff) even though the 24h cutoff subsumes the
     // 30-min inactivity test — if either constant changed they would
     // no longer nest, and the oracle mirrors the pair
+    val doomed = col("end_ms") < col("now_ms") - gapMs &&
+      col("end_ms") < col("now_ms") - retentionMs
+    // the audit COUNT form is ONE aggregate over the sessionized
+    // frame (no materialization, no anti-join): deleted is a
+    // conditional count and after = before - deleted by construction.
+    // The anti-join delete itself lives in [[sessionCleanupApply]],
+    // which returns the kept frame a MERGE write-back persists.
+    sessionize(spark, dir, gapMs)
+      .select(col("end_ms"))
+      .crossJoin(broadcast(nowMs))
+      .agg(count(lit(1)).as("total_before"),
+        count(when(doomed, 1)).as("deleted"),
+        (count(lit(1)) - count(when(doomed, 1))).as("total_after"))
+  }
+
+  /** [[sessionCleanup]]'s apply form — the retained sessions after
+    * the delete, dedup_apply's anti-join shape: the kept frame is
+    * what a partition-overwrite write-back would persist
+    * (cf. ChunkIndex.upsert); the COUNT form above is the audit
+    * trail over exactly this delete.
+    */
+  def sessionCleanupApply(spark: SparkSession, dir: String,
+                          gapMs: Long = SessionGapMs,
+                          retentionMs: Long = CleanupRetentionMs,
+                          sorted: Boolean = true): DataFrame = {
+    val sess = sessionize(spark, dir, gapMs)
+    val nowMs = Tables.events(spark, dir).agg(max(col("ts_ms")).as("now_ms"))
     val doomed = sess.crossJoin(broadcast(nowMs))
       .where(col("end_ms") < col("now_ms") - gapMs &&
         col("end_ms") < col("now_ms") - retentionMs)
       .select(col("user_id"), col("session_id"))
-    // the anti-join IS the delete (the kept frame is what a MERGE
-    // write-back would persist); total_after is counted from it
-    // rather than derived as before-deleted so the reported audit
-    // numbers come from the actual retained rows
-    val kept = sess.join(doomed, Seq("user_id", "session_id"), "left_anti")
-    sess.agg(count(lit(1)).as("total_before"))
-      .crossJoin(doomed.agg(count(lit(1)).as("deleted")))
-      .crossJoin(kept.agg(count(lit(1)).as("total_after")))
+    Present.presented(
+      sess.join(doomed, Seq("user_id", "session_id"), "left_anti")
+        .select(col("user_id"), col("session_id"), col("start_ms"),
+          col("end_ms"), col("n_events"), col("session_value")),
+      sorted, "user_id", "session_id")
   }
 
   /** cleanup_old_sessions' 24-hour retention cutoff. */

@@ -220,10 +220,11 @@ object Curate {
     * that survived all seven gates, with their sizes.
     */
   def curateApply(spark: SparkSession, dir: String,
-                  p: Params = Params()): DataFrame =
-    s7Cached(spark, dir, p)
-      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
-      .orderBy(col("doc_id"))
+                  p: Params = Params(), sorted: Boolean = true): DataFrame =
+    Present.presented(
+      s7Cached(spark, dir, p)
+        .select(col("doc_id"), length(col("text")).cast("long").as("n_chars")),
+      sorted, "doc_id")
 
   /** The 7-row funnel report: (stage_id, stage, docs_in, docs_out,
     * dropped), each stage's input being the previous stage's output.

@@ -85,10 +85,12 @@ object Dedup {
     * the linear-scale "materialize the cleaned corpus" step that
     * follows detection.
     */
-  def dedupApply(spark: SparkSession, dir: String): DataFrame =
-    exactKeep(corpusWithDups(spark, dir, perturb = false))
-      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
-      .orderBy(col("doc_id"))
+  def dedupApply(spark: SparkSession, dir: String,
+                 sorted: Boolean = true): DataFrame =
+    Present.presented(
+      exactKeep(corpusWithDups(spark, dir, perturb = false))
+        .select(col("doc_id"), length(col("text")).cast("long").as("n_chars")),
+      sorted, "doc_id")
 
   /** THE exact-dedup canonicalization rule — keep the min doc_id per
     * content hash — as a reusable hash-aggregate + semi-join over any
@@ -590,14 +592,16 @@ object Dedup {
     * member (anti-join), keeping one representative per component —
     * the final "materialize the near-deduped corpus" step.
     */
-  def neardupApply(spark: SparkSession, dir: String): DataFrame = {
+  def neardupApply(spark: SparkSession, dir: String,
+                   sorted: Boolean = true): DataFrame = {
     val drop = clustersCached(spark, dir)
       .where(col("cluster_id") =!= col("doc_id"))
       .select(col("doc_id"))
-    corpusWithDups(spark, dir, perturb = true)
-      .join(drop, Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
-      .orderBy(col("doc_id"))
+    Present.presented(
+      corpusWithDups(spark, dir, perturb = true)
+        .join(drop, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), length(col("text")).cast("long").as("n_chars")),
+      sorted, "doc_id")
   }
 
   val SplitEvalFrac = 0.1

@@ -97,14 +97,9 @@ object Pack {
     * One shuffle (shard key), one within-shard sort, whole-stage
     * codegen end to end.
     */
-  /** Present a corpus-sized result in doc_id (or doc_id, copy_idx)
-    * order — the determinism the oracle diff and a human reader want,
-    * but a GLOBAL range exchange a 100 TB caller laying out training
-    * shards should skip (`sorted = false`): the trainer reads shards,
-    * not a totally-ordered table. Gate spellings keep the default.
-    */
+  /** The shared presentation contract — see [[Present.presented]]. */
   private def presented(df: DataFrame, sorted: Boolean, keys: String*): DataFrame =
-    if (sorted) df.orderBy(keys.map(col): _*) else df
+    Present.presented(df, sorted, keys: _*)
 
   def seqPack(spark: SparkSession, dir: String,
               budget: Int = DefaultSeqTokens,

@@ -838,12 +838,13 @@ object Perplexity {
     * downstream mix/pack stage.
     */
   def qualityPerplexityApply(spark: SparkSession, dir: String,
-      calibFrac: Double = 1.0): DataFrame = {
+      calibFrac: Double = 1.0, sorted: Boolean = true): DataFrame = {
     val sc = scoredOf(spark, dir)
-    sc.crossJoin(broadcast(cutsOf(sc, calibFrac)))
-      .where(bucketOf(col("xent"), col("c1"), col("c2")) =!= "tail")
-      .select(col("doc_id"), col("n_bigrams"), col("xent"))
-      .orderBy(col("doc_id"))
+    Present.presented(
+      sc.crossJoin(broadcast(cutsOf(sc, calibFrac)))
+        .where(bucketOf(col("xent"), col("c1"), col("c2")) =!= "tail")
+        .select(col("doc_id"), col("n_bigrams"), col("xent")),
+      sorted, "doc_id")
   }
 
   // --- DSIR importance scoring ----------------------------------------

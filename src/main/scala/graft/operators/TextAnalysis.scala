@@ -156,13 +156,15 @@ object TextAnalysis {
     * whitespace runs, trim. Pure narrow transform; `changed` flags
     * rows the cleaner touched.
     */
-  def cleanText(spark: SparkSession, dir: String): DataFrame = {
+  def cleanText(spark: SparkSession, dir: String,
+                sorted: Boolean = true): DataFrame = {
     val cleaned = trim(regexp_replace(
       regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), cleaned.as("clean_text"),
-        (cleaned =!= col("text")).as("changed"))
-      .orderBy(col("doc_id"))
+    Present.presented(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), cleaned.as("clean_text"),
+          (cleaned =!= col("text")).as("changed")),
+      sorted, "doc_id")
   }
 
   /** Multimodal binary-column plumbing: documents carried as opaque
@@ -198,7 +200,8 @@ object TextAnalysis {
     * the operator must both find the injected PII and leave every
     * other document untouched. Narrow per-row transform.
     */
-  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+  def piiScrub(spark: SparkSession, dir: String,
+               sorted: Boolean = true): DataFrame = {
     val injected = when(col("doc_id") % 11 === 0,
       concat(col("text"), lit(" contact bob@example.com or 555-123-4567")))
       .otherwise(col("text"))
@@ -211,10 +214,11 @@ object TextAnalysis {
     // pre-scrub match counts would claim
     val nRedactions =
       size(regexp_extract_all(scrubbed, lit("\\[REDACTED\\]"), lit(0))).cast("long")
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), scrubbed.as("scrubbed_text"),
-        nRedactions.as("n_redactions"))
-      .orderBy(col("doc_id"))
+    Present.presented(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), scrubbed.as("scrubbed_text"),
+          nRedactions.as("n_redactions")),
+      sorted, "doc_id")
   }
 
   /** Intra-document repetition score — the Gopher-style quality
@@ -459,11 +463,13 @@ object TextAnalysis {
   /** [[gopherQuality]]'s apply form: the surviving corpus (the docs a
     * MassiveText-style cleaner passes to the next pipeline stage).
     */
-  def gopherFilter(spark: SparkSession, dir: String): DataFrame =
-    gopherMetricsOf(Tables.documents(spark, dir))
-      .where(col("keep"))
-      .select(col("doc_id"), col("lang"), col("n_chars"))
-      .orderBy(col("doc_id"))
+  def gopherFilter(spark: SparkSession, dir: String,
+                   sorted: Boolean = true): DataFrame =
+    Present.presented(
+      gopherMetricsOf(Tables.documents(spark, dir))
+        .where(col("keep"))
+        .select(col("doc_id"), col("lang"), col("n_chars")),
+      sorted, "doc_id")
 
   // --- C4 / FineWeb line-level quality rules ---------------------------
 
@@ -569,11 +575,13 @@ object TextAnalysis {
     * line-filtered text (kept lines re-joined), the corpus a C4-style
     * cleaner hands to the next stage.
     */
-  def c4Filter(spark: SparkSession, dir: String): DataFrame =
-    c4MetricsOf(c4DerivedCorpus(spark, dir))
-      .where(col("keep"))
-      .select(col("doc_id"), col("clean_text"), col("n_kept"))
-      .orderBy(col("doc_id"))
+  def c4Filter(spark: SparkSession, dir: String,
+               sorted: Boolean = true): DataFrame =
+    Present.presented(
+      c4MetricsOf(c4DerivedCorpus(spark, dir))
+        .where(col("keep"))
+        .select(col("doc_id"), col("clean_text"), col("n_kept")),
+      sorted, "doc_id")
 
   /** The boilerplate line the FineWeb-dedup gate corpus plants on
     * every 13th doc's first line — the cross-document duplicated-line
@@ -608,7 +616,8 @@ object TextAnalysis {
     * no hot reducer key; rebuild shuffles only surviving lines on
     * doc_id.
     */
-  def finewebLineDedup(spark: SparkSession, dir: String): DataFrame = {
+  def finewebLineDedup(spark: SparkSession, dir: String,
+                       sorted: Boolean = true): DataFrame = {
     val corpus = finewebDerivedCorpus(spark, dir)
     val lines = corpus
       .select(col("doc_id"), posexplode(split(col("text"), "\n"))
@@ -624,11 +633,12 @@ object TextAnalysis {
         array_join(transform(
           array_sort(collect_list(struct(col("line_idx"), col("line")))),
           p => p("line")), "\n").as("kept_text"))
-    corpus
-      .select(col("doc_id"), size(split(col("text"), "\n")).cast("long").as("n_lines"))
-      .join(rebuilt, Seq("doc_id"), "left")
-      .na.fill(0L, Seq("n_kept")).na.fill("", Seq("kept_text"))
-      .select(col("doc_id"), col("n_lines"), col("n_kept"), col("kept_text"))
-      .orderBy(col("doc_id"))
+    Present.presented(
+      corpus
+        .select(col("doc_id"), size(split(col("text"), "\n")).cast("long").as("n_lines"))
+        .join(rebuilt, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("n_kept")).na.fill("", Seq("kept_text"))
+        .select(col("doc_id"), col("n_lines"), col("n_kept"), col("kept_text")),
+      sorted, "doc_id")
   }
 }

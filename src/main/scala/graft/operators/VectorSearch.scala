@@ -1201,10 +1201,12 @@ object VectorSearch {
       .orderBy(col("vec_id"))
 
   /** [[semDedup]]'s apply form: the surviving corpus. */
-  def semDedupApply(spark: SparkSession, dir: String): DataFrame =
-    semReport(spark, dir).where(col("keep"))
-      .select(col("vec_id"), col("label"), col("ccos"))
-      .orderBy(col("vec_id"))
+  def semDedupApply(spark: SparkSession, dir: String,
+                    sorted: Boolean = true): DataFrame =
+    Present.presented(
+      semReport(spark, dir).where(col("keep"))
+        .select(col("vec_id"), col("label"), col("ccos")),
+      sorted, "vec_id")
 
   /** The domination report, memoized per (session, dir) like
     * [[semClusters]]: `protoSelectOf` references its survivor frame

@@ -367,4 +367,34 @@ class PlanAuditSpec extends SparkSpec {
         s"proto_select: BNLJ builds $n rows — bigger than the centroid table")
     }
   }
+
+  test("apply family: sorted=false drops the presentation range exchange") {
+    import graft.operators.{Curate, Perplexity}
+    // every corpus-sized apply output honors Pack's sorted contract:
+    // the default keeps the oracle's key order (a rangepartitioning
+    // exchange), sorted=false must not pay a global sort — at 100 TB
+    // the cleaned corpus is THE output a user materializes, and the
+    // next stage reads shards, not a totally-ordered table
+    val family: Seq[(String, Boolean => DataFrame)] = Seq(
+      "dedup_apply"       -> (s => Dedup.dedupApply(spark, sfDir, sorted = s)),
+      "neardup_apply"     -> (s => Dedup.neardupApply(spark, sfDir, sorted = s)),
+      "curate_apply"      -> (s => Curate.curateApply(spark, sfDir, sorted = s)),
+      "quality_perplexity_apply" ->
+        (s => Perplexity.qualityPerplexityApply(spark, sfDir, sorted = s)),
+      "clean_text"        -> (s => TextAnalysis.cleanText(spark, sfDir, sorted = s)),
+      "pii_scrub"         -> (s => TextAnalysis.piiScrub(spark, sfDir, sorted = s)),
+      "gopher_filter"     -> (s => TextAnalysis.gopherFilter(spark, sfDir, sorted = s)),
+      "c4_filter"         -> (s => TextAnalysis.c4Filter(spark, sfDir, sorted = s)),
+      "fineweb_linededup" -> (s => TextAnalysis.finewebLineDedup(spark, sfDir, sorted = s)),
+      "semdedup_apply"    -> (s => VectorSearch.semDedupApply(spark, sfDir, sorted = s)))
+    for ((name, q) <- family) {
+      assert(finalPlan(q(true)).contains("rangepartitioning"),
+        s"$name: default lost the oracle's presentation order")
+      val unsorted = finalPlan(q(false))
+      assert(!unsorted.contains("rangepartitioning"),
+        s"$name: sorted=false still range-partitions:\n$unsorted")
+      // same rows either way — the contract is presentation-only
+      assert(q(false).count() === q(true).count(), s"$name: row count drifted")
+    }
+  }
 }
