@@ -2238,7 +2238,7 @@ object SparkEntry {
          |    CAST(SUM(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 8))::BIGINT) AS VARCHAR) || '-' ||
          |    CAST(SUM(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 9, 8))::BIGINT) AS VARCHAR) AS k
          |  FROM documents),
-         |stg AS (SELECT doc_id, n_tok
+         |stg AS (SELECT DISTINCT doc_id, n_tok
          |  FROM read_parquet('$glob/*.parquet', union_by_name=true)
          |  WHERE corpus_key = (SELECT k FROM ck)),
          |t AS (SELECT d.doc_id,

@@ -195,13 +195,35 @@ object Pack {
                                // indistinguishable from whitespace);
                                // 48 fully merges only the frequent
                                // head, the tail stays multi-symbol
-  val BpeSampleFrac     = 0.25
-
-  /** Staging-key tag for the BPE artifacts: embeds the merge count so
-    * a parameter change can never serve a stale counts table (and the
-    * oracle's glob, which carries the same tag, never matches one).
+  /** Tokenizer-training sample TARGET in docs. The coin fraction is
+    * derived PER CORPUS from a count ([[bpeSampleFracFor]]) instead of
+    * being a fixed fraction: a fixed 0.25 of a 1024×-rung corpus
+    * (2.56M docs) would trip trainArtifactSampled's maxDocs = 1M
+    * require, while a tiny SF would train on a needlessly thin slice.
+    * Target ≪ maxDocs leaves 4× headroom for coin-mass deviation.
     */
-  private def bpeStageTag = s"${BpeArtifactMerges}m"
+  val BpeSampleTargetDocs = 250000L
+
+  /** The derived coin fraction: everything for corpora at or under the
+    * target, else target/count snapped DOWN to the round4 grid (min
+    * one grid step) — both engines could replay the coin cut exactly
+    * if an oracle ever needed to (the CCNet calibFrac precedent).
+    * Grid floor: a corpus beyond 1e4 × target docs would need a finer
+    * grid; there the maxDocs require still fails loudly by design.
+    */
+  private[graft] def bpeSampleFracFor(nDocs: Long,
+      target: Long = BpeSampleTargetDocs): Double =
+    if (nDocs <= target) 1.0
+    else math.max(1.0, math.floor(target.toDouble / nDocs * 1e4)) / 1e4
+
+  /** Staging-key tag for the BPE artifacts: embeds the merge count and
+    * the sampling scheme so a parameter change can never serve a stale
+    * counts table (and the oracle's glob, which carries the same tag,
+    * never matches one). `a<targetK>k` = the adaptive round4-grid
+    * sample introduced in round 16 (fixed-frac tables carry no tag).
+    */
+  private def bpeStageTag =
+    s"${BpeArtifactMerges}m_a${BpeSampleTargetDocs / 1000}k"
 
   /** The counts-table key prefix the oracle's staging glob carries
     * (SparkEntry's sequence_pack_bpe SQL) — one definition with the
@@ -218,13 +240,16 @@ object Pack {
     * other's counts. Sums of < 2^32 values over < 2^20 docs stay well
     * inside long range on both engines.
     */
-  private[graft] def corpusContentKey(docs: DataFrame): String = {
+  private[graft] def corpusCountAndKey(docs: DataFrame): (Long, String) = {
     def h(start: Int) = md5Long(
       concat(col("doc_id").cast("string"), lit(":"), col("text")), start, 8)
     val r = docs.agg(count(lit(1)).cast("long"),
       sum(h(1)).cast("long"), sum(h(9)).cast("long")).head()
-    s"${r.getLong(0)}-${r.getLong(1)}-${r.getLong(2)}"
+    (r.getLong(0), s"${r.getLong(0)}-${r.getLong(1)}-${r.getLong(2)}")
   }
+
+  private[graft] def corpusContentKey(docs: DataFrame): String =
+    corpusCountAndKey(docs)._2
 
   /** The staged (doc_id, n_tok, corpus_key) BPE counts table behind
     * [[seqPackBpe]] — built once per corpus: train the v2
@@ -241,11 +266,11 @@ object Pack {
     graft.DfCache.getOrCompute(spark, s"bpe_counts:$dir") {
       val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
       val fp = graft.DfCache.inputFingerprint(spark, s"$dir/documents.parquet")
-      val ck = corpusContentKey(docs)
+      val (nDocs, ck) = corpusCountAndKey(docs)
       val artDir = graft.DfCache.publishStaged(spark,
         s"bpe_artifact_${bpeStageTag}_$ck", fp, "_SUCCESS") { tmp =>
         val (m, v) = graft.functions.BpeModel.trainArtifactSampled(
-          docs, BpeArtifactMerges, BpeSampleFrac)
+          docs, BpeArtifactMerges, bpeSampleFracFor(nDocs))
         graft.functions.BpeModel.write(
           new java.io.File(tmp, "merges.gbp").getPath, m, v)
       }

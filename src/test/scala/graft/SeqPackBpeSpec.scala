@@ -35,7 +35,7 @@ class SeqPackBpeSpec extends SparkSpec {
     val docs = graft.sources.Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text"))
     val (m, v) = BpeModel.trainArtifactSampled(docs,
-      Pack.BpeArtifactMerges, Pack.BpeSampleFrac)
+      Pack.BpeArtifactMerges, Pack.bpeSampleFracFor(docs.count()))
     val path = java.io.File.createTempFile("bpe_spec", ".gbp").getPath
     BpeModel.write(path, m, v)
     val viaSeam = Pack.seqPackWith(spark, docs, new BpeTokenizer(path))
@@ -47,13 +47,40 @@ class SeqPackBpeSpec extends SparkSpec {
   test("artifact is v2 (frozen vocab, contiguous ids) and training is deterministic") {
     val docs = graft.sources.Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text"))
+    val frac = Pack.bpeSampleFracFor(docs.count())
     val (m1, v1) = BpeModel.trainArtifactSampled(docs,
-      Pack.BpeArtifactMerges, Pack.BpeSampleFrac)
+      Pack.BpeArtifactMerges, frac)
     val (m2, v2) = BpeModel.trainArtifactSampled(docs,
-      Pack.BpeArtifactMerges, Pack.BpeSampleFrac)
+      Pack.BpeArtifactMerges, frac)
     assert(m1 === m2 && v1 === v2, "BPE training is not deterministic")
     assert(v1.nonEmpty && v1.distinct.size === v1.size)
     assert(v1.head === "<unk>")
+  }
+
+  test("sample frac adapts to corpus size where a fixed frac trips the bound") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    val n = docs.count()
+    // a fixed 0.25 of this corpus overruns a maxDocs sized for a
+    // smaller sample — the loud failure mode the adaptive frac removes
+    val cap = math.max(1L, n / 8)
+    intercept[IllegalArgumentException] {
+      BpeModel.trainArtifactSampled(docs, Pack.BpeArtifactMerges, 0.25,
+        maxDocs = cap)
+    }
+    // deriving the frac from the count targeting cap·4/5 stays under it
+    val frac = Pack.bpeSampleFracFor(n, target = cap * 4 / 5)
+    val (m, v) = BpeModel.trainArtifactSampled(docs,
+      Pack.BpeArtifactMerges, frac, maxDocs = cap)
+    assert(m.nonEmpty && v.nonEmpty)
+    // the grid: <= target trains on everything; above it the frac
+    // snaps DOWN to the round4 grid with a one-step floor
+    assert(Pack.bpeSampleFracFor(100L) === 1.0)
+    assert(Pack.bpeSampleFracFor(Pack.BpeSampleTargetDocs) === 1.0)
+    assert(Pack.bpeSampleFracFor(2560000L) === 0.0976)  // the 1024x rung
+    assert(Pack.bpeSampleFracFor(Pack.BpeSampleTargetDocs * 20000) === 1e-4)
+    val f = Pack.bpeSampleFracFor(1234567L)
+    assert(f === math.floor(f * 1e4) / 1e4, "frac off the round4 grid")
   }
 
   test("corpus content key separates corpora with equal doc counts") {
