@@ -45,14 +45,35 @@ object DfCache {
   private final class Cell(c0: () => DataFrame) {
     private var compute = c0   // dropped after first evaluation: the
     @volatile private var v: DataFrame = _ // closure pins operator scope
+    // 0 = no build yet, 1 = a build claimed the cell, 2 = rotated out
+    // BEFORE any build started (creator strips its own cache level)
+    private val state = new java.util.concurrent.atomic.AtomicInteger(0)
     def value: DataFrame = {
       if (v == null) synchronized {
-        if (v == null) { v = compute(); compute = null }
+        if (v == null) {
+          val claimed = state.compareAndSet(0, 1)
+          val built = compute(); compute = null
+          v = built
+          if (!claimed && state.get == 2) {
+            // evicted while unstarted: the caller keeps its frame but
+            // loses the cache level — the benign side of the race
+            try built.unpersist()
+            catch { case scala.util.control.NonFatal(_) => () }
+          }
+        }
       }
       v
     }
     /** The frame iff already computed — eviction must not trigger a build. */
     def peek: Option[DataFrame] = Option(v)
+    /** Rotation eviction for a cell with no frame yet: true = the cell
+      * was atomically marked evicted before any build claimed it (the
+      * creator unpersists its own result on completion); false = a
+      * build is IN FLIGHT, so the evictor may wait on [[peek]] — but
+      * must never call [[value]], which would RUN the foreign compute
+      * on the evicting thread if the creator died before finishing.
+      */
+    def markEvictedIfUnstarted(): Boolean = state.compareAndSet(0, 2)
   }
 
   private val cache =
@@ -146,14 +167,14 @@ object DfCache {
             case Some(df) =>
               try df.unpersist()
               catch { case scala.util.control.NonFatal(_) => () }
-            // mid-flight cell: its frame doesn't exist yet — peek
-            // would leak whatever the foreign compute is about to
-            // persist, but waiting on c.value HERE would block the
-            // rotating caller on a possibly minutes-long foreign
-            // build. Defer the wait+unpersist to the cleaner thread;
-            // the racing creator still gets its frame back, it just
-            // loses the cache level — the benign side of the race.
-            case None => deferUnpersist(c)
+            // no frame yet: if NO build has claimed the cell, mark it
+            // evicted atomically — the creator (if one ever arrives)
+            // unpersists its own result, so nothing leaks and nothing
+            // here can run a compute. If a build IS in flight, hand
+            // the bounded wait+unpersist to the cleaner thread; the
+            // racing creator still gets its frame back, it just loses
+            // the cache level — the benign side of the race.
+            case None => if (!c.markEvictedIfUnstarted()) deferUnpersist(c)
           }
         }
       }
@@ -162,10 +183,10 @@ object DfCache {
   }
 
   /** Single daemon cleaner for evicted cells whose compute is still
-    * in flight: Cell.value is the compute's own synchronization, so
-    * the wait happens here instead of on the evicting caller's
-    * thread. NonFatal failures are dropped (the block is best-effort
-    * cache hygiene); an interrupt re-asserts the thread's flag.
+    * in flight: the wait happens here instead of on the evicting
+    * caller's thread. NonFatal failures are dropped (the block is
+    * best-effort cache hygiene); an interrupt re-asserts the
+    * thread's flag.
     */
   private lazy val cleaner = {
     val ex = java.util.concurrent.Executors.newSingleThreadExecutor { r =>
@@ -176,10 +197,29 @@ object DfCache {
     ex
   }
 
+  /** How long the cleaner will poll for an in-flight build to land
+    * before dropping the cleanup, and the poll step. Polling peek —
+    * never value — means the cleaner can only ever OBSERVE a frame a
+    * creator built: it cannot start a compute (full Spark jobs on
+    * this thread, without the caller's job group / scheduler-pool
+    * locals, serializing all later cleanups), even when the creator
+    * died mid-build and left the cell retryable.
+    */
+  private val CleanerWaitMs = 15L * 60 * 1000
+  private val CleanerPollMs = 200L
+
   private def deferUnpersist(c: Cell): Unit =
     cleaner.execute { () =>
-      try c.value.unpersist()
-      catch {
+      try {
+        var waited = 0L
+        var df = c.peek
+        while (df.isEmpty && waited < CleanerWaitMs) {
+          Thread.sleep(CleanerPollMs); waited += CleanerPollMs; df = c.peek
+        }
+        // timeout = the creator failed or is pathologically slow;
+        // best-effort hygiene gives up rather than build or block
+        df.foreach(_.unpersist())
+      } catch {
         case _: InterruptedException => Thread.currentThread().interrupt()
         case scala.util.control.NonFatal(_) => ()
       }

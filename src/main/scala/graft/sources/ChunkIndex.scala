@@ -322,7 +322,11 @@ object ChunkIndex {
     * content is untouched by construction — compaction is pure
     * layout; ChunkIndexSpec pins search-result identity pre/post.
     *
-    * Returns the number of partitions rewritten (0 = no commit).
+    * Returns the number of partitions rewritten (0 = no commit —
+    * including the case where a concurrent writer advanced the
+    * manifest during the rewrite and the commit was ABORTED via
+    * [[ManifestStore.commitIfCurrent]]: compact never publishes a
+    * state built from a superseded snapshot).
     */
   def compact(spark: SparkSession, root: String,
               maxFilesPerPartition: Int = 8): Int = {
@@ -356,9 +360,16 @@ object ChunkIndex {
           }
           table -> compacted
         }
-        if (rewritten > 0)
-          commit(spark, root, Manifest(m.seq + 1, newTables, m.params))
-        rewritten
+        // optimistic commit: if a streaming/daily upsert advanced the
+        // store while we rewrote, ABORT rather than publish a manifest
+        // built from the pre-upsert state (last-writer-wins would
+        // silently drop the upsert's rows — data loss, not a lost
+        // optimization). The rewritten dirs stay orphaned for vacuum;
+        // the caller sees 0 and may simply compact again.
+        if (rewritten > 0 &&
+            ManifestStore.commitIfCurrent(spark, root,
+              Manifest(m.seq + 1, newTables, m.params))) rewritten
+        else 0
     }
   }
 

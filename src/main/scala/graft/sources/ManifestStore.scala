@@ -101,7 +101,42 @@ private[graft] object ManifestStore {
   /** Publish a manifest: write complete under a tmp name, then one
     * rename to the final (fresh, unique) name — the commit point.
     */
-  def commit(spark: SparkSession, root: String, m: Manifest): Unit = {
+  def commit(spark: SparkSession, root: String, m: Manifest): Unit =
+    writeManifest(spark, root, m, newId())
+
+  /** The uuid slot every maintenance (read-rewrite) commit carries:
+    * all zeros sorts at or below every random [[newId]], so at an
+    * equal seq the name tiebreak ALWAYS resolves against the
+    * maintenance writer — a data-bearing commit can never be shadowed
+    * by a maintenance manifest built from the pre-commit state.
+    */
+  private val MaintenanceId = "00000000"
+
+  /** Optimistic maintenance commit — [[ChunkIndex.compact]]'s guard
+    * against the lost-update race with a concurrent upsert: commit
+    * `m` only if the store is still at `m.seq - 1`. Returns false
+    * (nothing published; the caller's rewritten dirs stay orphaned
+    * until [[vacuum]]) when another writer advanced the store past
+    * the state `m` was built from — the seq re-check that catches a
+    * commit landing anywhere in the long rewrite phase.
+    * The residual window — a data writer reading seq-1 and renaming
+    * AFTER our re-check — is closed by the name order itself: its
+    * random uuid sorts above [[MaintenanceId]] at the same seq, so
+    * readers resolve the data commit and the compaction is merely
+    * lost, never the upsert. Two racing MAINTENANCE writers collide
+    * on the same name (rename is last-writer-wins on POSIX); both
+    * states are pure layout over the same base, so either surviving
+    * is consistent and the loser's dirs are vacuum fodder.
+    */
+  def commitIfCurrent(spark: SparkSession, root: String, m: Manifest): Boolean = {
+    val liveSeq = current(spark, root).map(_.seq).getOrElse(-1L)
+    if (liveSeq != m.seq - 1) return false
+    try { writeManifest(spark, root, m, MaintenanceId); true }
+    catch { case _: java.io.IOException => false }
+  }
+
+  private def writeManifest(spark: SparkSession, root: String, m: Manifest,
+      id: String): Unit = {
     val rootP = new Path(root)
     val fs = fsOf(spark, rootP)
     fs.mkdirs(manifestDir(rootP))
@@ -110,7 +145,7 @@ private[graft] object ManifestStore {
       m.tables.toSeq.sortBy(_._1).flatMap { case (t, mp) =>
         mp.toSeq.sortBy(_._1).map { case (p, rel) => s"$t $p $rel" }
       }).mkString("\n")
-    val name = f"m-${m.seq}%09d-${newId()}.txt"
+    val name = f"m-${m.seq}%09d-$id.txt"
     val tmp = new Path(manifestDir(rootP), s".tmp-$name")
     val out = fs.create(tmp, true)
     try out.write(content.getBytes("UTF-8")) finally out.close()

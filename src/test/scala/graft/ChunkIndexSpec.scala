@@ -133,4 +133,37 @@ class ChunkIndexSpec extends SparkSpec {
     assert(ChunkIndex.readChunks(spark, out).collect().map(_.toString).sorted
       .sameElements(chunksBefore))
   }
+
+  test("compact commit aborts when a concurrent upsert advanced the manifest") {
+    import graft.sources.ManifestStore
+    val out = Files.createTempDirectory("graft_compact_race").toString
+    ChunkIndex.write(spark, sfDir, out)
+    // compact's view of the store, captured BEFORE the racing writer
+    val stale = ManifestStore.current(spark, out).get
+    // a streaming/daily upsert lands while the (long) rewrite phase runs
+    ChunkIndex.upsert(spark, out,
+      spark.createDataFrame(Seq((2000001L, "racing crawl doc text")))
+        .toDF("doc_id", "text"))
+    val live = ManifestStore.current(spark, out).get
+    assert(live.seq === stale.seq + 1)
+    // the seq re-check refuses the stale-based maintenance commit —
+    // last-writer-wins can no longer drop the upsert's rows
+    assert(!ManifestStore.commitIfCurrent(spark, out,
+      ManifestStore.Manifest(stale.seq + 1, stale.tables, stale.params)))
+    assert(ManifestStore.current(spark, out).get.tables === live.tables)
+    // residual window: a data commit landing at the SAME seq after the
+    // re-check still outranks the maintenance name — readers resolve
+    // the data manifest, the compaction is merely lost
+    assert(ManifestStore.commitIfCurrent(spark, out,
+      ManifestStore.Manifest(live.seq + 1, stale.tables, live.params)))
+    ManifestStore.commit(spark, out,
+      ManifestStore.Manifest(live.seq + 1, live.tables, live.params))
+    val resolved = ManifestStore.current(spark, out).get
+    assert(resolved.seq === live.seq + 1)
+    assert(resolved.tables === live.tables,
+      "maintenance manifest shadowed a same-seq data commit")
+    // the upsert's row is still readable through the resolved state
+    assert(ChunkIndex.readChunks(spark, out)
+      .where(col("doc_id") === 2000001L).count() > 0)
+  }
 }

@@ -19,11 +19,10 @@ def main(sf_dir, a_path, b_path):
         p = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(p):
             p = f"{p}/*.parquet"
-        if os.path.exists(f"{sf_dir}/{t}.parquet") or True:
-            try:
-                con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
-            except Exception:
-                pass
+        try:
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+        except Exception:
+            pass
     a = open(a_path).read()
     b = open(b_path).read()
     na = con.sql(f"SELECT COUNT(*) FROM ({a})").fetchone()[0]
