@@ -293,6 +293,56 @@ object Ingest {
       .toDF("doc_id", "embedding")
   }
 
+  // --- Gated model-artifact embeddings (knn_model) --------------------
+
+  /** Parameters of the staged random-projection artifact behind the
+    * gated knn_model query — the proof that the [[TextEmbedder]] seam
+    * carries a REAL external model file end to end (the
+    * sequence_pack_bpe recipe applied to embeddings): seed and dims
+    * are embedded in the staging tag so a parameter change can never
+    * serve a stale table.
+    */
+  val RpSeed   = 20260816L
+  val RpInDim  = 256
+  val RpOutDim = 16
+
+  private def rpStageTag = s"s${RpSeed}_${RpInDim}x${RpOutDim}"
+
+  /** The staged-embedding key prefix the oracle's glob carries
+    * (SparkEntry's knn_model SQL) — one definition with the writer.
+    */
+  private[graft] def rpEmbedKeyPrefix = s"rp_embed_$rpStageTag"
+
+  /** The staged (doc_id, emb, corpus_key) MODEL embeddings — built
+    * once per corpus: publish the seeded projection artifact
+    * content-addressed, run every document through the
+    * [[RandomProjectionEmbedder]] seam (per-partition open(), batched
+    * embed), round4 the normalized weights for cross-engine parity,
+    * stage as parquet. A fresh JVM — or the oracle's DuckDB read —
+    * consumes the staged table instead of re-running inference; the
+    * oracle replays the downstream SEARCH from these vectors (no
+    * model in DuckDB), which is the production split: the encoder is
+    * pinned by the seam specs, the search math by the hash-exact
+    * DuckDB diff.
+    */
+  private[graft] def modelEmbedCached(spark: SparkSession, dir: String): DataFrame =
+    graft.DfCache.getOrCompute(spark, s"rp_embed:$dir") {
+      val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      val fp = graft.DfCache.inputFingerprint(spark, s"$dir/documents.parquet")
+      val (_, ck) = Pack.corpusCountAndKey(docs)
+      val artDir = graft.DfCache.publishStaged(spark,
+        s"rp_model_$rpStageTag", fp, "_SUCCESS") { tmp =>
+        RandomProjectionModel.write(new java.io.File(tmp, "model.grp").getPath,
+          RpSeed, RpInDim, RpOutDim)
+      }
+      graft.DfCache.stagedFrame(spark, s"${rpEmbedKeyPrefix}_$ck", fp) {
+        embedWith(spark, docs, new RandomProjectionEmbedder(s"$artDir/model.grp"))
+          .select(col("doc_id"),
+            transform(col("embedding"), x => Par.round4(x.cast("double"))).as("emb"),
+            lit(ck).as("corpus_key"))
+      }
+    }
+
   /** The reference's FULL ingestion flow composed as one declarative
     * query — extract pages from the binary payload, chunk each page,
     * embed each chunk, emit normalized index rows — exactly what

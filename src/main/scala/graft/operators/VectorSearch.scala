@@ -879,6 +879,24 @@ object VectorSearch {
   def knnText(spark: SparkSession, dir: String): DataFrame =
     searchByText(spark, dir, KeywordSearch.standardQueries(spark), K)
 
+  /** Brute-force cosine top-k over the MODEL-ARTIFACT embeddings
+    * (Ingest.modelEmbedCached — a real projection-model file loaded
+    * per partition through the TextEmbedder seam, reference
+    * core/utils.py:105 embed_texts): first [[NQueries]] documents as
+    * the query batch against the rest of the corpus, same plan shape
+    * as [[knnBrute]]. The oracle replays this search from the staged
+    * vectors — inference happens exactly once per corpus, in Spark.
+    */
+  def knnModel(spark: SparkSession, dir: String, k: Int = K): DataFrame = {
+    val v = Ingest.modelEmbedCached(spark, dir).select(col("doc_id"), col("emb"))
+    val q = v.where(col("doc_id") < NQueries)
+      .select(col("doc_id").as("q_id"), col("emb").as("q_emb"))
+    val corpus = v.where(col("doc_id") >= NQueries)
+    topKExplode(corpus.crossJoin(broadcast(q))
+      .select(col("q_id"), col("doc_id"),
+        V.cosine4(col("q_emb"), col("emb")).as("cos")), k, "doc_id")
+  }
+
   /** Text search against the cached doc index for any (q_id, q_text)
     * frame — the shared tail of knn_text and image_search: hashed-BoW
     * embed the queries, broadcast them, sparse-dot against the index

@@ -93,6 +93,48 @@ class IngestSeamSpec extends SparkSpec {
     }
   }
 
+  test("embedWith: open() runs exactly once per non-empty partition") {
+    // local mode shares one JVM, so a static counter observes every
+    // task's open(); each open() tags its rows with its own sequence
+    // number, so rows prove WHICH open served them
+    IngestSeamSpec.openSeq.set(0)
+    val counting = new Ingest.TextEmbedder {
+      override def batchSize: Int = 16
+      def open(): Ingest.TextEncoder = new Ingest.TextEncoder {
+        private val id = IngestSeamSpec.openSeq.incrementAndGet()
+        def embed(texts: Seq[String]): Seq[Array[Float]] =
+          texts.map(_ => Array(id.toFloat))
+      }
+    }
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).repartition(5)
+    val out = Ingest.embedWith(spark, docs, counting).collect()
+    assert(out.length === docs.count())
+    val opens = out.map(_.getSeq[Float](1).head.toInt).distinct.sorted
+    assert(opens.length === 5,
+      s"expected one open() per partition (5), rows were served by ${opens.length}")
+    assert(IngestSeamSpec.openSeq.get() === 5,
+      s"open() ran ${IngestSeamSpec.openSeq.get()} times for 5 partitions — " +
+        "the per-partition model load is not amortized")
+  }
+
+  test("knn_model: staged artifact search returns k hits per query, no self-hits") {
+    import graft.operators.VectorSearch
+    val rows = VectorSearch.knnModel(spark, sfDir).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.keySet === (0L until VectorSearch.NQueries.toLong).toSet)
+    byQ.foreach { case (q, hits) =>
+      assert(hits.length === VectorSearch.K, s"query $q returned ${hits.length} hits")
+      assert(hits.map(_.getAs[Long]("rk")).sorted.toSeq === (1L to VectorSearch.K.toLong))
+      assert(hits.forall(_.getAs[Long]("doc_id") >= VectorSearch.NQueries),
+        s"query $q retrieved a query-batch doc")
+      // scores are round4'd and descend with rank
+      val cs = hits.sortBy(_.getAs[Long]("rk")).map(_.getAs[Double]("cos"))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+      cs.foreach(c => assert(c === math.floor(c * 1e4 + 0.5) / 1e4))
+    }
+  }
+
   test("doc_extract pages reassemble to the original text") {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text")).collect()
@@ -108,4 +150,9 @@ class IngestSeamSpec extends SparkSpec {
         assert(r.getAs[Long]("page_chars") == Multimodal.PageChars))
     }
   }
+}
+
+object IngestSeamSpec {
+  /** JVM-wide open() sequence for the per-partition-load spec. */
+  val openSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 }
