@@ -617,12 +617,32 @@ object TextAnalysis {
     * doc_id.
     */
   def finewebLineDedup(spark: SparkSession, dir: String,
-                       sorted: Boolean = true): DataFrame = {
-    val corpus = finewebDerivedCorpus(spark, dir)
-    val lines = corpus
+                       sorted: Boolean = true): DataFrame =
+    Present.presented(
+      lineDedupOf(finewebDerivedCorpus(spark, dir), committed = None),
+      sorted, "doc_id")
+
+  /** The line-dedup core over ANY (doc_id, text) corpus — ONE
+    * spelling shared by the gated batch query and the streaming twin
+    * (streaming/C4Stream): explode lines, optionally drop every line
+    * whose md5 is in `committed` (an `h`-column frame of line hashes —
+    * the stream's frozen cross-batch line index; None for the
+    * corpus-wide batch run), keep the
+    * min-(doc_id, line_idx) winner per remaining distinct line, and
+    * rebuild documents from their surviving lines. Map-side-combined
+    * min-struct winner (the dedupParagraph bound: a boilerplate flood
+    * contracts to one row per map partition before any exchange);
+    * the committed side joins as a line-hash anti-join.
+    */
+  private[graft] def lineDedupOf(corpus: DataFrame,
+      committed: Option[DataFrame]): DataFrame = {
+    val lines0 = corpus
       .select(col("doc_id"), posexplode(split(col("text"), "\n"))
         .as(Seq("line_idx", "line")))
       .withColumn("line_idx", col("line_idx").cast("long"))
+    val lines = committed.fold(lines0)(idx =>
+      lines0.join(idx.select(col("h")).distinct(),
+        md5(col("line")) === col("h"), "left_anti"))
     val winners = lines
       .groupBy(md5(col("line")).as("h"))
       .agg(min(struct(col("doc_id"), col("line_idx"), col("line"))).as("w"))
@@ -633,12 +653,10 @@ object TextAnalysis {
         array_join(transform(
           array_sort(collect_list(struct(col("line_idx"), col("line")))),
           p => p("line")), "\n").as("kept_text"))
-    Present.presented(
-      corpus
-        .select(col("doc_id"), size(split(col("text"), "\n")).cast("long").as("n_lines"))
-        .join(rebuilt, Seq("doc_id"), "left")
-        .na.fill(0L, Seq("n_kept")).na.fill("", Seq("kept_text"))
-        .select(col("doc_id"), col("n_lines"), col("n_kept"), col("kept_text")),
-      sorted, "doc_id")
+    corpus
+      .select(col("doc_id"), size(split(col("text"), "\n")).cast("long").as("n_lines"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_kept")).na.fill("", Seq("kept_text"))
+      .select(col("doc_id"), col("n_lines"), col("n_kept"), col("kept_text"))
   }
 }

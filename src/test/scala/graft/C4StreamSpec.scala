@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextAnalysis
+import graft.streaming.C4Stream
+
+/** Top-level row type: Spark encoders cannot reach a case class
+  * nested in the suite instance.
+  */
+case class C4Doc(doc_id: Long, text: String)
+
+/** The C4 rule stream is stateless (rules are per-doc): it must emit
+  * exactly the batch metrics for any micro-batch split. The FineWeb
+  * line-dedup stream carries the append-only committed line index:
+  * one batch over an empty index IS the batch query; across batches
+  * first-winner-stays; re-delivery before the index advances is
+  * idempotent.
+  */
+class C4StreamSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def docsOf(df: DataFrame): Seq[C4Doc] =
+    df.select("doc_id", "text").as[C4Doc].collect().toSeq.sortBy(_.doc_id)
+
+  private def runMetrics(batches: Seq[Seq[C4Doc]]): Seq[Row] = {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[C4Doc]
+    val out = scala.collection.mutable.ArrayBuffer[Row]()
+    val query = C4Stream.metricsSink(input.toDF()) { m =>
+      out.synchronized { out ++= m.select(col("doc_id"), col("n_lines"),
+        col("n_kept"), col("n_short"), col("n_noterm"), col("n_js"),
+        col("has_lorem"), col("has_brace"), col("keep")).collect() }
+    }.start()
+    try {
+      batches.foreach { b => input.addData(b.toIndexedSeq); query.processAllAvailable() }
+      out.sortBy(_.getAs[Long]("doc_id")).toSeq
+    } finally query.stop()
+  }
+
+  test("stateless C4 rule stream == c4_line_stats for any micro-batch split") {
+    val corpus = TextAnalysis.c4DerivedCorpus(spark, sfDir)
+    val docs = docsOf(corpus)
+    val expected = TextAnalysis.c4LineStats(spark, sfDir).collect().toSeq
+    assert(runMetrics(Seq(docs)) === expected)
+    val third = (docs.length + 2) / 3
+    assert(runMetrics(docs.grouped(third).toSeq) === expected)
+  }
+
+  private def emptyIndex: DataFrame = Seq.empty[String].toDF("h")
+
+  private type Line = (Long, Long, Long, String)
+  private def rowsOf(df: DataFrame): Set[Line] =
+    df.collect().map { r =>
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("n_lines"),
+        r.getAs[Long]("n_kept"), r.getAs[String]("kept_text"))
+    }.toSet
+
+  test("one batch over an empty index == fineweb_linededup, row for row") {
+    val batch = TextAnalysis.finewebDerivedCorpus(spark, sfDir)
+    val got = rowsOf(C4Stream.detect(spark, batch, emptyIndex, "spec-empty"))
+    val want = rowsOf(TextAnalysis.finewebLineDedup(spark, sfDir))
+    assert(got === want,
+      s"missing=${(want -- got).take(2)} extra=${(got -- want).take(2)}")
+  }
+
+  test("doc_id-ordered batch split + committed index == the batch spelling") {
+    val corpus = TextAnalysis.finewebDerivedCorpus(spark, sfDir)
+    val mid = 250L
+    val b1 = corpus.where(col("doc_id") < mid)
+    val b2 = corpus.where(col("doc_id") >= mid)
+    val out1 = C4Stream.detect(spark, b1, emptyIndex, "spec-split-1")
+      .localCheckpoint()
+    val idx = C4Stream.linesOf(out1).localCheckpoint()
+    val out2 = C4Stream.detect(spark, b2, idx, "spec-split-2")
+    assert(rowsOf(out1) ++ rowsOf(out2)
+      === rowsOf(TextAnalysis.finewebLineDedup(spark, sfDir)),
+      "in-order incremental line-dedup drifted from the corpus-wide batch run")
+  }
+
+  test("committed lines drop on arrival; novel lines win once; replay is idempotent") {
+    val idx = Seq(md5Hex("subscribe now.")).toDF("h")
+    val batch = Seq(
+      C4Doc(100L, "subscribe now.\nfresh insight one."),
+      C4Doc(101L, "fresh insight one.\nanother new line.")).toDF()
+    val got = C4Stream.detect(spark, batch, idx, "spec-commit")
+    val m = got.collect().map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Long]("n_kept"), r.getAs[String]("kept_text"))).toMap
+    // doc 100: boilerplate committed -> dropped; keeps its novel line,
+    // which it wins (first occurrence by (doc_id, line_idx))
+    assert(m(100L) === ((1L, "fresh insight one.")))
+    // doc 101: its copy of the novel line lost to doc 100 within-batch
+    assert(m(101L) === ((1L, "another new line.")))
+    // replay before the index advances: byte-identical rows
+    assert(rowsOf(C4Stream.detect(spark, batch, idx, "spec-commit-replay"))
+      === rowsOf(got))
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+}
