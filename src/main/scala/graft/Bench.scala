@@ -48,7 +48,12 @@ import org.apache.spark.sql.SparkSession
   * because only pass TOTALS were published).
   */
 object Bench {
-  val Passes = 3
+  /** Warm-pass count; `SPARK_GRAFT_BENCH_PASSES` overrides (the rung
+    * ladder runs 4 at the noisy scales so the median survives one
+    * bad pass — r15 verdict #2).
+    */
+  val Passes: Int =
+    sys.env.get("SPARK_GRAFT_BENCH_PASSES").map(_.toInt).getOrElse(3)
 
   /** Median with the two middle elements AVERAGED for even-length
     * input — with the conditional extra pass (or a pass excluded per
@@ -260,20 +265,35 @@ object Bench {
           s"\"" + n + "\":" + ps.mkString("[", ",", "]")
         }
         .mkString("{", ",", "}")
+    // the full artifact also lands in a FILE: the driver's stdout
+    // capture truncates lines past its cap (r15 verdict #8 —
+    // BENCH_r*.json carried parsed:null + a 2,000-char tail, losing
+    // the per-query vectors), so the whole object is written where a
+    // reader can copy it intact; `artifact` in the summary (present
+    // in BOTH truncation directions) points at it
+    val artifactPath = new java.io.File(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_full.json"))
+      .getAbsolutePath
     val summary =
       s""""metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir",""" +
       s""""passes":${passes.size},"pass_totals":${passTotals.map(f3).mkString("[", ",", "]")},""" +
       s""""cold_total":${f3(passTotals.head)},"warm_total":${f3(warm)},""" +
       s""""staging_rebuilds":${passMap(rebuilt.toSeq)},"memo_computes":${passMap(memoed.toSeq)},""" +
-      s""""errors":$errJson"""
+      s""""errors":$errJson,"artifact":"$artifactPath""""
     // ...AND duplicated LAST: the archiver keeps the line's TAIL, so a
     // head-only summary gets truncated away (r8 verdict #2). With a
     // copy at both ends, either truncation direction preserves the
     // totals; `summary_tail` groups the copy under one key so the
     // object stays valid JSON with distinct keys.
-    println(s"""{$summary,"queries":$qs,"cold_queries":$coldQs,""" +
+    val line = s"""{$summary,"queries":$qs,"cold_queries":$coldQs,""" +
       s""""query_passes":$passQs,""" +
-      s""""task_metrics":$tmJson,"cap_audit":$audit,"summary_tail":{$summary}}""")
+      s""""task_metrics":$tmJson,"cap_audit":$audit,"summary_tail":{$summary}}"""
+    try {
+      Option(new java.io.File(artifactPath).getParentFile).foreach(_.mkdirs())
+      val w = new java.io.PrintWriter(artifactPath, "UTF-8")
+      try w.println(line) finally w.close()
+    } catch { case scala.util.control.NonFatal(_) => () }   // stdout still carries it
+    println(line)
     spark.stop()
   }
 }
