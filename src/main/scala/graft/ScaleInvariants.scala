@@ -195,6 +195,99 @@ object ScaleInvariants {
       }
     }
 
+    // --- r16 additions: the r15 C4/FineWeb/BPE family + this round's
+    // queries (r15 verdict #7) ------------------------------------------
+
+    // c4_line_stats: the derived-lines prep flips per-(doc_id, line)
+    // coins, and replica doc_ids draw FRESH coins — twin equality is
+    // out of reach by design of the prep. What replication must
+    // preserve: one report row per doc (×mult) and the RATE each
+    // page verdict fires at (coin fractions concentrate at corpus
+    // size; 1% tolerance at ≥ 8× is ~10 sigma).
+    check("c4_keep_rate_flat_x" + mult) {
+      def rate(dir: String): (Double, Long) = {
+        val r = q("c4_line_stats", dir)
+          .agg(count(lit(1)).as("n"), count(when(col("keep"), 1)).as("k"))
+          .collect().head
+        (r.getAs[Long]("k").toDouble / r.getAs[Long]("n"), r.getAs[Long]("n"))
+      }
+      val (rb, nb) = rate(base)
+      val (rs, ns) = rate(scaled)
+      require(ns == nb * mult, s"report rows $ns != ${nb * mult}")
+      require(math.abs(rs - rb) <= 0.01,
+        s"keep rate drifted under replication: $rs vs $rb")
+    }
+
+    // fineweb_linededup: every replica carries a HIGHER doc_id than
+    // every base doc, so no replica can steal a first-winner from the
+    // base slice — the base docs' rebuilt rows must be IDENTICAL to
+    // the base-corpus run (first-winner stability).
+    check("fineweb_base_winners_x" + mult) {
+      type R = (Long, Long, String)
+      def rows(df: DataFrame): Map[Long, R] = df.collect()
+        .map(r => r.getAs[Long]("doc_id") -> ((r.getAs[Long]("n_lines"),
+          r.getAs[Long]("n_kept"), r.getAs[String]("kept_text")))).toMap
+      val b = rows(q("fineweb_linededup", base))
+      val s = rows(q("fineweb_linededup", scaled)
+        .where(col("doc_id") < 10000000L))
+      require(b.keySet == s.keySet, "base doc set differs")
+      val bad = b.keys.filter(k => b(k) != s(k))
+      require(bad.isEmpty, s"base winners moved under replication: ${bad.take(3)}")
+    }
+
+    // sequence_pack_bpe: the artifact retrains per corpus (adaptive
+    // sample), so per-doc counts need not twin; the LAYOUT must stay
+    // exactly self-consistent — one row per doc (×mult), every count
+    // positive, per-shard offset arithmetic closed (max doc end ==
+    // shard token total), fertility >= 1 vs whitespace in aggregate.
+    check("sequence_pack_bpe_layout_x" + mult) {
+      val df = q("sequence_pack_bpe", scaled)
+      val nb = q("sequence_pack_bpe", base).count()
+      require(df.count() == nb * mult, "layout rows not ×mult")
+      require(df.where(col("n_tok") <= 0).count() == 0, "non-positive count")
+      val budget = graft.operators.Pack.DefaultSeqTokens
+      val bad = df
+        .select(col("shard"),
+          (col("seq_id") * budget + col("tok_offset")).as("start"), col("n_tok"))
+        .groupBy("shard")
+        .agg(max(col("start") + col("n_tok")).as("mx"), sum(col("n_tok")).as("sm"))
+        .where(col("mx") =!= col("sm")).count()
+      require(bad == 0, "per-shard cumsum not closed")
+      val tok = df.agg(sum(col("n_tok"))).collect().head.getLong(0)
+      val ws = spark.read.parquet(s"$scaled/documents.parquet")
+        .agg(sum(size(split(col("text"), " ")))).collect().head.getLong(0)
+      require(tok >= ws, s"aggregate fertility below 1: $tok BPE vs $ws ws")
+    }
+
+    // session_cleanup (r16 one-aggregate form): every copy replays the
+    // same sessions in the single max-ts-anchored clock ⇒ all three
+    // audit counters ×mult; the apply form's kept frame ×mult rows.
+    check("session_cleanup_x" + mult) {
+      val rb = q("session_cleanup", base).collect().head
+      val rs = q("session_cleanup", scaled).collect().head
+      Seq("total_before", "deleted", "total_after").foreach { c =>
+        require(rs.getAs[Long](c) == rb.getAs[Long](c) * mult, s"$c not ×$mult")
+      }
+      require(q("session_cleanup_apply", scaled).count()
+        == q("session_cleanup_apply", base).count() * mult,
+        "kept sessions not ×mult")
+    }
+
+    // knn_model: the projection artifact is seeded (corpus-
+    // independent) and vectors are pure content functions, so
+    // replicas only add duplicate contents — the best reachable
+    // cosine per query is invariant under replication.
+    check("knn_model_top1_x" + mult) {
+      def top1(dir: String): Map[Long, Double] =
+        q("knn_model", dir).where(col("rk") === 1L).collect()
+          .map(r => r.getAs[Long]("q_id") -> r.getAs[Double]("cos")).toMap
+      val b = top1(base)
+      val s = top1(scaled)
+      require(b.keySet == s.keySet, "query set differs")
+      val bad = b.keys.filter(k => b(k) != s(k))
+      require(bad.isEmpty, s"rank-1 cosine moved under replication: ${bad.take(3)}")
+    }
+
     val failed = results.valuesIterator.count(_ != "pass")
     val js = results.map { case (k, v) => s"""\"$k\":\"$v\"""" }.mkString("{", ",", "}")
     println(s"""{"engine_only":true,"base":"$base","scaled":"$scaled","mult":$mult,""" +
