@@ -274,9 +274,13 @@ object ScaleInvariants {
     }
 
     // knn_model: the projection artifact is seeded (corpus-
-    // independent) and vectors are pure content functions, so
-    // replicas only add duplicate contents — the best reachable
-    // cosine per query is invariant under replication.
+    // independent) and vectors are pure content functions — and
+    // replication puts each QUERY doc's own content-identical
+    // replicas INTO the corpus side (replica ids exceed NQueries),
+    // so the rank-1 hit must be a clone of the query itself:
+    // round4(cos(v, v)) == 1.0 exactly, for every query. (The first
+    // 512× run spelled this as base-equality and failed for exactly
+    // this reason — the replica self-hit IS the invariant.)
     check("knn_model_top1_x" + mult) {
       def top1(dir: String): Map[Long, Double] =
         q("knn_model", dir).where(col("rk") === 1L).collect()
@@ -284,8 +288,9 @@ object ScaleInvariants {
       val b = top1(base)
       val s = top1(scaled)
       require(b.keySet == s.keySet, "query set differs")
-      val bad = b.keys.filter(k => b(k) != s(k))
-      require(bad.isEmpty, s"rank-1 cosine moved under replication: ${bad.take(3)}")
+      val bad = s.filter { case (_, c) => c != 1.0 }
+      require(bad.isEmpty,
+        s"query replicas in the corpus must self-hit at cos 1.0: ${bad.take(3)}")
     }
 
     val failed = results.valuesIterator.count(_ != "pass")

@@ -715,9 +715,16 @@ object Dedup {
       .select(col("doc_id"), col("text"))
     // the memo key lives HERE, where `novel` is derived from `dir` —
     // deltaInternalGroups itself is pure in its input frame, so a
-    // caller with a different batch can never be served a stale memo
+    // caller with a different batch can never be served a stale memo.
+    // STAGED cross-JVM (r16): the delta-internal group build is a
+    // full pair-build + pointer-doubling fixpoint (~37 s at the 256×
+    // rung — the SplitProbe-attributed pass excursion the r15 bench
+    // showed); deterministic in the corpus, so it stages like the
+    // probe index and a fresh JVM READS it instead of recomputing
     val deltaGroups = DfCache.getOrCompute(spark, s"split_delta_groups:$dir")(
-      deltaInternalGroups(spark, novel))
+      DfCache.stagedFrame(spark, "split_delta_groups_t08",
+        DfCache.inputFingerprint(spark, s"$dir/documents.parquet"))(
+        deltaInternalGroups(spark, novel)))
     splitAssignOf(delta, matches, splitBaseManifest(spark, dir), deltaGroups,
       evalFrac)
       .orderBy(col("doc_id"))
