@@ -91,6 +91,7 @@ object SparkEntry {
     "doc_fingerprint" -> (TextAnalysis.docFingerprint _),
     "multimodal_meta" -> (TextAnalysis.multimodalMeta _),
     "doc_extract"     -> ((s, d) => Multimodal.docExtract(s, d)),
+    "doc_decode"      -> ((s, d) => Multimodal.docDecode(s, d)),
     "validate_docs"   -> ((s, d) => TextAnalysis.validateDocs(s, d)),
     "clean_text"      -> ((s, d) => TextAnalysis.cleanText(s, d)),
     "pii_scrub"       -> ((s, d) => TextAnalysis.piiScrub(s, d)),
@@ -1992,6 +1993,16 @@ object SparkEntry {
         |FROM documents, LATERAL (SELECT unnest(generate_series(0, (length(text)-1)//200)) g) s
         |WHERE length(text) > 0
         |ORDER BY doc_id, page_no""".stripMargin,
+    // REAL-codec round trip: the query gzips every doc per partition,
+    // decompresses through the MediaCodec seam, and reports the
+    // DECODED text's md5/length/words — the oracle computes the same
+    // directly from documents, so any corruption anywhere in
+    // compress/transport/decode breaks the hash gate
+    "doc_decode" ->
+      """SELECT doc_id, md5(text) AS text_md5,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len, substr(text, 1, 4) AS magic,
         |  ('0x' || substr(md5(text), 1, 4))::BIGINT % 1920 AS fake_width,
