@@ -101,6 +101,7 @@ object SparkEntry {
     "c4_line_stats"   -> (TextAnalysis.c4LineStats _),
     "c4_filter"       -> ((s, d) => TextAnalysis.c4Filter(s, d)),
     "fineweb_linededup" -> ((s, d) => TextAnalysis.finewebLineDedup(s, d)),
+    "c4_span_dedup"     -> ((s, d) => TextAnalysis.c4SpanDedup(s, d)),
     "stratified_balance" -> ((s, d) => TextAnalysis.stratifiedBalance(s, d)),
     "contamination_check" -> ((s, d) => Dedup.contaminationCheck(s, d)),
     "corpus_curate"   -> ((s, d) => Curate.corpusCurate(s, d)),
@@ -2084,6 +2085,40 @@ object SparkEntry {
          |    string_agg(line, chr(10) ORDER BY i) AS kept_text
          |  FROM w WHERE rk = 1 GROUP BY doc_id),
          |tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines FROM fl GROUP BY doc_id)
+         |SELECT tot.doc_id, tot.n_lines,
+         |  CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+         |  COALESCE(k.kept_text, '') AS kept_text
+         |FROM tot LEFT JOIN k ON tot.doc_id = k.doc_id ORDER BY tot.doc_id""".stripMargin),
+    // C4 three-span dedup over the derived corpus + planted 3-line
+    // boilerplate block (oracle twin of TextAnalysis.c4SpanDedup):
+    // every occurrence of a duplicated 3-line span except the
+    // corpus-wide first has its lines removed; overlapping removals
+    // union; docs rebuilt from surviving lines.
+    "c4_span_dedup" -> (c4LinesCteSql +
+      s""",
+         |fl0 AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 17 = 0 THEN i + 3 ELSE i END AS i, line FROM cl
+         |  UNION ALL
+         |  SELECT d.doc_id, b.i, b.line
+         |  FROM (SELECT DISTINCT doc_id FROM cl WHERE doc_id % 17 = 0) d,
+         |    (VALUES ${TextAnalysis.C4SpanBoilerplate.zipWithIndex
+                .map { case (l, i) => s"($i, '$l')" }.mkString(", ")}) AS b(i, line)),
+         |lls AS (SELECT doc_id, list(line ORDER BY i) AS ls FROM fl0 GROUP BY doc_id),
+         |sp AS (SELECT doc_id, s, md5(array_to_string(ls[s+1:s+3], chr(10))) AS h
+         |  FROM lls, LATERAL (SELECT unnest(generate_series(0, len(ls)-3)) AS s) g
+         |  WHERE len(ls) >= 3),
+         |w AS (SELECT doc_id, s, h,
+         |    row_number() OVER (PARTITION BY h ORDER BY doc_id, s) AS rk,
+         |    COUNT(*) OVER (PARTITION BY h) AS occ FROM sp),
+         |rm AS (SELECT DISTINCT w.doc_id, w.s + o AS i
+         |  FROM w, LATERAL (SELECT unnest(generate_series(0, 2)) AS o) oo
+         |  WHERE occ > 1 AND rk > 1),
+         |k AS (SELECT fl0.doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         |    string_agg(fl0.line, chr(10) ORDER BY fl0.i) AS kept_text
+         |  FROM fl0 LEFT JOIN rm ON fl0.doc_id = rm.doc_id AND fl0.i = rm.i
+         |  WHERE rm.doc_id IS NULL GROUP BY fl0.doc_id),
+         |tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines
+         |  FROM fl0 GROUP BY doc_id)
          |SELECT tot.doc_id, tot.n_lines,
          |  CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
          |  COALESCE(k.kept_text, '') AS kept_text

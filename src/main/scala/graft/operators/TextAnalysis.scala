@@ -622,6 +622,97 @@ object TextAnalysis {
       lineDedupOf(finewebDerivedCorpus(spark, dir), committed = None),
       sorted, "doc_id")
 
+  /** The three-line boilerplate BLOCK the span-dedup gate corpus
+    * plants at the head of every 17th doc — a nav/footer template
+    * repeated across pages, each line individually C4-clean: span
+    * dedup removes what neither the line rules nor single-line dedup
+    * can (the lines also recur as a BLOCK, which is the signal).
+    */
+  val C4SpanBoilerplate: Seq[String] = Seq(
+    "follow us on the data stream.",
+    "subscribe for daily corpus updates.",
+    "all rights reserved by the corpus.")
+
+  /** Span length of C4's span-dedup rule ("three-sentence span"). */
+  val C4SpanLines = 3
+
+  /** [[c4DerivedCorpus]] with the planted boilerplate block — the
+    * gate corpus of [[c4SpanDedup]] (its own prep, so the other c4/
+    * fineweb gate outputs stay untouched).
+    */
+  private[graft] def c4SpanDerivedCorpus(spark: SparkSession, dir: String): DataFrame =
+    c4DerivedCorpus(spark, dir)
+      .select(col("doc_id"), split(col("text"), "\n").as("ls"))
+      .select(col("doc_id"), array_join(
+        when(col("doc_id") % 17 === 0,
+          concat(array(C4SpanBoilerplate.map(lit): _*), col("ls")))
+          .otherwise(col("ls")), "\n").as("text"))
+
+  /** C4's ACTUAL dedup rule (Raffel et al. 2020 §2.2: "we removed
+    * all but one of any three-sentence span occurring more than once
+    * in the data set"), at line grain over the derived corpus: every
+    * occurrence of a duplicated [[C4SpanLines]]-line span EXCEPT the
+    * corpus-wide first (order = (doc_id, start_idx)) has its lines
+    * removed, and documents are rebuilt from their surviving lines.
+    * Overlapping removals union (a line dies if ANY removed
+    * occurrence covers it) — the deterministic reading of the rule,
+    * mirrored exactly by the oracle.
+    *
+    * Scale shape: spans are a narrow per-doc array transform (no
+    * self-join); the first-occurrence winner is a map-side-combined
+    * min-struct aggregate on the span hash — a boilerplate block
+    * with millions of copies contracts to one row per map partition
+    * before any exchange — and the removal join is hash-partitioned
+    * on that same span hash, linear in occurrences. Rebuild shuffles
+    * only surviving lines on doc_id.
+    */
+  def c4SpanDedup(spark: SparkSession, dir: String,
+                  sorted: Boolean = true): DataFrame =
+    Present.presented(
+      c4SpanDedupOf(c4SpanDerivedCorpus(spark, dir)), sorted, "doc_id")
+
+  /** The span-dedup core over ANY (doc_id, text) corpus — the seam
+    * the planted-block spec drives with hand-built pages.
+    */
+  private[graft] def c4SpanDedupOf(corpus: DataFrame): DataFrame = {
+    val withLs = corpus.select(col("doc_id"), split(col("text"), "\n").as("ls"))
+    val lines = withLs
+      .select(col("doc_id"), posexplode(col("ls")).as(Seq("line_idx", "line")))
+      .withColumn("line_idx", col("line_idx").cast("long"))
+    val spans = withLs
+      .where(size(col("ls")) >= C4SpanLines)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), size(col("ls")) - C4SpanLines),
+        i => array_join(slice(col("ls"), i + 1, lit(C4SpanLines)), "\n")))
+        .as(Seq("start_idx", "span")))
+      .withColumn("start_idx", col("start_idx").cast("long"))
+      .withColumn("h", md5(col("span")))
+      .drop("span")
+    val winners = spans.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("start_idx"))).as("w"),
+        count(lit(1)).as("occ"))
+      .select(col("h"), col("w.doc_id").as("w_doc"),
+        col("w.start_idx").as("w_start"), col("occ"))
+    val removed = spans.join(winners, Seq("h"))
+      .where(col("occ") > 1 &&
+        !(col("doc_id") === col("w_doc") && col("start_idx") === col("w_start")))
+      .select(col("doc_id"),
+        explode(sequence(col("start_idx"),
+          col("start_idx") + (C4SpanLines - 1))).as("line_idx"))
+      .distinct()
+    val rebuilt = lines.join(removed, Seq("doc_id", "line_idx"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("line_idx"), col("line")))),
+          p => p("line")), "\n").as("kept_text"))
+    corpus
+      .select(col("doc_id"), size(split(col("text"), "\n")).cast("long").as("n_lines"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_kept")).na.fill("", Seq("kept_text"))
+      .select(col("doc_id"), col("n_lines"), col("n_kept"), col("kept_text"))
+  }
+
   /** The line-dedup core over ANY (doc_id, text) corpus — ONE
     * spelling shared by the gated batch query and the streaming twin
     * (streaming/C4Stream): explode lines, optionally drop every line

@@ -157,6 +157,56 @@ class C4FilterSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
   }
 
+  test("c4_span_dedup: all-but-first duplicated 3-span removed, exactly") {
+    import spark.implicits._
+    // hand-built pages: B carries A's middle block verbatim (a nav
+    // template); C shares nothing; D repeats the block AGAIN — only
+    // A's (first) occurrence survives. Lines are unique per doc
+    // elsewhere so single-line dedup would touch nothing.
+    val block = Seq("nav one.", "nav two.", "nav three.")
+    val corpus = Seq(
+      10L -> (Seq("a head.") ++ block ++ Seq("a tail.")),
+      20L -> (Seq("b head.") ++ block ++ Seq("b tail.")),
+      30L -> Seq("c one.", "c two.", "c three."),
+      40L -> (block ++ Seq("d tail."))
+    ).map { case (id, ls) => (id, ls.mkString("\n")) }.toDF("doc_id", "text")
+    val got = TextAnalysis.c4SpanDedupOf(corpus).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_kept"), r.getAs[String]("kept_text")))).toMap
+    assert(got(10L) === ((5L, (Seq("a head.") ++ block ++ Seq("a tail.")).mkString("\n"))),
+      "first occurrence must keep its block")
+    assert(got(20L) === ((2L, "b head.\nb tail.")), "later occurrence keeps only its own lines")
+    assert(got(30L) === ((3L, "c one.\nc two.\nc three.")), "untouched doc changed")
+    assert(got(40L) === ((1L, "d tail.")), "third occurrence keeps only its own line")
+  }
+
+  test("c4_span_dedup gate corpus: every 17th doc planted, non-planted pages mostly intact") {
+    val out = TextAnalysis.c4SpanDedup(spark, sfDir).collect()
+    val planted = out.filter(_.getAs[Long]("doc_id") % 17 == 0)
+    assert(planted.nonEmpty)
+    // exactly one planted doc keeps the boilerplate block (the
+    // corpus-wide first); every other planted doc lost >= 3 lines
+    val keepers = planted.filter(_.getAs[String]("kept_text")
+      .contains(TextAnalysis.C4SpanBoilerplate.mkString("\n")))
+    assert(keepers.length === 1, s"expected one surviving block, got ${keepers.length}")
+    assert(keepers.head.getAs[Long]("doc_id") ===
+      planted.map(_.getAs[Long]("doc_id")).min)
+    planted.filterNot(_ eq keepers.head).foreach { r =>
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_lines") - 3,
+        s"doc ${r.getAs[Long]("doc_id")} kept its duplicated block")
+    }
+    // spot-parity with the prep: n_lines = derived lines (+3 when planted)
+    out.foreach(r => assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_lines")))
+  }
+
+  test("c4_span_dedup plan: winner aggregate is map-side partial, no cartesian") {
+    val df = TextAnalysis.c4SpanDedup(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_min"), s"winner agg not map-side partial:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+  }
+
   test("plan: one narrow pass — no join, no aggregate, only the presentation sort") {
     def finalPlan(df: DataFrame): String = {
       df.collect()
