@@ -672,9 +672,15 @@ object TextAnalysis {
       c4SpanDedupOf(c4SpanDerivedCorpus(spark, dir)), sorted, "doc_id")
 
   /** The span-dedup core over ANY (doc_id, text) corpus — the seam
-    * the planted-block spec drives with hand-built pages.
+    * the planted-block spec drives with hand-built pages, and (with
+    * `committed`) the streaming twin's per-batch body: every span
+    * whose md5 is in the `h`-column committed index counts as
+    * already-won elsewhere, so ALL its batch occurrences' lines drop
+    * (the append-only cross-batch rule); None = the corpus-wide
+    * batch run.
     */
-  private[graft] def c4SpanDedupOf(corpus: DataFrame): DataFrame = {
+  private[graft] def c4SpanDedupOf(corpus: DataFrame,
+      committed: Option[DataFrame] = None): DataFrame = {
     val withLs = corpus.select(col("doc_id"), split(col("text"), "\n").as("ls"))
     val lines = withLs
       .select(col("doc_id"), posexplode(col("ls")).as(Seq("line_idx", "line")))
@@ -688,17 +694,27 @@ object TextAnalysis {
       .withColumn("start_idx", col("start_idx").cast("long"))
       .withColumn("h", md5(col("span")))
       .drop("span")
-    val winners = spans.groupBy(col("h"))
+    def linesUnder(occ: DataFrame): DataFrame = occ.select(col("doc_id"),
+      explode(sequence(col("start_idx"),
+        col("start_idx") + (C4SpanLines - 1))).as("line_idx"))
+    // committed spans already won in an earlier batch: every local
+    // occurrence is globally non-first, so all of them drop; only
+    // FRESH spans play the within-batch first-occurrence rule —
+    // with in-doc_id-order batches this reproduces the corpus-wide
+    // run exactly (C4StreamSpec pins it)
+    val idxH = committed.map(_.select(col("h")).distinct())
+    val fresh = idxH.fold(spans)(i => spans.join(i, Seq("h"), "left_anti"))
+    val winners = fresh.groupBy(col("h"))
       .agg(min(struct(col("doc_id"), col("start_idx"))).as("w"),
         count(lit(1)).as("occ"))
       .select(col("h"), col("w.doc_id").as("w_doc"),
         col("w.start_idx").as("w_start"), col("occ"))
-    val removed = spans.join(winners, Seq("h"))
+    val removedWithin = fresh.join(winners, Seq("h"))
       .where(col("occ") > 1 &&
         !(col("doc_id") === col("w_doc") && col("start_idx") === col("w_start")))
-      .select(col("doc_id"),
-        explode(sequence(col("start_idx"),
-          col("start_idx") + (C4SpanLines - 1))).as("line_idx"))
+    val removed = idxH.map(i => spans.join(i, Seq("h"), "left_semi"))
+      .map(c => linesUnder(removedWithin).union(linesUnder(c)))
+      .getOrElse(linesUnder(removedWithin))
       .distinct()
     val rebuilt = lines.join(removed, Seq("doc_id", "line_idx"), "left_anti")
       .groupBy("doc_id")

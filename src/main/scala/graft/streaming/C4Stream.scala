@@ -96,6 +96,46 @@ object C4Stream {
       .select(explode(split(col("kept_text"), "\n")).as("line"))
       .select(md5(col("line")).as("h")).distinct()
 
+  /** Span-dedup verdicts for ONE batch of (doc_id, text) documents
+    * against the frozen committed SPAN index — the C4 three-span
+    * rule's incremental twin ([[detect]]'s shape at span grain):
+    * a committed span's local occurrences are all globally non-first
+    * and drop entirely; fresh spans play the within-batch
+    * first-occurrence rule verbatim (one spelling:
+    * [[TextAnalysis.c4SpanDedupOf]]). With in-doc_id-order batches
+    * this reproduces the corpus-wide run exactly; the caller commits
+    * [[spansOf]] of the RAW batch after publishing (occurrence
+    * counting is over the original corpus, so removed occurrences
+    * still commit their hashes — exactly the batch rule's census).
+    */
+  def detectSpans(spark: SparkSession, batch: DataFrame, spanIndex: DataFrame,
+                  indexKey: String): DataFrame = {
+    val lineageTag = java.lang.Integer.toHexString(
+      spanIndex.queryExecution.analyzed.semanticHash())
+    val idx = graft.DfCache.getOrComputeRotating(spark, "c4stream_spanidx",
+      s"$indexKey-$lineageTag") {
+      spanIndex.select(col("h")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    TextAnalysis.c4SpanDedupOf(batch.select(col("doc_id"), col("text")),
+      committed = Some(idx))
+  }
+
+  /** The span hashes a batch commits to the index: every
+    * [[TextAnalysis.C4SpanLines]]-line span of the batch's ORIGINAL
+    * text (kept or removed — the global rule counts occurrences over
+    * the raw corpus).
+    */
+  def spansOf(batch: DataFrame): DataFrame = {
+    val n = TextAnalysis.C4SpanLines
+    batch.select(split(col("text"), "\n").as("ls"))
+      .where(size(col("ls")) >= n)
+      .select(explode(transform(
+        sequence(lit(0), size(col("ls")) - n),
+        i => md5(array_join(slice(col("ls"), i + 1, lit(n)), "\n")))).as("h"))
+      .distinct()
+  }
+
   /** Drive a document stream through [[detect]], appending each
     * batch's rebuilt documents to `outDir` and the batch's surviving
     * line hashes to `indexDir` — publish-then-commit, so a crash

@@ -99,6 +99,49 @@ class C4StreamSpec extends SparkSpec {
       === rowsOf(got))
   }
 
+  test("span stream: one batch over an empty index == c4_span_dedup, row for row") {
+    val batch = TextAnalysis.c4SpanDerivedCorpus(spark, sfDir)
+    val got = rowsOf(C4Stream.detectSpans(spark, batch, emptyIndex, "span-empty"))
+    val want = rowsOf(TextAnalysis.c4SpanDedup(spark, sfDir))
+    assert(got === want,
+      s"missing=${(want -- got).take(2)} extra=${(got -- want).take(2)}")
+  }
+
+  test("span stream: doc_id-ordered split + committed spans == the batch spelling") {
+    val corpus = TextAnalysis.c4SpanDerivedCorpus(spark, sfDir)
+    val mid = 250L
+    val b1 = corpus.where(col("doc_id") < mid)
+    val b2 = corpus.where(col("doc_id") >= mid)
+    val out1 = C4Stream.detectSpans(spark, b1, emptyIndex, "span-split-1")
+      .localCheckpoint()
+    val idx = C4Stream.spansOf(b1).localCheckpoint()
+    val out2 = C4Stream.detectSpans(spark, b2, idx, "span-split-2")
+    assert(rowsOf(out1) ++ rowsOf(out2)
+      === rowsOf(TextAnalysis.c4SpanDedup(spark, sfDir)),
+      "in-order incremental span-dedup drifted from the corpus-wide batch run")
+  }
+
+  test("span stream: a committed block drops whole, even its once-removed copies") {
+    // batch 1 carries the block once -> kept and committed; batch 2's
+    // two copies BOTH drop (non-first globally), and batch 2's novel
+    // duplicated block plays the within-batch rule
+    val block = Seq("span nav a.", "span nav b.", "span nav c.")
+    val b1 = Seq(C4Doc(300L, (Seq("b1 head.") ++ block).mkString("\n"))).toDF()
+    val idx = C4Stream.spansOf(b1)
+    val fresh = Seq("fresh x.", "fresh y.", "fresh z.")
+    val b2 = Seq(
+      C4Doc(310L, (block ++ fresh).mkString("\n")),
+      C4Doc(311L, (fresh ++ Seq("tail.")).mkString("\n"))).toDF()
+    val m = C4Stream.detectSpans(spark, b2, idx, "span-commit").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_kept"), r.getAs[String]("kept_text")))).toMap
+    // doc 310: committed block gone; its fresh triple is the FIRST
+    // within-batch occurrence -> kept
+    assert(m(310L) === ((3L, fresh.mkString("\n"))))
+    // doc 311: its copy of the fresh triple lost to doc 310
+    assert(m(311L) === ((1L, "tail.")))
+  }
+
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString

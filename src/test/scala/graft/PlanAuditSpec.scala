@@ -386,6 +386,8 @@ class PlanAuditSpec extends SparkSpec {
       "gopher_filter"     -> (s => TextAnalysis.gopherFilter(spark, sfDir, sorted = s)),
       "c4_filter"         -> (s => TextAnalysis.c4Filter(spark, sfDir, sorted = s)),
       "fineweb_linededup" -> (s => TextAnalysis.finewebLineDedup(spark, sfDir, sorted = s)),
+      "c4_span_dedup"     -> (s => TextAnalysis.c4SpanDedup(spark, sfDir, sorted = s)),
+      "doc_decode"        -> (s => graft.operators.Multimodal.docDecode(spark, sfDir, sorted = s)),
       "semdedup_apply"    -> (s => VectorSearch.semDedupApply(spark, sfDir, sorted = s)))
     for ((name, q) <- family) {
       assert(finalPlan(q(true)).contains("rangepartitioning"),
