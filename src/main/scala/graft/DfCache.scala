@@ -189,7 +189,7 @@ object DfCache {
     * thread's flag.
     */
   private lazy val cleaner = {
-    val ex = java.util.concurrent.Executors.newSingleThreadExecutor { r =>
+    val ex = java.util.concurrent.Executors.newSingleThreadScheduledExecutor { r =>
       val t = new Thread(r, "graft-dfcache-cleaner")
       t.setDaemon(true)
       t
@@ -197,33 +197,40 @@ object DfCache {
     ex
   }
 
-  /** How long the cleaner will poll for an in-flight build to land
-    * before dropping the cleanup, and the poll step. Polling peek —
-    * never value — means the cleaner can only ever OBSERVE a frame a
-    * creator built: it cannot start a compute (full Spark jobs on
-    * this thread, without the caller's job group / scheduler-pool
-    * locals, serializing all later cleanups), even when the creator
-    * died mid-build and left the cell retryable.
+  /** How long the cleaner keeps checking for an in-flight build to
+    * land before dropping the cleanup, and the re-check step. Polling
+    * peek — never value — means the cleaner can only ever OBSERVE a
+    * frame a creator built: it cannot start a compute (full Spark
+    * jobs on this thread, without the caller's job group /
+    * scheduler-pool locals), even when the creator died mid-build and
+    * left the cell retryable.
     */
   private val CleanerWaitMs = 15L * 60 * 1000
   private val CleanerPollMs = 200L
 
-  private def deferUnpersist(c: Cell): Unit =
-    cleaner.execute { () =>
-      try {
-        var waited = 0L
-        var df = c.peek
-        while (df.isEmpty && waited < CleanerWaitMs) {
-          Thread.sleep(CleanerPollMs); waited += CleanerPollMs; df = c.peek
-        }
+  /** Each check is one non-blocking task that RE-SCHEDULES itself
+    * (never sleeps on the cleaner thread): a creator that died
+    * mid-build cannot pin the single-thread executor for the full
+    * wait window, so N dead cells interleave their checks instead of
+    * serializing N×15 min of block releases behind each other.
+    */
+  private def deferUnpersist(c: Cell, waitedMs: Long = 0L): Unit = {
+    val check: Runnable = () =>
+      try c.peek match {
+        case Some(df) => df.unpersist()
+        case None if waitedMs < CleanerWaitMs =>
+          deferUnpersist(c, waitedMs + CleanerPollMs)
         // timeout = the creator failed or is pathologically slow;
         // best-effort hygiene gives up rather than build or block
-        df.foreach(_.unpersist())
+        case None => ()
       } catch {
         case _: InterruptedException => Thread.currentThread().interrupt()
         case scala.util.control.NonFatal(_) => ()
       }
-    }
+    if (waitedMs == 0L) cleaner.execute(check)
+    else cleaner.schedule(check, CleanerPollMs,
+      java.util.concurrent.TimeUnit.MILLISECONDS)
+  }
 
   /** Drop and unpersist one cached frame. */
   def evictKey(spark: SparkSession, key: String): Unit = {

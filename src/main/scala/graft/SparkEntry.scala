@@ -2552,7 +2552,11 @@ object SparkEntry {
     // DuckDB) — the sequence_pack_bpe staged-artifact recipe applied
     // to embeddings. The glob is content-addressed by the same
     // corpus-key spelling; the LEFT JOIN from documents makes a
-    // staged table missing any doc fail loudly as a NULL row.
+    // staged table missing any doc fail loudly: a missing QUERY doc
+    // surfaces as NULL output rows directly, and a missing CORPUS doc
+    // ranks FIRST (NULLS FIRST under cos DESC) so the poisoned top-5
+    // breaks the hash instead of the NULL row silently sorting out
+    // of the window under DuckDB's default NULLS LAST.
     "knn_model" -> {
       val glob = graft.DfCache.stagingGlob(graft.operators.Ingest.rpEmbedKeyPrefix)
       s"""WITH ck AS (SELECT CAST(COUNT(*) AS VARCHAR) || '-' ||
@@ -2571,7 +2575,7 @@ object SparkEntry {
          |    floor((list_dot_product(q_emb, emb)/(q_nrm*nrm)) * 10000.0 + 0.5)/10000.0 AS cos
          |  FROM q, c),
          |r AS (SELECT q_id, doc_id, cos,
-         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, doc_id) AS rk FROM s)
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC NULLS FIRST, doc_id) AS rk FROM s)
          |SELECT q_id, doc_id, cos, rk FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
     },
     "image_search" ->

@@ -93,7 +93,17 @@ object Analytics {
     * on user_id; lag + running conditional count assigns session ids.
     */
   def sessionize(spark: SparkSession, dir: String,
-                 gapMs: Long = SessionGapMs): DataFrame = {
+                 gapMs: Long = SessionGapMs): DataFrame =
+    sessionizeCore(spark, dir, gapMs)
+      .orderBy(col("user_id"), col("session_id"))
+
+  /** [[sessionize]] without the presentation sort — the frame
+    * corpus-sized consumers ([[sessionCleanupApply]] under
+    * `sorted = false`) build on so no range exchange enters their
+    * lineage; aggregate consumers destroy ordering anyway.
+    */
+  private def sessionizeCore(spark: SparkSession, dir: String,
+                             gapMs: Long): DataFrame = {
     val byTime = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_ms"), col("event_id"))
     val ev = Tables.events(spark, dir)
@@ -111,7 +121,6 @@ object Analytics {
         max(col("ts_ms")).as("end_ms"),
         count(lit(1)).as("n_events"),
         sum(dec(col("value"))).cast("double").as("session_value"))
-      .orderBy(col("user_id"), col("session_id"))
   }
 
   /** total / active / today session counts — get_user_session_stats
@@ -120,7 +129,7 @@ object Analytics {
     */
   def sessionStats(spark: SparkSession, dir: String,
                    gapMs: Long = SessionGapMs): DataFrame = {
-    val sess = sessionize(spark, dir, gapMs)
+    val sess = sessionizeCore(spark, dir, gapMs)
     val nowMs = Tables.events(spark, dir)
       .agg(max(col("ts_ms")).as("now_ms"),
         (max(col("ts_ms")) - max(col("ts_ms")) % (24L * 3600 * 1000)).as("today_ms"))
@@ -158,7 +167,7 @@ object Analytics {
     // conditional count and after = before - deleted by construction.
     // The anti-join delete itself lives in [[sessionCleanupApply]],
     // which returns the kept frame a MERGE write-back persists.
-    sessionize(spark, dir, gapMs)
+    sessionizeCore(spark, dir, gapMs)
       .select(col("end_ms"))
       .crossJoin(broadcast(nowMs))
       .agg(count(lit(1)).as("total_before"),
@@ -167,23 +176,28 @@ object Analytics {
   }
 
   /** [[sessionCleanup]]'s apply form — the retained sessions after
-    * the delete, dedup_apply's anti-join shape: the kept frame is
-    * what a partition-overwrite write-back would persist
-    * (cf. ChunkIndex.upsert); the COUNT form above is the audit
-    * trail over exactly this delete.
+    * the delete: the kept frame is what a partition-overwrite
+    * write-back would persist (cf. ChunkIndex.upsert); the COUNT form
+    * above is the audit trail over exactly this delete. The delete
+    * predicate depends only on the row's own `end_ms` and the
+    * broadcast end-of-data timestamp, so the delete is a ROW-LOCAL
+    * filter over ONE sessionize pass — dedup_apply's anti-join shape
+    * is reserved for deletes whose doomed set has foreign lineage
+    * (a second table or a cross-row aggregate); spelling this one as
+    * a self-anti-join would compute the sessionize shuffle + window
+    * twice and pay an extra join exchange for nothing.
     */
   def sessionCleanupApply(spark: SparkSession, dir: String,
                           gapMs: Long = SessionGapMs,
                           retentionMs: Long = CleanupRetentionMs,
                           sorted: Boolean = true): DataFrame = {
-    val sess = sessionize(spark, dir, gapMs)
     val nowMs = Tables.events(spark, dir).agg(max(col("ts_ms")).as("now_ms"))
-    val doomed = sess.crossJoin(broadcast(nowMs))
-      .where(col("end_ms") < col("now_ms") - gapMs &&
-        col("end_ms") < col("now_ms") - retentionMs)
-      .select(col("user_id"), col("session_id"))
+    val doomed = col("end_ms") < col("now_ms") - gapMs &&
+      col("end_ms") < col("now_ms") - retentionMs
     Present.presented(
-      sess.join(doomed, Seq("user_id", "session_id"), "left_anti")
+      sessionizeCore(spark, dir, gapMs)
+        .crossJoin(broadcast(nowMs))
+        .where(!doomed)
         .select(col("user_id"), col("session_id"), col("start_ms"),
           col("end_ms"), col("n_events"), col("session_value")),
       sorted, "user_id", "session_id")

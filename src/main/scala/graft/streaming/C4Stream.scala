@@ -31,10 +31,12 @@ import graft.operators.TextAnalysis
   *    rule's (doc_id, line_idx) order when batches arrive in doc_id
   *    order, and the documented frozen-index trade otherwise (a
   *    later arrival can never retroactively strip a committed line).
-  *  - Re-delivery is idempotent BEFORE the index advances (stateless
-  *    in frozen inputs, the at-least-once contract); each batch's
-  *    surviving line hashes are appended to the index by the caller
-  *    (or [[run]]'s parquet sink) as the commit step.
+  *  - Re-delivery is idempotent across the WHOLE at-least-once
+  *    window: [[detect]] is stateless in frozen inputs, and [[run]]'s
+  *    sinks are epoch-scoped ([[runBatch]] — a replayed epoch reads
+  *    only strictly-older index epochs and overwrites its own
+  *    partitions, so it can neither see its own commits nor append
+  *    duplicates).
   *
   * Scale shape per micro-batch: one explode + map-side-combined
   * min-struct winner at batch size, and ONE hash anti-join against
@@ -136,25 +138,51 @@ object C4Stream {
       .distinct()
   }
 
-  /** Drive a document stream through [[detect]], appending each
-    * batch's rebuilt documents to `outDir` and the batch's surviving
-    * line hashes to `indexDir` — publish-then-commit, so a crash
-    * between the two re-delivers a batch whose rows are identical
-    * (the index had not advanced).
+  /** The per-epoch body [[run]] executes — exposed so redelivery can
+    * be driven directly in specs. Idempotent across the WHOLE
+    * at-least-once window, not just a crash between the two writes:
+    *  - the committed view is the index filtered to `epoch < this
+    *    epoch`, so a replay after its own index write landed (crash
+    *    before the streaming checkpoint committed) does NOT see its
+    *    own winners as committed and cannot collapse `n_kept`;
+    *  - both sinks are epoch-named partition directories written with
+    *    Overwrite (`outDir/epoch=N`, `indexDir/epoch=N`), so a
+    *    replayed epoch REPLACES its first delivery instead of
+    *    appending duplicate rows — `spark.read.parquet(outDir)`
+    *    surfaces `epoch` as a partition column and the `< epoch`
+    *    index filter partition-prunes.
+    * Directory existence resolves through the path's Hadoop
+    * FileSystem, so an hdfs:// or s3a:// indexDir behaves exactly
+    * like the local one `spark.read.parquet` would resolve.
+    */
+  def runBatch(spark: SparkSession, batch: DataFrame, epoch: Long,
+               indexDir: String, outDir: String): Unit = {
+    val idxPath = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = idxPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val committed =
+      if (fs.exists(idxPath))
+        spark.read.parquet(indexDir)
+          .where(col("epoch") < epoch).select(col("h"))
+      else spark.range(0).select(lit("").as("h")).where(lit(false))
+    val out = detect(spark, batch, committed, s"$indexDir@$epoch")
+      .localCheckpoint()
+    out.write.mode(SaveMode.Overwrite).parquet(s"$outDir/epoch=$epoch")
+    linesOf(out).write.mode(SaveMode.Overwrite)
+      .parquet(s"$indexDir/epoch=$epoch")
+  }
+
+  /** Drive a document stream through [[detect]]: each micro-batch's
+    * rebuilt documents land under `outDir/epoch=N` and its surviving
+    * line hashes under `indexDir/epoch=N` ([[runBatch]] — replayed
+    * epochs replace rather than duplicate, and never read their own
+    * commits).
     */
   def run(spark: SparkSession, docs: DataFrame, indexDir: String,
           outDir: String, checkpointDir: String): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
-        val committed =
-          if (new java.io.File(indexDir).exists())
-            spark.read.parquet(indexDir)
-          else spark.range(0).select(lit("").as("h")).where(lit(false))
-        val out = detect(spark, batch, committed, s"$indexDir@$epoch")
-          .localCheckpoint()
-        out.write.mode(SaveMode.Append).parquet(outDir)
-        linesOf(out).write.mode(SaveMode.Append).parquet(indexDir)
+        runBatch(spark, batch, epoch, indexDir, outDir)
       }
       .start()
 }

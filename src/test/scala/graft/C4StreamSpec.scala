@@ -142,6 +142,34 @@ class C4StreamSpec extends SparkSpec {
     assert(m(311L) === ((1L, "tail.")))
   }
 
+  test("runBatch: epoch redelivery after its own index commit replaces, never collapses") {
+    val root = java.nio.file.Files.createTempDirectory("c4run").toString
+    val (idxDir, outDir) = (s"$root/idx", s"$root/out")
+    val b0 = Seq(
+      C4Doc(400L, "epoch zero line.\nshared boilerplate."),
+      C4Doc(401L, "shared boilerplate.\nepoch zero tail.")).toDF()
+    C4Stream.runBatch(spark, b0, 0L, idxDir, outDir)
+    val first = rowsOf(spark.read.parquet(outDir).drop("epoch"))
+    // the advice scenario: index write landed, checkpoint did NOT
+    // commit -> the whole epoch re-delivers with its own hashes
+    // already in indexDir. It must not read them (epoch < 0 is
+    // empty) and must replace, not append.
+    C4Stream.runBatch(spark, b0, 0L, idxDir, outDir)
+    val replay = spark.read.parquet(outDir)
+    assert(rowsOf(replay.drop("epoch")) === first,
+      "replayed epoch drifted from its first delivery")
+    assert(replay.count() === 2L, "replayed epoch appended duplicate rows")
+    assert(replay.where(col("n_kept") === 0L).count() === 0L,
+      "replayed epoch saw its own commits and collapsed n_kept")
+    // the next epoch DOES see epoch 0's commits (cross-batch dedup)
+    val b1 = Seq(C4Doc(402L, "shared boilerplate.\nepoch one novel.")).toDF()
+    C4Stream.runBatch(spark, b1, 1L, idxDir, outDir)
+    val e1 = spark.read.parquet(outDir).where(col("epoch") === 1L).collect()
+    assert(e1.length === 1 &&
+      e1.head.getAs[String]("kept_text") === "epoch one novel.",
+      "epoch 1 did not drop the line epoch 0 committed")
+  }
+
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString

@@ -388,7 +388,9 @@ class PlanAuditSpec extends SparkSpec {
       "fineweb_linededup" -> (s => TextAnalysis.finewebLineDedup(spark, sfDir, sorted = s)),
       "c4_span_dedup"     -> (s => TextAnalysis.c4SpanDedup(spark, sfDir, sorted = s)),
       "doc_decode"        -> (s => graft.operators.Multimodal.docDecode(spark, sfDir, sorted = s)),
-      "semdedup_apply"    -> (s => VectorSearch.semDedupApply(spark, sfDir, sorted = s)))
+      "semdedup_apply"    -> (s => VectorSearch.semDedupApply(spark, sfDir, sorted = s)),
+      "session_cleanup_apply" ->
+        (s => graft.operators.Analytics.sessionCleanupApply(spark, sfDir, sorted = s)))
     for ((name, q) <- family) {
       assert(finalPlan(q(true)).contains("rangepartitioning"),
         s"$name: default lost the oracle's presentation order")
@@ -398,5 +400,27 @@ class PlanAuditSpec extends SparkSpec {
       // same rows either way — the contract is presentation-only
       assert(q(false).count() === q(true).count(), s"$name: row count drifted")
     }
+  }
+
+  test("session_cleanup_apply: row-local delete — one sessionize pass, no self-join") {
+    // the delete predicate only touches the row's end_ms vs the
+    // broadcast end-of-data timestamp, so the kept frame must be a
+    // filter over ONE sessionize lineage: exactly one Window subtree,
+    // and the only join anywhere is the 1-row now_ms broadcast
+    val plan = finalPlan(
+      graft.operators.Analytics.sessionCleanupApply(spark, sfDir, sorted = false))
+      .split("== Initial Plan ==").head
+    // one sessionize lineage = exactly its two Window nodes (lag frame
+    // + running-sum frame over the same partitioning) fed by exactly
+    // one hash exchange; the anti-join spelling doubled both
+    val windows = "\\bWindow\\b".r.findAllIn(plan).length
+    assert(windows === 2,
+      s"session_cleanup_apply: $windows window nodes (one sessionize pass has 2):\n$plan")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles === 1,
+      s"session_cleanup_apply: $shuffles hash exchanges (one sessionize pass has 1):\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin")
+      && !plan.contains("BroadcastHashJoin"),
+      s"session_cleanup_apply: key join present — delete is row-local:\n$plan")
   }
 }
