@@ -92,6 +92,7 @@ object SparkEntry {
     "multimodal_meta" -> (TextAnalysis.multimodalMeta _),
     "doc_extract"     -> ((s, d) => Multimodal.docExtract(s, d)),
     "doc_decode"      -> ((s, d) => Multimodal.docDecode(s, d)),
+    "doc_decode_pdf"  -> ((s, d) => Multimodal.docDecodePdf(s, d)),
     "validate_docs"   -> ((s, d) => TextAnalysis.validateDocs(s, d)),
     "clean_text"      -> ((s, d) => TextAnalysis.cleanText(s, d)),
     "pii_scrub"       -> ((s, d) => TextAnalysis.piiScrub(s, d)),
@@ -2000,6 +2001,13 @@ object SparkEntry {
     // directly from documents, so any corruption anywhere in
     // compress/transport/decode breaks the hash gate
     "doc_decode" ->
+      """SELECT doc_id, md5(text) AS text_md5,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // same direct-read oracle as doc_decode: the gate is that the
+    // build-PDF → inflate → Tj-walk round trip reproduces the text
+    "doc_decode_pdf" ->
       """SELECT doc_id, md5(text) AS text_md5,
         |  CAST(length(text) AS BIGINT) AS n_chars,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words

@@ -193,14 +193,239 @@ object Multimodal {
     */
   def docDecode(spark: SparkSession, dir: String,
       codec: MediaCodec = GzipDocCodec,
-      sorted: Boolean = true): DataFrame = {
+      sorted: Boolean = true): DataFrame =
+    decodeGate(spark, gzipRecords(spark, dir), codec, sorted)
+
+
+  /** REAL pure-JVM PDF document codec — the reference's actual
+    * ingestion format (core/utils.py:38 `extract_text_from_pdf`,
+    * PyPDF2): parse the cross-referenced object structure, locate
+    * FlateDecode content streams, inflate them with
+    * java.util.zip.Inflater, and replay the text-showing operators
+    * (`Tj` / `TJ` with literal strings; `Td`/`TD`/`T*` line breaks) —
+    * the same operator walk a naive PDF text extractor performs. No
+    * new libraries: Flate is RFC 1951 via java.util.zip. Literal
+    * strings are read byte-exact (standard escapes + octal + balanced
+    * parens; no EOL normalization), so the extraction is the exact
+    * inverse of [[pdfRecords]]'s writer and round-trips any text.
+    */
+  object PdfDocCodec extends MediaCodec {
+    def open(): MediaDecoder = new MediaDecoder {
+      def decode(r: MediaRecord): MediaFeatures = {
+        val pages = extractPages(r)
+        MediaFeatures(r.doc_id, r.media_type, r.payload.length.toLong,
+          612, 792, pages.length, Nil)
+      }
+      def extractText(r: MediaRecord): String = pdfExtractText(r.payload)
+      def extractPages(r: MediaRecord): Seq[String] = {
+        val cps = pdfExtractText(r.payload).codePoints.toArray
+        cps.grouped(PageChars).map(a => new String(a, 0, a.length)).toSeq
+      }
+    }
+  }
+
+  /** Inflate one RFC-1950 zlib stream (PDF /FlateDecode body). */
+  private def inflateFlate(b: Array[Byte], off: Int, len: Int): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(b, off, len)
+      val out = new java.io.ByteArrayOutputStream(math.max(64, len * 4))
+      val buf = new Array[Byte](8192)
+      while (!inf.finished()) {
+        val n = inf.inflate(buf)
+        if (n == 0 && inf.needsInput())
+          throw new java.util.zip.DataFormatException("truncated flate stream")
+        out.write(buf, 0, n)
+      }
+      out.toByteArray
+    } finally inf.end()
+  }
+
+  /** All text shown by the document's Flate content streams, in
+    * stream order. Streams are located by their object dictionaries
+    * (`<< ... /Length N /Filter /FlateDecode ... >> stream`); the
+    * direct /Length delimits the body exactly, so binary stream bytes
+    * can never be confused with structure.
+    */
+  private[graft] def pdfExtractText(pdf: Array[Byte]): String = {
+    val latin1 = new String(pdf, java.nio.charset.StandardCharsets.ISO_8859_1)
+    require(latin1.startsWith("%PDF-"), "payload is not a PDF")
+    val streamDict =
+      """(?s)<<((?:(?!<<|>>).)*)>>\s*stream\r?\n""".r
+    val pieces = streamDict.findAllMatchIn(latin1).flatMap { m =>
+      val dict = m.group(1)
+      if (!dict.contains("/FlateDecode")) None
+      else {
+        val len = """/Length\s+(\d+)""".r.findFirstMatchIn(dict)
+          .getOrElse(throw new IllegalArgumentException(
+            "stream without direct /Length")).group(1).toInt
+        val off = m.end
+        require(off + len <= pdf.length, "stream body exceeds file")
+        Some(contentText(inflateFlate(pdf, off, len)))
+      }
+    }.toSeq
+    pieces.mkString("\n")
+  }
+
+  /** Replay a content stream's text operators: literal strings push
+    * onto a pending buffer; `Tj`/`TJ` shows them; `Td`/`TD`/`T*`
+    * marks a line break that lands just before the NEXT shown text —
+    * deferred so neither the leading position move of a fresh page
+    * nor a trailing move after the last line fabricates a blank line
+    * (`'`/`"` show-with-break fold both steps).
+    */
+  private def contentText(content: Array[Byte]): String = {
+    val sb = new java.lang.StringBuilder
+    val pending = new java.io.ByteArrayOutputStream()
+    var sawText = false
+    var pendingBreak = false
+    var i = 0
+    val n = content.length
+    def isDelim(c: Byte): Boolean =
+      c == '(' || c == ')' || c == '[' || c == ']' || c == '<' || c == '>' || c == '/'
+    def isWs(c: Byte): Boolean =
+      c == ' ' || c == '\n' || c == '\r' || c == '\t' || c == '\f' || c == 0
+    while (i < n) {
+      val c = content(i)
+      if (isWs(c)) i += 1
+      else if (c == '(') {
+        // literal string, byte-exact: standard escapes, octal, and
+        // unescaped balanced parens; NO EOL normalization (the writer
+        // is the exact inverse)
+        i += 1
+        var depth = 1
+        while (depth > 0 && i < n) {
+          val b = content(i)
+          if (b == '\\' && i + 1 < n) {
+            content(i + 1) match {
+              case 'n' => pending.write('\n'); i += 2
+              case 'r' => pending.write('\r'); i += 2
+              case 't' => pending.write('\t'); i += 2
+              case 'b' => pending.write('\b'); i += 2
+              case 'f' => pending.write('\f'); i += 2
+              case '\n' => i += 2                       // line continuation
+              case '\r' =>
+                i += 2; if (i < n && content(i) == '\n') i += 1
+              case d if d >= '0' && d <= '7' =>
+                var v = 0; var k = 0; i += 1
+                while (k < 3 && i < n && content(i) >= '0' && content(i) <= '7') {
+                  v = v * 8 + (content(i) - '0'); i += 1; k += 1
+                }
+                pending.write(v & 0xff)
+              case e => pending.write(e); i += 2       // \( \) \\ and any other
+            }
+          } else if (b == '(') { depth += 1; pending.write(b); i += 1 }
+          else if (b == ')') {
+            depth -= 1; if (depth > 0) pending.write(b); i += 1
+          } else { pending.write(b); i += 1 }
+        }
+      } else if (c == '[' || c == ']') i += 1
+      else {
+        val start = i
+        while (i < n && !isWs(content(i)) && !isDelim(content(i))) i += 1
+        if (i == start) i += 1   // lone delimiter (e.g. '/Name' head)
+        else new String(content, start, i - start,
+          java.nio.charset.StandardCharsets.ISO_8859_1) match {
+          case op @ ("Tj" | "TJ" | "'" | "\"") =>
+            if (op == "'" || op == "\"") pendingBreak = true
+            if (sawText && pendingBreak) sb.append('\n')
+            pendingBreak = false
+            sb.append(new String(pending.toByteArray,
+              java.nio.charset.StandardCharsets.UTF_8))
+            pending.reset(); sawText = true
+          case "Td" | "TD" | "T*" =>
+            pendingBreak = true
+            pending.reset()
+          case _ => ()   // positioning/state operands and operators
+        }
+      }
+    }
+    sb.toString
+  }
+
+  /** documents.text as REAL single-page PDFs: a valid %PDF-1.4 file
+    * per document — catalog/pages/page/font objects, the text drawn
+    * line-by-line with `Tj` inside a Flate-compressed content stream
+    * (java.util.zip.Deflater), correct xref offsets and trailer. The
+    * encode is query prep (the corpus parquet carries plain text); at
+    * deployment the PDFs arrive as-is and only [[PdfDocCodec]] runs.
+    */
+  def pdfRecords(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
     import spark.implicits._
-    val decoded = gzipRecords(spark, dir)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        MediaRecord(id, "pdf", buildPdf(text))
+      })
+  }
+
+  private def escapePdfString(line: String): Array[Byte] = {
+    val raw = line.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val out = new java.io.ByteArrayOutputStream(raw.length + 8)
+    raw.foreach {
+      case b @ ('(' | ')' | '\\') => out.write('\\'); out.write(b)
+      case b => out.write(b)
+    }
+    out.toByteArray
+  }
+
+  private[graft] def buildPdf(text: String): Array[Byte] = {
+    val content = new java.io.ByteArrayOutputStream()
+    content.write("BT /F1 12 Tf 72 720 Td\n".getBytes("UTF-8"))
+    text.split("\n", -1).foreach { line =>
+      content.write('(')
+      content.write(escapePdfString(line))
+      content.write(") Tj\n0 -14 Td\n".getBytes("UTF-8"))
+    }
+    content.write("ET".getBytes("UTF-8"))
+    val deflater = new java.util.zip.Deflater()
+    val packed = new java.io.ByteArrayOutputStream()
+    val dos = new java.util.zip.DeflaterOutputStream(packed, deflater)
+    dos.write(content.toByteArray); dos.close(); deflater.end()
+    val body = packed.toByteArray
+
+    val out = new java.io.ByteArrayOutputStream(body.length + 640)
+    val offsets = new Array[Int](6)
+    def put(s: String): Unit =
+      out.write(s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    put("%PDF-1.4\n")
+    def obj(num: Int)(write: => Unit): Unit = {
+      offsets(num) = out.size()
+      put(s"$num 0 obj\n"); write; put("\nendobj\n")
+    }
+    obj(1)(put("<< /Type /Catalog /Pages 2 0 R >>"))
+    obj(2)(put("<< /Type /Pages /Kids [3 0 R] /Count 1 >>"))
+    obj(3)(put("<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+      "/Resources << /Font << /F1 4 0 R >> >> /Contents 5 0 R >>"))
+    obj(4)(put("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"))
+    obj(5) {
+      put(s"<< /Length ${body.length} /Filter /FlateDecode >>\nstream\n")
+      out.write(body)
+      put("\nendstream")
+    }
+    val xref = out.size()
+    put("xref\n0 6\n0000000000 65535 f \n")
+    (1 to 5).foreach(i => put(f"${offsets(i)}%010d 00000 n \n"))
+    put(s"trailer\n<< /Size 6 /Root 1 0 R >>\nstartxref\n$xref\n%%%%EOF\n")
+    out.toByteArray
+  }
+
+  /** [[docDecode]]'s gate shape over any records/codec pair — decode
+    * every payload through the per-partition seam, report the decoded
+    * text's md5 / length / word count for the oracle's direct-read
+    * diff. Narrow per-row transform; the only shuffle is the
+    * presentation sort (`sorted = false` drops it).
+    */
+  private def decodeGate(spark: SparkSession,
+      records: Dataset[MediaRecord], codec: MediaCodec,
+      sorted: Boolean): DataFrame = {
+    import spark.implicits._
+    val decoded = records
       .mapPartitions { it =>
         val d = codec.open()   // per-partition codec init
-        it.map(r => (r.doc_id, r.payload.length.toLong, d.extractText(r)))
+        it.map(r => (r.doc_id, d.extractText(r)))
       }
-      .toDF("doc_id", "gz_bytes", "text")
+      .toDF("doc_id", "text")
     Present.presented(
       decoded.select(col("doc_id"), md5(col("text")).as("text_md5"),
         length(col("text")).cast("long").as("n_chars"),
@@ -208,6 +433,18 @@ object Multimodal {
       sorted, "doc_id")
   }
 
+  /** Gated round-trip through the REAL PDF codec ([[docDecode]]'s
+    * recipe at the reference's actual format): every document becomes
+    * a valid Flate-compressed PDF, [[PdfDocCodec]] extracts the text
+    * back by replaying the content stream's Tj operators, and the
+    * oracle computes md5/length/words directly from the documents
+    * table — a corrupted byte anywhere in build/transport/inflate/
+    * operator-walk breaks the hash gate.
+    */
+  def docDecodePdf(spark: SparkSession, dir: String,
+      codec: MediaCodec = PdfDocCodec,
+      sorted: Boolean = true): DataFrame =
+    decodeGate(spark, pdfRecords(spark, dir), codec, sorted)
 
   /** Content search over image payloads — the reference's
     * image_search flow (core/views.py:499 `image_search`, :680

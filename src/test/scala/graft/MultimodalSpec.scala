@@ -90,6 +90,53 @@ class MultimodalSpec extends SparkSpec {
     intercept[java.io.IOException] { dec.extractText(bad) }
   }
 
+  test("pdf payloads are valid Flate PDFs the codec genuinely extracts") {
+    import org.apache.spark.sql.functions._
+    val recs = Multimodal.pdfRecords(spark, sfDir).collect()
+    val texts = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(recs.length === texts.size)
+    val dec = Multimodal.PdfDocCodec.open()
+    recs.foreach { r =>
+      val latin1 = new String(r.payload, java.nio.charset.StandardCharsets.ISO_8859_1)
+      // real PDF structure: header, Flate stream, xref whose recorded
+      // offset actually lands on the xref table
+      assert(latin1.startsWith("%PDF-1.4"), s"doc ${r.doc_id}: no PDF header")
+      assert(latin1.contains("/Filter /FlateDecode"))
+      val sx = """startxref\n(\d+)\n""".r.findFirstMatchIn(latin1)
+        .getOrElse(fail(s"doc ${r.doc_id}: no startxref"))
+      assert(latin1.startsWith("xref", sx.group(1).toInt),
+        s"doc ${r.doc_id}: startxref does not point at the xref table")
+    }
+    // the operator walk inverts the writer exactly — including docs
+    // with parens/backslashes and empty lines if any exist
+    recs.take(50).foreach { r =>
+      assert(dec.extractText(r) === texts(r.doc_id), s"doc ${r.doc_id} round-trip")
+    }
+    // a corrupted content stream fails loudly, never silently passes
+    val victim = recs.head
+    val streamAt = new String(victim.payload,
+      java.nio.charset.StandardCharsets.ISO_8859_1).indexOf("stream\n") + 7
+    val mangled = victim.payload.clone()
+    (streamAt until math.min(streamAt + 16, mangled.length))
+      .foreach(i => mangled(i) = (mangled(i) ^ 0x2a).toByte)
+    intercept[Exception] { dec.extractText(victim.copy(payload = mangled)) }
+  }
+
+  test("pdf writer/extractor round-trips hostile strings byte-exact") {
+    val hostile = Seq(
+      "parens (nested (deep)) and \\backslash\\ mix",
+      "trailing newline\n", "\nleading and\n\ndouble blank", "",
+      "unicode: café 漢字 😀 end",
+      "octal-ish \\101 literal", "carriage\rreturn kept")
+    val dec = Multimodal.PdfDocCodec.open()
+    hostile.foreach { t =>
+      val got = Multimodal.pdfExtractText(Multimodal.buildPdf(t))
+      assert(got === t, s"round-trip drifted for ${t.take(30).replace("\n", "\\n")}")
+    }
+  }
+
   test("gzip codec pages == stub codec pages over the same documents") {
     val viaGzip = Multimodal.gzipRecords(spark, sfDir).collect()
       .map { r =>
