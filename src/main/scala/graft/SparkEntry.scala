@@ -139,6 +139,7 @@ object SparkEntry {
     "ann_ivfpq_residual_recall" -> (VectorSearch.annIvfPqResidualRecall _),
     "knn_text"        -> (VectorSearch.knnText _),
     "knn_model"       -> ((s, d) => VectorSearch.knnModel(s, d)),
+    "knn_model_trained" -> ((s, d) => VectorSearch.knnModelTrained(s, d)),
     "image_search"    -> ((s, d) => Multimodal.imageSearch(s, d)),
     "dedup_embedding" -> (VectorSearch.dedupEmbedding _),
     "semdedup"        -> (VectorSearch.semDedup _),
@@ -880,6 +881,37 @@ object SparkEntry {
        |  SELECT doc_id, text FROM documents
        |  UNION ALL SELECT doc_id + 100000, $copy FROM documents WHERE doc_id % 7 = 0)""".stripMargin
   }
+
+  /** MODEL-artifact search oracle, shared by knn_model (seeded
+    * artifact) and knn_model_trained (corpus-trained artifact): the
+    * cosine top-k is replayed from the STAGED projection vectors
+    * (inference runs once, in Spark, through the TextEmbedder seam;
+    * no model in DuckDB) — the sequence_pack_bpe staged-artifact
+    * recipe applied to embeddings. `glob` is content-addressed by
+    * the corpus-key spelling; the LEFT JOIN from documents makes a
+    * staged table missing any doc fail loudly (missing QUERY doc →
+    * NULL output rows; missing CORPUS doc → NULLS-FIRST poisons the
+    * top-5 instead of silently sorting out under NULLS LAST).
+    */
+  private def modelSearchSql(glob: String): String =
+    s"""WITH ck AS (SELECT CAST(COUNT(*) AS VARCHAR) || '-' ||
+       |    CAST(SUM(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 8))::BIGINT) AS VARCHAR) || '-' ||
+       |    CAST(SUM(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 9, 8))::BIGINT) AS VARCHAR) AS k
+       |  FROM documents),
+       |stg AS (SELECT DISTINCT doc_id, emb
+       |  FROM read_parquet('$glob/*.parquet', union_by_name=true)
+       |  WHERE corpus_key = (SELECT k FROM ck)),
+       |n AS (SELECT d.doc_id, stg.emb,
+       |    sqrt(list_sum(list_transform(stg.emb, x -> x*x))) AS nrm
+       |  FROM documents d LEFT JOIN stg ON d.doc_id = stg.doc_id),
+       |q AS (SELECT doc_id AS q_id, emb AS q_emb, nrm AS q_nrm FROM n WHERE doc_id < ${VectorSearch.NQueries}),
+       |c AS (SELECT doc_id, emb, nrm FROM n WHERE doc_id >= ${VectorSearch.NQueries}),
+       |s AS (SELECT q_id, doc_id,
+       |    floor((list_dot_product(q_emb, emb)/(q_nrm*nrm)) * 10000.0 + 0.5)/10000.0 AS cos
+       |  FROM q, c),
+       |r AS (SELECT q_id, doc_id, cos,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC NULLS FIRST, doc_id) AS rk FROM s)
+       |SELECT q_id, doc_id, cos, rk FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
 
   private val sessionizeSql =
     """WITH ev AS (
@@ -2554,38 +2586,13 @@ object SparkEntry {
     "knn_text" -> ("WITH " + queriesCte + ",\n" + textEmbBody +
       """
         |SELECT q_id, doc_id, cos, rk FROM tr WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin),
-    // MODEL-artifact search: the oracle replays knn_model's cosine
-    // top-k from the STAGED projection-model vectors (inference runs
-    // once, in Spark, through the TextEmbedder seam; no model in
-    // DuckDB) — the sequence_pack_bpe staged-artifact recipe applied
-    // to embeddings. The glob is content-addressed by the same
-    // corpus-key spelling; the LEFT JOIN from documents makes a
-    // staged table missing any doc fail loudly: a missing QUERY doc
-    // surfaces as NULL output rows directly, and a missing CORPUS doc
-    // ranks FIRST (NULLS FIRST under cos DESC) so the poisoned top-5
-    // breaks the hash instead of the NULL row silently sorting out
-    // of the window under DuckDB's default NULLS LAST.
-    "knn_model" -> {
-      val glob = graft.DfCache.stagingGlob(graft.operators.Ingest.rpEmbedKeyPrefix)
-      s"""WITH ck AS (SELECT CAST(COUNT(*) AS VARCHAR) || '-' ||
-         |    CAST(SUM(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 8))::BIGINT) AS VARCHAR) || '-' ||
-         |    CAST(SUM(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 9, 8))::BIGINT) AS VARCHAR) AS k
-         |  FROM documents),
-         |stg AS (SELECT DISTINCT doc_id, emb
-         |  FROM read_parquet('$glob/*.parquet', union_by_name=true)
-         |  WHERE corpus_key = (SELECT k FROM ck)),
-         |n AS (SELECT d.doc_id, stg.emb,
-         |    sqrt(list_sum(list_transform(stg.emb, x -> x*x))) AS nrm
-         |  FROM documents d LEFT JOIN stg ON d.doc_id = stg.doc_id),
-         |q AS (SELECT doc_id AS q_id, emb AS q_emb, nrm AS q_nrm FROM n WHERE doc_id < ${VectorSearch.NQueries}),
-         |c AS (SELECT doc_id, emb, nrm FROM n WHERE doc_id >= ${VectorSearch.NQueries}),
-         |s AS (SELECT q_id, doc_id,
-         |    floor((list_dot_product(q_emb, emb)/(q_nrm*nrm)) * 10000.0 + 0.5)/10000.0 AS cos
-         |  FROM q, c),
-         |r AS (SELECT q_id, doc_id, cos,
-         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC NULLS FIRST, doc_id) AS rk FROM s)
-         |SELECT q_id, doc_id, cos, rk FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
-    },
+    // see modelSearchSql for the shared staged-artifact replay shape
+    "knn_model" ->
+      modelSearchSql(graft.DfCache.stagingGlob(graft.operators.Ingest.rpEmbedKeyPrefix)),
+    // identical replay over the TRAINED artifact's staged vectors —
+    // only the content-addressed glob differs
+    "knn_model_trained" ->
+      modelSearchSql(graft.DfCache.stagingGlob(graft.operators.Ingest.pcaEmbedKeyPrefix)),
     "image_search" ->
       ("""WITH queries AS (SELECT doc_id AS q_id,
          |    array_to_string(string_split(text, ' ')[1:5], ' ') AS q_text

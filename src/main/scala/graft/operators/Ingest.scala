@@ -243,16 +243,28 @@ object Ingest {
     }
 
     def write(path: String, seed: Long, inDim: Int, outDim: Int): Unit = {
+      val rnd = new java.util.Random(seed)
+      val w = Array.fill(inDim * outDim)(rnd.nextGaussian().toFloat)
+      writeWeights(path, inDim, outDim, w)
+    }
+
+    /** Publish EXPLICIT weights (the TRAINED-artifact path — same
+      * binary format, so [[RandomProjectionEmbedder]] loads seeded
+      * and trained artifacts identically).
+      */
+    def writeWeights(path: String, inDim: Int, outDim: Int,
+        w: Array[Float]): Unit = {
       validateDims(inDim, outDim)
+      require(w.length == inDim * outDim,
+        s"weight array ${w.length} != $inDim x $outDim")
       val f = new java.io.File(path)
       Option(f.getParentFile).foreach(_.mkdirs())
       val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
         new java.io.FileOutputStream(f)))
       try {
         out.writeInt(Magic); out.writeInt(inDim); out.writeInt(outDim)
-        val rnd = new java.util.Random(seed)
         var n = 0
-        while (n < inDim * outDim) { out.writeFloat(rnd.nextGaussian().toFloat); n += 1 }
+        while (n < w.length) { out.writeFloat(w(n)); n += 1 }
       } finally out.close()
     }
 
@@ -336,6 +348,176 @@ object Ingest {
           RpSeed, RpInDim, RpOutDim)
       }
       graft.DfCache.stagedFrame(spark, s"${rpEmbedKeyPrefix}_$ck", fp) {
+        embedWith(spark, docs, new RandomProjectionEmbedder(s"$artDir/model.grp"))
+          .select(col("doc_id"),
+            transform(col("embedding"), x => Par.round4(x.cast("double"))).as("emb"),
+            lit(ck).as("corpus_key"))
+      }
+    }
+
+  // --- Gated TRAINED model embeddings (knn_model_trained) -------------
+
+  /** Parameters of the TRAINED projection artifact behind
+    * knn_model_trained — the final step of the TextEmbedder-seam
+    * ladder (reference core/utils.py:105: sentence-transformers, a
+    * model whose weights are LEARNED): uncentered PCA of the
+    * hashed-BoW second-moment matrix, trained IN Spark from the
+    * corpus itself, published as the same content-addressed artifact
+    * format the seeded model uses. Tag carries dims + iteration
+    * count so a parameter change can never serve a stale table.
+    */
+  val PcaOutDim = 16
+  val PcaIters = 40
+
+  private def pcaStageTag = s"pca_${RpInDim}x${PcaOutDim}_i$PcaIters"
+
+  /** The staged trained-embedding key prefix the oracle's glob
+    * carries (SparkEntry's knn_model_trained SQL).
+    */
+  private[graft] def pcaEmbedKeyPrefix = s"pca_embed_$pcaStageTag"
+
+  /** EXACT-INTEGER hashed-BoW moments of the corpus: doc count `n`,
+    * count-vector sum `s`, and Gram matrix `g[i][j] = Σ_docs c_i c_j`
+    * — the sufficient statistics PCA training needs. Hashed-BoW
+    * counts are integers, so every accumulation is exact Long
+    * arithmetic: the cluster-side reduction is order-independent BY
+    * CONSTRUCTION (integer addition commutes exactly), which is what
+    * makes the trained artifact deterministic on any partitioning.
+    * Scale shape: the corpus first quotients to one row per DISTINCT
+    * text with its multiplicity (one map-side-combined shuffle — the
+    * clone-flood recipe, so replicated rungs pay base-corpus work),
+    * then each partition folds its texts into one (n, s, g) triple
+    * and ~32 triples reduce. At 100 TB the reduce moves
+    * `parts × (inDim² + inDim)` longs — ~0.5 MB per partition at
+    * 256 dims, independent of corpus size.
+    */
+  private[graft] def bowMoments(spark: SparkSession, docs: DataFrame,
+      inDim: Int): (Long, Array[Long], Array[Long]) = {
+    import spark.implicits._
+    val grouped = docs.groupBy(col("text"))
+      .agg(count(lit(1)).cast("long").as("mult"))
+      .select(col("text"), col("mult")).as[(String, Long)]
+    val (n, s, g) = grouped.mapPartitions { it =>
+      val hasher = new BowHasher(inDim)
+      var n = 0L
+      val s = new Array[Long](inDim)
+      val g = new Array[Long](inDim * inDim)
+      it.foreach { case (t, mult) =>
+        val c = hasher.counts(t).map(_.toLong)
+        n += mult
+        val nz = (0 until inDim).filter(i => c(i) != 0L).toArray
+        var a = 0
+        while (a < nz.length) {
+          val i = nz(a)
+          s(i) += mult * c(i)
+          var b = a
+          while (b < nz.length) {   // upper triangle only; mirrored below
+            val j = nz(b)
+            g(i * inDim + j) += mult * c(i) * c(j)
+            b += 1
+          }
+          a += 1
+        }
+      }
+      Iterator.single((n, s, g))
+    }.reduce { (x, y) =>
+      (x._1 + y._1,
+        Array.tabulate(inDim)(i => x._2(i) + y._2(i)),
+        Array.tabulate(inDim * inDim)(k => x._3(k) + y._3(k)))
+    }
+    var i = 0
+    while (i < inDim) {
+      var j = 0
+      while (j < i) { g(i * inDim + j) = g(j * inDim + i); j += 1 }
+      i += 1
+    }
+    (n, s, g)
+  }
+
+  /** Deterministic top-`outDim` principal directions of the corpus —
+    * fixed-iteration power method with deflation over the EXACT
+    * scaled covariance `n·G − s·sᵀ` (same eigenvectors as the
+    * covariance; BigInt products, so no overflow and no FP
+    * order-sensitivity enters before the single driver-side
+    * conversion to double). Everything after the exact moments is
+    * SEQUENTIAL driver math: seeded start vectors, `iters` matvec
+    * steps per component, sign fixed by the largest-|loading|
+    * coordinate, rank-deficient tails keep their (deterministic)
+    * start direction. Output is the row-major `inDim × outDim`
+    * weight matrix [[RandomProjectionModel]] publishes.
+    */
+  private[graft] def trainPcaWeights(n: Long, s: Array[Long],
+      g: Array[Long], inDim: Int, outDim: Int,
+      iters: Int = PcaIters): Array[Float] = {
+    require(n > 0, "cannot train a PCA artifact on an empty corpus")
+    val big = Array.tabulate(inDim * inDim) { k =>
+      BigInt(n) * g(k) - BigInt(s(k / inDim)) * BigInt(s(k % inDim))
+    }
+    val scale = big.map(_.abs).max.max(BigInt(1)).toDouble
+    val m = big.map(_.toDouble / scale)
+    def matvec(v: Array[Double]): Array[Double] =
+      Array.tabulate(inDim) { i =>
+        var acc = 0.0; var j = 0
+        while (j < inDim) { acc += m(i * inDim + j) * v(j); j += 1 }
+        acc
+      }
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    val w = new Array[Float](inDim * outDim)
+    val rnd = new java.util.Random(RpSeed)
+    var k = 0
+    while (k < outDim) {
+      var v = Array.fill(inDim)(rnd.nextGaussian())
+      val n0 = math.sqrt(dot(v, v)); v = v.map(_ / n0)
+      var it = 0
+      while (it < iters) {
+        val nv = matvec(v)
+        val nrm = math.sqrt(dot(nv, nv))
+        if (nrm > 1e-12) v = nv.map(_ / nrm)   // else: deflated-out tail,
+        it += 1                                 // keep the seeded direction
+      }
+      val pivot = v.indices.maxBy(i => (math.abs(v(i)), -i))
+      if (v(pivot) < 0) v = v.map(x => -x)
+      val sv = matvec(v)
+      val lambda = dot(v, sv)
+      var i = 0
+      while (i < inDim) {
+        w(i * outDim + k) = v(i).toFloat
+        var j = 0
+        while (j < inDim) { m(i * inDim + j) -= lambda * v(i) * v(j); j += 1 }
+        i += 1
+      }
+      k += 1
+    }
+    w
+  }
+
+  /** The staged (doc_id, emb, corpus_key) TRAINED-model embeddings —
+    * [[modelEmbedCached]]'s recipe with the learned artifact: compute
+    * the exact corpus moments in Spark, train the PCA weights on the
+    * driver, publish content-addressed (the input fingerprint keys
+    * the artifact, so a different corpus trains and serves a
+    * DIFFERENT model file), then run every document through the SAME
+    * [[RandomProjectionEmbedder]] seam — the loader cannot tell a
+    * trained artifact from a seeded one, which is the point: swapping
+    * seeded → learned weights is a pure artifact swap.
+    */
+  private[graft] def pcaEmbedCached(spark: SparkSession, dir: String): DataFrame =
+    graft.DfCache.getOrCompute(spark, s"pca_embed:$dir") {
+      val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      val fp = graft.DfCache.inputFingerprint(spark, s"$dir/documents.parquet")
+      val (_, ck) = Pack.corpusCountAndKey(docs)
+      val artDir = graft.DfCache.publishStaged(spark,
+        s"pca_model_$pcaStageTag", fp, "_SUCCESS") { tmp =>
+        val (n, s, g) = bowMoments(spark, docs, RpInDim)
+        RandomProjectionModel.writeWeights(
+          new java.io.File(tmp, "model.grp").getPath,
+          RpInDim, PcaOutDim, trainPcaWeights(n, s, g, RpInDim, PcaOutDim))
+      }
+      graft.DfCache.stagedFrame(spark, s"${pcaEmbedKeyPrefix}_$ck", fp) {
         embedWith(spark, docs, new RandomProjectionEmbedder(s"$artDir/model.grp"))
           .select(col("doc_id"),
             transform(col("embedding"), x => Par.round4(x.cast("double"))).as("emb"),

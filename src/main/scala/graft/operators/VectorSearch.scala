@@ -887,8 +887,26 @@ object VectorSearch {
     * as [[knnBrute]]. The oracle replays this search from the staged
     * vectors — inference happens exactly once per corpus, in Spark.
     */
-  def knnModel(spark: SparkSession, dir: String, k: Int = K): DataFrame = {
-    val v = Ingest.modelEmbedCached(spark, dir).select(col("doc_id"), col("emb"))
+  def knnModel(spark: SparkSession, dir: String, k: Int = K): DataFrame =
+    modelVectorSearch(Ingest.modelEmbedCached(spark, dir), k)
+
+  /** [[knnModel]] over the TRAINED artifact (Ingest.pcaEmbedCached —
+    * weights LEARNED from the corpus by exact-moment power-method
+    * PCA, not seeded): same staged-vector search, same oracle replay;
+    * only the model file differs. Together the pair proves the
+    * TextEmbedder seam end to end at both artifact provenances a
+    * deployment meets (shipped weights vs corpus-trained weights).
+    */
+  def knnModelTrained(spark: SparkSession, dir: String, k: Int = K): DataFrame =
+    modelVectorSearch(Ingest.pcaEmbedCached(spark, dir), k)
+
+  /** Shared brute-force cosine top-k over a staged (doc_id, emb)
+    * model-embedding frame: first [[NQueries]] docs are the query
+    * batch, broadcast against the rest of the corpus — [[knnBrute]]'s
+    * plan shape.
+    */
+  private def modelVectorSearch(vectors: DataFrame, k: Int): DataFrame = {
+    val v = vectors.select(col("doc_id"), col("emb"))
     val q = v.where(col("doc_id") < NQueries)
       .select(col("doc_id").as("q_id"), col("emb").as("q_emb"))
     val corpus = v.where(col("doc_id") >= NQueries)

@@ -135,6 +135,61 @@ class IngestSeamSpec extends SparkSpec {
     }
   }
 
+  test("PCA training is deterministic: same corpus -> identical artifact bytes") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    // moments are exact integers, so ANY partitioning folds to the
+    // same triple — recompute under a different partitioning
+    val (n1, s1, g1) = Ingest.bowMoments(spark, docs, Ingest.RpInDim)
+    val (n2, s2, g2) = Ingest.bowMoments(spark, docs.repartition(7), Ingest.RpInDim)
+    assert(n1 === n2); assert(s1.toSeq === s2.toSeq); assert(g1.toSeq === g2.toSeq)
+    assert(n1 === docs.count())
+    // and the driver-side train is a pure function of the moments
+    val w1 = Ingest.trainPcaWeights(n1, s1, g1, Ingest.RpInDim, Ingest.PcaOutDim)
+    val w2 = Ingest.trainPcaWeights(n2, s2, g2, Ingest.RpInDim, Ingest.PcaOutDim)
+    assert(w1.toSeq === w2.toSeq, "training drifted across identical moments")
+    assert(w1.exists(_ != 0f))
+  }
+
+  test("PCA artifact is LEARNED: a different corpus trains different weights") {
+    import spark.implicits._
+    val a = Seq((0L, "alpha beta gamma delta"), (1L, "alpha beta epsilon"),
+      (2L, "gamma delta zeta"), (3L, "beta gamma eta theta")).toDF("doc_id", "text")
+    val b = Seq((0L, "one two three four"), (1L, "two three five"),
+      (2L, "four five six"), (3L, "one six seven eight")).toDF("doc_id", "text")
+    def weightsOf(df: org.apache.spark.sql.DataFrame): Seq[Float] = {
+      val (n, s, g) = Ingest.bowMoments(spark, df, Ingest.RpInDim)
+      Ingest.trainPcaWeights(n, s, g, Ingest.RpInDim, Ingest.PcaOutDim).toSeq
+    }
+    assert(weightsOf(a) !== weightsOf(b),
+      "two different corpora trained the same artifact — weights are not learned")
+    // self-consistency on the tiny frame too
+    assert(weightsOf(a) === weightsOf(a))
+  }
+
+  test("knn_model_trained: staged trained-artifact search has knn_model's contract") {
+    import graft.operators.VectorSearch
+    val rows = VectorSearch.knnModelTrained(spark, sfDir).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.keySet === (0L until VectorSearch.NQueries.toLong).toSet)
+    byQ.foreach { case (q, hits) =>
+      assert(hits.length === VectorSearch.K, s"query $q returned ${hits.length} hits")
+      assert(hits.forall(_.getAs[Long]("doc_id") >= VectorSearch.NQueries),
+        s"query $q retrieved a query-batch doc")
+      val cs = hits.sortBy(_.getAs[Long]("rk")).map(_.getAs[Double]("cos"))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+      cs.foreach(c => assert(c === math.floor(c * 1e4 + 0.5) / 1e4))
+    }
+    // the trained projection is a REAL 16-dim embedding: vectors unit-normalized
+    val v = Ingest.pcaEmbedCached(spark, sfDir).limit(20).collect()
+    v.foreach { r =>
+      val e = r.getSeq[Double](r.fieldIndex("emb"))
+      assert(e.length === Ingest.PcaOutDim)
+      val nrm = math.sqrt(e.map(x => x * x).sum)
+      assert(math.abs(nrm - 1.0) < 2e-3, s"doc ${r.getLong(0)}: |emb| = $nrm")
+    }
+  }
+
   test("doc_extract pages reassemble to the original text") {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text")).collect()
