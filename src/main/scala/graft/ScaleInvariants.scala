@@ -293,6 +293,82 @@ object ScaleInvariants {
         s"query replicas in the corpus must self-hit at cos 1.0: ${bad.take(3)}")
     }
 
+    // --- r17 additions: the late-r16 pair + this round's queries ------
+
+    // c4_span_dedup: replica ids all exceed base ids, so no replica
+    // can steal a span winner from the base slice — base docs'
+    // rebuilt rows identical to the base-corpus run (the
+    // fineweb_base_winners argument at span grain).
+    check("c4_span_base_winners_x" + mult) {
+      type R = (Long, Long, String)
+      def rows(df: DataFrame): Map[Long, R] = df.collect()
+        .map(r => r.getAs[Long]("doc_id") -> ((r.getAs[Long]("n_lines"),
+          r.getAs[Long]("n_kept"), r.getAs[String]("kept_text")))).toMap
+      val b = rows(q("c4_span_dedup", base))
+      val s = rows(q("c4_span_dedup", scaled)
+        .where(col("doc_id") < 10000000L))
+      require(b.keySet == s.keySet, "base doc set differs")
+      val bad = b.keys.filter(k => b(k) != s(k))
+      require(bad.isEmpty, s"base span winners moved under replication: ${bad.take(3)}")
+    }
+
+    // doc_decode / doc_decode_pdf: pure content functions of the text
+    // through a real codec round-trip — the scaled report must be
+    // exactly mult shifted twins of every base row.
+    Seq("doc_decode", "doc_decode_pdf").foreach { name =>
+      check(s"${name}_twins_x" + mult) {
+        val cols = Seq("text_md5", "n_chars", "n_words")
+        val b = q(name, base)
+          .select(col("doc_id").as("orig_id") +: cols.map(c => col(c).as(c + "_b")): _*)
+        val s = q(name, scaled)
+          .select(pmod(col("doc_id"), lit(10000000L)).as("orig_id") +: cols.map(col): _*)
+        val joined = s.join(b, Seq("orig_id"), "full")
+          .agg(
+            count(lit(1)).as("n"),
+            count(when(cols.map(c => col(c).isNull || col(c + "_b").isNull)
+              .reduce(_ || _), 1)).as("unmatched"),
+            count(when(cols.map(c => col(c) =!= col(c + "_b"))
+              .reduce(_ || _), 1)).as("mismatched"))
+          .collect().head
+        val nBase = q(name, base).count()
+        require(joined.getAs[Long]("unmatched") == 0, "unmatched twin rows")
+        require(joined.getAs[Long]("mismatched") == 0, "twin column mismatch")
+        require(joined.getAs[Long]("n") == nBase * mult,
+          s"twin multiplicity: ${joined.getAs[Long]("n")} != ${nBase * mult}")
+      }
+    }
+
+    // knn_model_trained: replication scales the EXACT moment matrix
+    // n·G − s·sᵀ by mult² (a power of two squared), which cancels
+    // bit-exactly in the max-abs normalization — so the TRAINED
+    // artifact must come out BIT-IDENTICAL on the scaled corpus, and
+    // the search must self-hit like knn_model (query replicas enter
+    // the corpus side at cos 1.0).
+    check("knn_model_trained_weights_x" + mult) {
+      import graft.operators.Ingest
+      def weights(dir: String): Seq[Float] = {
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("text"))
+        val (n, sV, gV) = Ingest.bowMoments(spark, docs, Ingest.RpInDim)
+        Ingest.trainPcaWeights(n, sV, gV, Ingest.RpInDim, Ingest.PcaOutDim).toSeq
+      }
+      val wb = weights(base)
+      val ws = weights(scaled)
+      require(wb == ws,
+        "trained weights drifted under replication (mult^2 moment scaling must cancel)")
+    }
+    check("knn_model_trained_top1_x" + mult) {
+      def top1(dir: String): Map[Long, Double] =
+        q("knn_model_trained", dir).where(col("rk") === 1L).collect()
+          .map(r => r.getAs[Long]("q_id") -> r.getAs[Double]("cos")).toMap
+      val b = top1(base)
+      val s = top1(scaled)
+      require(b.keySet == s.keySet, "query set differs")
+      val bad = s.filter { case (_, c) => c != 1.0 }
+      require(bad.isEmpty,
+        s"query replicas in the corpus must self-hit at cos 1.0: ${bad.take(3)}")
+    }
+
     val failed = results.valuesIterator.count(_ != "pass")
     val js = results.map { case (k, v) => s"""\"$k\":\"$v\"""" }.mkString("{", ",", "}")
     println(s"""{"engine_only":true,"base":"$base","scaled":"$scaled","mult":$mult,""" +
