@@ -108,6 +108,25 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // r17 §2/§6 (OPTIMIZATION_r17.md): always take the
+      // UnsafeShuffleWriter single-spill path instead of the bypass
+      // writer's one-file-per-reducer fan-out — thread dumps showed map
+      // tasks spending their time in mmap/unmap syscalls concatenating
+      // 32 per-reducer files per task. At cluster scale shuffles run
+      // >200 partitions where the bypass writer never fires, so this
+      // only changes the small-shuffle regime (any scale's map-side
+      // dims and audit frames included).
+      .config("spark.shuffle.sort.bypassMergeThreshold", "1")
+      // AQE coalescing by ADVISORY SIZE, not local parallelism — the
+      // Spark-documented setting for busy clusters (guide §2.2: size
+      // partitions 100 MB–1 GB and let AQE coalesce): reduce stages
+      // then scale with the DATA (1 task at sf0.1, hundreds at 100 TB)
+      // instead of pinning 32 tasks per exchange at every scale.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      // 133 registered queries × several codegen units far exceeds the
+      // default 100-entry generated-class cache; scale-independent
+      // driver-side setting (static conf, so set at session build).
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

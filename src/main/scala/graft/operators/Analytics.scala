@@ -102,8 +102,8 @@ object Analytics {
     * `sorted = false`) build on so no range exchange enters their
     * lineage; aggregate consumers destroy ordering anyway.
     */
-  private def sessionizeCore(spark: SparkSession, dir: String,
-                             gapMs: Long): DataFrame = {
+  private[operators] def sessionizeCore(spark: SparkSession, dir: String,
+                                        gapMs: Long): DataFrame = {
     val byTime = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_ms"), col("event_id"))
     val ev = Tables.events(spark, dir)

@@ -383,7 +383,11 @@ object Dedup {
     * shuffled.
     */
   private[graft] def jaccardOf(cand: DataFrame, posting: DataFrame): DataFrame = {
-    val counts = posting.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // referenced from BOTH sides of the size join below — materialized
+    // so the posting scan + aggregate runs once per call, not twice
+    // (r17, guide §2.4; one row per doc, bounded by the corpus)
+    val counts = cachedPosting(
+      posting.groupBy(col("doc_id")).agg(count(lit(1)).as("n")))
     val inter = cand
       .join(posting.select(col("doc_id").as("a_id"), col("s")), Seq("a_id"))
       .join(posting.select(col("doc_id").as("b_id"), col("s")), Seq("b_id", "s"))
@@ -1112,7 +1116,10 @@ object Dedup {
   private[graft] def groupedReportStream(spark: SparkSession, dir: String,
                                          topN: Int = 50): DataFrame = {
     val slateN = topN + 1
-    val slates = groupedSlates(spark, dir, slateN)
+    // consumed by the within stream AND both cross-join sides —
+    // materialized once per invocation (r17, guide §2.4/§5; the
+    // simhashExpandedQualifyingOf receipt)
+    val slates = cachedPosting(groupedSlates(spark, dir, slateN))
     val within = slates
       .join(minhashGroupedEligibleReps(spark, dir), Seq("rep_id"), "left_semi")
       .select(posexplode(col("sl")).as(Seq("i", "a_id")), col("sl"))
@@ -1314,7 +1321,16 @@ object Dedup {
         array((1 to pk).map(i => lead(col("doc_id"), i).over(gw)): _*))
     val eligible = ranked.join(
       sigs.select(col("doc_id").as("rep_id")), Seq("rep_id"), "left_semi")
-    val slate = eligible.where(col("grk") <= cap)
+    // MATERIALIZED multi-consumer frames (r17, guide §2.4/§5): `slate`
+    // feeds the within stream AND the slate-array aggregate, and
+    // `slates` sits on BOTH sides of the cross join — left as plain
+    // lineage, the planner re-derives the members window + semi-join
+    // chain once per consumer (the r17 plan-metrics receipt showed the
+    // Window/Exchange subtree FOUR times: ~4× the task time of one
+    // pass at every scale). The cachedPosting persist makes each
+    // compute once per invocation; at 100 TB these are the
+    // detect-stage staging tables (cachedPosting's documented analog).
+    val slate = cachedPosting(eligible.where(col("grk") <= cap))
     val within = slate
       .select(col("doc_id").as("a_id"),
         explode(filter(col("nxt"), x => x.isNotNull)).as("b_id"))
@@ -1322,11 +1338,11 @@ object Dedup {
     // bounded (≤ cap ids, sorted) slate arrays carry the cross lift;
     // filter+slice is the same trim against the partner group's slate.
     // `g` (full group size) rides along for the saturation trim below.
-    val slates = slate.groupBy(col("rep_id"))
+    val slates = cachedPosting(slate.groupBy(col("rep_id"))
       .agg(sort_array(collect_list(col("doc_id"))).as("slate"),
         max(col("grk")).as("slate_n"))
       .join(members.groupBy(col("rep_id")).agg(count(lit(1)).as("g")),
-        Seq("rep_id"))
+        Seq("rep_id")))
     val crossE = repQ
       .join(slates.select(col("rep_id").as("a_id"), col("slate").as("sa"),
         col("g").as("ga")), Seq("a_id"))

@@ -26,7 +26,7 @@ object Ingest {
     * in embed_pdfs.py:151.
     */
   def docChunk(spark: SparkSession, dir: String): DataFrame =
-    chunksOf(Tables.documents(spark, dir))
+    chunksOf(Tables.documentsSpread(spark, dir))
       .orderBy(col("doc_id"), col("chunk_index"))
 
   /** Chunking over any (doc_id, text) frame — shared by docChunk and

@@ -297,7 +297,11 @@ object RangeJoin {
     // each start, −1 after each end): one union, one shuffle, no
     // (purchase × concurrent-session) pair materialization at all;
     // joinPointInInterval stays the operator for pair-OUTPUT joins
-    val sess = Analytics.sessionize(spark, dir)
+    // sessionizeCore, NOT sessionize: the presentation range-sort
+    // would cost a global exchange + sampling job only for this
+    // checkpoint to discard the order (r17, guide §2.4 — an orderBy
+    // used only to make output deterministic is an accidental shuffle)
+    val sess = Analytics.sessionizeCore(spark, dir, w)
       .select(col("start_ms"), col("end_ms"))
       .localCheckpoint()   // feeds the start and end value sides
     countActive(purchases, "ts_ms", sess, "start_ms", "end_ms", w, "n_active")
@@ -324,7 +328,9 @@ object RangeJoin {
     val w = Analytics.SessionGapMs
     // the sessionize subtree feeds the point chain + four value
     // sides; localCheckpoint materializes it once
-    val sess = Analytics.sessionize(spark, dir)
+    // sessionizeCore: same no-presentation-sort argument as
+    // rangeActiveSessions above (the checkpoint discards order)
+    val sess = Analytics.sessionizeCore(spark, dir, w)
       .select(col("user_id"), col("session_id"),
         col("start_ms"), col("end_ms"))
       .localCheckpoint()

@@ -454,7 +454,7 @@ object TextAnalysis {
     * One narrow pass, no shuffle except the presentation sort.
     */
   def gopherQuality(spark: SparkSession, dir: String): DataFrame =
-    gopherMetricsOf(Tables.documents(spark, dir))
+    gopherMetricsOf(Tables.documentsSpread(spark, dir))
       .select(col("doc_id"), col("n_words"), col("mean_word_len"),
         col("n_stop"), col("top2_frac"), col("top3_frac"),
         col("top4_frac"), col("dup5_frac"), col("keep"))
@@ -466,7 +466,7 @@ object TextAnalysis {
   def gopherFilter(spark: SparkSession, dir: String,
                    sorted: Boolean = true): DataFrame =
     Present.presented(
-      gopherMetricsOf(Tables.documents(spark, dir))
+      gopherMetricsOf(Tables.documentsSpread(spark, dir))
         .where(col("keep"))
         .select(col("doc_id"), col("lang"), col("n_chars")),
       sorted, "doc_id")
@@ -504,7 +504,7 @@ object TextAnalysis {
     */
   private[graft] def c4DerivedCorpus(spark: SparkSession, dir: String): DataFrame = {
     val lw = C4LineWords
-    val base = Tables.documents(spark, dir)
+    val base = Tables.documentsSpread(spark, dir)
       .where(length(col("text")) > 0)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
     val id = col("doc_id")

@@ -1032,13 +1032,21 @@ object VectorSearch {
     val gw = Window.partitionBy(col("rep_id")).orderBy(col("vec_id"))
     val ranked = members.withColumn("nxt",
       array((1 to pk).map(i => lead(col("vec_id"), i).over(gw)): _*))
+    // MATERIALIZED multi-consumer frames (r17, guide §2.4/§5) — same
+    // receipt as Dedup.simhashExpandedQualifyingOf: left as lineage,
+    // the members window re-derives once per consumer (within, the
+    // slate aggregate, and both cross-join sides), ~4× the subtree's
+    // task time at every scale; persisted, each computes once per
+    // invocation (cachedPosting's documented 100 TB staging analog)
     val slate = ranked.where(col("grk") <= cap)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val within = slate
       .select(col("vec_id").as("a_id"),
         explode(filter(col("nxt"), x => x.isNotNull)).as("b_id"))
       .select(col("a_id"), col("b_id"), lit(1.0).as("cos"))
     val slates = slate.groupBy(col("rep_id"))
       .agg(sort_array(collect_list(col("vec_id"))).as("slate"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val crossE = repQ
       .join(slates.select(col("rep_id").as("a_id"), col("slate").as("sa")),
         Seq("a_id"))

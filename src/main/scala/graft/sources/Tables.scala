@@ -46,4 +46,34 @@ object Tables {
   }
   def documents(s: SparkSession, dir: String): DataFrame = apply(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = apply(s, dir, "embeddings")
+
+  /** SCALE-ADAPTIVE spread for compute-heavy scans (r17, guide §2/§6):
+    * when the table yields fewer input splits than the cluster has
+    * cores — driver testdata is ONE parquet file with ONE row group,
+    * so its scan can never exceed one task — a round-robin repartition
+    * to defaultParallelism spreads the rows so per-document work
+    * (Gopher gram stats, C4 line rules, codec decode, chunk+embed)
+    * parallelizes; above `cores × maxPartitionBytes` of input the
+    * scan already has a split per core and this is the IDENTITY — no
+    * exchange exists in the 100 TB plan. The threshold derives from
+    * the session's own `files.maxPartitionBytes` and core count, never
+    * a constant tuned for either scale. Only wired into operators
+    * whose per-row compute dominates their scan (receipts in
+    * OPTIMIZATION_r17.md); trivial per-row paths keep the plain scan
+    * (the exchange would cost more than it buys).
+    */
+  def documentsSpread(s: SparkSession, dir: String): DataFrame = {
+    val df = documents(s, dir)
+    val path = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+    val bytes =
+      try {
+        val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(path)) fs.getContentSummary(path).getLength else Long.MaxValue
+      } catch { case scala.util.control.NonFatal(_) => Long.MaxValue }
+    val cores = s.sparkContext.defaultParallelism.toLong
+    val maxSplit =
+      try s.sessionState.conf.filesMaxPartitionBytes
+      catch { case scala.util.control.NonFatal(_) => 128L * 1024 * 1024 }
+    if (bytes / maxSplit < cores && cores > 1) df.repartition(cores.toInt) else df
+  }
 }
