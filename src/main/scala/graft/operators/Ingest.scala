@@ -538,7 +538,7 @@ object Ingest {
     * index rows ChunkIndex persists.
     */
   def pipelineIngest(spark: SparkSession, dir: String): DataFrame = {
-    val pages = Multimodal.docExtract(spark, dir)   // codec seam: payload → pages
+    val pages = Multimodal.docExtractCore(spark, dir)   // codec seam: payload → pages
     val pageChunks = pages.select(col("doc_id"), col("page_no"),
         posexplode(chunks(col("page_text"), ChunkSize, ChunkOverlap))
           .as(Seq("chunk_index", "chunk_text")))

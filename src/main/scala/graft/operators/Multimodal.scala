@@ -114,6 +114,17 @@ object Multimodal {
     * text.
     */
   def docExtract(spark: SparkSession, dir: String,
+      codec: MediaCodec = StubCodec): DataFrame =
+    docExtractCore(spark, dir, codec)
+      .orderBy(col("doc_id"), col("page_no"))
+
+  /** [[docExtract]] without the presentation sort — the frame
+    * downstream pipelines build on (pipeline_ingest re-sorts by its
+    * own keys; paying a range exchange mid-pipeline only to destroy
+    * the order at the next shuffle is guide §2.4's accidental
+    * exchange).
+    */
+  private[operators] def docExtractCore(spark: SparkSession, dir: String,
       codec: MediaCodec = StubCodec): DataFrame = {
     import spark.implicits._
     mediaRecords(spark, dir)
@@ -125,7 +136,6 @@ object Multimodal {
       }
       .toDF("doc_id", "page_no", "page_text")
       .withColumn("page_chars", length(col("page_text")).cast("long"))
-      .orderBy(col("doc_id"), col("page_no"))
   }
 
 

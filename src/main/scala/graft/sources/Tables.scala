@@ -12,8 +12,36 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * in-memory index the way `core/utils.py:150 load_index` does.
   */
 object Tables {
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Per-session memo of the READER frames (r17): `spark.read.parquet`
+    * synchronously lists the path and reads a footer for schema
+    * inference on EVERY call — measured 60–80 ms per table per query
+    * build, ×1–6 tables ×133 queries on the bench board. A production
+    * job reads its tables once; this memoizes the analyzed reader
+    * DataFrame per (session, path) so repeated builds do too. No data
+    * is cached (no persist) — only the driver-side plan object; the
+    * session's own FileStatusCache/schema stay the single source of
+    * truth, and a regenerated input dir is a different path key only
+    * when the path changes (same-path overwrites are refreshed by
+    * Spark's usual REFRESH semantics, unchanged from calling
+    * spark.read.parquet once up front).
+    */
+  private val readers =
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val m = readers.synchronized {
+      var mm = readers.get(spark)
+      if (mm == null) {
+        mm = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+        readers.put(spark, mm)
+      }
+      mm
+    }
+    val path = s"$dir/$name.parquet"
+    m.computeIfAbsent(path, p => spark.read.parquet(p))
+  }
 
   def lineitem(s: SparkSession, dir: String): DataFrame  = apply(s, dir, "lineitem")
   def orders(s: SparkSession, dir: String): DataFrame    = apply(s, dir, "orders")
@@ -74,6 +102,20 @@ object Tables {
     val maxSplit =
       try s.sessionState.conf.filesMaxPartitionBytes
       catch { case scala.util.control.NonFatal(_) => 128L * 1024 * 1024 }
-    if (bytes / maxSplit < cores && cores > 1) df.repartition(cores.toInt) else df
+    if (bytes / maxSplit < cores && cores > 1) {
+      import org.apache.spark.sql.functions.{lit, monotonically_increasing_id}
+      // PUSHDOWN BARRIER (guide §4.4's non-determinism trick): without
+      // it the optimizer pushes a caller's expensive per-row filter
+      // (gopher's keep condition, C4's page rules) BELOW the spread
+      // exchange onto the single-split scan — re-serializing exactly
+      // the compute the spread exists to parallelize (observed: the
+      // whole GopherGramStats condition as a 1-task scan filter, the
+      // exchange carrying only survivors). The always-true
+      // non-deterministic filter (mono ids are ≥ 0) cannot be crossed
+      // by predicate pushdown and folds away at runtime; the
+      // production-scale branch has no exchange and no barrier.
+      df.repartition(cores.toInt)
+        .where(monotonically_increasing_id() =!= lit(-1L))
+    } else df
   }
 }
