@@ -35,6 +35,19 @@ object MicroProbe {
     // warm-up
     df.groupBy("g").agg(max("v")).count()
 
+    // Does persist actually serve blocks on re-use, or recompute?
+    // An expensive per-row expression makes recompute visible.
+    val slow = df.withColumn("h",
+      aggregate(sequence(lit(0), lit(200)), lit(0L),
+        (a, i) => a + length(md5(concat(col("v").cast("string"), i.cast("string"))))))
+      .groupBy("g").agg(max(col("h")).as("mh"))
+      .persist()
+    t("persisted: populate") { slow.count() }
+    t("persisted: reuse 1") { slow.count() }
+    t("persisted: reuse 2") {
+      slow.join(slow.select(col("g"), col("mh").as("mh2")), Seq("g")).count()
+    }
+
     for (i <- 1 to 3) {
       t(s"builtin max #$i") { df.groupBy("g").agg(max("v")).count() }
       t(s"topK agg #$i") {

@@ -621,18 +621,23 @@ object VectorSearch {
     * referenced twice (the probed-label collect and the scoring
     * join).
     */
-  private def kmeansProbes(spark: SparkSession, dir: String): DataFrame = {
-    val cent = kmeansCentroids(spark, dir)
-    vectors(spark, dir).where(col("vec_id") < NQueries)
-      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
-      .crossJoin(broadcast(cent))
-      .select(col("q_id"), col("q_emb"), col("label").as("cl"),
-        V.cosine4(col("q_emb"), col("c_emb")).as("c_cos"))
-      .withColumn("prk", rank("c_cos", "cl", "q_id"))
-      .where(col("prk") <= NProbe)
-      .select(col("q_id"), col("q_emb"), col("cl"))
-      .localCheckpoint()
-  }
+  private def kmeansProbes(spark: SparkSession, dir: String): DataFrame =
+    // session memo (r17): four queries build on this frame (IVF+PQ and
+    // residual, plus their recalls), and each build paid the eager
+    // checkpoint job again — the FAISS-style "assign queries to probe
+    // lists once per loaded index" step, same class as semClusters
+    graft.DfCache.getOrCompute(spark, s"kmeans_probes:$dir") {
+      val cent = kmeansCentroids(spark, dir)
+      vectors(spark, dir).where(col("vec_id") < NQueries)
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+        .crossJoin(broadcast(cent))
+        .select(col("q_id"), col("q_emb"), col("label").as("cl"),
+          V.cosine4(col("q_emb"), col("c_emb")).as("c_cos"))
+        .withColumn("prk", rank("c_cos", "cl", "q_id"))
+        .where(col("prk") <= NProbe)
+        .select(col("q_id"), col("q_emb"), col("cl"))
+        .localCheckpoint()
+    }
 
   /** Bounded metadata-plane collect of the probed cluster set (≤
     * NQueries·NProbe longs) — the static partition-pruning predicate.
