@@ -98,6 +98,9 @@ object Relational {
     * top-10 brands — exercises the `part` dimension.
     */
   def qPartRevenue(spark: SparkSession, dir: String): DataFrame =
+    // deliberately NOT spread (r17): a lineitemSpread variant was
+    // measured at 1.26 s vs 0.63 s — shuffling the 4-column fact costs
+    // more than the single-task decimal arithmetic it parallelizes
     Tables.lineitem(spark, dir)
       .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"), col("l_discount"))
       .join(Tables.part(spark, dir).select(col("p_partkey"), col("p_brand")),

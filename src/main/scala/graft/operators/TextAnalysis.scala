@@ -694,6 +694,11 @@ object TextAnalysis {
       .withColumn("start_idx", col("start_idx").cast("long"))
       .withColumn("h", md5(col("span")))
       .drop("span")
+      // consumed by the winner aggregate AND the removal join (and the
+      // committed-index joins in the streaming twin): persist so the
+      // explode+md5 span derivation runs once per invocation (r17,
+      // guide §2.4/§5 — the slate-materialization receipt)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def linesUnder(occ: DataFrame): DataFrame = occ.select(col("doc_id"),
       explode(sequence(col("start_idx"),
         col("start_idx") + (C4SpanLines - 1))).as("line_idx"))

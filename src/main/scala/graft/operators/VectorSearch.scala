@@ -1318,7 +1318,10 @@ object VectorSearch {
     * corpora exercise directly.
     */
   private[graft] def protoSelectOf(kept: DataFrame): DataFrame = {
+    // consumed by BOTH the boundary and clear-kept branches —
+    // materialized once per invocation (r17, guide §2.4/§5)
     val full = kept.join(protoBands(kept), Seq("label", "ccos"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // bands with cum <= dropN are dropped whole; bands with
     // prev >= dropN are kept whole; only the one straddling band ranks
     val boundary = full.where(protoStraddles)

@@ -90,9 +90,12 @@ object Tables {
     * OPTIMIZATION_r17.md); trivial per-row paths keep the plain scan
     * (the exchange would cost more than it buys).
     */
-  def documentsSpread(s: SparkSession, dir: String): DataFrame = {
-    val df = documents(s, dir)
-    val path = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+  def documentsSpread(s: SparkSession, dir: String): DataFrame =
+    spreadSmallScan(s, documents(s, dir), s"$dir/documents.parquet")
+
+  private def spreadSmallScan(s: SparkSession, df: DataFrame,
+      pathStr: String): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(pathStr)
     val bytes =
       try {
         val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
