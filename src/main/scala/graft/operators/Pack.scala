@@ -334,6 +334,9 @@ object Pack {
                      nShards: Int = DefaultPackShards,
                      shares: Map[String, Double] = Map.empty,
                      sorted: Boolean = true): DataFrame = {
+    // consumed TWICE by mixKeepOf (rates aggregate + keep join); the
+    // three profile scores re-tokenized the survivor corpus per
+    // consumer — materialized once per invocation (r17, guide §2.4/§5)
     val scored = Curate.survivors(spark, dir).select(
       col("doc_id"), col("text"),
       TextAnalysis.predictedLang(
@@ -341,6 +344,7 @@ object Pack {
         TextAnalysis.profileScore(col("text"), TextAnalysis.Profiles(1)._2),
         TextAnalysis.profileScore(col("text"), TextAnalysis.Profiles(2)._2))
         .as("mix_lang"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     seqPackOf(mixKeepOf(spark, scored, "mix_lang", shares)
         .select(col("doc_id"), col("text")),
       budget, nShards, sorted)
